@@ -1,0 +1,195 @@
+"""Delta + varbyte posting-list codec with block-max metadata.
+
+This is the index-storage half the reference delegated to Elasticsearch /
+Lucene (the reference only ships NDJSON to ``_bulk``,
+/root/reference/es/adapter.go:109-117); here it is built from scratch:
+
+- **varbyte**: LEB128-style 7-bits-per-byte little-endian, continuation bit
+  0x80. Encode and decode are pure numpy (no per-value Python loop).
+- **chunk**: one (term, doc_id-range) slice of a posting list. Postings are
+  doc_id-sorted; ids are delta-encoded with an *absolute restart at every
+  block boundary* (block = 128 postings), so any block decodes independently
+  — that is what makes block-skipping (block-max WAND) possible. Three
+  parallel varbyte streams per chunk: ids (delta), tf, dl. Per-block
+  metadata: last doc_id (skip pointer), byte offsets into each stream, and
+  the exact max BM25 tf-norm ``tf/(tf+k1*(1-b+b*dl/avgdl))`` (float64), so
+  the block's score upper bound is ``idf*(k1+1)*block_max_tfn``.
+
+Chunks are keyed by ``chunk_id = doc_id >> CHUNK_BITS`` (a doc_id *range*,
+not a count), so the skew-salted shuffle ``groupby(term, chunk_id)`` produces
+chunks that concatenate into the final posting list with no re-merge
+(SURVEY §4 "salt hot terms"; here every term is range-salted uniformly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+BLOCK = 128
+CHUNK_BITS = 20  # doc_id range per chunk = 2^20
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a non-negative int64/uint64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    total = int(nb.sum())
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    owner = np.repeat(np.arange(n, dtype=np.int64), nb)
+    shift = (np.arange(total, dtype=np.int64) - starts[owner]).astype(np.uint64)
+    byts = (v[owner] >> (np.uint64(7) * shift)) & np.uint64(0x7F)
+    cont = (np.arange(total, dtype=np.int64) - starts[owner]) < (nb[owner] - 1)
+    out = (byts | (cont.astype(np.uint64) * np.uint64(0x80))).astype(np.uint8)
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if len(b) == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # group id per byte: 0-based index of the value this byte belongs to
+    gid = np.concatenate(([0], np.cumsum(is_end)[:-1]))
+    group_starts = np.concatenate(([0], np.flatnonzero(is_end)[:-1] + 1))
+    within = np.arange(len(b), dtype=np.int64) - group_starts[gid]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * within.astype(np.uint64)
+    )
+    vals = np.add.reduceat(contrib, group_starts)
+    if count is not None:
+        assert len(vals) == count, f"varbyte_decode: {len(vals)} != {count}"
+    return vals
+
+
+def _delta_with_block_restarts(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ids (sorted int64) -> (vals to varbyte-encode, block start indices)."""
+    n = len(ids)
+    block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    vals = np.empty(n, dtype=np.uint64)
+    if n:
+        vals[0] = ids[0]
+        vals[1:] = np.diff(ids).astype(np.uint64)
+        vals[block_starts] = ids[block_starts].astype(np.uint64)
+    return vals, block_starts
+
+
+def _per_value_nbytes(v: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(v), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def encode_chunk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> dict:
+    """Encode one doc_id-sorted posting chunk -> a dict of parquet cell values."""
+    n = len(doc_ids)
+    assert n > 0
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    assert bool(np.all(np.diff(ids) > 0)), "doc_ids must be strictly increasing"
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+
+    vals, block_starts = _delta_with_block_restarts(ids)
+    id_nb = _per_value_nbytes(vals)
+    tf_nb = _per_value_nbytes(tfs)
+    dl_nb = _per_value_nbytes(dls)
+    id_off = np.concatenate(([0], np.cumsum(id_nb)))[block_starts]
+    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))[block_starts]
+    dl_off = np.concatenate(([0], np.cumsum(dl_nb)))[block_starts]
+
+    block_ends = np.minimum(block_starts + BLOCK, n)
+    block_last = ids[block_ends - 1]
+
+    # exact BM25 tf-norm upper bound per block (float64, same formula as scoring)
+    tf_f = tfs.astype(np.float64)
+    dl_f = dls.astype(np.float64)
+    tfn = tf_f / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    block_max_tfn = np.maximum.reduceat(tfn, block_starts)
+
+    return {
+        "n": n,
+        "first_doc_id": int(ids[0]),
+        "last_doc_id": int(ids[-1]),
+        "ids_bytes": varbyte_encode(vals),
+        "tf_bytes": varbyte_encode(tfs),
+        "dl_bytes": varbyte_encode(dls),
+        "block_last": block_last.tolist(),
+        "block_ids_off": id_off.astype(np.int64).tolist(),
+        "block_tf_off": tf_off.astype(np.int64).tolist(),
+        "block_dl_off": dl_off.astype(np.int64).tolist(),
+        "block_max_tfn": block_max_tfn.tolist(),
+        "sum_tf": int(tfs.sum()),
+    }
+
+
+def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode of one chunk row -> (doc_ids int64, tfs int64, dls int64)."""
+    n = int(row["n"])
+    vals = varbyte_decode(row["ids_bytes"], n).astype(np.int64)
+    # cumsum with a reset at every absolute-restart block boundary: subtract,
+    # from each block onward, the running total accumulated before its restart.
+    c = np.cumsum(vals)
+    block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    ids = np.empty(n, dtype=np.int64)
+    for s in block_starts:
+        e = min(s + BLOCK, n)
+        base = c[s - 1] if s else 0
+        ids[s:e] = c[s:e] - base
+    tfs = varbyte_decode(row["tf_bytes"], n).astype(np.int64)
+    dls = varbyte_decode(row["dl_bytes"], n).astype(np.int64)
+    return ids, tfs, dls
+
+
+def decode_block(row: dict, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single 128-posting block of a chunk (independent restart)."""
+    n = int(row["n"])
+    nblocks = (n + BLOCK - 1) // BLOCK
+    s = bi * BLOCK
+    cnt = min(BLOCK, n - s)
+    id_off = row["block_ids_off"]
+    tf_off = row["block_tf_off"]
+    dl_off = row["block_dl_off"]
+    id_end = id_off[bi + 1] if bi + 1 < nblocks else len(row["ids_bytes"])
+    tf_end = tf_off[bi + 1] if bi + 1 < nblocks else len(row["tf_bytes"])
+    dl_end = dl_off[bi + 1] if bi + 1 < nblocks else len(row["dl_bytes"])
+    vals = varbyte_decode(row["ids_bytes"][id_off[bi]:id_end], cnt)
+    ids = np.cumsum(vals).astype(np.int64)
+    tfs = varbyte_decode(row["tf_bytes"][tf_off[bi]:tf_end], cnt).astype(np.int64)
+    dls = varbyte_decode(row["dl_bytes"][dl_off[bi]:dl_end], cnt).astype(np.int64)
+    return ids, tfs, dls
+
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("chunk_id", pa.int64()),
+        ("shard", pa.int32()),
+        ("n", pa.int64()),
+        ("first_doc_id", pa.int64()),
+        ("last_doc_id", pa.int64()),
+        ("ids_bytes", pa.binary()),
+        ("tf_bytes", pa.binary()),
+        ("dl_bytes", pa.binary()),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_ids_off", pa.list_(pa.int64())),
+        ("block_tf_off", pa.list_(pa.int64())),
+        ("block_dl_off", pa.list_(pa.int64())),
+        ("block_max_tfn", pa.list_(pa.float64())),
+        ("sum_tf", pa.int64()),
+    ]
+)

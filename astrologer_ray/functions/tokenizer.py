@@ -1,0 +1,195 @@
+"""Code-aware tokenizer: identifiers, camelCase/snake_case splits, lowercase.
+
+The reference indexes exact ``keyword`` terms extracted field-by-field
+(/root/reference/es/indices.go:33-38 — every string field is ES ``keyword``)
+and relies on Elasticsearch's analyzer+BM25 for anything text-typed. The new
+engine generalises that: a code-aware tokenizer produces the exact-term
+vocabulary that feeds the posting lists.
+
+Two modes, both deterministic:
+
+- ``code`` (default): raw tokens are identifier-shaped runs
+  ``[A-Za-z_][A-Za-z0-9_]*`` or digit runs. Each raw token emits its
+  lowercased self plus — when it decomposes — its lowercased camelCase /
+  snake_case / digit-boundary parts ("parseHTTPResponse" -> parsehttpresponse,
+  parse, http, response). Mirrors how code-search engines index identifiers.
+- ``simple``: lowercase ``[a-z0-9]+`` runs only. Chosen because it is exactly
+  expressible in ANSI SQL (DuckDB ``regexp_split_to_array(lower(text),
+  '[^a-z0-9]+')``), which powers the driver's oracle-SQL correctness gate.
+
+UTF-8 scrub mirrors /root/reference/db/main.go:14-37 and
+/root/reference/db/tx_history_row.go:47-48 (invalid runes replaced, NULs
+stripped): python ``str`` is already valid unicode, so the scrub strips NUL
+and C0 control chars (except \\t \\n \\r).
+
+``tokenize``/``token_counts`` are the small reference implementations (used
+by the brute-force BM25 oracle and property tests); ``CodeTokenizer`` is the
+vectorized batch implementation used in the hot path — one regex pass per
+row in C, then pure-numpy CSR expansion with a cross-batch token-split cache
+(it is a callable-class state, so in Ray it runs as an actor-pool stage with
+the cache amortised across batches).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+
+MAX_TERM_LEN = 64
+
+_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
+_PART_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+")
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+# NUL + C0 control chars except \t \n \r  (reference utf8 scrub analog)
+_SCRUB_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def scrub_text(s: str) -> str:
+    """Strip NUL/control chars (reference: db/main.go:14-37 utf8 scrub)."""
+    return _SCRUB_RE.sub("", s)
+
+
+def split_token(token: str) -> tuple[str, ...]:
+    """Terms emitted for one raw ``code``-mode token (lowercased, capped).
+
+    Always the whole lowered token; plus its parts when it decomposes.
+    """
+    whole = token.lower()
+    parts = []
+    for seg in token.split("_"):
+        parts.extend(m.group(0).lower() for m in _PART_RE.finditer(seg))
+    out: list[str] = []
+    if len(whole) <= MAX_TERM_LEN:
+        out.append(whole)
+    if parts != [whole]:
+        out.extend(p for p in parts if len(p) <= MAX_TERM_LEN)
+    return tuple(out)
+
+
+def tokenize(text: str, mode: str = "code") -> list[str]:
+    """Reference (non-vectorized) tokenizer; the oracle ground truth."""
+    text = scrub_text(text)
+    if mode == "simple":
+        return _SIMPLE_RE.findall(text.lower())
+    terms: list[str] = []
+    for tok in _TOKEN_RE.findall(text):
+        terms.extend(split_token(tok))
+    return terms
+
+
+def token_counts(text: str, mode: str = "code") -> Counter:
+    """term -> tf for one document (reference implementation)."""
+    return Counter(tokenize(text, mode))
+
+
+class CodeTokenizer:
+    """Vectorized batch tokenizer with a cross-batch split cache.
+
+    ``batch_counts(contents)`` returns ``(doc_idx, terms, tfs, dls)``:
+      doc_idx : int32[P]  index into ``contents`` for each posting
+      terms   : object[P] term strings
+      tfs     : int32[P]  term frequency of ``terms[i]`` in doc ``doc_idx[i]``
+      dls     : int64[D]  document length (total emitted terms) per content
+
+    Per-doc results are exactly ``token_counts(content, mode)`` (property
+    tested). State (vocab + split cache) amortises across batches, which is
+    why index-build stages run this as an actor pool (SURVEY §2.3 ST4).
+    """
+
+    def __init__(self, mode: str = "code"):
+        self.mode = mode
+        self._vocab: dict[str, int] = {}
+        self._vocab_arr: np.ndarray = np.empty(0, dtype=object)
+        # raw token -> np.int64[] of emitted term ids
+        self._tok2ids: dict[str, np.ndarray] = {}
+
+    def _term_id(self, term: str) -> int:
+        tid = self._vocab.get(term)
+        if tid is None:
+            tid = len(self._vocab)
+            self._vocab[term] = tid
+        return tid
+
+    def _ids_for_raw(self, raw: str) -> np.ndarray:
+        ids = self._tok2ids.get(raw)
+        if ids is None:
+            if self.mode == "simple":
+                emitted = (raw,) if len(raw) <= MAX_TERM_LEN else ()
+            else:
+                emitted = split_token(raw)
+            ids = np.array([self._term_id(t) for t in emitted], dtype=np.int64)
+            self._tok2ids[raw] = ids
+        return ids
+
+    def _refresh_vocab_arr(self) -> None:
+        if len(self._vocab_arr) != len(self._vocab):
+            arr = np.empty(len(self._vocab), dtype=object)
+            arr[len(self._vocab_arr):] = [
+                t for t, i in sorted(self._vocab.items(), key=lambda kv: kv[1])
+            ][len(self._vocab_arr):]
+            arr[: len(self._vocab_arr)] = self._vocab_arr
+            self._vocab_arr = arr
+
+    def batch_counts(self, contents) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        ndocs = len(contents)
+        raw_lists: list[list[str]] = []
+        if self.mode == "simple":
+            for s in contents:
+                raw_lists.append(_SIMPLE_RE.findall(scrub_text(s or "").lower()))
+        else:
+            for s in contents:
+                raw_lists.append(_TOKEN_RE.findall(scrub_text(s or "")))
+        lengths = np.fromiter((len(r) for r in raw_lists), dtype=np.int64, count=ndocs)
+        total = int(lengths.sum())
+        if total == 0:
+            return (
+                np.empty(0, dtype=np.int32),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int32),
+                np.zeros(ndocs, dtype=np.int64),
+            )
+        all_raw = np.empty(total, dtype=object)
+        pos = 0
+        for r in raw_lists:
+            all_raw[pos : pos + len(r)] = r
+            pos += len(r)
+
+        uniq, inv = np.unique(all_raw, return_inverse=True)
+        id_arrays = [self._ids_for_raw(str(u)) for u in uniq]
+        counts = np.fromiter((len(a) for a in id_arrays), dtype=np.int64, count=len(uniq))
+        flat = (
+            np.concatenate(id_arrays)
+            if len(id_arrays)
+            else np.empty(0, dtype=np.int64)
+        )
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+        # CSR gather: expand each raw token occurrence into its emitted ids.
+        tok_cnt = counts[inv]
+        tok_start = starts[inv]
+        m = int(tok_cnt.sum())
+        if m == 0:
+            return (
+                np.empty(0, dtype=np.int32),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int32),
+                np.zeros(ndocs, dtype=np.int64),
+            )
+        csum = np.cumsum(tok_cnt) - tok_cnt
+        within = np.arange(m, dtype=np.int64) - np.repeat(csum, tok_cnt)
+        emitted_ids = flat[np.repeat(tok_start, tok_cnt) + within]
+        doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+        doc_of_emit = np.repeat(doc_of_tok, tok_cnt)
+
+        dls = np.bincount(doc_of_emit, minlength=ndocs).astype(np.int64)
+
+        V = len(self._vocab)
+        keys = doc_of_emit * V + emitted_ids
+        ukeys, tfs = np.unique(keys, return_counts=True)
+        doc_idx = (ukeys // V).astype(np.int32)
+        term_ids = ukeys % V
+        self._refresh_vocab_arr()
+        terms = self._vocab_arr[term_ids]
+        return doc_idx, terms, tfs.astype(np.int32), dls

@@ -1,0 +1,100 @@
+import numpy as np
+import pytest
+
+from astrologer_ray.functions.codec import (
+    BLOCK,
+    decode_block,
+    decode_chunk,
+    encode_chunk,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [],
+        [0],
+        [1],
+        [127],
+        [128],
+        [16383],
+        [16384],
+        [2**62],
+        [0, 1, 127, 128, 255, 300, 2**20, 2**40, 2**62],
+    ],
+)
+def test_varbyte_roundtrip_fixed(vals):
+    v = np.array(vals, dtype=np.uint64)
+    assert list(varbyte_decode(varbyte_encode(v))) == vals
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("n", [1, 2, 10, 1000, 100_000])
+def test_varbyte_roundtrip_random(seed, n):
+    rng = np.random.default_rng(seed)
+    # mix of small and huge magnitudes (adversarial gaps, FIXTURES.md F3)
+    exp = rng.integers(0, 62, size=n)
+    v = rng.integers(0, 2**53, size=n).astype(np.uint64) >> (53 - exp // 2).astype(np.uint64)
+    out = varbyte_decode(varbyte_encode(v), n)
+    np.testing.assert_array_equal(out, v)
+
+
+def _random_postings(rng, n, max_gap=1000):
+    gaps = rng.integers(1, max_gap, size=n)
+    ids = np.cumsum(gaps).astype(np.int64)
+    tfs = rng.integers(1, 50, size=n).astype(np.int64)
+    dls = rng.integers(1, 5000, size=n).astype(np.int64)
+    return ids, tfs, dls
+
+
+@pytest.mark.parametrize("n", [1, 2, BLOCK - 1, BLOCK, BLOCK + 1, 5 * BLOCK + 17, 10_000])
+def test_chunk_roundtrip(n):
+    rng = np.random.default_rng(n)
+    ids, tfs, dls = _random_postings(rng, n)
+    row = encode_chunk(ids, tfs, dls, avgdl=100.0)
+    rid, rtf, rdl = decode_chunk(row)
+    np.testing.assert_array_equal(rid, ids)
+    np.testing.assert_array_equal(rtf, tfs)
+    np.testing.assert_array_equal(rdl, dls)
+    assert row["first_doc_id"] == ids[0]
+    assert row["last_doc_id"] == ids[-1]
+
+
+def test_block_decode_matches_full():
+    rng = np.random.default_rng(3)
+    n = 4 * BLOCK + 31
+    ids, tfs, dls = _random_postings(rng, n)
+    row = encode_chunk(ids, tfs, dls, avgdl=100.0)
+    nblocks = (n + BLOCK - 1) // BLOCK
+    assert len(row["block_last"]) == nblocks
+    got_ids, got_tfs, got_dls = [], [], []
+    for bi in range(nblocks):
+        bids, btfs, bdls = decode_block(row, bi)
+        got_ids.append(bids)
+        got_tfs.append(btfs)
+        got_dls.append(bdls)
+        assert bids[-1] == row["block_last"][bi]
+    np.testing.assert_array_equal(np.concatenate(got_ids), ids)
+    np.testing.assert_array_equal(np.concatenate(got_tfs), tfs)
+    np.testing.assert_array_equal(np.concatenate(got_dls), dls)
+
+
+def test_block_max_tfn_exact():
+    rng = np.random.default_rng(9)
+    n = 3 * BLOCK + 5
+    ids, tfs, dls = _random_postings(rng, n)
+    k1, b, avgdl = 1.2, 0.75, 321.5
+    row = encode_chunk(ids, tfs, dls, avgdl=avgdl, k1=k1, b=b)
+    tfn = tfs / (tfs + k1 * (1 - b + b * dls / avgdl))
+    for bi in range(len(row["block_max_tfn"])):
+        s, e = bi * BLOCK, min((bi + 1) * BLOCK, n)
+        assert row["block_max_tfn"][bi] == tfn[s:e].max()
+
+
+def test_encode_rejects_unsorted():
+    with pytest.raises(AssertionError):
+        encode_chunk(
+            np.array([5, 3]), np.array([1, 1]), np.array([1, 1]), avgdl=1.0
+        )

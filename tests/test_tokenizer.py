@@ -1,0 +1,91 @@
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from astrologer_ray.functions.tokenizer import (
+    CodeTokenizer,
+    scrub_text,
+    split_token,
+    token_counts,
+    tokenize,
+)
+
+
+def test_scrub():
+    assert scrub_text("a\x00b\x01c\td\ne") == "abc\td\ne"
+
+
+def test_split_token_camel():
+    assert split_token("parseHTTPResponse") == (
+        "parsehttpresponse", "parse", "http", "response",
+    )
+
+
+def test_split_token_snake():
+    assert split_token("snake_case_name") == ("snake_case_name", "snake", "case", "name")
+
+
+def test_split_token_screaming():
+    assert split_token("MAX_TERM_LEN") == ("max_term_len", "max", "term", "len")
+
+
+def test_split_token_simple_word():
+    assert split_token("hello") == ("hello",)
+    assert split_token("Hello") == ("hello",)
+
+
+def test_split_token_digits():
+    assert split_token("v2beta") == ("v2beta", "v", "2", "beta")
+
+
+def test_tokenize_code():
+    terms = tokenize("def getFoo(): return foo_bar # 42")
+    assert "getfoo" in terms and "get" in terms and "foo" in terms
+    assert "foo_bar" in terms and "bar" in terms
+    assert "42" in terms
+    assert "def" in terms and "return" in terms
+
+
+def test_tokenize_simple_mode():
+    assert tokenize("Hello, World_2!", mode="simple") == ["hello", "world", "2"]
+
+
+def test_empty_and_edge():
+    assert tokenize("") == []
+    assert tokenize("\x00\x00") == []
+    assert token_counts("a a a")["a"] == 3
+
+
+@pytest.mark.parametrize("mode", ["code", "simple"])
+def test_vectorized_matches_reference(mode):
+    rng = np.random.default_rng(7)
+    from astrologer_ray.sources.corpus import _make_vocab, _zipf_weights
+
+    vocab = np.array(_make_vocab(rng, 200))
+    probs = _zipf_weights(200)
+    docs = []
+    for i in range(50):
+        n = int(rng.integers(0, 40))
+        docs.append(" ".join(rng.choice(vocab, size=n, p=probs)))
+    docs += ["", "x", "a\x00b", "CaseTwin casetwin", "__init__ __main__"]
+
+    tok = CodeTokenizer(mode=mode)
+    doc_idx, terms, tfs, dls = tok.batch_counts(docs)
+
+    got = [Counter() for _ in docs]
+    for d, t, f in zip(doc_idx, terms, tfs):
+        got[d][t] = f
+    for i, doc in enumerate(docs):
+        want = token_counts(doc, mode=mode)
+        assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+        assert dls[i] == sum(want.values())
+
+
+def test_vectorized_cache_stable_across_batches():
+    tok = CodeTokenizer()
+    d1 = tok.batch_counts(["fooBar baz"])
+    d2 = tok.batch_counts(["fooBar baz"])
+    c1 = Counter(dict(zip(d1[1], d1[2])))
+    c2 = Counter(dict(zip(d2[1], d2[2])))
+    assert c1 == c2 == token_counts("fooBar baz")
