@@ -1,0 +1,190 @@
+"""SPIMI stage: per-partition tokenize -> partial postings + docs sidecar.
+
+The reference's export flagship processes independent ledger blocks in a
+worker pool and writes one buffer per block (/root/reference/commands/
+export.go:62-89); state never crosses block boundaries (SURVEY §2.3 ST1/ST4).
+The analog here: the corpus is planned into deterministic *partition units*
+(parquet row-group ranges), and an actor-pool ``map_batches`` stage tokenizes
+each unit and writes its partial artifacts:
+
+  partials/post-{part:06d}.parquet   (lrow:int64, term:str, tf:int32)
+  partials/docs-{part:06d}.parquet   (lrow, doc_key, repo, path, commit,
+                                      lang, dl:int64, sha256:str)
+  partials/manifest-{part:06d}.json  lineage + metrics row (written last,
+                                     atomically: tmp + rename)
+
+``lrow = part_id << 40 | local_row`` is the provisional row identity used to
+join postings to their final dense ``doc_id`` later; ``doc_key`` is the
+paging-token analog (/root/reference/es/paging_token.go:10-30): the composite
+``repo \\x1f path \\x1f commit`` whose lexicographic order equals the
+component-wise order. The manifest file is the per-partition checkpoint: a
+re-run skips any unit whose manifest already exists (the reference's
+gap-detect + re-export resume model, /root/reference/commands/stats.go:20-67).
+
+Tokenization + hashing happen ONCE here; ``content`` never flows past this
+stage (SURVEY §7 hard part (e)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from astrologer_ray.functions.tokenizer import CodeTokenizer
+
+KEY_SEP = "\x1f"
+LROW_BITS = 40
+
+POST_SCHEMA = pa.schema(
+    [("lrow", pa.int64()), ("term", pa.string()), ("tf", pa.int32())]
+)
+DOCS_PART_SCHEMA = pa.schema(
+    [
+        ("lrow", pa.int64()),
+        ("doc_key", pa.string()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("dl", pa.int64()),
+        ("sha256", pa.string()),
+    ]
+)
+
+
+def plan_partitions(paths: list[str], target_rows: int = 50_000) -> list[dict]:
+    """Deterministic partition units from parquet metadata (no data scan).
+
+    One unit = a contiguous row-group range of one file with ~target_rows
+    rows. Unit ids are stable across runs and across parallelism levels,
+    which is what makes the per-partition checkpoint/resume sound.
+    """
+    units: list[dict] = []
+    part_id = 0
+    for path in sorted(paths):
+        md = pq.read_metadata(path)
+        rg_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        start = 0
+        acc = 0
+        for i, n in enumerate(rg_rows):
+            acc += n
+            if acc >= target_rows or i == len(rg_rows) - 1:
+                units.append(
+                    {
+                        "part_id": part_id,
+                        "file": path,
+                        "rg_start": start,
+                        "rg_end": i + 1,
+                        "n_rows": acc,
+                    }
+                )
+                part_id += 1
+                start = i + 1
+                acc = 0
+    return units
+
+
+def manifest_path(partials_dir: str, part_id: int) -> str:
+    return os.path.join(partials_dir, f"manifest-{part_id:06d}.json")
+
+
+def completed_partitions(partials_dir: str) -> set[int]:
+    if not os.path.isdir(partials_dir):
+        return set()
+    out = set()
+    for f in os.listdir(partials_dir):
+        if f.startswith("manifest-") and f.endswith(".json"):
+            out.add(int(f[len("manifest-"):-len(".json")]))
+    return out
+
+
+class TokenizePartials:
+    """Actor-pool stage: one input row = one partition unit.
+
+    ``__init__`` happens once per actor (tokenizer split-cache amortised
+    across units — SURVEY §2.3 ST4); ``__call__`` per batch of units.
+    Returns the metrics rows (the tiny dataset the driver collects).
+    """
+
+    def __init__(self, partials_dir: str, mode: str = "code"):
+        self.partials_dir = partials_dir
+        self.tok = CodeTokenizer(mode=mode)
+        os.makedirs(partials_dir, exist_ok=True)
+
+    def _process_unit(self, unit: dict) -> dict:
+        part_id = int(unit["part_id"])
+        pf = pq.ParquetFile(unit["file"])
+        t = pf.read_row_groups(
+            list(range(int(unit["rg_start"]), int(unit["rg_end"])))
+        )
+        repo = t.column("repo").to_pylist()
+        path = t.column("path").to_pylist()
+        commit = t.column("commit").to_pylist()
+        lang = t.column("lang").to_pylist()
+        content = t.column("content").to_pylist()
+        n = len(content)
+
+        # per-row sha256(content) — the BASELINE.json invariant column
+        sha = [hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in content]
+        doc_key = [f"{r}{KEY_SEP}{p}{KEY_SEP}{c}" for r, p, c in zip(repo, path, commit)]
+        lrow_base = np.int64(part_id) << LROW_BITS
+        lrows = lrow_base + np.arange(n, dtype=np.int64)
+
+        doc_idx, terms, tfs, dls = self.tok.batch_counts(content)
+
+        post = pa.table(
+            {
+                "lrow": lrows[doc_idx] if len(doc_idx) else np.empty(0, np.int64),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": tfs,
+            },
+            schema=POST_SCHEMA,
+        )
+        docs = pa.table(
+            {
+                "lrow": lrows,
+                "doc_key": doc_key,
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "lang": lang,
+                "dl": dls,
+                "sha256": sha,
+            },
+            schema=DOCS_PART_SCHEMA,
+        )
+
+        post_path = os.path.join(self.partials_dir, f"post-{part_id:06d}.parquet")
+        docs_path = os.path.join(self.partials_dir, f"docs-{part_id:06d}.parquet")
+        pq.write_table(post, post_path, compression="zstd")
+        pq.write_table(docs, docs_path, compression="zstd")
+
+        metrics = {
+            "part_id": part_id,
+            "file": unit["file"],
+            "rg_start": int(unit["rg_start"]),
+            "rg_end": int(unit["rg_end"]),
+            "n_docs": n,
+            "n_postings": post.num_rows,
+            "n_unique_terms": int(len(np.unique(terms))) if len(terms) else 0,
+            "sum_dl": int(dls.sum()) if n else 0,
+            "max_doc_postings": int(np.bincount(doc_idx).max()) if len(doc_idx) else 0,
+            "post_bytes": os.path.getsize(post_path),
+            "docs_bytes": os.path.getsize(docs_path),
+        }
+        # manifest written LAST and atomically: its existence == unit complete
+        mp = manifest_path(self.partials_dir, part_id)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(metrics, f)
+        os.replace(mp + ".tmp", mp)
+        return metrics
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = [self._process_unit(u) for u in rows]
+        return pa.Table.from_pylist(out)

@@ -1,0 +1,311 @@
+"""Query serving: dictionary + posting shards in an actor pool, block-max WAND.
+
+The reference's query half is Elasticsearch: term/bool filters and top-k
+served from an index pre-sorted by paging token
+(/root/reference/es.postman_collection.json, es/indices.go:26-27). Here the
+query-time state (dictionary, posting chunks, doc attributes) is loaded once
+per ``Searcher`` — in Ray, once per actor (SURVEY §2.3 ST4: ``map_batches(
+SearchStage, concurrency=N)`` for batch query sets; plain actors for QPS).
+
+Top-k BM25 is document-at-a-time block-max WAND (SURVEY §2.4 J5):
+cursors (one per query term) walk doc_id-ascending postings; the pivot test
+uses term-level upper bounds, refined by the current chunks' *block-level*
+max tf-norms, and skips whole 128-posting blocks whose upper bound cannot
+beat the current threshold. Pruning uses ``ub <= threshold`` which is exact
+for rank-identical results: docs are enumerated doc_id-ascending, so an
+equal-score later doc always loses the (score desc, doc_id asc) tie-break.
+Upper bounds get a 1+1e-12 safety factor against float reassociation.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from astrologer_ray import B, K1
+from astrologer_ray.functions.codec import BLOCK, decode_block
+from astrologer_ray.functions.tokenizer import tokenize
+from astrologer_ray.pipelines.build import load_meta
+from astrologer_ray.state.bm25 import bm25_term_weight, idf
+
+_INF = np.iinfo(np.int64).max
+_UB_SAFETY = 1.0 + 1e-12
+
+
+class _Cursor:
+    """doc_id-ascending iterator over one term's chunk list with block skips."""
+
+    __slots__ = ("chunks", "ci", "bi", "ids", "tfs", "dls", "pos", "doc", "idf",
+                 "term", "ub", "k1", "b", "avgdl")
+
+    def __init__(self, term, chunks, idf_t, k1, b, avgdl):
+        self.term = term
+        self.chunks = chunks  # list of chunk rows (dicts), chunk_id ascending
+        self.idf = idf_t
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.ub = idf_t * (k1 + 1.0) * max(
+            max(c["block_max_tfn"]) for c in chunks
+        ) * _UB_SAFETY
+        self.ci = 0
+        self._load_block(0, 0)
+
+    def _load_block(self, ci, bi):
+        self.ci, self.bi = ci, bi
+        row = self.chunks[ci]
+        self.ids, self.tfs, self.dls = decode_block(row, bi)
+        self.pos = 0
+        self.doc = int(self.ids[0])
+
+    def block_ub(self) -> float:
+        return (
+            self.idf * (self.k1 + 1.0)
+            * self.chunks[self.ci]["block_max_tfn"][self.bi] * _UB_SAFETY
+        )
+
+    def block_last(self) -> int:
+        return int(self.chunks[self.ci]["block_last"][self.bi])
+
+    def score(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return bm25_term_weight(self.idf, tf, dl, self.avgdl, self.k1, self.b)
+
+    def advance(self):
+        self.pos += 1
+        if self.pos < len(self.ids):
+            self.doc = int(self.ids[self.pos])
+            return
+        row = self.chunks[self.ci]
+        nblocks = (row["n"] + BLOCK - 1) // BLOCK
+        if self.bi + 1 < nblocks:
+            self._load_block(self.ci, self.bi + 1)
+        elif self.ci + 1 < len(self.chunks):
+            self._load_block(self.ci + 1, 0)
+        else:
+            self.doc = _INF
+
+    def next_geq(self, target: int):
+        if self.doc >= target:
+            return
+        # skip chunks wholly below target
+        ci = self.ci
+        while ci < len(self.chunks) and self.chunks[ci]["last_doc_id"] < target:
+            ci += 1
+        if ci >= len(self.chunks):
+            self.doc = _INF
+            return
+        row = self.chunks[ci]
+        bl = row["block_last"]
+        bi = self.bi if ci == self.ci else 0
+        # first block whose last id >= target
+        bi = int(np.searchsorted(np.asarray(bl[bi:]), target) + bi)
+        if ci != self.ci or bi != self.bi:
+            self._load_block(ci, bi)
+        self.pos = int(np.searchsorted(self.ids, target))
+        if self.pos >= len(self.ids):  # cannot happen given block_last >= target
+            self.advance()
+            return
+        self.doc = int(self.ids[self.pos])
+
+
+class Searcher:
+    """Holds dictionary + posting chunks (+ doc attributes) for serving.
+
+    ``shards``: optional subset of term shards to load (term-hash sharding,
+    the analog of the reference's per-index shard counts,
+    /root/reference/es/indices.go:28,58). A full cluster deployment runs one
+    actor (pool) per shard set and merges per-shard top-k on the caller —
+    candidates merge exactly because scores depend only on global stats.
+    """
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None,
+                 load_docs: bool = True):
+        self.meta = load_meta(index_dir)
+        self.k1 = float(self.meta["k1"])
+        self.b = float(self.meta["b"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.N = int(self.meta["n_docs"])
+        self.mode = self.meta["mode"]
+        self.n_shards = int(self.meta["n_shards"])
+        self.shards = set(shards) if shards is not None else None
+
+        pfiles = sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet")))
+        filt = None
+        if self.shards is not None:
+            filt = pc.field("shard").isin(list(self.shards))
+        tables = [pq.read_table(p, filters=filt) for p in pfiles]
+        post = pa.concat_tables(tables) if tables else None
+
+        self.postings: dict[str, list[dict]] = {}
+        if post is not None and post.num_rows:
+            for row in post.sort_by([("term", "ascending"), ("chunk_id", "ascending")]).to_pylist():
+                self.postings.setdefault(row["term"], []).append(row)
+
+        dfiles = sorted(glob.glob(os.path.join(index_dir, "dict", "*.parquet")))
+        dt = pa.concat_tables([pq.read_table(p, columns=["term", "df", "cf"]) for p in dfiles])
+        self.df = dict(zip(dt.column("term").to_pylist(), dt.column("df").to_pylist()))
+        self.cf = dict(zip(dt.column("term").to_pylist(), dt.column("cf").to_pylist()))
+
+        self.doc_lang = self.doc_key = self.doc_repo = self.doc_path = None
+        if load_docs:
+            dfiles = sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
+            docs = pa.concat_tables(
+                [pq.read_table(p, columns=["doc_id", "doc_key", "repo", "path", "lang"])
+                 for p in dfiles]
+            ).sort_by("doc_id")
+            assert docs.column("doc_id").to_numpy()[-1] == docs.num_rows - 1 if docs.num_rows else True
+            self.doc_key = np.asarray(docs.column("doc_key"), dtype=object)
+            self.doc_repo = np.asarray(docs.column("repo"), dtype=object)
+            self.doc_path = np.asarray(docs.column("path"), dtype=object)
+            self.doc_lang = np.asarray(docs.column("lang"), dtype=object)
+
+    def owns_term(self, term: str) -> bool:
+        if self.shards is None:
+            return True
+        return zlib.crc32(term.encode()) % self.n_shards in self.shards
+
+    def search(
+        self,
+        terms: list[str],
+        k: int = 10,
+        lang: str | None = None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """Exact top-k BM25 via block-max WAND. Rank-identical to the oracle."""
+        if k <= 0:
+            return []
+        qterms = sorted({t for t in terms if self.owns_term(t)})
+        cursors = []
+        for t in qterms:
+            chunks = self.postings.get(t)
+            if chunks:
+                idf_t = idf(self.N, int(self.df[t]))
+                cursors.append(_Cursor(t, chunks, idf_t, self.k1, self.b, self.avgdl))
+        allowed = None
+        if lang is not None:
+            if self.doc_lang is None:
+                raise ValueError("lang filter requires load_docs=True")
+            allowed = self.doc_lang == lang
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id): min = worst
+        theta = -np.inf
+
+        while cursors:
+            cursors_by_doc = sorted(cursors, key=lambda c: c.doc)
+            if cursors_by_doc[0].doc == _INF:
+                break
+            # pivot: first prefix whose term-level UB sum can beat theta
+            acc = 0.0
+            pivot_i = -1
+            for i, c in enumerate(cursors_by_doc):
+                acc += c.ub
+                if acc > theta:
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break
+            pivot_doc = cursors_by_doc[pivot_i].doc
+            if pivot_doc == _INF:
+                break
+            while (
+                pivot_i + 1 < len(cursors_by_doc)
+                and cursors_by_doc[pivot_i + 1].doc == pivot_doc
+            ):
+                pivot_i += 1
+
+            if cursors_by_doc[0].doc == pivot_doc:
+                # all prefix cursors sit exactly at pivot_doc (sorted order);
+                # block-max refinement: tighter UB from their current blocks
+                prefix = cursors_by_doc[: pivot_i + 1]
+                block_ub = sum(c.block_ub() for c in prefix)
+                if block_ub <= theta:
+                    # skip to the earliest point where the bound can change:
+                    # a prefix cursor's current block ends, or the next
+                    # non-pivot cursor starts contributing
+                    nxt = min(c.block_last() for c in prefix) + 1
+                    if pivot_i + 1 < len(cursors_by_doc):
+                        nxt = min(nxt, cursors_by_doc[pivot_i + 1].doc)
+                    nxt = max(nxt, pivot_doc + 1)
+                    for c in prefix:
+                        c.next_geq(nxt)
+                else:
+                    if allowed is None or allowed[pivot_doc]:
+                        # contributions in sorted-term order == cursors order
+                        s = 0.0
+                        for c in cursors:
+                            if c.doc == pivot_doc:
+                                s += c.score()
+                        if s > theta or len(heap) < k:
+                            heapq.heappush(heap, (s, -pivot_doc))
+                            if len(heap) > k:
+                                heapq.heappop(heap)
+                            if len(heap) == k:
+                                theta = heap[0][0]
+                    for c in cursors_by_doc:
+                        if c.doc == pivot_doc:
+                            c.advance()
+            else:
+                # advance the largest-UB cursor strictly below the pivot up to
+                # pivot_doc (a cursor in the prefix may already equal the
+                # pivot; moving one of those would not make progress)
+                pre = [c for c in cursors_by_doc[:pivot_i] if c.doc < pivot_doc]
+                mover = max(pre, key=lambda c: c.ub)
+                mover.next_geq(pivot_doc)
+            cursors = [c for c in cursors if c.doc != _INF]
+
+        out = sorted(heap, key=lambda t2: (-t2[0], -t2[1]))
+        results = []
+        for rank, (s, nd) in enumerate(out):
+            d = -nd
+            r = {"rank": rank, "doc_id": d, "score": s}
+            if decorate and self.doc_key is not None:
+                r["doc_key"] = str(self.doc_key[d])
+                r["repo"] = str(self.doc_repo[d])
+                r["path"] = str(self.doc_path[d])
+                r["lang"] = str(self.doc_lang[d])
+            results.append(r)
+        return results
+
+    def search_text(self, text: str, k: int = 10, **kw) -> list[dict]:
+        return self.search(tokenize(text, mode=self.mode), k=k, **kw)
+
+
+class SearchStage:
+    """Actor-pool batch query stage: ``map_batches(SearchStage, concurrency=N)``.
+
+    Input rows: (qid:int64, terms:list<string>, k:int64[, lang:string]).
+    Output rows: (qid, rank, doc_id, score).
+    """
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        self.searcher = Searcher(index_dir, shards=shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docs, scores = [], [], [], []
+        has_lang = "lang" in batch.column_names
+        for row in batch.to_pylist():
+            hits = self.searcher.search(
+                list(row["terms"]),
+                k=int(row.get("k", 10)),
+                lang=row.get("lang") if has_lang else None,
+            )
+            for h in hits:
+                qids.append(row["qid"])
+                ranks.append(h["rank"])
+                docs.append(h["doc_id"])
+                scores.append(h["score"])
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )

@@ -1,0 +1,167 @@
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from astrologer_ray.pipelines.build import build_index, load_meta
+from astrologer_ray.stages.spimi import KEY_SEP, plan_partitions
+
+
+@pytest.fixture(scope="module")
+def built_index(ray_session, small_corpus_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    meta = build_index(small_corpus_dir, index_dir, partition_rows=64, n_shards=4)
+    return index_dir, meta, small_corpus_dir
+
+
+def _read_source(corpus_dir):
+    t = pq.read_table(sorted(glob.glob(corpus_dir + "/*.parquet")))
+    return t
+
+
+def test_plan_partitions_deterministic(small_corpus_dir):
+    paths = sorted(glob.glob(small_corpus_dir + "/*.parquet"))
+    u1 = plan_partitions(paths, target_rows=64)
+    u2 = plan_partitions(paths, target_rows=64)
+    assert u1 == u2
+    assert sum(u["n_rows"] for u in u1) == _read_source(small_corpus_dir).num_rows
+
+
+def test_docs_table_complete_and_sorted(built_index):
+    index_dir, meta, corpus_dir = built_index
+    src = _read_source(corpus_dir)
+    docs = pq.read_table(glob.glob(index_dir + "/docs/*.parquet")).sort_by("doc_id")
+    assert docs.num_rows == src.num_rows == meta["n_docs"]
+    ids = docs.column("doc_id").to_numpy()
+    np.testing.assert_array_equal(ids, np.arange(len(ids)))  # dense 0..N-1
+    keys = docs.column("doc_key").to_pylist()
+    assert keys == sorted(keys)  # doc_id order == doc_key order
+
+
+def test_sha256_invariant(built_index):
+    """BASELINE.json input_hint: per-row content sha256 equality vs source."""
+    index_dir, _, corpus_dir = built_index
+    src = _read_source(corpus_dir)
+    want = {
+        f"{r}{KEY_SEP}{p}{KEY_SEP}{c}": hashlib.sha256(t.encode()).hexdigest()
+        for r, p, c, t in zip(
+            src.column("repo").to_pylist(), src.column("path").to_pylist(),
+            src.column("commit").to_pylist(), src.column("content").to_pylist(),
+        )
+    }
+    docs = pq.read_table(glob.glob(index_dir + "/docs/*.parquet"))
+    got = dict(zip(docs.column("doc_key").to_pylist(), docs.column("sha256").to_pylist()))
+    assert got == want
+
+
+def test_df_equals_posting_lengths(built_index):
+    """dict df == total postings per term == sum over chunks (A8 invariant)."""
+    index_dir, _, _ = built_index
+    post = pq.read_table(glob.glob(index_dir + "/postings/*.parquet"),
+                         columns=["term", "n", "chunk_id"])
+    d = pq.read_table(glob.glob(index_dir + "/dict/*.parquet"))
+    df_from_chunks = {}
+    for t, n in zip(post.column("term").to_pylist(), post.column("n").to_pylist()):
+        df_from_chunks[t] = df_from_chunks.get(t, 0) + n
+    df_dict = dict(zip(d.column("term").to_pylist(), d.column("df").to_pylist()))
+    assert df_dict == df_from_chunks
+
+
+def test_postings_match_brute_force(built_index):
+    """Decode every posting chunk; tf must equal the tokenizer's counts."""
+    from collections import Counter
+
+    from astrologer_ray.functions.codec import decode_chunk
+    from astrologer_ray.functions.tokenizer import token_counts
+
+    index_dir, meta, corpus_dir = built_index
+    docs = pq.read_table(glob.glob(index_dir + "/docs/*.parquet")).sort_by("doc_id")
+    src = _read_source(corpus_dir)
+    content_by_key = {
+        f"{r}{KEY_SEP}{p}{KEY_SEP}{c}": t
+        for r, p, c, t in zip(
+            src.column("repo").to_pylist(), src.column("path").to_pylist(),
+            src.column("commit").to_pylist(), src.column("content").to_pylist(),
+        )
+    }
+    want: dict[tuple[str, int], int] = {}
+    dls = {}
+    for doc_id, key in zip(docs.column("doc_id").to_pylist(), docs.column("doc_key").to_pylist()):
+        cnt = token_counts(content_by_key[key])
+        dls[doc_id] = sum(cnt.values())
+        for t, f in cnt.items():
+            want[(t, doc_id)] = f
+
+    got: dict[tuple[str, int], int] = {}
+    post = pq.read_table(glob.glob(index_dir + "/postings/*.parquet"))
+    for row in post.to_pylist():
+        ids, tfs, pdls = decode_chunk(row)
+        for i, tf, dl in zip(ids, tfs, pdls):
+            got[(row["term"], int(i))] = int(tf)
+            assert dl == dls[int(i)], f"dl mismatch doc {i}"
+    assert got == want
+    assert meta["n_postings"] == len(want)
+
+
+def test_dl_stored_matches_docs(built_index):
+    index_dir, meta, _ = built_index
+    docs = pq.read_table(glob.glob(index_dir + "/docs/*.parquet"))
+    assert meta["sum_dl"] == sum(docs.column("dl").to_pylist())
+    assert meta["avgdl"] == meta["sum_dl"] / meta["n_docs"]
+
+
+def test_doc_id_assignment_parallelism_invariant(ray_session, small_corpus_dir, tmp_path):
+    """doc_id = rank of doc_key, regardless of partitioning (FIXTURES F4)."""
+    i1 = str(tmp_path / "i1")
+    i2 = str(tmp_path / "i2")
+    build_index(small_corpus_dir, i1, partition_rows=64, parallelism=2)
+    build_index(small_corpus_dir, i2, partition_rows=200, parallelism=4)
+    d1 = pq.read_table(glob.glob(i1 + "/docs/*.parquet"),
+                       columns=["doc_id", "doc_key"]).sort_by("doc_id")
+    d2 = pq.read_table(glob.glob(i2 + "/docs/*.parquet"),
+                       columns=["doc_id", "doc_key"]).sort_by("doc_id")
+    assert d1.equals(d2)
+
+
+def test_resume_skips_completed_and_matches(ray_session, small_corpus_dir, tmp_path):
+    """Delete one partition's partials; re-run rebuilds only it; final index
+    logically identical to an unbroken build (FIXTURES F5)."""
+    i1 = str(tmp_path / "full")
+    i2 = str(tmp_path / "broken")
+    build_index(small_corpus_dir, i1, partition_rows=64)
+    build_index(small_corpus_dir, i2, partition_rows=64)
+
+    # break partition 2 and resume
+    for f in glob.glob(i2 + "/partials/*-000002.*"):
+        os.remove(f)
+    manifests_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(i2 + "/partials/manifest-*.json")
+    }
+    build_index(small_corpus_dir, i2, partition_rows=64, resume=True)
+    for f, mt in manifests_before.items():
+        assert os.path.getmtime(f) == mt, f"{f} was rebuilt but should be skipped"
+
+    sort_keys = {"docs": ["doc_id"], "postings": ["term", "chunk_id"], "dict": ["term"]}
+    for sub, keys in sort_keys.items():
+        t1 = pq.read_table(glob.glob(f"{i1}/{sub}/*.parquet"))
+        t2 = pq.read_table(glob.glob(f"{i2}/{sub}/*.parquet"))
+        cols = sorted(t1.column_names)
+        s1 = t1.select(cols).sort_by([(k, "ascending") for k in keys])
+        s2 = t2.select(cols).sort_by([(k, "ascending") for k in keys])
+        assert s1.equals(s2), f"{sub} differs after resume"
+    assert load_meta(i1)["n_postings"] == load_meta(i2)["n_postings"]
+
+
+def test_partition_metrics_lineage(built_index):
+    index_dir, meta, _ = built_index
+    m = pq.read_table(index_dir + "/stats/partition_metrics.parquet")
+    assert m.num_rows == meta["n_partitions"]
+    assert sum(m.column("n_docs").to_pylist()) == meta["n_docs"]
+    assert sum(m.column("n_postings").to_pylist()) == meta["n_postings"]
+    assert os.path.exists(index_dir + "/_SUCCESS")
+    assert json.load(open(index_dir + "/stats/meta.json"))["n_docs"] == meta["n_docs"]
