@@ -1,44 +1,769 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash). Ray is initialised by
+the driver BEFORE this module is imported: nothing here calls ``ray.init``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Float-determinism policy (so Ray and SQL value-hashes match):
+- money/value sums aggregate exact integer cents -- ``floor(x*100 + 0.5)``
+  -- in BOTH engines, divided back once at the end (float summation order
+  is engine-dependent; integer summation is not);
+- per-row ratios use the identical IEEE-double expression tree in both;
+- BM25 / cosine scores round to 4 decimals in both (the sum order over
+  query terms / vector lanes is not controllable inside DuckDB).
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CACHE = "/tmp/graft_cache"
+
+# ----------------------------------------------------------------- helpers
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _tbl(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Exact integer cents: floor(x*100 + 0.5) — same expression in SQL."""
+    return pc.cast(
+        pc.floor(pc.add(pc.multiply(pc.cast(arr, pa.float64()), 100.0), 0.5)),
+        pa.int64(),
+    )
+
+
+def _documents_index(sf_dir: str) -> str:
+    """Build (once, cached) the full-text index over documents.text with the
+    SQL-expressible ``simple`` tokenizer; doc_key = zero-padded doc_id so the
+    engine's dense doc_id equals the table's doc_id."""
+    from astrologer_ray.pipelines.build import build_index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    index_dir = os.path.join(_CACHE, f"docidx-{tag}")
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        build_index(
+            [_tbl(sf_dir, "documents")],
+            index_dir,
+            mode="simple",
+            column_map={
+                "repo": "source", "path": None, "commit": None,
+                "lang": "lang", "content": "text",
+            },
+            key_cols=("doc_id",),
+            chunk_bits=8,
+            partition_rows=20_000,
+        )
+    return index_dir
+
+
+def _code_corpus_index() -> tuple[str, str]:
+    """Synthesized deterministic code corpus + code-mode index (flagship)."""
+    from astrologer_ray.pipelines.build import build_index
+    from astrologer_ray.sources.corpus import generate_corpus
+
+    corpus_dir = os.path.join(_CACHE, "codecorpus")
+    index_dir = os.path.join(_CACHE, "codeidx")
+    if not glob.glob(os.path.join(corpus_dir, "*.parquet")):
+        generate_corpus(corpus_dir, n_files=2_000, seed=42, rows_per_file=500)
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        build_index(corpus_dir, index_dir, mode="code", partition_rows=500)
+    return corpus_dir, index_dir
+
+
+BM25_DOC_QUERIES: list[tuple[int, list[str], int]] = [
+    (0, ["data", "fast", "query"], 10),
+    (1, ["spark", "table", "join"], 10),
+    (2, ["window", "merge", "sort", "stream"], 10),
+    (3, ["customer"], 10),
+    (4, ["slow", "batch"], 3),
+]
+
+CODE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "mergeSort buildIndex", 10),
+    (1, "read_parquet batch stream", 10),
+    (2, "HASH_KEY lookup", 10),
+    (3, "actorPool spill", 5),
+]
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this','are','was']"
+_SPLIT_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+# ------------------------------------------------------------- TPC-H style
+
+
+def q1_pricing_summary(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "price_c": _cents(t["l_extendedprice"]),
+                "disc_price_c": _cents(disc_price),
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_price_c", alias_name="disc_price_c"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["sum_base_price"] = out.pop("price_c") / 100.0
+    out["sum_disc_price"] = out.pop("disc_price_c") / 100.0
+    out["avg_qty"] = out["sum_qty"] / out["n"]
+    out["avg_price"] = out["sum_base_price"] / out["n"]
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "avg_qty", "avg_price", "n"]
+    ].sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
+       sum(l_quantity)/count(*) AS avg_qty,
+       (sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0)/count(*) AS avg_price,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def top_orders_by_revenue(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_c": _cents(disc_price)})
+
+    rev = (
+        li.map_batches(project, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+    orders = rd.read_parquet(_tbl(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+    joined = rev.join(orders, join_type="inner", num_partitions=4,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    out = joined.to_pandas()
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})  # join keeps the left key
+    out["revenue"] = out["rev_c"] / 100.0
+    out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return out[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+
+
+TOP_ORDERS_SQL = """
+WITH r AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+  FROM lineitem GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderdate, r.revenue
+FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+ORDER BY r.revenue DESC, o.o_orderkey LIMIT 10
+"""
+
+
+def customer_order_stats(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    cust = rd.read_parquet(_tbl(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(_tbl(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"], "price_c": _cents(t["o_totalprice"])})
+
+    joined = orders.map_batches(project, batch_format="pyarrow").join(
+        cust, join_type="inner", num_partitions=4,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_c"))
+        .to_pandas()
+    )
+    out["sum_totalprice"] = out.pop("price_c") / 100.0
+    return out[["c_mktsegment", "n_orders", "sum_totalprice"]].sort_values(
+        "c_mktsegment"
+    ).reset_index(drop=True)
+
+
+CUSTOMER_ORDER_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def customers_without_orders(sf_dir: str):
+    """Customers with no order above 400k — the anti-join/set-difference
+    surface (reference DB-vs-ES reconciliation, SURVEY §2.7 D3)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import anti_join_keys
+
+    cust = rd.read_parquet(_tbl(sf_dir, "customer"), columns=["c_custkey"])
+    orders = rd.read_parquet(_tbl(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    present = orders.filter(expr="o_totalprice > 400000").unique("o_custkey")
+    out = anti_join_keys(cust, "c_custkey", present).to_pandas()
+    if "c_custkey" not in out.columns:
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+def lineitem_range_count(sf_dir: str):
+    rd = _rd()
+    import datetime
+
+    ds = rd.read_parquet(_tbl(sf_dir, "lineitem"), columns=["l_shipdate"])
+    lo = datetime.datetime(1994, 1, 1)
+    hi = datetime.datetime(1995, 1, 1)
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        return t.filter(m)
+
+    n = ds.map_batches(filt, batch_format="pyarrow").count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+RANGE_COUNT_SQL = """
+SELECT count(*) AS n FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+"""
+
+
+def orders_price_buckets(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import range_buckets
+
+    ds = rd.read_parquet(_tbl(sf_dir, "orders"), columns=["o_totalprice"])
+    return range_buckets(ds, "o_totalprice", 50_000.0).to_pandas().sort_values(
+        "bucket_lo"
+    ).reset_index(drop=True)
+
+
+PRICE_BUCKETS_SQL = """
+SELECT floor(o_totalprice/50000.0)*50000.0 AS bucket_lo, count(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def lineitem_shipdate_minmax(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import stats_min_max
+
+    ds = rd.read_parquet(_tbl(sf_dir, "lineitem"), columns=["l_shipdate"])
+    return stats_min_max(ds, "l_shipdate").to_pandas()
+
+
+MINMAX_SQL = """
+SELECT min(l_shipdate) AS min_l_shipdate, max(l_shipdate) AS max_l_shipdate FROM lineitem
+"""
+
+
+# ------------------------------------------------------------------ events
+
+
+def events_date_histogram(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+        return pa.table({"bucket": bucket, "value": t["value"], "value_c": _cents(t["value"])})
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Sum("value_c", alias_name="value_c"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = out.pop("value_c") / 100.0
+    out["avg_value"] = out["sum_value"] / out["n"]
+    return out[["bucket", "n", "min_value", "max_value", "sum_value", "avg_value"]
+               ].sort_values("bucket").reset_index(drop=True)
+
+
+EVENTS_HIST_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value,
+       (sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0)/count(*) AS avg_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_type_topk(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import terms_topk
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type"])
+    return terms_topk(ds, "event_type", k=5).to_pandas()
+
+
+EVENTS_TOPK_SQL = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5
+"""
+
+
+def events_significant_types(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import significant_terms
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type", "value"])
+    t = significant_terms(ds, "event_type", "value > 150", k=10)
+    return t.select(["event_type", "score", "fg_n", "bg_n"])
+
+
+EVENTS_SIG_SQL = """
+WITH fg AS (SELECT event_type, count(*) AS fg_n FROM events WHERE value > 150 GROUP BY 1),
+     bg AS (SELECT event_type, count(*) AS bg_n FROM events GROUP BY 1),
+     tot AS (SELECT (SELECT sum(fg_n) FROM fg) AS fg_total, (SELECT sum(bg_n) FROM bg) AS bg_total)
+SELECT bg.event_type,
+       (fg.fg_n/tot.fg_total - bg.bg_n/tot.bg_total)
+         * ((fg.fg_n/tot.fg_total)/(bg.bg_n/tot.bg_total)) AS score,
+       fg.fg_n, bg.bg_n
+FROM bg JOIN fg USING (event_type) CROSS JOIN tot
+ORDER BY score DESC, event_type LIMIT 10
+"""
+
+
+def events_user_gaps(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import detect_gaps
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["user_id"])
+    return detect_gaps(ds, "user_id")
+
+
+EVENTS_GAPS_SQL = """
+WITH d AS (SELECT DISTINCT user_id FROM events),
+     g AS (SELECT user_id, lead(user_id) OVER (ORDER BY user_id) AS nxt FROM d)
+SELECT user_id + 1 AS gap_start, nxt - 1 AS gap_end FROM g
+WHERE nxt - user_id > 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------- documents
+
+
+def doc_token_counts(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.textstats import token_counts
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return token_counts(ds, keep=["doc_id"]).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+DOC_TOKENS_SQL = f"""
+SELECT doc_id, len({_SPLIT_SQL}) AS n_tokens FROM documents ORDER BY doc_id
+"""
+
+
+def docs_containing_term(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.functions.tokenizer import _SIMPLE_RE, scrub_text
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [
+                "data" in _SIMPLE_RE.findall(scrub_text(s or "").lower())
+                for s in t["text"].to_pylist()
+            ]
+        )
+        return pa.table({"doc_id": t["doc_id"].combine_chunks().filter(mask)})
+
+    return ds.map_batches(filt, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+DOCS_TERM_SQL = f"""
+SELECT doc_id FROM documents WHERE list_contains({_SPLIT_SQL}, 'data') ORDER BY doc_id
+"""
+
+
+def dedup_exact_docs(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import dedup_exact
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return dedup_exact(ds).to_pandas().sort_values("keep_id").reset_index(drop=True)
+
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents
+GROUP BY text ORDER BY keep_id
+"""
+
+
+def doc_quality(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.textstats import QualityScore
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ds.map_batches(QualityScore, batch_format="pyarrow",
+                         concurrency=(1, 4)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_SPLIT_SQL}) AS n_tokens,
+       CASE WHEN len({_SPLIT_SQL}) = 0 THEN 0.0
+            ELSE len(list_filter({_SPLIT_SQL}, x -> list_contains({_STOPWORDS_SQL}, x)))
+                 / len({_SPLIT_SQL}) END AS stop_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)
+       END AS alpha_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def bm25_topk_documents(sf_dir: str):
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        for h in s.search(terms, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _bm25_documents_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in BM25_DOC_QUERIES for t in sorted(set(terms))
+    )
+    ks = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_DOC_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+ks(qid, k) AS (VALUES {ks}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
+# -------------------------------------------------------------- embeddings
+
+
+def ann_topk_embeddings(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.ann import ann_brute_topk
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(head["embedding"].to_numpy())
+    out = ann_brute_topk(ds, Q, k=10, qids=head["vec_id"].to_numpy()).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT qid, vec_id, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+           FROM s)
+SELECT qid, vec_id, round(cos, 4) AS cosine FROM ranked WHERE rn <= 10 ORDER BY qid, rn
+"""
+
+
+def embedding_label_norms(sf_dir: str):
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        M = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        # per-row dot in micro-units so the cross-block sum is exact integers
+        sq = np.floor((M * M).sum(axis=1) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"label": pc.cast(t["label"], pa.int64()), "sq_u": pa.array(sq)})
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("sq_u", alias_name="sq_u"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["avg_sq_norm"] = (out.pop("sq_u") / 1e6) / out.pop("n")
+    out["avg_sq_norm"] = out["avg_sq_norm"].round(6)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+LABEL_NORMS_SQL = """
+SELECT CAST(label AS BIGINT) AS label,
+       round((sum(CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[]))*1e6 + 0.5) AS BIGINT))/1e6)
+             / count(*), 6) AS avg_sq_norm
+FROM embeddings GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------- rows-only (non-SQL) pipelines
+
+
+def simhash_documents(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import simhash_stage
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_stage(ds, keep=["doc_id"]).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def minhash_dedup_documents(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import minhash_dedup
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.6)
+
+
+def langid_documents(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.textstats import LangId
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=(1, 4)).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def fingerprint_documents(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.pipelines.textstats import fingerprints
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return fingerprints(ds, keep=["doc_id"]).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def media_features_stub(sf_dir: str):
+    rd = _rd()
+    from astrologer_ray.stages.multimodal import MediaFeatureStage
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "kind": pa.array(["image"] * t.num_rows, pa.string()),
+                "payload": pa.array(
+                    [(s or "").encode("utf-8") for s in t["text"].to_pylist()],
+                    pa.binary(),
+                ),
+                "meta": pa.array(["{}"] * t.num_rows, pa.string()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = media.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={"decode": "fake"},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out[["media_id", "n_bytes"]].sort_values("media_id").reset_index(drop=True)
+
+
+MEDIA_STUB_SQL = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+
+def bm25_topk_code(sf_dir: str):
+    """Flagship: code-mode index over the synthesized code corpus."""
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.searcher import Searcher
+
+    _, index_dir = _code_corpus_index()
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, text, k in CODE_QUERIES:
+        for h in s.search(tokenize(text), k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- driver surface
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the full-text
+    index over ``documents`` and serve the reference query set."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = bm25_topk_documents(sf_dir)
+    return t.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "top_orders_by_revenue": top_orders_by_revenue,
+        "customer_order_stats": customer_order_stats,
+        "customers_without_orders": customers_without_orders,
+        "lineitem_range_count": lineitem_range_count,
+        "orders_price_buckets": orders_price_buckets,
+        "lineitem_shipdate_minmax": lineitem_shipdate_minmax,
+        "events_date_histogram": events_date_histogram,
+        "events_type_topk": events_type_topk,
+        "events_significant_types": events_significant_types,
+        "events_user_gaps": events_user_gaps,
+        "doc_token_counts": doc_token_counts,
+        "docs_containing_term": docs_containing_term,
+        "dedup_exact_docs": dedup_exact_docs,
+        "doc_quality": doc_quality,
+        "bm25_topk_documents": bm25_topk_documents,
+        "ann_topk_embeddings": ann_topk_embeddings,
+        "embedding_label_norms": embedding_label_norms,
+        "simhash_documents": simhash_documents,
+        "minhash_dedup_documents": minhash_dedup_documents,
+        "langid_documents": langid_documents,
+        "fingerprint_documents": fingerprint_documents,
+        "media_features_stub": media_features_stub,
+        "bm25_topk_code": bm25_topk_code,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "top_orders_by_revenue": TOP_ORDERS_SQL,
+        "customer_order_stats": CUSTOMER_ORDER_SQL,
+        "customers_without_orders": CUSTOMERS_NO_ORDERS_SQL,
+        "lineitem_range_count": RANGE_COUNT_SQL,
+        "orders_price_buckets": PRICE_BUCKETS_SQL,
+        "lineitem_shipdate_minmax": MINMAX_SQL,
+        "events_date_histogram": EVENTS_HIST_SQL,
+        "events_type_topk": EVENTS_TOPK_SQL,
+        "events_significant_types": EVENTS_SIG_SQL,
+        "events_user_gaps": EVENTS_GAPS_SQL,
+        "doc_token_counts": DOC_TOKENS_SQL,
+        "docs_containing_term": DOCS_TERM_SQL,
+        "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "doc_quality": DOC_QUALITY_SQL,
+        "bm25_topk_documents": _bm25_documents_sql(),
+        "ann_topk_embeddings": ANN_SQL,
+        "embedding_label_norms": LABEL_NORMS_SQL,
+        "media_features_stub": MEDIA_STUB_SQL,
+        # simhash / minhash / langid / fingerprint / bm25_topk_code are
+        # non-SQL-expressible (hash functions / code tokenizer): rows-only.
+    }

@@ -1,0 +1,208 @@
+"""The aggregation/query surface the reference delegates to Elasticsearch.
+
+Each function mirrors one aggregation the reference issues (SURVEY §2.5,
+/root/reference/es/adapter.go:68-182 and es.postman_collection.json) and is
+implemented as plain Ray Data ops: vectorized ``map_batches`` projections
+feeding ``groupby().aggregate``. Results are small (aggregates / top-k), so
+callers may materialize them freely.
+
+Scale notes: bucket/terms aggregations pre-aggregate inside ``map_batches``
+only implicitly — Ray's hash-shuffle aggregate already combines per-block
+partial results before the exchange, so no explicit combiner stage is needed
+for Count/Sum/Min/Max/Mean.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def stats_min_max(ds: Dataset, col: str) -> pa.Table:
+    """A1 — min+max of a column (/root/reference/es/adapter.go:68-87).
+
+    Global (ungrouped) aggregate: Ray returns a plain row dict; wrapped into
+    a one-row table for a uniform result type."""
+    row = ds.aggregate(
+        Min(col, alias_name=f"min_{col}"), Max(col, alias_name=f"max_{col}")
+    )
+    return pa.Table.from_pylist([row])
+
+
+def range_buckets(ds: Dataset, col: str, step: float) -> Dataset:
+    """A2 — fixed-step range bucket counts
+    (/root/reference/es/adapter.go:90-106, step at commands/es-stats.go:11)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        lo = pc.multiply(
+            pc.floor(pc.divide(pc.cast(t[col], pa.float64()), step)), float(step)
+        )
+        return pa.table({"bucket_lo": lo})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket_lo")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def filtered_count(ds: Dataset, expr: str) -> int:
+    """A3 — count with a filter (/root/reference/es/adapter.go:120-153)."""
+    return ds.filter(expr=expr).count()
+
+
+def date_histogram(
+    ds: Dataset,
+    ts_col: str,
+    unit: str = "day",
+    value_col: str | None = None,
+) -> Dataset:
+    """A4 — date_histogram with min/max/sum/avg sub-aggs
+    (es.postman_collection.json:57,96,345)."""
+
+    def truncate(t: pa.Table) -> pa.Table:
+        bucket = pc.floor_temporal(t[ts_col], unit=unit)
+        cols = {"bucket": pc.cast(bucket, pa.timestamp("us"))}
+        if value_col:
+            cols[value_col] = t[value_col]
+        return pa.table(cols)
+
+    g = ds.map_batches(truncate, batch_format="pyarrow").groupby("bucket")
+    aggs = [Count(alias_name="n")]
+    if value_col:
+        aggs += [
+            Min(value_col, alias_name="min_value"),
+            Max(value_col, alias_name="max_value"),
+            Sum(value_col, alias_name="sum_value"),
+            Mean(value_col, alias_name="avg_value"),
+        ]
+    return g.aggregate(*aggs)
+
+
+def terms_topk(ds: Dataset, col: str, k: int = 10) -> Dataset:
+    """A5 — terms aggregation: top-k values by count
+    (es.postman_collection.json:219)."""
+    return (
+        ds.groupby(col)
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", col], descending=[True, False])
+        .limit(k)
+    )
+
+
+def significant_terms(
+    ds: Dataset, col: str, fg_expr: str, k: int = 10
+) -> "pa.Table":
+    """A6 — significant terms (es.postman_collection.json:180).
+
+    Foreground = rows matching ``fg_expr``; background = all rows. Scored
+    with the ES "JLH"-flavored score (fg%−bg%) * (fg%/bg%); deterministic
+    ties broken by term. Both grouped counts are small; computed as two
+    aggregates and combined driver-side.
+    """
+    fg = ds.filter(expr=fg_expr).groupby(col).aggregate(Count(alias_name="fg_n"))
+    bg = ds.groupby(col).aggregate(Count(alias_name="bg_n"))
+    fg_t = fg.to_pandas()
+    bg_t = bg.to_pandas()
+    fg_total = fg_t["fg_n"].sum()
+    bg_total = bg_t["bg_n"].sum()
+    m = bg_t.merge(fg_t, on=col, how="left").fillna({"fg_n": 0})
+    fg_pct = m["fg_n"] / fg_total
+    bg_pct = m["bg_n"] / bg_total
+    m["score"] = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    m = m[m["fg_n"] > 0].sort_values(["score", col], ascending=[False, True]).head(k)
+    out = m[[col, "score"]].reset_index(drop=True)
+    out["fg_n"] = m["fg_n"].astype("int64").values
+    out["bg_n"] = m["bg_n"].astype("int64").values
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def range_listing(ds: Dataset, col: str, lo, hi) -> Dataset:
+    """A7 — exact sorted listing of values in a range
+    (/root/reference/es/adapter.go:156-182)."""
+    return ds.filter(expr=f"{col} >= {lo!r} and {col} <= {hi!r}").sort(col)
+
+
+def detect_gaps(ds: Dataset, col: str) -> pa.Table:
+    """S5 — gap detector: missing [start,end] segments in an integer key
+    column (/root/reference/db/ledger_header_row.go:111-126, LEAD window).
+
+    Distributed: sort by the column, compute intra-block gaps vectorized,
+    then stitch block boundaries driver-side from per-block (first, last)
+    — the driver-side piece is O(#blocks), not O(rows).
+    """
+    sorted_ds = ds.sort(col).materialize()
+
+    def block_gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"gap_start": pa.array([], pa.int64()),
+                 "gap_end": pa.array([], pa.int64()),
+                 "blk_first": pa.array([], pa.int64()),
+                 "blk_last": pa.array([], pa.int64())}
+            )
+        v = np.unique(np.asarray(t[col]).astype(np.int64))
+        d = np.diff(v)
+        idx = np.flatnonzero(d > 1)
+        return pa.table(
+            {
+                "gap_start": (v[idx] + 1),
+                "gap_end": (v[idx + 1] - 1),
+                "blk_first": np.full(len(idx), v[0], dtype=np.int64),
+                "blk_last": np.full(len(idx), v[-1], dtype=np.int64),
+            }
+        )
+
+    def block_bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "last": pa.array([], pa.int64())})
+        v = np.asarray(t[col]).astype(np.int64)
+        return pa.table({"first": [int(v.min())], "last": [int(v.max())]})
+
+    gaps = sorted_ds.map_batches(block_gaps, batch_format="pyarrow", batch_size=None)
+    bounds = sorted_ds.map_batches(block_bounds, batch_format="pyarrow", batch_size=None)
+    g = gaps.to_pandas()
+    b = bounds.to_pandas().sort_values("first").reset_index(drop=True) if bounds.count() else None
+    out_start = list(g["gap_start"]) if "gap_start" in g.columns else []
+    out_end = list(g["gap_end"]) if "gap_end" in g.columns else []
+    for i in range(len(b) - 1 if b is not None else 0):
+        lo_, hi_ = int(b["last"][i]), int(b["first"][i + 1])
+        if hi_ - lo_ > 1:
+            out_start.append(lo_ + 1)
+            out_end.append(hi_ - 1)
+    order = np.argsort(out_start)
+    return pa.table(
+        {
+            "gap_start": pa.array(np.asarray(out_start, dtype=np.int64)[order]),
+            "gap_end": pa.array(np.asarray(out_end, dtype=np.int64)[order]),
+        }
+    )
+
+
+def anti_join_keys(ds: Dataset, key: str, present_keys) -> Dataset:
+    """D3/J4 — rows of ``ds`` whose ``key`` is NOT in ``present_keys``
+    (set difference DB−ES, /root/reference/commands/stats.go:36-63).
+
+    ``present_keys`` is the small side: broadcast once via ``ray.put`` and
+    filtered vectorized per batch — no shuffle.
+    """
+    import ray
+
+    ref = ray.put(np.asarray(list(present_keys)))
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self.keys is None:
+                self.keys = pa.array(ray.get(ref))
+            mask = pc.invert(pc.is_in(t[key], value_set=self.keys))
+            return t.filter(mask)
+
+    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))

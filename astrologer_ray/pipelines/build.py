@@ -221,6 +221,8 @@ def build_index(
     concurrency: int | None = None,
     resume: bool = True,
     force: bool = False,
+    column_map: dict | None = None,
+    key_cols: tuple[str, ...] | None = None,
 ) -> dict:
     """Build the full inverted index; returns the build stats dict.
 
@@ -275,7 +277,12 @@ def build_index(
         units_ds = rd.from_items(todo)
         units_ds.map_batches(
             TokenizePartials,
-            fn_constructor_kwargs={"partials_dir": partials_dir, "mode": mode},
+            fn_constructor_kwargs={
+                "partials_dir": partials_dir,
+                "mode": mode,
+                "column_map": column_map,
+                "key_cols": key_cols,
+            },
             batch_format="pyarrow",
             batch_size=1,
             concurrency=min(concurrency, len(todo)),

@@ -111,10 +111,41 @@ class TokenizePartials:
     Returns the metrics rows (the tiny dataset the driver collects).
     """
 
-    def __init__(self, partials_dir: str, mode: str = "code"):
+    def __init__(
+        self,
+        partials_dir: str,
+        mode: str = "code",
+        column_map: dict | None = None,
+        key_cols: tuple[str, ...] | None = None,
+    ):
+        """``column_map`` maps the canonical corpus columns (repo, path,
+        commit, lang, content) to source column names (None -> constant "");
+        ``key_cols`` are the source columns forming the doc_key (default:
+        repo, path, commit). Integer key parts are zero-padded to 12 digits
+        so string order == numeric order (paging-token format analog,
+        /root/reference/es/paging_token.go:17-30)."""
         self.partials_dir = partials_dir
         self.tok = CodeTokenizer(mode=mode)
+        self.column_map = column_map or {
+            c: c for c in ("repo", "path", "commit", "lang", "content")
+        }
+        self.key_cols = key_cols or ("repo", "path", "commit")
         os.makedirs(partials_dir, exist_ok=True)
+
+    @staticmethod
+    def _fmt_key_part(v) -> str:
+        if isinstance(v, (int, np.integer)):
+            return f"{int(v):012d}"
+        return str(v)
+
+    def _col(self, t: pa.Table, canonical: str, n: int) -> list:
+        src = self.column_map.get(canonical)
+        if src is None:
+            return [""] * n
+        vals = t.column(src).to_pylist()
+        if canonical == "content":
+            return vals
+        return [v if isinstance(v, str) else self._fmt_key_part(v) for v in vals]
 
     def _process_unit(self, unit: dict) -> dict:
         part_id = int(unit["part_id"])
@@ -122,16 +153,20 @@ class TokenizePartials:
         t = pf.read_row_groups(
             list(range(int(unit["rg_start"]), int(unit["rg_end"])))
         )
-        repo = t.column("repo").to_pylist()
-        path = t.column("path").to_pylist()
-        commit = t.column("commit").to_pylist()
-        lang = t.column("lang").to_pylist()
-        content = t.column("content").to_pylist()
-        n = len(content)
+        n = t.num_rows
+        repo = self._col(t, "repo", n)
+        path = self._col(t, "path", n)
+        commit = self._col(t, "commit", n)
+        lang = self._col(t, "lang", n)
+        content = self._col(t, "content", n)
 
         # per-row sha256(content) — the BASELINE.json invariant column
         sha = [hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in content]
-        doc_key = [f"{r}{KEY_SEP}{p}{KEY_SEP}{c}" for r, p, c in zip(repo, path, commit)]
+        key_parts = [
+            [self._fmt_key_part(v) for v in t.column(c).to_pylist()]
+            for c in self.key_cols
+        ]
+        doc_key = [KEY_SEP.join(parts) for parts in zip(*key_parts)]
         lrow_base = np.int64(part_id) << LROW_BITS
         lrows = lrow_base + np.arange(n, dtype=np.int64)
 

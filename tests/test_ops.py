@@ -1,0 +1,214 @@
+"""Unit tests for aggs / dedup / ann / textstats / multimodal operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_detect_gaps_exact(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import detect_gaps
+
+    vals = [1, 2, 3, 7, 8, 12, 20, 21]
+    ds = rd.from_items([{"x": v} for v in vals]).repartition(3)
+    out = detect_gaps(ds, "x").to_pandas()
+    got = list(zip(out["gap_start"], out["gap_end"]))
+    assert got == [(4, 6), (9, 11), (13, 19)]
+
+
+def test_detect_gaps_no_gaps(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import detect_gaps
+
+    ds = rd.range(50).map_batches(
+        lambda t: pa.table({"x": t["id"]}), batch_format="pyarrow"
+    )
+    assert detect_gaps(ds, "x").num_rows == 0
+
+
+def test_dedup_exact_synthetic(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import dedup_exact
+
+    rows = [
+        {"doc_id": 0, "text": "aaa"},
+        {"doc_id": 1, "text": "bbb"},
+        {"doc_id": 2, "text": "aaa"},
+        {"doc_id": 3, "text": "aaa"},
+        {"doc_id": 4, "text": "ccc"},
+    ]
+    out = dedup_exact(rd.from_items(rows)).to_pandas().sort_values("keep_id")
+    got = dict(zip(out["keep_id"], out["n_dups"]))
+    assert got == {0: 3, 1: 1, 4: 1}
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("lazy", "sleepy", 1)},  # near-dup of 0
+        {"doc_id": 2, "text": "completely different content about ray data pipelines " * 8},
+        {"doc_id": 3, "text": base},  # exact dup of 0
+        {"doc_id": 4, "text": "another unrelated string with its own words " * 9},
+    ]
+    out = minhash_dedup(rd.from_items(rows), threshold=0.5).to_pandas()
+    clusters = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert clusters.get(0) == 0 and clusters.get(1) == 0 and clusters.get(3) == 0
+    assert 2 not in clusters and 4 not in clusters
+
+
+def test_jaccard_and_simhash_props():
+    from astrologer_ray.pipelines.dedup import jaccard, simhash64
+
+    a = "alpha beta gamma delta epsilon zeta"
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, "totally different words here now") == 0.0
+    assert simhash64(a) == simhash64(a)
+    # near-dup -> small hamming distance; different -> large
+    h1, h2 = simhash64(a + " eta"), simhash64(a)
+    hd_near = bin(h1 ^ h2).count("1")
+    hd_far = bin(simhash64("unrelated text entirely") ^ h2).count("1")
+    assert hd_near < hd_far
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 16))
+    vecs[7] = vecs[3] * 2.0 + rng.standard_normal(16) * 1e-4  # near-dup pair
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(40)]
+    out = embedding_near_dup_pairs(rd.from_items(rows), threshold=0.99).to_pandas()
+    assert (3, 7) in set(zip(out["id_a"], out["id_b"]))
+
+
+def test_ann_brute_equals_numpy(ray_session, sf_dir):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.ann import ann_brute_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    ids = full["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Q = Mn[:3]
+    got = ann_brute_topk(ds, M[:3], k=5).to_pandas()
+    for qi in range(3):
+        sims = Q[qi] @ Mn.T
+        order = np.lexsort((ids, -sims))[:5]
+        want = list(ids[order])
+        sub = got[got["qid"] == qi]
+        assert list(sub["vec_id"]) == want
+
+
+def test_ann_lsh_recall(ray_session, sf_dir):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.ann import ann_brute_topk, ann_lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    Q = M[:5]
+    brute = ann_brute_topk(ds, Q, k=10).to_pandas()
+    lsh = ann_lsh_topk(ds, Q, k=10, n_planes=6).to_pandas()
+    recalls = []
+    for qi in range(5):
+        want = set(brute[brute["qid"] == qi]["vec_id"])
+        got = set(lsh[lsh["qid"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    # approximate path: each query must at least find itself + neighbors in
+    # its probed buckets; on unclustered random vectors recall is modest
+    assert np.mean(recalls) > 0.25
+    assert all(r > 0 for r in recalls)
+
+
+def test_langid_profiles(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.textstats import LangId
+
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog are in the house"},
+        {"doc_id": 1, "text": "der hund und die katze ist nicht hier"},
+        {"doc_id": 2, "text": "le chat est dans la maison et il dort"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = (
+        rd.from_items(rows)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["pred_lang"]) == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_deterministic():
+    from astrologer_ray.pipelines.textstats import fingerprint64
+
+    assert fingerprint64("a b c") == fingerprint64("a  b\tc")  # token stream equal
+    assert fingerprint64("a b c") != fingerprint64("a b d")
+    assert fingerprint64("") == 0
+
+
+def test_media_stub_strict_raises_and_fake_works(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.stages.multimodal import FEATURE_DIM, MediaFeatureStage
+
+    rows = [
+        {"media_id": i, "kind": "image", "payload": bytes([i] * (i + 1)), "meta": "{}"}
+        for i in range(20)
+    ]
+    ds = rd.from_items(rows)
+    with pytest.raises(Exception):
+        ds.map_batches(
+            MediaFeatureStage, batch_format="pyarrow", batch_size=4, concurrency=1
+        ).materialize()
+    out = ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={"decode": "fake"},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=1,
+    ).to_pandas().sort_values("media_id")
+    assert list(out["n_bytes"]) == [i + 1 for i in range(20)]
+    feats = np.stack(out["feature"].to_numpy())
+    assert feats.shape == (20, FEATURE_DIM)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=1), 1.0, rtol=1e-5)
+    # determinism: same payload -> same feature
+    out2 = ds.map_batches(
+        MediaFeatureStage,
+        fn_constructor_kwargs={"decode": "fake"},
+        batch_format="pyarrow",
+        batch_size=7,
+        concurrency=1,
+    ).to_pandas().sort_values("media_id")
+    np.testing.assert_array_equal(feats, np.stack(out2["feature"].to_numpy()))
+
+
+def test_terms_topk_and_buckets(ray_session, docs_ds):
+    from astrologer_ray.pipelines.aggs import range_buckets, terms_topk
+
+    top = terms_topk(docs_ds, "lang", k=3).to_pandas()
+    assert len(top) == 3
+    assert top["n"].is_monotonic_decreasing
+    buckets = range_buckets(docs_ds, "n_chars", 100).to_pandas()
+    assert buckets["n"].sum() == docs_ds.count()
