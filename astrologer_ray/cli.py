@@ -1,0 +1,164 @@
+"""CLI — the reference's command surface re-expressed for the Ray engine.
+
+Reference commands (/root/reference/main.go:12-38, commands/):
+  create-index  -> ``create-index`` : init the index layout (--force wipes)
+  export        -> ``build``        : bulk index build (the flagship)
+  ingest        -> ``ingest``       : batch-incremental follow-up build —
+                   detect corpus partitions missing from the manifest and
+                   build only those (the reference's tail-follow + gap
+                   backfill model, commands/ingest.go + stats.go, made
+                   batch-incremental per SURVEY §2.10)
+  stats         -> ``stats``        : source-vs-index reconciliation table
+  (new)         -> ``search``       : top-k BM25 queries from the terminal
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_create_index(args) -> int:
+    import os
+    import shutil
+
+    if args.force and os.path.isdir(args.index):
+        shutil.rmtree(args.index)
+    for sub in ("partials", "docs", "postings", "dict", "stats"):
+        os.makedirs(os.path.join(args.index, sub), exist_ok=True)
+    print(json.dumps({"index": args.index, "created": True}))
+    return 0
+
+
+def cmd_build(args) -> int:
+    from astrologer_ray.pipelines.build import build_index
+
+    _ray_session(args.num_cpus)
+    meta = build_index(
+        args.corpus, args.index, mode=args.mode, force=args.force,
+        partition_rows=args.partition_rows, resume=not args.no_resume,
+    )
+    print(json.dumps(meta, default=str))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    """Incremental: rebuild only partitions absent from the manifest."""
+    from astrologer_ray.pipelines.build import _corpus_paths, build_index
+    from astrologer_ray.stages.spimi import completed_partitions, plan_partitions
+
+    import os
+
+    _ray_session(args.num_cpus)
+    partials = os.path.join(args.index, "partials")
+    units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
+    done = completed_partitions(partials)
+    missing = [u["part_id"] for u in units if u["part_id"] not in done]
+    if not missing and os.path.exists(os.path.join(args.index, "_SUCCESS")):
+        print(json.dumps({"up_to_date": True, "partitions": len(units)}))
+        return 0
+    meta = build_index(
+        args.corpus, args.index, mode=args.mode, resume=True,
+        partition_rows=args.partition_rows,
+    )
+    print(json.dumps({"rebuilt_partitions": missing, **{k: meta[k] for k in
+                      ("n_docs", "n_postings", "n_terms")}}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Source-vs-index reconciliation (reference commands/stats.go:20-67)."""
+    import os
+
+    from astrologer_ray.pipelines.build import _corpus_paths, load_meta
+    from astrologer_ray.stages.spimi import completed_partitions, plan_partitions
+
+    units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
+    done = completed_partitions(os.path.join(args.index, "partials"))
+    rows = []
+    for u in units:
+        rows.append({
+            "part_id": u["part_id"],
+            "file": os.path.basename(u["file"]),
+            "rows": u["n_rows"],
+            "state": "complete" if u["part_id"] in done else "MISSING",
+        })
+    out = {"partitions": rows,
+           "missing": [r["part_id"] for r in rows if r["state"] == "MISSING"]}
+    try:
+        out["index_meta"] = load_meta(args.index)
+    except FileNotFoundError:
+        out["index_meta"] = None
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+def cmd_search(args) -> int:
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    s = Searcher(args.index)
+    hits = s.search(tokenize(args.query, mode=s.mode), k=args.k,
+                    lang=args.lang, decorate=True)
+    for h in hits:
+        print(json.dumps(h))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="astrologer_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ci = sub.add_parser("create-index")
+    ci.add_argument("index")
+    ci.add_argument("--force", action="store_true")
+    ci.set_defaults(fn=cmd_create_index)
+
+    for name, fn in (("build", cmd_build), ("ingest", cmd_ingest)):
+        b = sub.add_parser(name)
+        b.add_argument("corpus")
+        b.add_argument("index")
+        b.add_argument("--mode", default="code", choices=["code", "simple"])
+        b.add_argument("--partition-rows", type=int, default=50_000)
+        b.add_argument("--force", action="store_true")
+        b.add_argument("--no-resume", action="store_true")
+        b.set_defaults(fn=fn)
+
+    st = sub.add_parser("stats")
+    st.add_argument("corpus")
+    st.add_argument("index")
+    st.add_argument("--partition-rows", type=int, default=50_000)
+    st.set_defaults(fn=cmd_stats)
+
+    se = sub.add_parser("search")
+    se.add_argument("index")
+    se.add_argument("query")
+    se.add_argument("-k", type=int, default=10)
+    se.add_argument("--lang", default=None)
+    se.set_defaults(fn=cmd_search)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

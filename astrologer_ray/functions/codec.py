@@ -30,23 +30,53 @@ BLOCK = 128
 CHUNK_BITS = 20  # doc_id range per chunk = 2^20
 
 
+def term_hash64(term: str) -> int:
+    """Stable 63-bit term hash (blake2b) — the shuffle/shard key everywhere.
+
+    python's ``hash()`` is per-process salted; crc32 is too collision-prone
+    at large vocabularies. 63 bits so it fits arrow/parquet int64."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(term.encode("utf-8"), digest_size=8).digest(), "big"
+    ) >> 1
+
+
+def _varbyte_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode ``v`` (uint64). Returns (byte array, per-value sizes).
+
+    Iterates over byte POSITIONS (k = 0..max_bytes-1), each pass a vector op
+    over the values that have a k-th byte — for typical posting streams
+    (deltas/tf/dl mostly < 128) that is 1-3 passes over n values, with no
+    per-byte-sized temporaries.
+    """
+    n = len(v)
+    nb = np.ones(n, dtype=np.int64)
+    for k in range(1, 10):
+        hi = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not hi.any():
+            break
+        nb += hi
+    total = int(nb.sum())
+    starts = np.cumsum(nb) - nb
+    out = np.empty(total, dtype=np.uint8)
+    kmax = int(nb.max()) if n else 0
+    for k in range(kmax):
+        m = nb > k
+        vals_k = (v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nb[m] - 1) > k
+        out[starts[m] + k] = (
+            vals_k | (cont.astype(np.uint64) << np.uint64(7))
+        ).astype(np.uint8)
+    return out, nb
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128 encode of a non-negative int64/uint64 array."""
     v = np.asarray(values, dtype=np.uint64)
-    n = len(v)
-    if n == 0:
+    if len(v) == 0:
         return b""
-    nb = np.ones(n, dtype=np.int64)
-    for k in range(1, 10):
-        nb += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
-    total = int(nb.sum())
-    ends = np.cumsum(nb)
-    starts = ends - nb
-    owner = np.repeat(np.arange(n, dtype=np.int64), nb)
-    shift = (np.arange(total, dtype=np.int64) - starts[owner]).astype(np.uint64)
-    byts = (v[owner] >> (np.uint64(7) * shift)) & np.uint64(0x7F)
-    cont = (np.arange(total, dtype=np.int64) - starts[owner]) < (nb[owner] - 1)
-    out = (byts | (cont.astype(np.uint64) * np.uint64(0x80))).astype(np.uint8)
+    out, _ = _varbyte_core(v)
     return out.tobytes()
 
 
@@ -135,6 +165,105 @@ def encode_chunk(
         "block_max_tfn": block_max_tfn.tolist(),
         "sum_tf": int(tfs.sum()),
     }
+
+
+def _varbyte_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """varbyte_encode + per-value byte counts (for slicing a shared stream)."""
+    v = np.asarray(v, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    out, nb = _varbyte_core(v)
+    return out.tobytes(), nb
+
+
+def encode_chunks_batch(
+    vals_doc: np.ndarray,
+    vals_tf: np.ndarray,
+    vals_dl: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """Encode MANY doc_id-sorted posting runs sharing flat value arrays.
+
+    Equivalent to ``[encode_chunk(vals[s:e]...) for s, e in runs]`` but with
+    ONE varbyte pass over the concatenated values — per-run numpy-kernel
+    launch overhead (~0.5 ms each) dominates when a shuffle block holds
+    thousands of (term, chunk) runs. The final assembly per run is pure
+    slicing of precomputed arrays/bytes.
+    """
+    total = len(vals_doc)
+    if total == 0:
+        return []
+    ids = np.asarray(vals_doc, dtype=np.int64)
+    tfs = np.asarray(vals_tf, dtype=np.uint64)
+    dls = np.asarray(vals_dl, dtype=np.uint64)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.asarray(run_ends, dtype=np.int64)
+    n_runs = len(run_starts)
+    run_lens = run_ends - run_starts
+
+    # global block starts: every run restarts; blocks of BLOCK within runs
+    blocks_per_run = (run_lens + BLOCK - 1) // BLOCK
+    nblocks = int(blocks_per_run.sum())
+    # block index within its run:
+    bwr = np.arange(nblocks, dtype=np.int64) - np.repeat(
+        np.cumsum(blocks_per_run) - blocks_per_run, blocks_per_run
+    )
+    block_starts = np.repeat(run_starts, blocks_per_run) + bwr * BLOCK
+    block_ends = np.minimum(block_starts + BLOCK, np.repeat(run_ends, blocks_per_run))
+
+    vals_delta = np.empty(total, dtype=np.uint64)
+    vals_delta[1:] = np.diff(ids).astype(np.uint64)
+    vals_delta[0] = ids[0]
+    vals_delta[block_starts] = ids[block_starts].astype(np.uint64)
+    # correctness: within a block, doc_ids must be strictly increasing
+    chk = np.ones(total, dtype=bool)
+    chk[block_starts] = False
+    assert bool(np.all(vals_delta[chk] >= 1)), "doc_ids not strictly increasing"
+
+    id_bytes, id_nb = _varbyte_encode_with_sizes(vals_delta)
+    tf_bytes, tf_nb = _varbyte_encode_with_sizes(tfs)
+    dl_bytes, dl_nb = _varbyte_encode_with_sizes(dls)
+    id_off = np.concatenate(([0], np.cumsum(id_nb)))
+    tf_off = np.concatenate(([0], np.cumsum(tf_nb)))
+    dl_off = np.concatenate(([0], np.cumsum(dl_nb)))
+
+    tf_f = tfs.astype(np.float64)
+    dl_f = dls.astype(np.float64)
+    tfn = tf_f / (tf_f + k1 * (1.0 - b + b * dl_f / avgdl))
+    block_max_tfn = np.maximum.reduceat(tfn, block_starts)
+    block_last = ids[block_ends - 1]
+
+    # per-run cumulative tf for sum_tf: one cumsum + slicing
+    ctf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+
+    rows: list[dict] = []
+    bpos = 0
+    for r in range(n_runs):
+        s, e = int(run_starts[r]), int(run_ends[r])
+        nb_r = int(blocks_per_run[r])
+        bs, be = bpos, bpos + nb_r
+        rows.append(
+            {
+                "n": e - s,
+                "first_doc_id": int(ids[s]),
+                "last_doc_id": int(ids[e - 1]),
+                "ids_bytes": id_bytes[id_off[s]:id_off[e]],
+                "tf_bytes": tf_bytes[tf_off[s]:tf_off[e]],
+                "dl_bytes": dl_bytes[dl_off[s]:dl_off[e]],
+                "block_last": block_last[bs:be].tolist(),
+                "block_ids_off": (id_off[block_starts[bs:be]] - id_off[s]).tolist(),
+                "block_tf_off": (tf_off[block_starts[bs:be]] - tf_off[s]).tolist(),
+                "block_dl_off": (dl_off[block_starts[bs:be]] - dl_off[s]).tolist(),
+                "block_max_tfn": block_max_tfn[bs:be].tolist(),
+                "sum_tf": int(ctf[e] - ctf[s]),
+            }
+        )
+        bpos = be
+    return rows
 
 
 def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

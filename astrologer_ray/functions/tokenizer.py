@@ -36,6 +36,7 @@ import re
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 
 MAX_TERM_LEN = 64
 
@@ -156,7 +157,8 @@ class CodeTokenizer:
             all_raw[pos : pos + len(r)] = r
             pos += len(r)
 
-        uniq, inv = np.unique(all_raw, return_inverse=True)
+        # hash-based factorize beats sort-based np.unique ~10x on strings
+        inv, uniq = pd.factorize(all_raw)
         id_arrays = [self._ids_for_raw(str(u)) for u in uniq]
         counts = np.fromiter((len(a) for a in id_arrays), dtype=np.int64, count=len(uniq))
         flat = (

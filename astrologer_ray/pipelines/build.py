@@ -11,19 +11,21 @@ reference delegated to Elasticsearch. Stages (SURVEY §7 build order):
    paging-token order analog, /root/reference/es/indices.go:26-27), then a
    two-pass block-offset prefix sum assigns ``doc_id`` = global rank.
    Content never enters this sort — only key + metadata columns.
-3. **Postings merge** — hash join of partial postings to (doc_id, dl) on the
-   provisional ``lrow`` key, then the ONE wide term shuffle:
-   ``repartition(keys=[term, chunk_id])`` where ``chunk_id = doc_id >>
-   chunk_bits`` *range-salts every term* so a Zipf-head term's postings
-   split into bounded doc_id-range chunks that later concatenate in order —
-   no re-merge pass (SURVEY §4 skew row). Each output block encodes its
-   complete (term, chunk) runs vectorised into delta+varbyte block-max rows.
-4. **Dictionary** — tiny ``groupby(term)`` over chunk summaries: df, cf.
+3. **Postings merge** — the ONE wide term exchange, materialized through
+   shared storage (external shuffle): stage 1 wrote each partition's packed
+   postings with one parquet row group per term-hash bucket, so merge task
+   *b* selectively reads bucket *b* from every partition, joins ``lrow ->
+   (doc_id, dl)`` against the broadcast keymap, range-salts every term by
+   ``chunk_id = doc_id >> chunk_bits`` (a Zipf-head term becomes many
+   independently-encoded doc_id-range chunks that concatenate in order —
+   SURVEY §4 skew row), and encodes all runs in one vectorized
+   delta+varbyte pass (``encode_chunks_batch``).
+4. **Dictionary** — tiny groupby over chunk summaries: df, cf.
 5. **Stats / lineage** — meta.json (N, avgdl, …), per-partition metrics
    parquet, _SUCCESS marker.
 
 Artifacts under ``index_dir``:
-  partials/  (stage-1 checkpoint)   docs/  postings/  dict/  stats/
+  partials/  (stage-1 checkpoint)  docs/  keymap/  postings/  dict/  stats/
 """
 
 from __future__ import annotations
@@ -36,14 +38,16 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from astrologer_ray import B, K1
-from astrologer_ray.functions.codec import POSTINGS_SCHEMA, encode_chunk
+from astrologer_ray.functions.codec import POSTINGS_SCHEMA, encode_chunk, encode_chunks_batch
 from astrologer_ray.stages.spimi import (
-    TokenizePartials,
     completed_partitions,
+    manifest_path,
     plan_partitions,
+    tokenize_units,
 )
 
 DOCS_SCHEMA = pa.schema(
@@ -78,17 +82,70 @@ def _corpus_paths(corpus) -> list[str]:
     return [corpus]
 
 
-def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int) -> dict:
+def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
+                           keymap_dir: str | None = None) -> dict:
+    """Small-corpus fast path: single-process pyarrow sort + rank.
+
+    Identical assignment to the distributed path (doc_id = rank of unique
+    doc_key); used when the key table fits one process comfortably — the
+    Ray executions it saves are pure overhead at that size. When
+    ``keymap_dir`` is given, the per-source-partition keymap files are
+    written here too (the table is already in memory — saves a re-read).
+    """
+    from astrologer_ray.stages.spimi import LROW_BITS
+
+    t = pa.concat_tables(pq.read_table(p) for p in partial_docs)
+    t = t.sort_by("doc_key")
+    keys = t.column("doc_key").combine_chunks()
+    n = len(keys)
+    if n > 1 and pc.any(pc.equal(keys.slice(0, n - 1), keys.slice(1, n))).as_py():
+        raise ValueError("duplicate doc_key — run dedup_exact on the key first")
+    out = t.add_column(0, "doc_id", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+    out = out.select([f.name for f in DOCS_SCHEMA]).cast(DOCS_SCHEMA)
+    os.makedirs(docs_dir, exist_ok=True)
+    rows_per_file = 1_000_000
+    for i in range(0, max(out.num_rows, 1), rows_per_file):
+        part = out.slice(i, rows_per_file)
+        pq.write_table(
+            part, os.path.join(docs_dir, f"docs-{i:012d}.parquet"),
+            compression="zstd",
+        )
+    if keymap_dir is not None:
+        os.makedirs(keymap_dir, exist_ok=True)
+        lrow = np.asarray(out.column("lrow"))
+        doc_id = np.asarray(out.column("doc_id"))
+        dl = np.asarray(out.column("dl"))
+        pid = (lrow >> LROW_BITS).astype(np.int64)
+        order = np.lexsort((lrow, pid))
+        lrow, doc_id, dl, pid = lrow[order], doc_id[order], dl[order], pid[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(pid)) + 1, [len(pid)]))
+        for s, e in zip(starts[:-1], starts[1:]):
+            pq.write_table(
+                pa.table({"lrow": lrow[s:e], "doc_id": doc_id[s:e], "dl": dl[s:e]}),
+                os.path.join(keymap_dir, f"keymap-{int(pid[s]):06d}.parquet"),
+            )
+    return {"n_docs": out.num_rows, "n_blocks": 1}
+
+
+def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int,
+                    driver_sort_threshold: int = 2_000_000,
+                    keymap_dir: str | None = None) -> dict:
     """Stage 2: global doc_key sort -> dense doc_id; writes docs/.
 
-    Two passes over the *materialized* sorted key table (content-free, the
-    only full materialization in the build — documented scale tradeoff: at
-    10^12 docs this table is ~100 B/row and spills via the object store;
-    the wide ``content`` column was dropped in stage 1).
+    Distributed path: two passes over the *materialized* sorted key table
+    (content-free, the only full materialization in the build — documented
+    scale tradeoff: at 10^12 docs this table is ~100 B/row and spills via
+    the object store; the wide ``content`` column was dropped in stage 1).
+    Small corpora take the driver-side fast path (same assignment).
     """
     import ray.data as rd
 
-    docs = rd.read_parquet(sorted(glob.glob(os.path.join(partials_dir, "docs-*.parquet"))))
+    partial_docs = sorted(glob.glob(os.path.join(partials_dir, "docs-*.parquet")))
+    total_rows = sum(pq.read_metadata(p).num_rows for p in partial_docs)
+    if total_rows <= driver_sort_threshold:
+        return _assign_doc_ids_driver(partial_docs, docs_dir, keymap_dir)
+
+    docs = rd.read_parquet(partial_docs)
     sorted_docs = docs.sort("doc_key").materialize()
 
     def block_summary(t: pa.Table) -> pa.Table:
@@ -146,6 +203,66 @@ def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int) -> dict:
     return {"n_docs": total, "n_blocks": len(written)}
 
 
+def _write_keymap(docs_dir: str, keymap_dir: str, parallelism: int,
+                  driver_threshold: int = 2_000_000) -> None:
+    """Stage 2.5: re-key (lrow -> doc_id, dl) by source partition id.
+
+    The postings join key ``lrow`` is partition-local by construction
+    (lrow >> LROW_BITS == part_id), so instead of hash-joining the BIG
+    triples table against the keymap (a full shuffle of every posting), we
+    shuffle only the SMALL keymap (16 B/row) back to its source partition
+    and join partition-locally in stage 3. This keeps the postings table's
+    single wide shuffle the term exchange — the one that matters.
+    """
+    import ray.data as rd
+
+    from astrologer_ray.stages.spimi import LROW_BITS
+
+    if glob.glob(os.path.join(keymap_dir, "keymap-*.parquet")):
+        return  # already written by the driver doc_id fast path
+    os.makedirs(keymap_dir, exist_ok=True)
+    files = sorted(glob.glob(os.path.join(docs_dir, "docs-*.parquet")))
+    total = sum(pq.read_metadata(p).num_rows for p in files)
+
+    def write_groups(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lrow = np.asarray(t.column("lrow"))
+        doc_id = np.asarray(t.column("doc_id"))
+        dl = np.asarray(t.column("dl"))
+        pid = (lrow >> LROW_BITS).astype(np.int64)
+        order = np.lexsort((lrow, pid))
+        lrow, doc_id, dl, pid = lrow[order], doc_id[order], dl[order], pid[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(pid)) + 1, [len(pid)]))
+        out = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            p = int(pid[s])
+            pq.write_table(
+                pa.table({"lrow": lrow[s:e], "doc_id": doc_id[s:e], "dl": dl[s:e]}),
+                os.path.join(keymap_dir, f"keymap-{p:06d}.parquet"),
+            )
+            out.append({"pid": p, "n": int(e - s)})
+        return pa.Table.from_pylist(out)
+
+    if total <= driver_threshold:
+        t = pa.concat_tables(
+            pq.read_table(p, columns=["lrow", "doc_id", "dl"]) for p in files
+        )
+        write_groups(t.combine_chunks())
+        return
+
+    km = rd.read_parquet(files, columns=["lrow", "doc_id", "dl"])
+
+    def add_pid(t: pa.Table) -> pa.Table:
+        pid = (np.asarray(t.column("lrow")) >> LROW_BITS).astype(np.int64)
+        return t.append_column("pid", pa.array(pid))
+
+    km = km.map_batches(add_pid, batch_format="pyarrow")
+    km = km.repartition(parallelism, keys=["pid"], sort=True)
+    km.map_batches(write_groups, batch_format="pyarrow", batch_size=None).materialize()
+
+
 def _encode_postings(
     partials_dir: str,
     docs_dir: str,
@@ -156,55 +273,210 @@ def _encode_postings(
     chunk_bits: int,
     n_shards: int,
     parallelism: int,
-) -> dict:
-    """Stage 3: join lrow->doc_id, range-salted term shuffle, chunk encode."""
+    driver_small_threshold: int = 2_000_000,
+) -> pa.Table:
+    """Stage 3: bucket-partitioned EXTERNAL merge of the SPIMI partials.
+
+    The wide term exchange is materialized through shared storage instead of
+    an in-memory all-to-all: stage 1 already wrote each partition's packed
+    postings sorted by term-hash bucket with one parquet ROW GROUP per
+    bucket, so merge task *b* reads exactly bucket *b*'s row group from
+    every partition file (selective I/O, no aggregator actors, no
+    backpressure coupling between map and reduce sides). This is the
+    classic external-shuffle design (map-side partitioning + reduce-side
+    selective reads); on a multi-node cluster the partials live on shared
+    storage and each merge task pulls only its bucket. Determinism and
+    resumability come free: bucket outputs have fixed names and depend only
+    on the partials + keymap.
+
+    Skew: every term is still range-salted by ``chunk_id = doc_id >>
+    chunk_bits`` inside the merge task (a Zipf-head term becomes many
+    independently-encoded chunks that concatenate in doc_id order), and
+    Zipf head terms hash into different buckets.
+
+    Returns the chunk-summary table (term, chunk_id, n, sum_tf) for the
+    dictionary stage — no re-read of the postings needed.
+    """
+    import ray
     import ray.data as rd
 
-    triples = rd.read_parquet(sorted(glob.glob(os.path.join(partials_dir, "post-*.parquet"))))
-    keymap = rd.read_parquet(
-        sorted(glob.glob(os.path.join(docs_dir, "docs-*.parquet"))),
-        columns=["lrow", "doc_id", "dl"],
-    )
-    joined = triples.join(
-        keymap, join_type="inner", num_partitions=parallelism, on=("lrow",)
-    )
+    keymap_dir = os.path.join(os.path.dirname(postings_dir), "keymap")
+    _write_keymap(docs_dir, keymap_dir, parallelism,
+                  driver_threshold=driver_small_threshold)
+    os.makedirs(postings_dir, exist_ok=True)
 
-    def add_chunk(t: pa.Table) -> pa.Table:
-        cid = np.asarray(t.column("doc_id")) >> chunk_bits
-        return t.append_column("chunk_id", pa.array(cid.astype(np.int64)))
-
-    joined = joined.map_batches(add_chunk, batch_format="pyarrow")
-    # the ONE wide shuffle: co-locate each complete (term, chunk) group
-    shuffled = joined.repartition(parallelism, keys=["term", "chunk_id"], sort=True)
-
-    def encode_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return POSTINGS_SCHEMA.empty_table()
-        terms = np.asarray(t.column("term"), dtype=object)
-        cids = np.asarray(t.column("chunk_id"))
-        doc_ids = np.asarray(t.column("doc_id"))
-        tfs = np.asarray(t.column("tf"))
-        dls = np.asarray(t.column("dl"))
-        order = np.lexsort((doc_ids, cids, terms))
-        terms, cids, doc_ids, tfs, dls = (
-            terms[order], cids[order], doc_ids[order], tfs[order], dls[order]
+    # keymap: per-pid files with disjoint ascending lrow ranges -> concat in
+    # filename order is globally lrow-sorted. Broadcast once (zero-copy
+    # plasma on each node). Scale note: at extreme doc counts the keymap
+    # outgrows a broadcast; the fallback is per-partition keymap reads
+    # inside the merge (the files are already per-pid).
+    km_files = sorted(glob.glob(os.path.join(keymap_dir, "keymap-*.parquet")))
+    km = pa.concat_tables(pq.read_table(f) for f in km_files).combine_chunks()
+    km_ref = ray.put(
+        (
+            np.asarray(km.column("lrow")),
+            np.asarray(km.column("doc_id")),
+            np.asarray(km.column("dl")).astype(np.int32),
         )
-        run_start = np.concatenate(
-            ([0], np.flatnonzero((terms[1:] != terms[:-1]) | (cids[1:] != cids[:-1])) + 1)
-        )
-        run_end = np.concatenate((run_start[1:], [len(terms)]))
-        rows = []
-        for s, e in zip(run_start, run_end):
-            row = encode_chunk(doc_ids[s:e], tfs[s:e], dls[s:e], avgdl, k1, b)
-            row["term"] = str(terms[s])
-            row["chunk_id"] = int(cids[s])
-            row["shard"] = int(zlib.crc32(str(terms[s]).encode()) % n_shards)
-            rows.append(row)
-        return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+    )
+    del km
 
-    encoded = shuffled.map_batches(encode_block, batch_format="pyarrow", batch_size=None)
-    encoded.write_parquet(postings_dir)
-    return {}
+    # bucket -> (file, row group) map from the stage-1 manifests
+    post_files = sorted(glob.glob(os.path.join(partials_dir, "post-*.parquet")))
+    buckets: dict[int, list[tuple[str, int]]] = {}
+    n_buckets = n_shards
+    for pid in sorted(completed_partitions(partials_dir)):
+        with open(manifest_path(partials_dir, pid)) as f:
+            m = json.load(f)
+        for bstr, rg in json.loads(m.get("bucket_rgs", "{}")).items():
+            buckets.setdefault(int(bstr), []).append(
+                (os.path.join(partials_dir, f"post-{pid:06d}.parquet"), int(rg))
+            )
+    units = [
+        {"bucket": b_, "files": [f for f, _ in lst], "rgs": [r for _, r in lst]}
+        for b_, lst in sorted(buckets.items())
+    ]
+
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        import sys as _sys
+        import time as _tt
+
+        _mt0 = _tt.time()
+        km_lrow, km_doc, km_dl = ray.get(km_ref)
+        _t_km = _tt.time() - _mt0
+        out_summaries = []
+        for desc in batch.to_pylist():
+            bucket = int(desc["bucket"])
+            _t_r0 = _tt.time()
+            tables = [
+                pq.ParquetFile(f).read_row_group(rg)
+                for f, rg in zip(desc["files"], desc["rgs"])
+            ]
+            _t_read = _tt.time() - _t_r0
+            t = pa.concat_tables(tables).combine_chunks()
+            hashes = np.asarray(t.column("term_hash"))
+            order = np.argsort(hashes, kind="stable")
+            t = t.take(pa.array(order))
+            hashes = hashes[order]
+
+            lcol = t.column("lrows").combine_chunks()
+            lengths = lcol.value_lengths().to_numpy().astype(np.int64)
+            lrow_vals = lcol.flatten().to_numpy()
+            tf_vals = t.column("tfs").combine_chunks().flatten().to_numpy()
+            idx = np.searchsorted(km_lrow, lrow_vals)
+            assert bool(np.all(km_lrow[idx] == lrow_vals)), "keymap miss"
+            doc_vals = km_doc[idx]
+            dl_vals = km_dl[idx]
+
+            vend = np.cumsum(lengths)
+            vstart = vend - lengths
+            run_start = np.concatenate(
+                ([0], np.flatnonzero(hashes[1:] != hashes[:-1]) + 1)
+            )
+            run_end = np.concatenate((run_start[1:], [t.num_rows]))
+            terms_at = t.column("term")
+
+            seg_d, seg_f, seg_l = [], [], []
+            seg_bounds = []  # (term, chunk_id, start, end) in output space
+            pos = 0
+            for i in range(len(run_start)):
+                rs, re_ = int(run_start[i]), int(run_end[i])
+                vs, ve = int(vstart[rs]), int(vend[re_ - 1])
+                d = doc_vals[vs:ve]
+                f_ = tf_vals[vs:ve]
+                l_ = dl_vals[vs:ve]
+                o2 = np.argsort(d)
+                d, f_, l_ = d[o2], f_[o2], l_[o2]
+                # hash-collision guard: distinct terms sharing a 63-bit hash
+                n_terms_run = pc.count_distinct(
+                    terms_at.slice(rs, re_ - rs)
+                ).as_py()
+                if n_terms_run > 1:
+                    # split by actual term string (astronomically rare)
+                    run_terms = terms_at.slice(rs, re_ - rs).to_pylist()
+                    by_term: dict[str, list[int]] = {}
+                    for j in range(rs, re_):
+                        by_term.setdefault(run_terms[j - rs], []).append(j)
+                    for tstr, rows_j in sorted(by_term.items()):
+                        dd = np.concatenate(
+                            [doc_vals[vstart[j]:vend[j]] for j in rows_j]
+                        )
+                        ff = np.concatenate(
+                            [tf_vals[vstart[j]:vend[j]] for j in rows_j]
+                        )
+                        ll = np.concatenate(
+                            [dl_vals[vstart[j]:vend[j]] for j in rows_j]
+                        )
+                        oo = np.argsort(dd)
+                        dd, ff, ll = dd[oo], ff[oo], ll[oo]
+                        cids = dd >> chunk_bits
+                        cs = np.concatenate(
+                            ([0], np.flatnonzero(np.diff(cids)) + 1, [len(dd)])
+                        )
+                        for s_, e_ in zip(cs[:-1], cs[1:]):
+                            seg_d.append(dd[s_:e_])
+                            seg_f.append(ff[s_:e_])
+                            seg_l.append(ll[s_:e_])
+                            seg_bounds.append(
+                                (tstr, int(cids[s_]), pos, pos + (e_ - s_))
+                            )
+                            pos += e_ - s_
+                    continue
+                term = terms_at[rs].as_py()
+                # range-salt: split the merged run at chunk boundaries
+                cids = d >> chunk_bits
+                cs = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(cids)) + 1, [len(d)])
+                )
+                for s_, e_ in zip(cs[:-1], cs[1:]):
+                    seg_d.append(d[s_:e_])
+                    seg_f.append(f_[s_:e_])
+                    seg_l.append(l_[s_:e_])
+                    seg_bounds.append((term, int(cids[s_]), pos, pos + (e_ - s_)))
+                    pos += e_ - s_
+
+            if not seg_bounds:
+                continue
+            flat_d = np.concatenate(seg_d)
+            flat_f = np.concatenate(seg_f)
+            flat_l = np.concatenate(seg_l)
+            starts = np.array([s_ for _, _, s_, _ in seg_bounds], dtype=np.int64)
+            ends = np.array([e_ for _, _, _, e_ in seg_bounds], dtype=np.int64)
+            rows = encode_chunks_batch(flat_d, flat_f, flat_l, starts, ends,
+                                       avgdl, k1, b)
+            for (term, cid, _, _), row in zip(seg_bounds, rows):
+                row["term"] = term
+                row["chunk_id"] = cid
+                row["shard"] = bucket
+            out = pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+            pq.write_table(
+                out,
+                os.path.join(postings_dir, f"post-bucket-{bucket:05d}.parquet"),
+                compression="zstd",
+            )
+            out_summaries.append(out.select(["term", "chunk_id", "n", "sum_tf"]))
+            if os.environ.get("GRAFT_DEBUG_STAGES"):
+                print(
+                    f"[merge] pid={os.getpid()} bucket={bucket} "
+                    f"t0={_mt0:.1f} km={_t_km:.1f}s read={_t_read:.1f}s "
+                    f"total={_tt.time()-_mt0:.1f}s",
+                    file=_sys.stderr,
+                )
+        if not out_summaries:
+            return pa.schema(
+                [("term", pa.string()), ("chunk_id", pa.int64()),
+                 ("n", pa.int64()), ("sum_tf", pa.int64())]
+            ).empty_table()
+        return pa.concat_tables(out_summaries)
+
+    summaries = (
+        rd.from_items(units, override_num_blocks=max(1, len(units)))
+        .map_batches(merge_bucket, batch_format="pyarrow", batch_size=1,
+                     num_cpus=1)
+        .materialize()
+    )
+    # collect the (small) summary table driver-side
+    return pa.Table.from_pandas(summaries.to_pandas(), preserve_index=False)
 
 
 def build_index(
@@ -223,6 +495,7 @@ def build_index(
     force: bool = False,
     column_map: dict | None = None,
     key_cols: tuple[str, ...] | None = None,
+    driver_small_threshold: int = 2_000_000,
 ) -> dict:
     """Build the full inverted index; returns the build stats dict.
 
@@ -248,6 +521,10 @@ def build_index(
     ctx.max_hash_shuffle_aggregators = min(
         ctx.max_hash_shuffle_aggregators, max(2, ncpu)
     )
+    # aggregator actors mostly wait on the network; a full-CPU reservation
+    # per aggregator starves the producer stages once aggregators ~= cores
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
 
     if force and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
@@ -263,7 +540,8 @@ def build_index(
     if parallelism is None:
         parallelism = max(2, int(ray.cluster_resources().get("CPU", 4)))
     if concurrency is None:
-        concurrency = max(2, parallelism // 2)
+        # stage 1 runs alone under the streaming executor: use the session
+        concurrency = max(2, parallelism - 1)
 
     done = completed_partitions(partials_dir) if resume else set()
     todo = [u for u in units if u["part_id"] not in done]
@@ -272,22 +550,33 @@ def build_index(
             if os.path.isdir(d):
                 shutil.rmtree(d)
 
-    # ---- stage 1: SPIMI partials (checkpointed, embarrassingly parallel)
+    import time as _time
+
+    timings: dict[str, float] = {}
+    _t0 = _time.time()
+
+    # ---- stage 1: SPIMI partials (checkpointed, embarrassingly parallel;
+    # stateless tasks reuse warm worker processes — an actor pool would pay
+    # process spawn + imports per actor per build)
     if todo:
-        units_ds = rd.from_items(todo)
+        # one block per unit => one task per unit (from_items' default block
+        # count caps task parallelism otherwise)
+        units_ds = rd.from_items(todo, override_num_blocks=len(todo))
         units_ds.map_batches(
-            TokenizePartials,
-            fn_constructor_kwargs={
+            tokenize_units,
+            fn_kwargs={
                 "partials_dir": partials_dir,
                 "mode": mode,
                 "column_map": column_map,
                 "key_cols": key_cols,
+                "n_buckets": n_shards,
             },
             batch_format="pyarrow",
             batch_size=1,
-            concurrency=min(concurrency, len(todo)),
             num_cpus=1,
         ).materialize()
+
+    timings["tokenize_partials"] = _time.time() - _t0
 
     metrics = []
     for pid in sorted(completed_partitions(partials_dir)):
@@ -298,40 +587,73 @@ def build_index(
     n_postings = sum(m["n_postings"] for m in metrics)
 
     # wipe derived dirs (they are rebuilt from partials below)
-    for d in (docs_dir, postings_dir, dict_dir, stats_dir):
+    for d in (docs_dir, postings_dir, dict_dir, stats_dir,
+              os.path.join(index_dir, "keymap")):
         if os.path.isdir(d):
             shutil.rmtree(d)
 
     # ---- stage 2: dense doc_ids in doc_key order
-    id_stats = _assign_doc_ids(partials_dir, docs_dir, parallelism)
+    _t0 = _time.time()
+    id_stats = _assign_doc_ids(
+        partials_dir, docs_dir, parallelism,
+        driver_sort_threshold=driver_small_threshold,
+        keymap_dir=os.path.join(index_dir, "keymap"),
+    )
+    timings["doc_ids"] = _time.time() - _t0
     n_docs = id_stats["n_docs"]
     assert n_docs == n_docs_partial, (n_docs, n_docs_partial)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     # ---- stage 3: postings merge + encode
+    _t0 = _time.time()
     _encode_postings(
         partials_dir, docs_dir, postings_dir, avgdl, k1, b,
         chunk_bits, n_shards, parallelism,
+        driver_small_threshold=driver_small_threshold,
     )
+    timings["postings_encode"] = _time.time() - _t0
 
     # ---- stage 4: dictionary (df = sum of chunk posting counts)
-    from ray.data.aggregate import Count, Sum
+    _t0 = _time.time()
+    post_files = glob.glob(os.path.join(postings_dir, "*.parquet"))
+    n_chunk_rows = sum(pq.read_metadata(p).num_rows for p in post_files)
+    if n_chunk_rows <= driver_small_threshold:
+        # chunk summaries are tiny relative to postings: one-process groupby
+        cs = pa.concat_tables(
+            pq.read_table(p, columns=["term", "n", "sum_tf"]) for p in post_files
+        )
+        dictionary_t = (
+            cs.group_by("term")
+            .aggregate([("n", "sum"), ("sum_tf", "sum"), ("term", "count")])
+            .rename_columns(["term", "df", "cf", "n_chunks"])
+        )
+        os.makedirs(dict_dir, exist_ok=True)
+        pq.write_table(
+            dictionary_t, os.path.join(dict_dir, "dict-000000.parquet"),
+            compression="zstd",
+        )
+        n_terms = dictionary_t.num_rows
+    else:
+        from ray.data.aggregate import Count, Sum
 
-    chunks_summary = rd.read_parquet(postings_dir, columns=["term", "n", "sum_tf"])
-    dictionary = chunks_summary.groupby("term").aggregate(
-        Sum("n", alias_name="df"),
-        Sum("sum_tf", alias_name="cf"),
-        Count(alias_name="n_chunks"),
-    )
-    dictionary.write_parquet(dict_dir)
-    n_terms = sum(
-        pq.read_metadata(p).num_rows
-        for p in glob.glob(os.path.join(dict_dir, "*.parquet"))
-    )
+        chunks_summary = rd.read_parquet(postings_dir, columns=["term", "n", "sum_tf"])
+        dictionary = chunks_summary.groupby("term").aggregate(
+            Sum("n", alias_name="df"),
+            Sum("sum_tf", alias_name="cf"),
+            Count(alias_name="n_chunks"),
+        )
+        dictionary.write_parquet(dict_dir)
+        n_terms = sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(dict_dir, "*.parquet"))
+        )
+
+    timings["dictionary"] = _time.time() - _t0
 
     # ---- stage 5: stats + lineage
     os.makedirs(stats_dir, exist_ok=True)
     meta = {
+        "timings": {k: round(v, 3) for k, v in timings.items()},
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": avgdl,

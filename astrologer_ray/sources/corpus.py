@@ -78,32 +78,38 @@ def _zipf_weights(n: int, s: float = 1.1) -> np.ndarray:
     return w / w.sum()
 
 
-def _render_doc(rng: np.random.Generator, vocab: np.ndarray, probs: np.ndarray, length: int) -> str:
-    """Render ~``length`` tokens of synthetic code-ish text."""
-    toks = rng.choice(vocab, size=length, p=probs)
-    out: list[str] = []
-    i = 0
-    while i < len(toks):
-        style = int(rng.integers(0, 6))
-        if style == 0 and i + 1 < len(toks):
-            out.append(f"{toks[i]} = {toks[i + 1]}({toks[i]})")
-            i += 2
-        elif style == 1:
-            out.append(f"def {toks[i]}():")
-            i += 1
-        elif style == 2 and i + 1 < len(toks):
-            out.append(f"{toks[i]}.{toks[i + 1]}")
-            i += 2
-        elif style == 3:
-            out.append(f'# {toks[i]} comment')
-            i += 1
-        elif style == 4:
-            out.append(f'"{toks[i]}"')
-            i += 1
-        else:
-            out.append(str(toks[i]))
-            i += 1
-    return "\n".join(out)
+def _render_docs(
+    rng: np.random.Generator,
+    vocab: np.ndarray,
+    probs: np.ndarray,
+    lengths: np.ndarray,
+) -> list[str]:
+    """Render all docs' synthetic code-ish text in one vectorized pass.
+
+    One big Zipf draw for every token of every doc, decorations (calls,
+    comments, quotes, dotted access, line breaks) applied by position
+    pattern via numpy fancy indexing, then one C-level ``join`` per doc.
+    """
+    total = int(lengths.sum())
+    toks = rng.choice(vocab, size=total, p=probs).astype(object)
+    idx = np.arange(total)
+    # decorations keyed on position patterns (deterministic, vectorized)
+    call = idx % 11 == 3
+    toks[call] = np.array([f"{t}({t})" for t in toks[call]], dtype=object)
+    comment = idx % 13 == 7
+    toks[comment] = np.array([f"# {t}" for t in toks[comment]], dtype=object)
+    quote = idx % 17 == 5
+    toks[quote] = np.array([f'"{t}"' for t in toks[quote]], dtype=object)
+    defs = idx % 23 == 11
+    toks[defs] = np.array([f"def {t}():" for t in toks[defs]], dtype=object)
+    # separator after each token: newline every 6th, else space
+    seps = np.where(idx % 6 == 5, "\n", " ").astype(object)
+    pieces = np.empty(total * 2, dtype=object)
+    pieces[0::2] = toks
+    pieces[1::2] = seps
+    ends = np.cumsum(lengths) * 2
+    starts = ends - lengths * 2
+    return ["".join(pieces[s : e - 1]) for s, e in zip(starts, ends)]
 
 
 def generate_corpus(
@@ -136,28 +142,28 @@ def generate_corpus(
     repo_idx = rng.choice(n_repos, size=n_files, p=repo_probs)
     lang_idx = rng.integers(0, len(LANGS), size=n_files)
 
+    rows_content = _render_docs(rng, vocab, probs, lengths)
+    # exact-duplicate contents (SURVEY §2.7 D1 dedup semantics): overwrite a
+    # seeded subset with the content of an earlier doc
+    n_dups = int(n_files * dup_rate)
+    if n_dups and n_files > 1:
+        dup_targets = rng.choice(np.arange(1, n_files), size=n_dups, replace=False)
+        for t in dup_targets:
+            rows_content[t] = rows_content[int(rng.integers(0, t))]
+
+    pkg_idx = rng.integers(0, 50, size=n_files)
     rows_repo: list[str] = []
     rows_path: list[str] = []
     rows_commit: list[str] = []
     rows_lang: list[str] = []
-    rows_content: list[str] = []
-
-    contents_pool: list[str] = []
     for i in range(n_files):
         repo = repos[repo_idx[i]]
         lang = LANGS[lang_idx[i]]
-        path = f"src/pkg{int(rng.integers(0, 50))}/file{i}.{_EXT[lang]}"
-        commit = hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest()
-        if contents_pool and rng.random() < dup_rate:
-            content = contents_pool[int(rng.integers(0, len(contents_pool)))]
-        else:
-            content = _render_doc(rng, vocab, probs, int(lengths[i]))
-            contents_pool.append(content)
+        path = f"src/pkg{int(pkg_idx[i])}/file{i}.{_EXT[lang]}"
         rows_repo.append(repo)
         rows_path.append(path)
-        rows_commit.append(commit)
+        rows_commit.append(hashlib.sha1(f"{repo}/{path}@{seed}".encode()).hexdigest())
         rows_lang.append(lang)
-        rows_content.append(content)
 
     if include_edge_rows:
         # Edge rows (FIXTURES.md F1): empty content; NUL + control chars

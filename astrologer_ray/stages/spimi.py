@@ -41,7 +41,12 @@ KEY_SEP = "\x1f"
 LROW_BITS = 40
 
 POST_SCHEMA = pa.schema(
-    [("lrow", pa.int64()), ("term", pa.string()), ("tf", pa.int32())]
+    [
+        ("term", pa.string()),
+        ("term_hash", pa.int64()),
+        ("lrows", pa.list_(pa.int64())),
+        ("tfs", pa.list_(pa.int32())),
+    ]
 )
 DOCS_PART_SCHEMA = pa.schema(
     [
@@ -117,6 +122,7 @@ class TokenizePartials:
         mode: str = "code",
         column_map: dict | None = None,
         key_cols: tuple[str, ...] | None = None,
+        n_buckets: int = 64,
     ):
         """``column_map`` maps the canonical corpus columns (repo, path,
         commit, lang, content) to source column names (None -> constant "");
@@ -130,6 +136,7 @@ class TokenizePartials:
             c: c for c in ("repo", "path", "commit", "lang", "content")
         }
         self.key_cols = key_cols or ("repo", "path", "commit")
+        self.n_buckets = n_buckets
         os.makedirs(partials_dir, exist_ok=True)
 
     @staticmethod
@@ -172,14 +179,47 @@ class TokenizePartials:
 
         doc_idx, terms, tfs, dls = self.tok.batch_counts(content)
 
-        post = pa.table(
-            {
-                "lrow": lrows[doc_idx] if len(doc_idx) else np.empty(0, np.int64),
-                "term": pa.array(terms, type=pa.string()),
-                "tf": tfs,
-            },
-            schema=POST_SCHEMA,
-        )
+        # SPIMI partial index, PACKED per term (SURVEY §2.3 ST1): one row per
+        # (term) with the partition's posting sublists, hash-bucketed for the
+        # external merge exchange: rows sorted by (bucket, term_hash) and
+        # written ONE PARQUET ROW GROUP PER BUCKET so a merge task reads
+        # exactly its bucket from every partition file (map-side partitioned
+        # shuffle through shared storage). bucket->row-group map goes into
+        # the manifest.
+        import pandas as pd
+
+        from astrologer_ray.functions.codec import term_hash64
+
+        bucket_rgs: dict[int, int] = {}
+        if len(doc_idx):
+            codes, uniq = pd.factorize(terms)
+            uhash = np.fromiter(
+                (term_hash64(str(t)) for t in uniq), dtype=np.int64, count=len(uniq)
+            )
+            ubucket = (uhash % self.n_buckets).astype(np.int64)
+            # order postings by (bucket, hash, local row): runs per term
+            order = np.lexsort((doc_idx, uhash[codes], ubucket[codes]))
+            oc = codes[order]
+            rs = np.concatenate(([0], np.flatnonzero(oc[1:] != oc[:-1]) + 1))
+            offsets = np.concatenate((rs, [len(oc)])).astype(np.int32)
+            run_codes = oc[rs]
+            post = pa.table(
+                {
+                    "term": pa.array(uniq.astype(object)[run_codes], pa.string()),
+                    "term_hash": pa.array(uhash[run_codes]),
+                    "lrows": pa.ListArray.from_arrays(
+                        offsets, pa.array(lrows[doc_idx[order]])
+                    ),
+                    "tfs": pa.ListArray.from_arrays(
+                        offsets, pa.array(tfs[order], pa.int32())
+                    ),
+                },
+                schema=POST_SCHEMA,
+            )
+            run_buckets = ubucket[run_codes]
+        else:
+            post = POST_SCHEMA.empty_table()
+            run_buckets = np.empty(0, dtype=np.int64)
         docs = pa.table(
             {
                 "lrow": lrows,
@@ -196,7 +236,15 @@ class TokenizePartials:
 
         post_path = os.path.join(self.partials_dir, f"post-{part_id:06d}.parquet")
         docs_path = os.path.join(self.partials_dir, f"docs-{part_id:06d}.parquet")
-        pq.write_table(post, post_path, compression="zstd")
+        with pq.ParquetWriter(post_path, POST_SCHEMA, compression="zstd") as w:
+            if post.num_rows:
+                b_rs = np.concatenate(
+                    ([0], np.flatnonzero(run_buckets[1:] != run_buckets[:-1]) + 1,
+                     [len(run_buckets)])
+                )
+                for rg_idx, (s, e) in enumerate(zip(b_rs[:-1], b_rs[1:])):
+                    w.write_table(post.slice(s, e - s))
+                    bucket_rgs[int(run_buckets[s])] = rg_idx
         pq.write_table(docs, docs_path, compression="zstd")
 
         metrics = {
@@ -205,12 +253,16 @@ class TokenizePartials:
             "rg_start": int(unit["rg_start"]),
             "rg_end": int(unit["rg_end"]),
             "n_docs": n,
-            "n_postings": post.num_rows,
+            "n_postings": int(len(doc_idx)),
             "n_unique_terms": int(len(np.unique(terms))) if len(terms) else 0,
             "sum_dl": int(dls.sum()) if n else 0,
             "max_doc_postings": int(np.bincount(doc_idx).max()) if len(doc_idx) else 0,
             "post_bytes": os.path.getsize(post_path),
             "docs_bytes": os.path.getsize(docs_path),
+            # bucket -> parquet row-group index in post-{pid}.parquet (the
+            # merge exchange map); json string so it tables cleanly
+            "bucket_rgs": json.dumps(bucket_rgs),
+            "n_buckets": self.n_buckets,
         }
         # manifest written LAST and atomically: its existence == unit complete
         mp = manifest_path(self.partials_dir, part_id)
@@ -223,3 +275,15 @@ class TokenizePartials:
         rows = batch.to_pylist()
         out = [self._process_unit(u) for u in rows]
         return pa.Table.from_pylist(out)
+
+
+def tokenize_units(batch: pa.Table, **kwargs) -> pa.Table:
+    """Stateless-task wrapper around :class:`TokenizePartials`.
+
+    Plain Ray tasks reuse warm worker processes (imports already loaded),
+    while a fresh actor pool pays process spawn + import per actor per
+    build — measurably worse for short stages. Construction is cheap, so
+    per-task instantiation costs nothing; the tokenizer split cache is
+    still effective within a unit (one vectorized batch per unit).
+    """
+    return TokenizePartials(**kwargs)(batch)

@@ -169,7 +169,9 @@ class Searcher:
     def owns_term(self, term: str) -> bool:
         if self.shards is None:
             return True
-        return zlib.crc32(term.encode()) % self.n_shards in self.shards
+        from astrologer_ray.functions.codec import term_hash64
+
+        return term_hash64(term) % self.n_shards in self.shards
 
     def search(
         self,

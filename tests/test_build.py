@@ -165,3 +165,23 @@ def test_partition_metrics_lineage(built_index):
     assert sum(m.column("n_postings").to_pylist()) == meta["n_postings"]
     assert os.path.exists(index_dir + "/_SUCCESS")
     assert json.load(open(index_dir + "/stats/meta.json"))["n_docs"] == meta["n_docs"]
+
+
+def test_distributed_paths_equal_driver_paths(ray_session, small_corpus_dir, tmp_path):
+    """driver_small_threshold=0 forces the distributed doc_id sort, keymap
+    shuffle and dict groupby; results must equal the driver fast paths."""
+    import glob as g
+
+    i_small = str(tmp_path / "small")
+    i_dist = str(tmp_path / "dist")
+    build_index(small_corpus_dir, i_small, partition_rows=64)
+    build_index(small_corpus_dir, i_dist, partition_rows=64,
+                driver_small_threshold=0)
+    for sub, keys in {"docs": ["doc_id"], "postings": ["term", "chunk_id"],
+                      "dict": ["term"]}.items():
+        t1 = pq.read_table(g.glob(f"{i_small}/{sub}/*.parquet"))
+        t2 = pq.read_table(g.glob(f"{i_dist}/{sub}/*.parquet"))
+        cols = sorted(t1.column_names)
+        s1 = t1.select(cols).sort_by([(k, "ascending") for k in keys])
+        s2 = t2.select(cols).sort_by([(k, "ascending") for k in keys])
+        assert s1.equals(s2), f"{sub} differs between driver and distributed paths"

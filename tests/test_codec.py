@@ -98,3 +98,27 @@ def test_encode_rejects_unsorted():
         encode_chunk(
             np.array([5, 3]), np.array([1, 1]), np.array([1, 1]), avgdl=1.0
         )
+
+
+def test_encode_chunks_batch_equals_per_run():
+    from astrologer_ray.functions.codec import encode_chunks_batch
+
+    rng = np.random.default_rng(11)
+    runs = []
+    vals_d, vals_t, vals_l = [], [], []
+    pos = 0
+    for n in [1, 2, BLOCK, BLOCK + 1, 700, 5, 3 * BLOCK + 9]:
+        ids, tfs, dls = _random_postings(rng, n)
+        vals_d.append(ids)
+        vals_t.append(tfs)
+        vals_l.append(dls)
+        runs.append((pos, pos + n))
+        pos += n
+    vd, vt, vl = map(np.concatenate, (vals_d, vals_t, vals_l))
+    starts = np.array([r[0] for r in runs])
+    ends = np.array([r[1] for r in runs])
+    batch = encode_chunks_batch(vd, vt, vl, starts, ends, avgdl=77.0)
+    for i, (s, e) in enumerate(runs):
+        want = encode_chunk(vd[s:e], vt[s:e], vl[s:e], avgdl=77.0)
+        got = batch[i]
+        assert got == want, f"run {i} differs: {set(got) ^ set(want)}"
