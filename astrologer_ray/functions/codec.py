@@ -271,14 +271,13 @@ def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = int(row["n"])
     vals = varbyte_decode(row["ids_bytes"], n).astype(np.int64)
     # cumsum with a reset at every absolute-restart block boundary: subtract,
-    # from each block onward, the running total accumulated before its restart.
+    # from each block onward, the running total accumulated before its
+    # restart (vectorized: one cumsum + one repeat).
     c = np.cumsum(vals)
     block_starts = np.arange(0, n, BLOCK, dtype=np.int64)
-    ids = np.empty(n, dtype=np.int64)
-    for s in block_starts:
-        e = min(s + BLOCK, n)
-        base = c[s - 1] if s else 0
-        ids[s:e] = c[s:e] - base
+    bases = np.concatenate(([0], c[block_starts[1:] - 1]))
+    sizes = np.diff(np.concatenate((block_starts, [n])))
+    ids = c - np.repeat(bases, sizes)
     tfs = varbyte_decode(row["tf_bytes"], n).astype(np.int64)
     dls = varbyte_decode(row["dl_bytes"], n).astype(np.int64)
     return ids, tfs, dls

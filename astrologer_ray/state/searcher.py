@@ -173,28 +173,87 @@ class Searcher:
 
         return term_hash64(term) % self.n_shards in self.shards
 
+    # dense score-accumulator TAAT is used while a float64 array over the
+    # doc space fits comfortably (8 MB per 1M docs); beyond that (or per
+    # explicit request) document-at-a-time block-max WAND takes over
+    TAAT_MAX_DOCS = 8_000_000
+
+    def _search_taat(self, qterms, k, allowed):
+        """Exact term-at-a-time scoring: one numpy pass per query term.
+
+        Bit-identical to the oracle: same weight expression, contributions
+        added in sorted-term order (scores[ids] += w is elementwise add in
+        that order). Beats the python-loop WAND cursors by ~100x on Zipf
+        head terms (df ~ N) because the whole posting list decodes and
+        scores vectorized.
+        """
+        from astrologer_ray.functions.codec import decode_chunk
+
+        scores = np.zeros(self.N, dtype=np.float64)
+        matched = np.zeros(self.N, dtype=bool)
+        for t in qterms:
+            chunks = self.postings.get(t)
+            if not chunks:
+                continue
+            idf_t = idf(self.N, int(self.df[t]))
+            for row in chunks:
+                ids, tfs, dls = decode_chunk(row)
+                w = bm25_term_weight(
+                    idf_t, tfs.astype(np.float64), dls.astype(np.float64),
+                    self.avgdl, self.k1, self.b,
+                )
+                scores[ids] += w
+                matched[ids] = True
+        if allowed is not None:
+            matched &= allowed
+        cand = np.flatnonzero(matched)
+        if len(cand) == 0:
+            return []
+        kk = min(k, len(cand))
+        # cheap pre-cut before the exact (score desc, doc_id asc) sort:
+        # keep everything >= the k-th score so boundary ties survive
+        if len(cand) > 4 * kk:
+            s = scores[cand]
+            kth = s[np.argpartition(-s, kk - 1)[kk - 1]]
+            cand = cand[s >= kth]
+        order = np.lexsort((cand, -scores[cand]))[:kk]
+        return [(int(cand[i]), float(scores[cand[i]])) for i in order]
+
     def search(
         self,
         terms: list[str],
         k: int = 10,
         lang: str | None = None,
         decorate: bool = False,
+        strategy: str = "auto",
     ) -> list[dict]:
-        """Exact top-k BM25 via block-max WAND. Rank-identical to the oracle."""
+        """Exact top-k BM25. ``strategy``: "taat" (vectorized term-at-a-
+        time), "wand" (block-max WAND), or "auto" (taat while the doc space
+        fits a dense accumulator). Both are rank-identical to the oracle."""
         if k <= 0:
             return []
         qterms = sorted({t for t in terms if self.owns_term(t)})
+        allowed = None
+        if lang is not None:
+            if self.doc_lang is None:
+                raise ValueError("lang filter requires load_docs=True")
+            allowed = self.doc_lang == lang
+
+        if strategy not in ("auto", "taat", "wand"):
+            raise ValueError(f"unknown strategy {strategy!r}: auto|taat|wand")
+        use_taat = strategy == "taat" or (
+            strategy == "auto" and self.N <= self.TAAT_MAX_DOCS
+        )
+        if use_taat:
+            hits = self._search_taat(qterms, k, allowed)
+            return self._format(hits, decorate)
+
         cursors = []
         for t in qterms:
             chunks = self.postings.get(t)
             if chunks:
                 idf_t = idf(self.N, int(self.df[t]))
                 cursors.append(_Cursor(t, chunks, idf_t, self.k1, self.b, self.avgdl))
-        allowed = None
-        if lang is not None:
-            if self.doc_lang is None:
-                raise ValueError("lang filter requires load_docs=True")
-            allowed = self.doc_lang == lang
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id): min = worst
         theta = -np.inf
@@ -263,9 +322,11 @@ class Searcher:
             cursors = [c for c in cursors if c.doc != _INF]
 
         out = sorted(heap, key=lambda t2: (-t2[0], -t2[1]))
+        return self._format([(-nd, s) for s, nd in out], decorate)
+
+    def _format(self, hits: list[tuple[int, float]], decorate: bool) -> list[dict]:
         results = []
-        for rank, (s, nd) in enumerate(out):
-            d = -nd
+        for rank, (d, s) in enumerate(hits):
             r = {"rank": rank, "doc_id": d, "score": s}
             if decorate and self.doc_key is not None:
                 r["doc_key"] = str(self.doc_key[d])

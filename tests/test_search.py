@@ -49,13 +49,17 @@ def _queries(searcher):
     return qs
 
 
-def test_topk_rank_and_score_identical(index_and_oracle):
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_topk_rank_and_score_identical(index_and_oracle, strategy):
     index_dir, contents, _ = index_and_oracle
     s = Searcher(index_dir)
     for terms, k in _queries(s):
         want = oracle_topk(contents, terms, k=k)
-        got = [(h["doc_id"], h["score"]) for h in s.search(terms, k=k)]
-        assert got == want, f"query {terms} k={k}:\n got {got}\nwant {want}"
+        got = [
+            (h["doc_id"], h["score"])
+            for h in s.search(terms, k=k, strategy=strategy)
+        ]
+        assert got == want, f"[{strategy}] query {terms} k={k}:\n got {got}\nwant {want}"
 
 
 def test_topk_with_lang_filter(index_and_oracle):
