@@ -34,8 +34,20 @@ _CACHE = "/tmp/graft_cache"
 
 
 def _rd():
+    import ray
     import ray.data as rd
+    from ray.data.context import DataContext, ShuffleStrategy
 
+    # joins/repartition-by-key need hash shuffle; the defaults assume a big
+    # cluster — for these dimension-scale tables a handful of partitions
+    # beats per-partition aggregator spin-up
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    ctx.default_hash_shuffle_parallelism = min(8, max(2, ncpu))
+    ctx.max_hash_shuffle_aggregators = min(8, max(2, ncpu))
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25
     return rd
 
 
@@ -395,6 +407,59 @@ ORDER BY score DESC, event_type LIMIT 10
 """
 
 
+def events_range_listing(sf_dir: str):
+    """A7 — exact sorted listing of keys in a range
+    (/root/reference/es/adapter.go:156-182)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import range_listing
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_id"])
+    out = range_listing(ds, "event_id", 100, 199).to_pandas()
+    return out.reset_index(drop=True)
+
+
+EVENTS_RANGE_LISTING_SQL = """
+SELECT event_id FROM events WHERE event_id >= 100 AND event_id <= 199 ORDER BY event_id
+"""
+
+
+def union_all_keys(sf_dir: str):
+    """D4 — union of streams (reference: six doc streams through one
+    buffer, es/ledger_serializer.go:35-56): one combined key manifest."""
+    rd = _rd()
+
+    def tag(ds, kind, col):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "kind": pa.array([kind] * t.num_rows, pa.string()),
+                    "key": pc.cast(t[col], pa.int64()),
+                }
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    parts = [
+        tag(rd.read_parquet(_tbl(sf_dir, "orders"), columns=["o_orderkey"]),
+            "order", "o_orderkey"),
+        tag(rd.read_parquet(_tbl(sf_dir, "customer"), columns=["c_custkey"]),
+            "customer", "c_custkey"),
+        tag(rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id"]),
+            "document", "doc_id"),
+    ]
+    u = parts[0].union(parts[1]).union(parts[2])
+    out = u.to_pandas().sort_values(["kind", "key"]).reset_index(drop=True)
+    return out
+
+
+UNION_SQL = """
+SELECT 'order' AS kind, o_orderkey AS key FROM orders
+UNION ALL SELECT 'customer', c_custkey FROM customer
+UNION ALL SELECT 'document', doc_id FROM documents
+ORDER BY kind, key
+"""
+
+
 def events_user_gaps(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import detect_gaps
@@ -727,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_topk": events_type_topk,
         "events_significant_types": events_significant_types,
         "events_user_gaps": events_user_gaps,
+        "events_range_listing": events_range_listing,
+        "union_all_keys": union_all_keys,
         "doc_token_counts": doc_token_counts,
         "docs_containing_term": docs_containing_term,
         "dedup_exact_docs": dedup_exact_docs,
@@ -756,6 +823,8 @@ def oracle_sql() -> dict[str, str]:
         "events_type_topk": EVENTS_TOPK_SQL,
         "events_significant_types": EVENTS_SIG_SQL,
         "events_user_gaps": EVENTS_GAPS_SQL,
+        "events_range_listing": EVENTS_RANGE_LISTING_SQL,
+        "union_all_keys": UNION_SQL,
         "doc_token_counts": DOC_TOKENS_SQL,
         "docs_containing_term": DOCS_TERM_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,

@@ -50,6 +50,25 @@ def cmd_create_index(args) -> int:
 def cmd_build(args) -> int:
     from astrologer_ray.pipelines.build import build_index
 
+    if args.dry_run:
+        # K4 analog (/root/reference/commands/export.go:77-87): report the
+        # plan without touching the sink
+        from astrologer_ray.pipelines.build import _corpus_paths
+        from astrologer_ray.stages.spimi import completed_partitions, plan_partitions
+
+        import os
+
+        units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
+        done = completed_partitions(os.path.join(args.index, "partials"))
+        print(json.dumps({
+            "dry_run": True,
+            "partitions": len(units),
+            "rows": sum(u["n_rows"] for u in units),
+            "already_complete": sorted(done),
+            "would_build": [u["part_id"] for u in units if u["part_id"] not in done],
+        }))
+        return 0
+
     _ray_session(args.num_cpus)
     meta = build_index(
         args.corpus, args.index, mode=args.mode, force=args.force,
@@ -141,6 +160,7 @@ def main(argv: list[str] | None = None) -> int:
         b.add_argument("--partition-rows", type=int, default=50_000)
         b.add_argument("--force", action="store_true")
         b.add_argument("--no-resume", action="store_true")
+        b.add_argument("--dry-run", action="store_true")
         b.set_defaults(fn=fn)
 
     st = sub.add_parser("stats")

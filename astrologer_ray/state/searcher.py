@@ -153,6 +153,11 @@ class Searcher:
         self.df = dict(zip(dt.column("term").to_pylist(), dt.column("df").to_pylist()))
         self.cf = dict(zip(dt.column("term").to_pylist(), dt.column("cf").to_pylist()))
 
+        from collections import OrderedDict
+
+        self._taat_cache: OrderedDict[str, tuple] = OrderedDict()
+        self._taat_cache_vals = 0
+
         self.doc_lang = self.doc_key = self.doc_repo = self.doc_path = None
         if load_docs:
             dfiles = sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
@@ -177,6 +182,42 @@ class Searcher:
     # doc space fits comfortably (8 MB per 1M docs); beyond that (or per
     # explicit request) document-at-a-time block-max WAND takes over
     TAAT_MAX_DOCS = 8_000_000
+    # decoded (ids, weights) LRU cache: a term's contribution array is
+    # query-independent, and Zipf head terms (df ~ N) recur constantly —
+    # without the cache every such query re-decodes ~N varbyte postings
+    TAAT_CACHE_VALS = 32_000_000  # ~512 MB ceiling
+
+    def _term_contribution(self, t: str):
+        ent = self._taat_cache.get(t)
+        if ent is not None:
+            self._taat_cache.move_to_end(t)
+            return ent
+        from astrologer_ray.functions.codec import decode_chunk
+
+        idf_t = idf(self.N, int(self.df[t]))
+        parts_i, parts_w = [], []
+        for row in self.postings[t]:
+            ids, tfs, dls = decode_chunk(row)
+            parts_i.append(ids)
+            parts_w.append(
+                bm25_term_weight(
+                    idf_t, tfs.astype(np.float64), dls.astype(np.float64),
+                    self.avgdl, self.k1, self.b,
+                )
+            )
+        ids = np.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
+        w = np.concatenate(parts_w) if len(parts_w) > 1 else parts_w[0]
+        if self._taat_cache_vals + len(ids) <= self.TAAT_CACHE_VALS:
+            self._taat_cache[t] = (ids, w)
+            self._taat_cache_vals += len(ids)
+        else:
+            while self._taat_cache and self._taat_cache_vals + len(ids) > self.TAAT_CACHE_VALS:
+                _, (old_i, _w) = self._taat_cache.popitem(last=False)
+                self._taat_cache_vals -= len(old_i)
+            if len(ids) <= self.TAAT_CACHE_VALS:
+                self._taat_cache[t] = (ids, w)
+                self._taat_cache_vals += len(ids)
+        return ids, w
 
     def _search_taat(self, qterms, k, allowed):
         """Exact term-at-a-time scoring: one numpy pass per query term.
@@ -187,23 +228,14 @@ class Searcher:
         head terms (df ~ N) because the whole posting list decodes and
         scores vectorized.
         """
-        from astrologer_ray.functions.codec import decode_chunk
-
         scores = np.zeros(self.N, dtype=np.float64)
         matched = np.zeros(self.N, dtype=bool)
         for t in qterms:
-            chunks = self.postings.get(t)
-            if not chunks:
+            if t not in self.postings:
                 continue
-            idf_t = idf(self.N, int(self.df[t]))
-            for row in chunks:
-                ids, tfs, dls = decode_chunk(row)
-                w = bm25_term_weight(
-                    idf_t, tfs.astype(np.float64), dls.astype(np.float64),
-                    self.avgdl, self.k1, self.b,
-                )
-                scores[ids] += w
-                matched[ids] = True
+            ids, w = self._term_contribution(t)
+            scores[ids] += w
+            matched[ids] = True
         if allowed is not None:
             matched &= allowed
         cand = np.flatnonzero(matched)
