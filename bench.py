@@ -72,7 +72,7 @@ def bench_build() -> dict:
     }
 
 
-def bench_query_qps(n_queries: int = 400) -> dict:
+def bench_query_qps(n_queries: int = 1600) -> dict:
     import numpy as np
     import ray.data as rd
 
@@ -94,14 +94,18 @@ def bench_query_qps(n_queries: int = 400) -> dict:
             + list(rng.choice(tail, size=1))
         )
         queries.append({"qid": i, "terms": terms, "k": 10})
-    qds = rd.from_items(queries)
+    n_actors = max(2, NUM_CPUS // 4)
+    batch = max(8, n_queries // (n_actors * 4))
+    # one block per batch — from_items' default block count would funnel
+    # all queries through one actor
+    qds = rd.from_items(queries, override_num_blocks=max(1, n_queries // batch))
     t0 = time.time()
     n = qds.map_batches(
         SearchStage,
         fn_constructor_kwargs={"index_dir": BENCH_INDEX},
         batch_format="pyarrow",
-        batch_size=max(8, n_queries // (NUM_CPUS * 2)),
-        concurrency=max(2, NUM_CPUS // 2),
+        batch_size=batch,
+        concurrency=n_actors,
         num_cpus=1,
     ).count()
     dt = time.time() - t0
