@@ -460,6 +460,54 @@ ORDER BY kind, key
 """
 
 
+def events_tumbling_window(sf_dir: str):
+    """Fixed event-time windows per user (streaming-shaped surface)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.windows import tumbling_window
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["user_id", "ts"])
+    out = tumbling_window(ds, "user_id", "ts", unit="hour").to_pandas()
+    return out.sort_values(["user_id", "window"]).reset_index(drop=True)
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (gap > 30 min) per user; ordering assumption: one
+    user's events fit one group and are processed in ts order."""
+    rd = _rd()
+    from astrologer_ray.pipelines.windows import sessionize
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap_minutes=30.0).to_pandas()
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH l AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM l)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_user_gaps(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import detect_gaps
@@ -793,6 +841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_significant_types": events_significant_types,
         "events_user_gaps": events_user_gaps,
         "events_range_listing": events_range_listing,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionize": events_sessionize,
         "union_all_keys": union_all_keys,
         "doc_token_counts": doc_token_counts,
         "docs_containing_term": docs_containing_term,
@@ -824,6 +874,8 @@ def oracle_sql() -> dict[str, str]:
         "events_significant_types": EVENTS_SIG_SQL,
         "events_user_gaps": EVENTS_GAPS_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,
+        "events_tumbling_window": EVENTS_TUMBLING_SQL,
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "union_all_keys": UNION_SQL,
         "doc_token_counts": DOC_TOKENS_SQL,
         "docs_containing_term": DOCS_TERM_SQL,

@@ -212,3 +212,43 @@ def test_terms_topk_and_buckets(ray_session, docs_ds):
     assert top["n"].is_monotonic_decreasing
     buckets = range_buckets(docs_ds, "n_chars", 100).to_pandas()
     assert buckets["n"].sum() == docs_ds.count()
+
+
+def test_sessionize_exact(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.windows import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: two sessions (gap 45 min between idx 1 and 2)
+        {"user_id": 1, "ts": base},
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=10)},
+        {"user_id": 1, "ts": base + dt.timedelta(minutes=55)},
+        # user 2: single event
+        {"user_id": 2, "ts": base + dt.timedelta(hours=2)},
+        # user 3: exactly-30-min gap stays in ONE session (> comparison)
+        {"user_id": 3, "ts": base},
+        {"user_id": 3, "ts": base + dt.timedelta(minutes=30)},
+    ]
+    out = (
+        sessionize(rd.from_items(rows), "user_id", "ts", gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["user_id"], out["session_id"], out["n_events"]))
+    assert got == [(1, 1, 2), (1, 2, 1), (2, 1, 1), (3, 1, 2)]
+
+
+def test_tumbling_window_counts(ray_session, sf_dir):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.windows import tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = tumbling_window(ds, "user_id", "ts", unit="day").to_pandas()
+    assert out["n_events"].sum() == ds.count()
+    assert (out["n_events"] > 0).all()
