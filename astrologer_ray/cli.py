@@ -81,14 +81,14 @@ def cmd_build(args) -> int:
 def cmd_ingest(args) -> int:
     """Incremental: rebuild only partitions absent from the manifest."""
     from astrologer_ray.pipelines.build import _corpus_paths, build_index
-    from astrologer_ray.stages.spimi import completed_partitions, plan_partitions
+    from astrologer_ray.stages.spimi import completed_units, plan_partitions
 
     import os
 
     _ray_session(args.num_cpus)
     partials = os.path.join(args.index, "partials")
     units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
-    done = completed_partitions(partials)
+    done = completed_units(partials, units)
     missing = [u["part_id"] for u in units if u["part_id"] not in done]
     if not missing and os.path.exists(os.path.join(args.index, "_SUCCESS")):
         print(json.dumps({"up_to_date": True, "partitions": len(units)}))
@@ -107,10 +107,10 @@ def cmd_stats(args) -> int:
     import os
 
     from astrologer_ray.pipelines.build import _corpus_paths, load_meta
-    from astrologer_ray.stages.spimi import completed_partitions, plan_partitions
+    from astrologer_ray.stages.spimi import completed_units, plan_partitions
 
     units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
-    done = completed_partitions(os.path.join(args.index, "partials"))
+    done = completed_units(os.path.join(args.index, "partials"), units)
     rows = []
     for u in units:
         rows.append({

@@ -543,7 +543,14 @@ def build_index(
         # stage 1 runs alone under the streaming executor: use the session
         concurrency = max(2, parallelism - 1)
 
-    done = completed_partitions(partials_dir) if resume else set()
+    from astrologer_ray.stages.spimi import completed_units
+
+    done = completed_units(partials_dir, units) if resume else set()
+    # drop stale partials: manifests whose identity no longer matches the
+    # plan (corpus changed -> ordinal part_ids shifted) or orphans beyond it
+    for pid in completed_partitions(partials_dir) - done:
+        for f in glob.glob(os.path.join(partials_dir, f"*-{pid:06d}.*")):
+            os.remove(f)
     todo = [u for u in units if u["part_id"] not in done]
     if not resume:
         for d in (partials_dir, docs_dir, postings_dir, dict_dir, stats_dir):

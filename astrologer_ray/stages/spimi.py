@@ -108,6 +108,33 @@ def completed_partitions(partials_dir: str) -> set[int]:
     return out
 
 
+def completed_units(partials_dir: str, units: list[dict]) -> set[int]:
+    """Unit ids whose manifest exists AND matches the unit's identity.
+
+    Partition ids are ordinals over the sorted file list, so a corpus change
+    (a new file sorting mid-list) shifts ids; a manifest only counts as
+    complete if its recorded (file, rg_start, rg_end) equals the planned
+    unit — otherwise the stale partials are rebuilt (the reference's
+    reconciliation semantics: trust the source of truth, not the index)."""
+    done = set()
+    for u in units:
+        mp = manifest_path(partials_dir, u["part_id"])
+        if not os.path.exists(mp):
+            continue
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if (
+            m.get("file") == u["file"]
+            and m.get("rg_start") == u["rg_start"]
+            and m.get("rg_end") == u["rg_end"]
+        ):
+            done.add(u["part_id"])
+    return done
+
+
 class TokenizePartials:
     """Actor-pool stage: one input row = one partition unit.
 

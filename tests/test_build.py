@@ -185,3 +185,35 @@ def test_distributed_paths_equal_driver_paths(ray_session, small_corpus_dir, tmp
         s1 = t1.select(cols).sort_by([(k, "ascending") for k in keys])
         s2 = t2.select(cols).sort_by([(k, "ascending") for k in keys])
         assert s1.equals(s2), f"{sub} differs between driver and distributed paths"
+
+
+def test_resume_rebuilds_when_corpus_changes(ray_session, tmp_path):
+    """A new corpus file that sorts mid-list shifts ordinal part_ids; stale
+    manifests must NOT be trusted for the wrong units (incremental ingest
+    correctness)."""
+    from astrologer_ray.sources.corpus import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=200, seed=3, rows_per_file=64,
+                    include_edge_rows=False)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, partition_rows=64)
+
+    # inject a new file that sorts BEFORE the existing ones
+    import pyarrow.parquet as pqq
+
+    src = sorted(glob.glob(corpus + "/*.parquet"))[0]
+    t = pqq.read_table(src).slice(0, 10)
+    t = t.set_column(1, "path", [[f"aaa/new{i}.py" for i in range(10)]])
+    pqq.write_table(t, corpus + "/corpus-00000-aaa.parquet")
+
+    meta2 = build_index(corpus, idx, partition_rows=64, resume=True)
+
+    # fresh build must equal the resumed build
+    idx3 = str(tmp_path / "idx3")
+    meta3 = build_index(corpus, idx3, partition_rows=64, resume=False)
+    assert meta2["n_docs"] == meta3["n_docs"]
+    assert meta2["n_postings"] == meta3["n_postings"]
+    d2 = pq.read_table(glob.glob(idx + "/docs/*.parquet")).sort_by("doc_id")
+    d3 = pq.read_table(glob.glob(idx3 + "/docs/*.parquet")).sort_by("doc_id")
+    assert d2.column("doc_key").equals(d3.column("doc_key"))
