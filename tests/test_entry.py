@@ -59,6 +59,13 @@ def test_query_matches_oracle(ray_session, duck, sf_dir, name):
         f"columns: {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"rows: {len(got)} != {len(want)}"
+    # dtype KIND must match pre-normalization intent: an int column arriving
+    # as float (e.g. DuckDB HUGEINT -> float64) breaks strict value hashing
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert (gk == wk) or {gk, wk} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {gk} != {wk}"
+        )
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if a.dtype.kind == "f":
