@@ -72,7 +72,7 @@ def bench_build() -> dict:
     }
 
 
-def bench_query_qps(n_queries: int = 1600) -> dict:
+def bench_query_qps(n_queries: int = 800) -> dict:
     import numpy as np
     import ray.data as rd
 
