@@ -205,10 +205,11 @@ def top_orders_by_revenue(sf_dir: str):
     orders = rd.read_parquet(_tbl(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
     joined = rev.join(orders, join_type="inner", num_partitions=4,
                       on=("l_orderkey",), right_on=("o_orderkey",))
-    out = joined.to_pandas()
+    # distributed top-k: sort + limit keep only 10 rows leaving the cluster
+    top = joined.sort(["rev_c", "l_orderkey"], descending=[True, False]).limit(10)
+    out = top.to_pandas()
     out = out.rename(columns={"l_orderkey": "o_orderkey"})  # join keeps the left key
     out["revenue"] = out["rev_c"] / 100.0
-    out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
     return out[["o_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
@@ -448,7 +449,7 @@ def union_all_keys(sf_dir: str):
             "document", "doc_id"),
     ]
     u = parts[0].union(parts[1]).union(parts[2])
-    out = u.to_pandas().sort_values(["kind", "key"]).reset_index(drop=True)
+    out = u.sort(["kind", "key"]).to_pandas().reset_index(drop=True)
     return out
 
 
@@ -544,17 +545,14 @@ SELECT doc_id, len({_SPLIT_SQL}) AS n_tokens FROM documents ORDER BY doc_id
 
 def docs_containing_term(sf_dir: str):
     rd = _rd()
-    from astrologer_ray.functions.tokenizer import _SIMPLE_RE, scrub_text
 
     ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def filt(t: pa.Table) -> pa.Table:
-        mask = pa.array(
-            [
-                "data" in _SIMPLE_RE.findall(scrub_text(s or "").lower())
-                for s in t["text"].to_pylist()
-            ]
-        )
+        # token membership as one C regex pass: 'data' bounded by non-alnum
+        # or string edges == 'data' appears in the simple-token stream
+        lower = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        mask = pc.match_substring_regex(lower, "(^|[^a-z0-9])data([^a-z0-9]|$)")
         return pa.table({"doc_id": t["doc_id"].combine_chunks().filter(mask)})
 
     return ds.map_batches(filt, batch_format="pyarrow").to_pandas().sort_values(

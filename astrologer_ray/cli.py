@@ -79,27 +79,54 @@ def cmd_build(args) -> int:
 
 
 def cmd_ingest(args) -> int:
-    """Incremental: rebuild only partitions absent from the manifest."""
-    from astrologer_ray.pipelines.build import _corpus_paths, build_index
-    from astrologer_ray.stages.spimi import completed_units, plan_partitions
+    """Incremental: rebuild only partitions absent from the manifest.
+
+    ``--follow`` turns this into the reference's tail-follow daemon
+    (/root/reference/commands/ingest.go:46-52): poll the corpus every
+    ``--poll-seconds``, building whatever partitions are new or stale.
+    ``--max-polls`` bounds the loop (0 = forever) for tests/supervisors.
+    """
+    from astrologer_ray.pipelines.build import (
+        DEFAULT_N_SHARDS,
+        _corpus_paths,
+        build_index,
+    )
+    from astrologer_ray.stages.spimi import (
+        completed_units,
+        effective_config,
+        plan_partitions,
+    )
 
     import os
+    import time
 
     _ray_session(args.num_cpus)
     partials = os.path.join(args.index, "partials")
-    units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
-    done = completed_units(partials, units)
-    missing = [u["part_id"] for u in units if u["part_id"] not in done]
-    if not missing and os.path.exists(os.path.join(args.index, "_SUCCESS")):
-        print(json.dumps({"up_to_date": True, "partitions": len(units)}))
+    cfg = effective_config(mode=args.mode, n_buckets=DEFAULT_N_SHARDS)
+
+    def one_pass() -> dict:
+        units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
+        done = completed_units(partials, units, config=cfg)
+        missing = [u["part_id"] for u in units if u["part_id"] not in done]
+        if not missing and os.path.exists(os.path.join(args.index, "_SUCCESS")):
+            return {"up_to_date": True, "partitions": len(units)}
+        meta = build_index(
+            args.corpus, args.index, mode=args.mode, resume=True,
+            partition_rows=args.partition_rows,
+        )
+        return {"rebuilt_partitions": missing,
+                **{k: meta[k] for k in ("n_docs", "n_postings", "n_terms")}}
+
+    if not args.follow:
+        print(json.dumps(one_pass()))
         return 0
-    meta = build_index(
-        args.corpus, args.index, mode=args.mode, resume=True,
-        partition_rows=args.partition_rows,
-    )
-    print(json.dumps({"rebuilt_partitions": missing, **{k: meta[k] for k in
-                      ("n_docs", "n_postings", "n_terms")}}))
-    return 0
+    polls = 0
+    while True:
+        print(json.dumps(one_pass()), flush=True)
+        polls += 1
+        if args.max_polls and polls >= args.max_polls:
+            return 0
+        time.sleep(args.poll_seconds)
 
 
 def cmd_stats(args) -> int:
@@ -161,6 +188,11 @@ def main(argv: list[str] | None = None) -> int:
         b.add_argument("--force", action="store_true")
         b.add_argument("--no-resume", action="store_true")
         b.add_argument("--dry-run", action="store_true")
+        b.add_argument("--follow", action="store_true",
+                       help="ingest only: poll the corpus forever")
+        b.add_argument("--poll-seconds", type=float, default=10.0)
+        b.add_argument("--max-polls", type=int, default=0,
+                       help="stop --follow after N polls (0 = forever)")
         b.set_defaults(fn=fn)
 
     st = sub.add_parser("stats")

@@ -20,7 +20,10 @@ Two modes, both deterministic:
 UTF-8 scrub mirrors /root/reference/db/main.go:14-37 and
 /root/reference/db/tx_history_row.go:47-48 (invalid runes replaced, NULs
 stripped): python ``str`` is already valid unicode, so the scrub strips NUL
-and C0 control chars (except \\t \\n \\r).
+and C0 control chars (except \\t \\n \\r). The scrub applies to ``code``
+mode only: in ``simple`` mode control chars are token separators, exactly
+as in the SQL-oracle split regex (stripping them would join ``a\\x00b``
+into one token where SQL yields two), and no length cap applies.
 
 ``tokenize``/``token_counts`` are the small reference implementations (used
 by the brute-force BM25 oracle and property tests); ``CodeTokenizer`` is the
@@ -71,11 +74,12 @@ def split_token(token: str) -> tuple[str, ...]:
 
 def tokenize(text: str, mode: str = "code") -> list[str]:
     """Reference (non-vectorized) tokenizer; the oracle ground truth."""
-    text = scrub_text(text)
     if mode == "simple":
+        # No scrub, no cap: must match the SQL oracle split
+        # regexp_split_to_array(lower(text), '[^a-z0-9]+') exactly.
         return _SIMPLE_RE.findall(text.lower())
     terms: list[str] = []
-    for tok in _TOKEN_RE.findall(text):
+    for tok in _TOKEN_RE.findall(scrub_text(text)):
         terms.extend(split_token(tok))
     return terms
 
@@ -117,7 +121,7 @@ class CodeTokenizer:
         ids = self._tok2ids.get(raw)
         if ids is None:
             if self.mode == "simple":
-                emitted = (raw,) if len(raw) <= MAX_TERM_LEN else ()
+                emitted = (raw,)  # uncapped: SQL oracle keeps long tokens
             else:
                 emitted = split_token(raw)
             ids = np.array([self._term_id(t) for t in emitted], dtype=np.int64)
@@ -134,11 +138,27 @@ class CodeTokenizer:
             self._vocab_arr = arr
 
     def batch_counts(self, contents) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        doc_idx, term_ids, tfs, dls = self._batch_count_ids(contents)
+        self._refresh_vocab_arr()
+        return doc_idx, self._vocab_arr[term_ids], tfs, dls
+
+    def batch_counts_coded(
+        self, contents
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Term-deduplicated variant: (doc_idx, codes, uniq_terms, tfs, dls)
+        with ``terms[i] == uniq_terms[codes[i]]`` — callers that need
+        per-unique-term work (hashing, bucketing) skip a second factorize."""
+        doc_idx, term_ids, tfs, dls = self._batch_count_ids(contents)
+        uniq_tids, codes = np.unique(term_ids, return_inverse=True)
+        self._refresh_vocab_arr()
+        return doc_idx, codes.astype(np.int64), self._vocab_arr[uniq_tids], tfs, dls
+
+    def _batch_count_ids(self, contents):
         ndocs = len(contents)
         raw_lists: list[list[str]] = []
         if self.mode == "simple":
             for s in contents:
-                raw_lists.append(_SIMPLE_RE.findall(scrub_text(s or "").lower()))
+                raw_lists.append(_SIMPLE_RE.findall((s or "").lower()))
         else:
             for s in contents:
                 raw_lists.append(_TOKEN_RE.findall(scrub_text(s or "")))
@@ -147,7 +167,7 @@ class CodeTokenizer:
         if total == 0:
             return (
                 np.empty(0, dtype=np.int32),
-                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int32),
                 np.zeros(ndocs, dtype=np.int64),
             )
@@ -175,7 +195,7 @@ class CodeTokenizer:
         if m == 0:
             return (
                 np.empty(0, dtype=np.int32),
-                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int32),
                 np.zeros(ndocs, dtype=np.int64),
             )
@@ -192,6 +212,4 @@ class CodeTokenizer:
         ukeys, tfs = np.unique(keys, return_counts=True)
         doc_idx = (ukeys // V).astype(np.int32)
         term_ids = ukeys % V
-        self._refresh_vocab_arr()
-        terms = self._vocab_arr[term_ids]
-        return doc_idx, terms, tfs.astype(np.int32), dls
+        return doc_idx, term_ids, tfs.astype(np.int32), dls

@@ -14,6 +14,7 @@ buckets — approximate, with recall measured against brute force in tests.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -21,6 +22,25 @@ from ray.data import Dataset
 
 def _normalize(M: np.ndarray) -> np.ndarray:
     return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def _topk_ids(s: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc), exact under float ties.
+
+    argpartition alone picks an arbitrary subset among rows tying at the
+    k-th score, which can evict a smaller-id row the global (score desc,
+    id asc) order would keep; widen the kept set to every row scoring >=
+    the k-th value before the exact cut.
+    """
+    k = min(k, len(s))
+    if k == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(s) > 4 * k:
+        kth = s[np.argpartition(-s, k - 1)[k - 1]]
+        cand = np.flatnonzero(s >= kth)
+    else:
+        cand = np.arange(len(s))
+    return cand[np.lexsort((ids[cand], -s[cand]))[:k]]
 
 
 def ann_brute_topk(
@@ -54,9 +74,8 @@ def ann_brute_topk(
             out_q, out_i, out_s = [], [], []
             for qi in range(sims.shape[0]):
                 s = sims[qi]
-                part = np.argpartition(-s, kk - 1)[:kk]
-                order = part[np.lexsort((ids[part], -s[part]))]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
+                order = _topk_ids(s, ids, kk)
+                out_q.append(np.full(len(order), qi, dtype=np.int64))
                 out_i.append(ids[order])
                 out_s.append(s[order])
             return pa.table(
@@ -68,18 +87,39 @@ def ann_brute_topk(
             )
 
     cand = ds.map_batches(BatchTopK, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
-    rows = []
-    for qi in range(len(Q)):
-        sub = cand[cand["q"] == qi].sort_values(
-            ["cosine", id_col], ascending=[False, True]
-        ).head(k)
-        for _, r in sub.iterrows():
-            rows.append((int(qids[qi]), int(r[id_col]), float(r["cosine"])))
+    if len(cand) == 0:
+        cand = pd.DataFrame({"q": [], id_col: [], "cosine": []})
+    return _merge_query_topk(
+        cand["q"].to_numpy(np.int64), cand[id_col].to_numpy(np.int64),
+        cand["cosine"].to_numpy(np.float64), len(Q), k, qids, id_col,
+    )
+
+
+def _merge_query_topk(q, ids, sims, nq, k, qids, id_col) -> pa.Table:
+    """Vectorized driver merge of per-batch candidate lists: exact per-query
+    top-k by (cosine desc, id asc). Input size is bounded by batches*nq*k."""
+    if len(q) == 0:
+        return pa.table({"qid": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out_q, out_i, out_s = [], [], []
+    order = np.lexsort((ids, -sims, q))  # group by q, then score desc, id asc
+    q, ids, sims = q[order], ids[order], sims[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(q)) + 1, [len(q)]))
+    for s_, e_ in zip(starts[:-1], starts[1:]):
+        n = min(k, e_ - s_)
+        out_q.append(np.full(n, qids[q[s_]], dtype=np.int64))
+        out_i.append(ids[s_ : s_ + n])
+        out_s.append(sims[s_ : s_ + n])
+    if not out_q:
+        return pa.table({"qid": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
     return pa.table(
         {
-            "qid": pa.array([r[0] for r in rows], pa.int64()),
-            id_col: pa.array([r[1] for r in rows], pa.int64()),
-            "cosine": pa.array([r[2] for r in rows], pa.float64()),
+            "qid": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
         }
     )
 
@@ -122,11 +162,18 @@ def ann_lsh_topk(
         probe.append(s)
     all_probes = set().union(*probe) if probe else set()
 
-    ref = ray.put((Q, planes, all_probes))
+    # per-query probe arrays, broadcast once; each task emits only its local
+    # per-query top-k so the driver merges k-sized lists, not raw collisions
+    probe_arrs = [np.fromiter(s, dtype=np.uint64) for s in probe]
+    all_probe_arr = (
+        np.unique(np.concatenate(probe_arrs)) if probe_arrs
+        else np.empty(0, dtype=np.uint64)
+    )
+    ref = ray.put((Q, planes, probe_arrs, all_probe_arr))
 
     class BucketTopK:
         def __init__(self):
-            self.Q, self.planes, self.all_probes = ray.get(ref)
+            self.Q, self.planes, self.probe_arrs, self.all_probes = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t[id_col]).astype(np.int64)
@@ -135,40 +182,37 @@ def ann_lsh_topk(
             )
             bits = (M @ self.planes.T) > 0
             buckets = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-            mask = np.isin(buckets, np.fromiter(self.all_probes, dtype=np.uint64))
-            if not mask.any():
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "bucket": pa.array([], pa.int64()),
-                                 "cos_cols": pa.array([], pa.list_(pa.float64()))})
-            sub = M[mask]
-            sims = self.Q @ sub.T
+            mask = np.isin(buckets, self.all_probes)
+            out_q, out_i, out_s = [], [], []
+            if mask.any():
+                sub_ids, sub_buckets = ids[mask], buckets[mask]
+                sims = self.Q @ M[mask].T  # (nq, ncand)
+                for qi, parr in enumerate(self.probe_arrs):
+                    m = np.isin(sub_buckets, parr)
+                    if not m.any():
+                        continue
+                    s, cids = sims[qi][m], sub_ids[m]
+                    order = _topk_ids(s, cids, k)
+                    out_q.append(np.full(len(order), qi, dtype=np.int64))
+                    out_i.append(cids[order])
+                    out_s.append(s[order])
+            if not out_q:
+                return pa.table({"q": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
             return pa.table(
                 {
-                    id_col: pa.array(ids[mask], pa.int64()),
-                    "bucket": pa.array(buckets[mask].astype(np.int64)),
-                    "cos_cols": pa.array(list(sims.T.astype(np.float64))),
+                    "q": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_i)),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
                 }
             )
 
     cand = ds.map_batches(BucketTopK, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
-    out_rows = []
-    if len(cand):
-        ids = cand[id_col].to_numpy().astype(np.int64)
-        buckets = cand["bucket"].to_numpy().astype(np.uint64)
-        sims = np.stack(cand["cos_cols"].to_numpy())  # (ncand, nq)
-        for qi in range(len(Q)):
-            m = np.isin(buckets, np.fromiter(probe[qi], dtype=np.uint64))
-            if not m.any():
-                continue
-            s = sims[m, qi]
-            cids = ids[m]
-            order = np.lexsort((cids, -s))[:k]
-            for o in order:
-                out_rows.append((qi, int(cids[o]), float(s[o])))
-    return pa.table(
-        {
-            "qid": pa.array([r[0] for r in out_rows], pa.int64()),
-            id_col: pa.array([r[1] for r in out_rows], pa.int64()),
-            "cosine": pa.array([r[2] for r in out_rows], pa.float64()),
-        }
+    if len(cand) == 0:
+        cand = pd.DataFrame({"q": [], id_col: [], "cosine": []})
+    return _merge_query_topk(
+        cand["q"].to_numpy(np.int64), cand[id_col].to_numpy(np.int64),
+        cand["cosine"].to_numpy(np.float64), len(Q), k,
+        np.arange(len(Q), dtype=np.int64), id_col,
     )

@@ -50,6 +50,8 @@ from astrologer_ray.stages.spimi import (
     tokenize_units,
 )
 
+DEFAULT_N_SHARDS = 8
+
 DOCS_SCHEMA = pa.schema(
     [
         ("doc_id", pa.int64()),
@@ -487,7 +489,7 @@ def build_index(
     k1: float = K1,
     b: float = B,
     chunk_bits: int = 20,
-    n_shards: int = 8,
+    n_shards: int = DEFAULT_N_SHARDS,
     partition_rows: int = 50_000,
     parallelism: int | None = None,
     concurrency: int | None = None,
@@ -543,9 +545,12 @@ def build_index(
         # stage 1 runs alone under the streaming executor: use the session
         concurrency = max(2, parallelism - 1)
 
-    from astrologer_ray.stages.spimi import completed_units
+    from astrologer_ray.stages.spimi import completed_units, effective_config
 
-    done = completed_units(partials_dir, units) if resume else set()
+    build_cfg = effective_config(
+        mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_shards
+    )
+    done = completed_units(partials_dir, units, config=build_cfg) if resume else set()
     # drop stale partials: manifests whose identity no longer matches the
     # plan (corpus changed -> ordinal part_ids shifted) or orphans beyond it
     for pid in completed_partitions(partials_dir) - done:

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from astrologer_ray.functions.tokenizer import _SIMPLE_RE, scrub_text
+from astrologer_ray.functions.tokenizer import _SIMPLE_RE
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -62,7 +62,7 @@ def dedup_exact(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """uint64 hashes of k-token shingles (blake2b — stable across runs)."""
-    toks = _SIMPLE_RE.findall(scrub_text(text or "").lower())
+    toks = _SIMPLE_RE.findall((text or "").lower())
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else []
     else:
@@ -253,7 +253,7 @@ def minhash_dedup(
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over simple tokens weighted by tf."""
-    toks = _SIMPLE_RE.findall(scrub_text(text or "").lower())
+    toks = _SIMPLE_RE.findall((text or "").lower())
     if not toks:
         return 0
     uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)

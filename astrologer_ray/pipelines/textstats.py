@@ -1,23 +1,28 @@
 """Text-analysis stages for large-scale training-data pipelines.
 
 Beyond the reference's own operators (per the build brief): language ID
-(n-gram/stopword heuristic), quality scoring (length/punct/stopword ratios),
-token counting (the engine's ``simple`` tokenizer — SQL-expressible for the
-oracle gate) and document fingerprinting (rolling hash). All are stateless
-vectorized ``map_batches`` stages except ``LangId``/``QualityScore``, which
-compile their patterns once per actor.
+(stopword-profile heuristic), quality scoring (length/punct/stopword
+ratios), token counting (the engine's ``simple`` tokenizer —
+SQL-expressible for the oracle gate) and document fingerprinting.
+
+Everything runs on Arrow compute kernels (`count_substring_regex`,
+`split_pattern_regex`, `is_in`) + numpy bincount over list offsets — no
+per-row Python loops in the counting paths. Tokenization convention: the
+``simple`` split treats control chars as separators (no scrub), exactly
+matching the SQL oracle ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``.
 """
 
 from __future__ import annotations
 
-import re
+import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from astrologer_ray.functions.tokenizer import _SIMPLE_RE, scrub_text
+from astrologer_ray.functions.tokenizer import _SIMPLE_RE
 
 STOPWORDS = {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
@@ -33,17 +38,43 @@ _LANG_PROFILES = {
 }
 
 
+def _nonempty_token_stats(
+    col, split_pattern: str, value_sets: list[pa.Array]
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Per-row (n_tokens, [hits-in-set ...]) via one Arrow split + bincounts.
+
+    Splitting on the separator pattern yields the same maximal runs as
+    ``findall`` on its complement, plus empty strings at the boundaries,
+    which are excluded from both counts. All hot work is C: split kernel,
+    is_in, bincount over the list offsets.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lower = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(lower, split_pattern)
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    n_tokens = np.bincount(doc_idx, weights=nonempty, minlength=len(lens)).astype(np.int64)
+    hit_counts = []
+    for vs in value_sets:
+        hits = pc.is_in(flat, value_set=vs).to_numpy(zero_copy_only=False) & nonempty
+        hit_counts.append(
+            np.bincount(doc_idx, weights=hits, minlength=len(lens)).astype(np.int64)
+        )
+    return n_tokens, hit_counts
+
+
 def token_count_table(t: pa.Table, text_col: str = "text") -> pa.Table:
-    """(doc_id, n_tokens) with the ``simple`` tokenizer — matches the SQL
-    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` oracle exactly."""
-    texts = t[text_col].to_pylist()
-    n = np.fromiter(
-        (len(_SIMPLE_RE.findall(scrub_text(s or "").lower())) for s in texts),
-        dtype=np.int64,
-        count=len(texts),
-    )
+    """(…, n_tokens) with the ``simple`` tokenizer — matches the SQL
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')`` oracle exactly.
+    One C regex pass per batch (`count_substring_regex`)."""
+    lower = pc.utf8_lower(pc.fill_null(
+        t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray)
+        else t[text_col], ""))
+    n = pc.cast(pc.count_substring_regex(lower, "[a-z0-9]+"), pa.int64())
     out = {name: t[name] for name in t.column_names if name != text_col}
-    out["n_tokens"] = pa.array(n)
+    out["n_tokens"] = n
     return pa.table(out)
 
 
@@ -62,72 +93,73 @@ class LangId:
 
     Deterministic tie-break: highest overlap ratio, then language code
     ascending; 'und' (undetermined) when no profile word matches.
+    Vectorized: one split pass, one is_in + bincount per language.
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word = re.compile(r"[a-z]+")
+        self.langs = sorted(_LANG_PROFILES)
+        self.value_sets = [
+            pa.array(sorted(_LANG_PROFILES[lg]), pa.string()) for lg in self.langs
+        ]
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for s in t[self.text_col].to_pylist():
-            toks = self.word.findall((s or "").lower())
-            if not toks:
-                preds.append("und")
-                continue
-            best = ("und", 0.0)
-            for lang in sorted(_LANG_PROFILES):
-                hits = sum(1 for w in toks if w in _LANG_PROFILES[lang])
-                ratio = hits / len(toks)
-                if ratio > best[1]:
-                    best = (lang, ratio)
-            preds.append(best[0])
+        # lang-id words are alpha runs only (digits break words)
+        n_tok, hits = _nonempty_token_stats(t[self.text_col], "[^a-z]+", self.value_sets)
+        denom = np.maximum(n_tok, 1).astype(np.float64)
+        best_ratio = np.zeros(len(n_tok), dtype=np.float64)
+        best_lang = np.full(len(n_tok), "und", dtype=object)
+        for lg, h in zip(self.langs, hits):
+            ratio = h / denom
+            better = ratio > best_ratio
+            best_ratio[better] = ratio[better]
+            best_lang[better] = lg
         out = {n: t[n] for n in t.column_names if n != self.text_col}
-        out["pred_lang"] = pa.array(preds, pa.string())
+        out["pred_lang"] = pa.array(best_lang, pa.string())
         return pa.table(out)
 
 
 class QualityScore:
-    """Quality signals: chars, tokens, mean token length, alpha ratio,
-    stopword ratio. All components SQL-expressible for the oracle gate."""
+    """Quality signals: chars, tokens, stopword ratio, ASCII-alpha ratio.
+    All components SQL-expressible for the oracle gate; all Arrow/numpy."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.alpha = re.compile(r"[a-zA-Z]")  # ASCII alpha: SQL-expressible
+        self.stop_set = pa.array(sorted(STOPWORDS), pa.string())
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        stats = {"n_chars": [], "n_tokens": [], "stop_ratio": [], "alpha_ratio": []}
-        for s in t[self.text_col].to_pylist():
-            s = s or ""
-            toks = _SIMPLE_RE.findall(s.lower())
-            n_alpha = len(self.alpha.findall(s))
-            stats["n_chars"].append(len(s))
-            stats["n_tokens"].append(len(toks))
-            stats["stop_ratio"].append(
-                (sum(1 for w in toks if w in STOPWORDS) / len(toks)) if toks else 0.0
-            )
-            stats["alpha_ratio"].append((n_alpha / len(s)) if s else 0.0)
+        col = t[self.text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        filled = pc.fill_null(arr, "")
+        n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = pc.count_substring_regex(filled, "[a-zA-Z]").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_tok, (n_stop,) = _nonempty_token_stats(arr, "[^a-z0-9]+", [self.stop_set])
         out = {n: t[n] for n in t.column_names if n != self.text_col}
-        out["n_chars"] = pa.array(stats["n_chars"], pa.int64())
-        out["n_tokens"] = pa.array(stats["n_tokens"], pa.int64())
-        out["stop_ratio"] = pa.array(stats["stop_ratio"], pa.float64())
-        out["alpha_ratio"] = pa.array(stats["alpha_ratio"], pa.float64())
+        out["n_chars"] = pa.array(n_chars)
+        out["n_tokens"] = pa.array(n_tok)
+        out["stop_ratio"] = pa.array(
+            np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0), pa.float64()
+        )
+        out["alpha_ratio"] = pa.array(
+            np.where(n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0), pa.float64()
+        )
         return pa.table(out)
 
 
-_FP_MOD = (1 << 61) - 1
-_FP_BASE = 1_000_003
-
-
 def fingerprint64(text: str) -> int:
-    """Deterministic rolling polynomial hash of the simple-token stream."""
-    h = 0
-    for tok in _SIMPLE_RE.findall(scrub_text(text or "").lower()):
-        th = 0
-        for ch in tok.encode("utf-8"):
-            th = (th * 257 + ch) % _FP_MOD
-        h = (h * _FP_BASE + th + 1) % _FP_MOD
-    return h
+    """Deterministic 63-bit fingerprint of the simple-token stream.
+
+    blake2b over the \\x1f-joined token stream — one C hash per document
+    (vs the per-byte Python rolling hash it replaced); whitespace/punct
+    normalization still applies because only the token stream is hashed.
+    """
+    toks = _SIMPLE_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    h = hashlib.blake2b("\x1f".join(toks).encode("utf-8"), digest_size=8).digest()
+    return int.from_bytes(h, "big") >> 1  # fit int64
 
 
 def fingerprints(ds: Dataset, text_col: str = "text", keep: list[str] | None = None) -> Dataset:
@@ -136,7 +168,7 @@ def fingerprints(ds: Dataset, text_col: str = "text", keep: list[str] | None = N
     def fn(t: pa.Table) -> pa.Table:
         fps = [fingerprint64(s) for s in t[text_col].to_pylist()]
         out = {n: t[n] for n in (keep or [c for c in t.column_names if c != text_col])}
-        out["fingerprint"] = pa.array(fps, pa.int64() if max(fps, default=0) < 2**63 else pa.uint64())
+        out["fingerprint"] = pa.array(fps, pa.int64())
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -94,6 +94,28 @@ def plan_partitions(paths: list[str], target_rows: int = 50_000) -> list[dict]:
     return units
 
 
+def effective_config(
+    mode: str = "code",
+    column_map: dict | None = None,
+    key_cols: tuple[str, ...] | list[str] | None = None,
+    n_buckets: int = 64,
+) -> dict:
+    """Canonical (JSON-stable) build configuration recorded in manifests.
+
+    Resume is only sound if the partials were produced under the SAME
+    tokenizer mode / column mapping / bucketing — a mode switch with stale
+    partials would yield an index whose meta.json disagrees with its
+    postings (queries then tokenize with the wrong analyzer)."""
+    cm = column_map or {c: c for c in ("repo", "path", "commit", "lang", "content")}
+    kc = list(key_cols or ("repo", "path", "commit"))
+    return {
+        "mode": mode,
+        "column_map": {k: cm.get(k) for k in sorted(cm)},
+        "key_cols": kc,
+        "n_buckets": int(n_buckets),
+    }
+
+
 def manifest_path(partials_dir: str, part_id: int) -> str:
     return os.path.join(partials_dir, f"manifest-{part_id:06d}.json")
 
@@ -108,15 +130,20 @@ def completed_partitions(partials_dir: str) -> set[int]:
     return out
 
 
-def completed_units(partials_dir: str, units: list[dict]) -> set[int]:
-    """Unit ids whose manifest exists AND matches the unit's identity.
+def completed_units(
+    partials_dir: str, units: list[dict], config: dict | None = None
+) -> set[int]:
+    """Unit ids whose manifest exists AND matches the unit's full identity.
 
+    Identity = (file, rg_start, rg_end) + the source file's size/mtime +
+    the build configuration (mode, column_map, key_cols, n_buckets).
     Partition ids are ordinals over the sorted file list, so a corpus change
-    (a new file sorting mid-list) shifts ids; a manifest only counts as
-    complete if its recorded (file, rg_start, rg_end) equals the planned
-    unit — otherwise the stale partials are rebuilt (the reference's
-    reconciliation semantics: trust the source of truth, not the index)."""
+    (a new file sorting mid-list) shifts ids; an in-place edit changes
+    size/mtime; a config change invalidates everything — in all cases the
+    stale partials are rebuilt (the reference's reconciliation semantics:
+    trust the source of truth, not the index)."""
     done = set()
+    stat_cache: dict[str, tuple[int, int]] = {}
     for u in units:
         mp = manifest_path(partials_dir, u["part_id"])
         if not os.path.exists(mp):
@@ -126,13 +153,57 @@ def completed_units(partials_dir: str, units: list[dict]) -> set[int]:
                 m = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        if (
+        if not (
             m.get("file") == u["file"]
             and m.get("rg_start") == u["rg_start"]
             and m.get("rg_end") == u["rg_end"]
         ):
-            done.add(u["part_id"])
+            continue
+        bc = m.get("build_config")
+        if isinstance(bc, str):
+            try:
+                bc = json.loads(bc)
+            except json.JSONDecodeError:
+                bc = None
+        if config is not None and bc != config:
+            continue
+        if u["file"] not in stat_cache:
+            st = os.stat(u["file"])
+            stat_cache[u["file"]] = (st.st_size, st.st_mtime_ns)
+        if (
+            m.get("src_size") is not None
+            and (m.get("src_size"), m.get("src_mtime_ns")) != stat_cache[u["file"]]
+        ):
+            continue
+        if m.get("src_size") is None and config is not None:
+            continue  # pre-identity manifest: rebuild rather than trust
+        done.add(u["part_id"])
     return done
+
+
+def _sha256_per_row(col) -> list[str]:
+    """sha256 hex per row, hashing UTF-8 bytes directly from the Arrow
+    string buffers (zero decode/encode copies). Nulls hash as empty."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[str] = []
+    for chunk in chunks:
+        if chunk.null_count:
+            import pyarrow.compute as _pc
+
+            chunk = _pc.fill_null(chunk, "")
+        bufs = chunk.buffers()
+        if pa.types.is_large_string(chunk.type):
+            off = np.frombuffer(bufs[1], dtype=np.int64,
+                                count=len(chunk) + 1, offset=chunk.offset * 8)
+        else:
+            off = np.frombuffer(bufs[1], dtype=np.int32,
+                                count=len(chunk) + 1, offset=chunk.offset * 4)
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        out.extend(
+            hashlib.sha256(data[off[i]:off[i + 1]]).hexdigest()
+            for i in range(len(chunk))
+        )
+    return out
 
 
 class TokenizePartials:
@@ -164,6 +235,9 @@ class TokenizePartials:
         }
         self.key_cols = key_cols or ("repo", "path", "commit")
         self.n_buckets = n_buckets
+        self.config = effective_config(
+            mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_buckets
+        )
         os.makedirs(partials_dir, exist_ok=True)
 
     @staticmethod
@@ -194,8 +268,14 @@ class TokenizePartials:
         lang = self._col(t, "lang", n)
         content = self._col(t, "content", n)
 
-        # per-row sha256(content) — the BASELINE.json invariant column
-        sha = [hashlib.sha256((c or "").encode("utf-8")).hexdigest() for c in content]
+        # per-row sha256(content) — the BASELINE.json invariant column.
+        # Hash the UTF-8 bytes straight out of the Arrow string buffers:
+        # no per-row str->bytes encode (a full corpus copy per unit).
+        content_src = self.column_map.get("content")
+        if content_src is None:
+            sha = [hashlib.sha256(b"").hexdigest()] * n
+        else:
+            sha = _sha256_per_row(t.column(content_src))
         key_parts = [
             [self._fmt_key_part(v) for v in t.column(c).to_pylist()]
             for c in self.key_cols
@@ -204,7 +284,7 @@ class TokenizePartials:
         lrow_base = np.int64(part_id) << LROW_BITS
         lrows = lrow_base + np.arange(n, dtype=np.int64)
 
-        doc_idx, terms, tfs, dls = self.tok.batch_counts(content)
+        doc_idx, term_codes, uniq_terms, tfs, dls = self.tok.batch_counts_coded(content)
 
         # SPIMI partial index, PACKED per term (SURVEY §2.3 ST1): one row per
         # (term) with the partition's posting sublists, hash-bucketed for the
@@ -213,13 +293,11 @@ class TokenizePartials:
         # exactly its bucket from every partition file (map-side partitioned
         # shuffle through shared storage). bucket->row-group map goes into
         # the manifest.
-        import pandas as pd
-
         from astrologer_ray.functions.codec import term_hash64
 
         bucket_rgs: dict[int, int] = {}
         if len(doc_idx):
-            codes, uniq = pd.factorize(terms)
+            codes, uniq = term_codes, uniq_terms  # factorized once in the tokenizer
             uhash = np.fromiter(
                 (term_hash64(str(t)) for t in uniq), dtype=np.int64, count=len(uniq)
             )
@@ -232,7 +310,7 @@ class TokenizePartials:
             run_codes = oc[rs]
             post = pa.table(
                 {
-                    "term": pa.array(uniq.astype(object)[run_codes], pa.string()),
+                    "term": pa.array(uniq[run_codes], pa.string()),
                     "term_hash": pa.array(uhash[run_codes]),
                     "lrows": pa.ListArray.from_arrays(
                         offsets, pa.array(lrows[doc_idx[order]])
@@ -281,7 +359,7 @@ class TokenizePartials:
             "rg_end": int(unit["rg_end"]),
             "n_docs": n,
             "n_postings": int(len(doc_idx)),
-            "n_unique_terms": int(len(np.unique(terms))) if len(terms) else 0,
+            "n_unique_terms": int(len(uniq_terms)),
             "sum_dl": int(dls.sum()) if n else 0,
             "max_doc_postings": int(np.bincount(doc_idx).max()) if len(doc_idx) else 0,
             "post_bytes": os.path.getsize(post_path),
@@ -291,6 +369,12 @@ class TokenizePartials:
             "bucket_rgs": json.dumps(bucket_rgs),
             "n_buckets": self.n_buckets,
         }
+        # full resume identity: source-file stat + build config (a manifest
+        # from another mode/mapping or an edited file must NOT count as done)
+        src_stat = os.stat(unit["file"])
+        metrics["src_size"] = src_stat.st_size
+        metrics["src_mtime_ns"] = src_stat.st_mtime_ns
+        metrics["build_config"] = json.dumps(self.config)
         # manifest written LAST and atomically: its existence == unit complete
         mp = manifest_path(self.partials_dir, part_id)
         with open(mp + ".tmp", "w") as f:

@@ -217,3 +217,60 @@ def test_resume_rebuilds_when_corpus_changes(ray_session, tmp_path):
     d2 = pq.read_table(glob.glob(idx + "/docs/*.parquet")).sort_by("doc_id")
     d3 = pq.read_table(glob.glob(idx3 + "/docs/*.parquet")).sort_by("doc_id")
     assert d2.column("doc_key").equals(d3.column("doc_key"))
+
+
+def test_resume_rebuilds_on_mode_change(ray_session, tmp_path):
+    """Manifests record the build config: rebuilding under a different
+    tokenizer mode must NOT reuse partials tokenized under the old mode."""
+    from astrologer_ray.sources.corpus import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=100, seed=5, rows_per_file=64,
+                    include_edge_rows=False)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, partition_rows=64, mode="code")
+
+    meta2 = build_index(corpus, idx, partition_rows=64, mode="simple", resume=True)
+    assert meta2["mode"] == "simple"
+
+    idx_fresh = str(tmp_path / "idx_fresh")
+    meta3 = build_index(corpus, idx_fresh, partition_rows=64, mode="simple",
+                        resume=False)
+    assert meta2["n_postings"] == meta3["n_postings"]
+    assert meta2["n_terms"] == meta3["n_terms"]
+    p2 = pq.read_table(glob.glob(idx + "/postings/*.parquet")).sort_by(
+        [("term", "ascending"), ("chunk_id", "ascending")])
+    p3 = pq.read_table(glob.glob(idx_fresh + "/postings/*.parquet")).sort_by(
+        [("term", "ascending"), ("chunk_id", "ascending")])
+    assert p2.column("term").equals(p3.column("term"))
+
+
+def test_resume_rebuilds_on_inplace_edit(ray_session, tmp_path):
+    """An in-place corpus edit with unchanged row-group row counts must
+    invalidate the unit (size/mtime identity in the manifest)."""
+    import os
+    import time
+
+    from astrologer_ray.sources.corpus import generate_corpus
+
+    corpus = str(tmp_path / "corpus")
+    generate_corpus(corpus, n_files=100, seed=6, rows_per_file=64,
+                    include_edge_rows=False)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, partition_rows=64)
+
+    # rewrite one source file with edited content, same row structure
+    src = sorted(glob.glob(corpus + "/*.parquet"))[0]
+    t = pq.read_table(src)
+    edited = ["EDITEDTOKEN " + (c or "") for c in t.column("content").to_pylist()]
+    t = t.set_column(t.schema.get_field_index("content"), "content",
+                     [edited])
+    time.sleep(0.01)  # ensure mtime advances even on coarse clocks
+    pq.write_table(t, src)
+    os.utime(src)
+
+    build_index(corpus, idx, partition_rows=64, resume=True)
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(idx, load_docs=False)
+    assert "editedtoken" in s.postings  # edited content made it into the index

@@ -51,6 +51,18 @@ def test_tokenize_simple_mode():
     assert tokenize("Hello, World_2!", mode="simple") == ["hello", "world", "2"]
 
 
+def test_simple_mode_matches_sql_split_semantics():
+    # control chars are separators (SQL '[^a-z0-9]+' split), NOT scrubbed
+    assert tokenize("a\x00b", mode="simple") == ["a", "b"]
+    # no length cap: the SQL oracle keeps arbitrarily long tokens
+    long = "x" * 70
+    assert tokenize(long + " hi", mode="simple") == [long, "hi"]
+    tok = CodeTokenizer(mode="simple")
+    _, terms, _, dls = tok.batch_counts([long + " hi", "a\x00b"])
+    assert sorted(terms) == ["a", "b", "hi", long]
+    assert list(dls) == [2, 2]
+
+
 def test_empty_and_edge():
     assert tokenize("") == []
     assert tokenize("\x00\x00") == []
@@ -68,7 +80,9 @@ def test_vectorized_matches_reference(mode):
     for i in range(50):
         n = int(rng.integers(0, 40))
         docs.append(" ".join(rng.choice(vocab, size=n, p=probs)))
-    docs += ["", "x", "a\x00b", "CaseTwin casetwin", "__init__ __main__"]
+    docs += ["", "x", "a\x00b", "CaseTwin casetwin", "__init__ __main__",
+             "x" * 70 + " hello world",  # >MAX_TERM_LEN run: simple keeps it
+             "a\x00b c\x01d\te"]  # control chars: separators in simple mode
 
     tok = CodeTokenizer(mode=mode)
     doc_idx, terms, tfs, dls = tok.batch_counts(docs)
