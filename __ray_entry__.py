@@ -707,6 +707,28 @@ def embedding_label_norms(sf_dir: str):
     return out.sort_values("label").reset_index(drop=True)
 
 
+def embedding_near_dup_exact(sf_dir: str):
+    """Exact cosine near-dup pairs (the brute oracle path; the library
+    default is the LSH-bucketed scale path, recall-tested in pytest)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = embedding_near_dup_pairs(ds, threshold=0.35, method="brute").to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 LABEL_NORMS_SQL = """
 SELECT CAST(label AS BIGINT) AS label,
        round((sum(CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -849,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": bm25_topk_documents,
         "ann_topk_embeddings": ann_topk_embeddings,
         "embedding_label_norms": embedding_label_norms,
+        "embedding_near_dup_exact": embedding_near_dup_exact,
         "simhash_documents": simhash_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
         "langid_documents": langid_documents,
@@ -882,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_documents_sql(),
         "ann_topk_embeddings": ANN_SQL,
         "embedding_label_norms": LABEL_NORMS_SQL,
+        "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_SQL,
         "media_features_stub": MEDIA_STUB_SQL,
         # simhash / minhash / langid / fingerprint / bm25_topk_code are
         # non-SQL-expressible (hash functions / code tokenizer): rows-only.

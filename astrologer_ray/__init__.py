@@ -27,3 +27,25 @@ __version__ = "0.1.0"
 
 K1 = 1.2
 B = 0.75
+
+
+def ensure_hash_shuffle(max_parallelism: int = 8) -> None:
+    """Configure Ray Data's hash-shuffle strategy sized to this session.
+
+    ``Dataset.join`` / key-repartition require ``HASH_SHUFFLE``; the library
+    defaults assume a large cluster (200 partitions, 64 one-CPU aggregator
+    actors), which starves producers on a small session. Idempotent; safe to
+    call before every wide op. ``max_parallelism`` caps the partition count
+    for dimension-scale inputs (raise it for genuinely large exchanges).
+    """
+    import ray
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    cap = max(2, min(max_parallelism, ncpu))
+    ctx.default_hash_shuffle_parallelism = cap
+    ctx.max_hash_shuffle_aggregators = cap
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.25

@@ -5,11 +5,15 @@ paging token, SURVEY §2.7 D1); the near-dup family (MinHash+LSH, SimHash,
 n-gram Jaccard, embedding cosine) is the standard large-corpus toolkit.
 
 Shuffle shape: exact dedup is ONE ``groupby(hash)``; MinHash-LSH is
-vectorized signature computation in ``map_batches`` → explode to
-(band, band_hash, doc_id) rows → ONE ``groupby(band, band_hash)`` →
-candidate pairs → pairwise verification (numpy Jaccard) → connected
-components by min-label propagation (driver-side union-find on the
-candidate-pair set only, which is small relative to the corpus).
+fully distributed: vectorized CSR signature computation in ``map_batches``
+→ explode to (band, band_hash, doc_id) rows → ``groupby(band, band_hash)``
+→ candidate pairs → hash-join the candidate texts in → exact shingle
+Jaccard verification inside ``map_batches`` → connected components by
+min-label propagation (distributed Dataset iterations above a configurable
+edge budget; below it the id-only verified edge list — 16 B/edge, never
+any text — collapses driver-side). Embedding near-dup defaults to
+random-hyperplane LSH bucketing (multiple tables) with within-bucket exact
+cosine; the O(N^2) broadcast brute force remains as the small-N oracle.
 """
 
 from __future__ import annotations
@@ -99,9 +103,40 @@ class MinHasher:
         v = (self.a[:, None] * (sh[None, :] & _MERSENNE) + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
+    def signatures_csr(self, flat_sh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """(ndocs, num_perm) signatures for a whole batch in one pass.
+
+        ``flat_sh`` concatenates every doc's shingle hashes; ``offsets`` is
+        the CSR boundary array (len ndocs+1). Identical arithmetic to
+        :meth:`signature` (property-tested); perms are processed in chunks
+        so peak memory stays ~CH * len(flat_sh) * 8 bytes. Empty docs get
+        the all-max sentinel signature.
+        """
+        ndocs = len(offsets) - 1
+        out = np.full((ndocs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(flat_sh) == 0:
+            return out
+        nonempty = np.flatnonzero(np.diff(offsets) > 0)
+        starts = offsets[nonempty]
+        shm = flat_sh & _MERSENNE
+        CH = 16
+        for p0 in range(0, self.num_perm, CH):
+            a = self.a[p0 : p0 + CH]
+            b = self.b[p0 : p0 + CH]
+            v = (a[:, None] * shm[None, :] + b[:, None]) % _MERSENNE
+            mins = np.minimum.reduceat(v, starts, axis=1)
+            out[nonempty, p0 : p0 + CH] = mins.T
+        return out
+
 
 class MinHashBands:
-    """map_batches stage: text -> (band, band_hash, id) rows for LSH."""
+    """map_batches stage: text -> (band, band_hash, id) rows for LSH.
+
+    Signatures are computed for the whole batch in one vectorized CSR pass;
+    band keys are a seeded polynomial mix of the band's signature rows
+    (identical rows always collide; cross-band collisions are verified away
+    downstream, so wraparound mixing is sufficient).
+    """
 
     def __init__(self, text_col="text", id_col="doc_id",
                  num_perm=128, bands=32, seed=7, shingle_k=3):
@@ -110,26 +145,29 @@ class MinHashBands:
         self.bands = bands
         self.rows = num_perm // bands
         self.text_col, self.id_col = text_col, id_col
+        rngb = np.random.default_rng(seed + 1)
+        self._bh_coef = rngb.integers(1, (1 << 61) - 1, size=self.rows, dtype=np.uint64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = np.asarray(t[self.id_col]).astype(np.int64)
         texts = t[self.text_col].to_pylist()
-        band_ids, band_hashes, out_ids = [], [], []
-        for i, s in enumerate(texts):
-            sig = self.mh.signature(s)
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1  # fit int64
-                band_ids.append(bi)
-                band_hashes.append(bh)
-                out_ids.append(int(ids[i]))
+        sh_list = [_shingle_hashes(s, self.mh.shingle_k) for s in texts]
+        counts = np.fromiter((len(x) for x in sh_list), dtype=np.int64, count=len(sh_list))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        flat = (
+            np.concatenate(sh_list) if offsets[-1] else np.empty(0, dtype=np.uint64)
+        )
+        sigs = self.mh.signatures_csr(flat, offsets)  # (ndocs, P)
+        S = sigs.reshape(len(ids), self.bands, self.rows)
+        bh = (((S & _MERSENNE) * self._bh_coef[None, None, :]).sum(axis=2)
+              % _MERSENNE).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.int64()),
-                self.id_col: pa.array(out_ids, pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), len(ids))
+                ),
+                "band_hash": pa.array(bh.reshape(-1)),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
             }
         )
 
@@ -144,7 +182,203 @@ def jaccard(text_a: str, text_b: str, shingle_k: int = 3) -> float:
     return len(a & b) / len(a | b)
 
 
-def minhash_dedup(
+def _first_row(g: pa.Table) -> pa.Table:
+    return g.slice(0, 1)
+
+
+def _project(t: pa.Table, mapping: dict, types: dict) -> pa.Table:
+    """Rename/select with a FIXED output schema.
+
+    Ray groupby/map_groups/aggregate stages can emit zero-row blocks with an
+    empty schema (no columns at all); a downstream join or column access
+    then sees heterogeneous block schemas and fails non-deterministically.
+    Routing every rename through a declared schema keeps blocks uniform.
+    """
+    if t.num_rows == 0 or any(src not in t.column_names for src in mapping.values()):
+        return pa.schema(list(types.items())).empty_table()
+    return pa.table(
+        {o: t[src].combine_chunks().cast(types[o]) for o, src in mapping.items()}
+    )
+
+
+_PAIR_TYPES = {"id_a": pa.int64(), "id_b": pa.int64()}
+_LABEL_TYPES = {"node": pa.int64(), "label": pa.int64()}
+
+
+def _grouped_join(
+    left: Dataset,
+    right: Dataset,
+    left_key: str,
+    right_key: str,
+    left_cols: dict,
+    right_cols: dict,
+    dedup_left: bool = False,
+) -> Dataset:
+    """Distributed inner join via union + ONE hash groupby exchange.
+
+    Same shuffle shape as a hash join, but built on groupby/map_groups:
+    Ray 2.49's JoinOperator aggregator crashes on partitions that receive
+    zero blocks for one side (it builds a schema-less empty table and
+    pyarrow rejects the key FieldRef), which any skewed small input can
+    trigger. Groupby partitions are schema-stable.
+
+    ``right`` must be unique on ``right_key`` (first row wins otherwise).
+    Output columns: ``left_cols`` then ``right_cols`` (no overlap allowed;
+    include the key itself in left_cols to keep it).
+    """
+    assert not set(left_cols) & set(right_cols)
+    lc = list(left_cols.items())
+    rc = list(right_cols.items())
+    union_schema = pa.schema(
+        [("k", pa.int64()), ("side", pa.int8()), *lc, *rc]
+    )
+    out_schema = pa.schema([*lc, *rc])
+
+    def tag(key: str, cols: dict, side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or key not in t.column_names:
+                return union_schema.empty_table()
+            n = t.num_rows
+            arrs = [
+                t[key].combine_chunks().cast(pa.int64()),
+                pa.array(np.full(n, side, dtype=np.int8)),
+            ]
+            for name, ty in lc + rc:
+                if name in cols and name in t.column_names:
+                    arrs.append(t[name].combine_chunks().cast(ty))
+                else:
+                    arrs.append(pa.nulls(n, ty))
+            return pa.Table.from_arrays(arrs, schema=union_schema)
+
+        return fn
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["side"])
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return out_schema.empty_table()
+        lt = g.take(pa.array(li)).select([n for n, _ in lc])
+        if dedup_left:
+            # distinct left rows: lets callers skip a dedicated dedup
+            # exchange upstream (duplicates collapse here for free)
+            lt = lt.group_by([n for n, _ in lc]).aggregate([])
+            lt = lt.sort_by([(n, "ascending") for n, _ in lc])
+        arrs = [lt[n].combine_chunks() for n, _ in lc]
+        r0 = int(ri[0])
+        for name, ty in rc:
+            v = g[name][r0].as_py()
+            arrs.append(pa.array([v] * lt.num_rows, ty))
+        return pa.Table.from_arrays(arrs, schema=out_schema)
+
+    return (
+        left.map_batches(tag(left_key, left_cols, 0), batch_format="pyarrow")
+        .union(right.map_batches(tag(right_key, right_cols, 1), batch_format="pyarrow"))
+        .groupby("k")
+        .map_groups(join_group, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _project(t, {n: n for n, _ in lc + rc},
+                               dict(lc + rc)),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _cc_min_label_driver(id_a: np.ndarray, id_b: np.ndarray) -> pa.Table:
+    """Connected components of the (small, id-only) verified edge list:
+    numpy union-find; label = min doc_id of the component."""
+    nodes = np.unique(np.concatenate([id_a, id_b]))
+    a = np.searchsorted(nodes, id_a)
+    b = np.searchsorted(nodes, id_b)
+    parent = np.arange(len(nodes))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return int(i)
+
+    for x, y in zip(a, b):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    labels = nodes[np.fromiter((find(i) for i in range(len(nodes))),
+                               dtype=np.int64, count=len(nodes))]
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "label": pa.array(labels, pa.int64())})
+
+
+def _cc_min_label_ds(edges: Dataset, num_partitions: int = 8,
+                     max_iters: int = 50) -> Dataset:
+    """Distributed connected components by iterative min-label propagation.
+
+    Each round: join labels onto the symmetric edge list (neighbor labels),
+    union with the nodes' own labels, take the per-node min. Labels are
+    monotonically non-increasing, so an unchanged global label sum is an
+    exact convergence certificate. O(component diameter) rounds; the
+    member→group-min pair construction upstream keeps diameters small.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    _DL = {"dst": pa.int64(), "label": pa.int64()}
+    _SL = {"src": pa.int64(), "label": pa.int64()}
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return pa.schema([("dst", pa.int64()), ("src", pa.int64())]).empty_table()
+        a = t["id_a"].combine_chunks().cast(pa.int64())
+        b = t["id_b"].combine_chunks().cast(pa.int64())
+        return pa.table({"dst": pa.concat_arrays([a, b]),
+                         "src": pa.concat_arrays([b, a])})
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    labels = (
+        sym_edges.map_batches(
+            lambda t: _project(t, {"node": "dst", "label": "dst"}, _LABEL_TYPES),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .map_batches(
+            lambda t: _project(t, {"node": "node", "label": "label"}, _LABEL_TYPES),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = _grouped_join(
+            sym_edges,
+            labels.map_batches(
+                lambda t: _project(t, {"src": "node", "label": "label"}, _SL),
+                batch_format="pyarrow",
+            ),
+            left_key="src", right_key="src",
+            left_cols={"dst": pa.int64()}, right_cols={"label": pa.int64()},
+        )
+        own = labels.map_batches(
+            lambda t: _project(t, {"dst": "node", "label": "label"}, _DL),
+            batch_format="pyarrow",
+        )
+        labels = (
+            neigh.union(own)
+            .groupby("dst")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(
+                lambda t: _project(t, {"node": "dst", "label": "label"}, _LABEL_TYPES),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def minhash_dedup_ds(
     ds: Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -154,19 +388,49 @@ def minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     seed: int = 7,
-) -> pa.Table:
-    """Near-duplicate clusters via MinHash-LSH.
+    cc: str = "auto",
+    driver_edge_budget: int = 1_000_000,
+    num_partitions: int = 4,
+) -> Dataset:
+    """Near-duplicate clusters via MinHash-LSH — fully distributed.
 
-    Returns (doc_id, cluster_id) for every doc in a verified near-dup
-    cluster (cluster_id = min doc_id of the cluster). Candidate pairs from
-    band collisions are verified with exact shingle Jaccard >= threshold
-    before clustering — LSH alone gives false positives.
+    Returns a Dataset of (``id_col``, cluster_id = min doc_id of the
+    verified cluster), one row per doc in a cluster of size >= 2. Nothing
+    corpus-sized touches the driver at any stage:
 
-    The verification needs the two texts: candidate ids are collected
-    driver-side (small), texts fetched via a broadcast id->text lookup of
-    ONLY the candidate docs.
+      1. signatures+banding : vectorized CSR minhash in ``map_batches``;
+                              candidate pairs from ``groupby(band, band_hash)``
+                              (member ↔ group-min) — slim id rows only
+      2. set attach         : ONE corpus-sized exchange — shingle-hash SETS
+                              (not raw text) union'd with pair-halves keyed
+                              by endpoint id; each pair picks up both
+                              endpoints' sets (duplicates from band
+                              collisions collapse here)
+      3. verify             : ``groupby(id_a, id_b)`` — the two halves meet;
+                              exact set Jaccard >= threshold in-group
+      4. components         : min-label propagation — distributed Dataset
+                              iterations when the verified edge count exceeds
+                              ``driver_edge_budget`` (or ``cc="distributed"``);
+                              below it the id-only edge list (16 B/edge, no
+                              text) collapses to a driver union-find.
+
+    Raw text never shuffles; the only corpus-sized exchange carries each
+    doc's shingle sketch exactly once.
+
+    At 100-TB scale consume this Dataset with ``write_parquet``; the
+    :func:`minhash_dedup` wrapper collects it for the small-result contract.
     """
-    import ray
+    from astrologer_ray import ensure_hash_shuffle
+
+    # shuffle fan-out follows the requested partition count: exchange fixed
+    # cost scales with aggregator count, so partitions must follow data
+    # volume (~64 MiB each at scale), not CPU count
+    ensure_hash_shuffle(max(8, num_partitions))
+    import ray.data as rd
+
+    if cc not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown cc {cc!r}: auto|driver|distributed")
+
 
     banded = ds.map_batches(
         MinHashBands,
@@ -190,62 +454,156 @@ def minhash_dedup(
             {"id_a": pa.array(np.full(len(others), lo)), "id_b": pa.array(others)}
         )
 
+    import os as _os, sys as _sys, time as _tt
+
+    _t0 = _tt.time()
+
+    def _dbg(msg):
+        if _os.environ.get("GRAFT_DEBUG_STAGES"):
+            print(f"[minhash] +{_tt.time() - _t0:.1f}s {msg}", file=_sys.stderr, flush=True)
+
+    _dbg("banding+pairs")
     pairs = (
         banded.groupby(["band", "band_hash"])
         .map_groups(collect_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+        .map_batches(
+            lambda t: _project(t, {"id_a": "id_a", "id_b": "id_b"}, _PAIR_TYPES),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )  # duplicate (id_a, id_b) across bands collapse inside the attach join
+    _dbg(f"pairs done: {pairs.count()}")
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+
+    HALF_SCHEMA = pa.schema([
+        ("k", pa.int64()), ("kind", pa.int8()),
+        ("id_a", pa.int64()), ("id_b", pa.int64()),
+        ("sh", pa.list_(pa.uint64())),
+    ])
+    PAIR_SET_SCHEMA = pa.schema([
+        ("id_a", pa.int64()), ("id_b", pa.int64()), ("sh", pa.list_(pa.uint64())),
+    ])
+
+    def doc_sets(t: pa.Table) -> pa.Table:
+        """kind=1 rows: (k=doc id, shingle-hash set). The only corpus-sized
+        payload in the whole pipeline — a numeric sketch, never raw text."""
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        sh_list = [_shingle_hashes(s, shingle_k) for s in t[text_col].to_pylist()]
+        counts = np.fromiter((len(x) for x in sh_list), dtype=np.int32,
+                             count=len(sh_list))
+        flat = (np.concatenate(sh_list) if counts.sum()
+                else np.empty(0, dtype=np.uint64))
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(ids), pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.ListArray.from_arrays(offsets, pa.array(flat, pa.uint64()))],
+            schema=HALF_SCHEMA,
+        )
+
+    def pair_halves(t: pa.Table) -> pa.Table:
+        """kind=0 rows: each candidate pair keyed by each endpoint."""
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return HALF_SCHEMA.empty_table()
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        k = np.concatenate([a, b])
+        n = len(k)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(np.zeros(n, dtype=np.int8)),
+             pa.array(np.concatenate([a, a])), pa.array(np.concatenate([b, b])),
+             pa.ListArray.from_arrays(
+                 np.zeros(n + 1, dtype=np.int32), pa.array([], pa.uint64())
+             )],
+            schema=HALF_SCHEMA,
+        )
+
+    def attach_sets(g: pa.Table) -> pa.Table:
+        kind = np.asarray(g["kind"])
+        di = np.flatnonzero(kind == 1)
+        pi = np.flatnonzero(kind == 0)
+        if len(di) == 0 or len(pi) == 0:
+            return PAIR_SET_SCHEMA.empty_table()
+        # dedupe duplicate band-collision halves, then attach this doc's set
+        ab = np.stack([np.asarray(g["id_a"])[pi], np.asarray(g["id_b"])[pi]], axis=1)
+        ab = np.unique(ab, axis=0)
+        sh = g["sh"][int(di[0])]
+        return pa.table(
+            {"id_a": pa.array(ab[:, 0]), "id_b": pa.array(ab[:, 1]),
+             "sh": pa.array([sh.as_py()] * len(ab), pa.list_(pa.uint64()))},
+        ).cast(PAIR_SET_SCHEMA)
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or "sh" not in g.column_names:
+            return pa.schema(list(_PAIR_TYPES.items())).empty_table()
+        a = set(g["sh"][0].as_py())
+        b = set(g["sh"][1].as_py())
+        jac = 1.0 if (not a and not b) else (
+            0.0 if (not a or not b) else len(a & b) / len(a | b)
+        )
+        if jac < threshold:
+            return pa.schema(list(_PAIR_TYPES.items())).empty_table()
+        return pa.table({"id_a": g["id_a"].slice(0, 1), "id_b": g["id_b"].slice(0, 1)}
+                        ).cast(pa.schema(list(_PAIR_TYPES.items())))
+
+    _dbg("verify")
+    halves = pairs.map_batches(pair_halves, batch_format="pyarrow")
+    sets = ds.select_columns([id_col, text_col]).map_batches(
+        doc_sets, batch_format="pyarrow"
     )
-    if len(pairs) == 0:
+    verified = (
+        sets.union(halves)
+        .groupby("k")
+        .map_groups(attach_sets, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .map_groups(verify_group, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _project(t, {"id_a": "id_a", "id_b": "id_b"}, _PAIR_TYPES),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_edges = verified.count()
+    _dbg(f"verified edges: {n_edges}")
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    _dbg("components")
+    use_driver = cc == "driver" or (cc == "auto" and n_edges <= driver_edge_budget)
+    if use_driver:
+        ep = verified.to_pandas()  # ids only; bounded by driver_edge_budget
+        labels_t = _cc_min_label_driver(
+            ep["id_a"].to_numpy(np.int64), ep["id_b"].to_numpy(np.int64)
+        )
+        labels = rd.from_arrow(labels_t)
+    else:
+        labels = _cc_min_label_ds(verified, num_partitions=num_partitions)
+    return labels.map_batches(
+        lambda t: _project(t, {id_col: "node", "cluster_id": "label"},
+                           {id_col: pa.int64(), "cluster_id": pa.int64()}),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> pa.Table:
+    """Small-result wrapper over :func:`minhash_dedup_ds`: collects the
+    (doc_id, cluster_id) table sorted by (cluster_id, doc_id). Every doc in
+    a verified cluster has a partner, so all rows are real near-dups."""
+    out = minhash_dedup_ds(ds, text_col, id_col, **kwargs).to_pandas()
+    if len(out) == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64())})
-
-    cand_ids = sorted(set(pairs["id_a"]) | set(pairs["id_b"]))
-    id_set = ray.put(np.asarray(cand_ids, dtype=np.int64))
-
-    def fetch_texts(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(t[id_col], value_set=pa.array(ray.get(id_set)))
-        sub = t.filter(mask)
-        return pa.table({id_col: sub[id_col], text_col: sub[text_col]})
-
-    texts_t = ds.map_batches(fetch_texts, batch_format="pyarrow").to_pandas()
-    text_of = dict(zip(texts_t[id_col], texts_t[text_col]))
-
-    # verify + union-find over the (small) verified pair set
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-
-    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
-        if jaccard(text_of[ia], text_of[ib], shingle_k) >= threshold:
-            union(int(ia), int(ib))
-
-    clusters: dict[int, list[int]] = {}
-    for x in parent:
-        clusters.setdefault(find(x), []).append(x)
-    rows = [
-        (m, root)
-        for root, ms in sorted(clusters.items())
-        if len(ms) > 1
-        for m in sorted(ms)
-    ]
-    return pa.table(
-        {
-            id_col: pa.array([m for m, _ in rows], pa.int64()),
-            "cluster_id": pa.array([c for _, c in rows], pa.int64()),
-        }
-    )
+    out = out.sort_values(["cluster_id", id_col]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[[id_col, "cluster_id"]], preserve_index=False)
 
 
 # ------------------------------------------------------------------- simhash
@@ -292,14 +650,117 @@ def simhash_stage(ds: Dataset, text_col: str = "text", keep: list[str] | None = 
 
 def embedding_near_dup_pairs(
     ds: Dataset, vec_col: str = "embedding", id_col: str = "vec_id",
+    threshold: float = 0.95, *, method: str = "lsh",
+    n_planes: int = 10, n_tables: int = 8, seed: int = 13,
+    num_partitions: int = 8,
+) -> pa.Table:
+    """Cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    ``method="lsh"`` (default, the scale path): each vector is bucketed by
+    ``n_tables`` independent sign-random-projection tables; only
+    within-bucket pairs are scored (exact cosine), then deduped across
+    tables with one groupby. The corpus shuffles ``n_tables`` times but no
+    full matrix is ever materialized or broadcast — every reported pair is
+    exact, recall < 1 only for pairs no table co-buckets (measured against
+    brute force in tests). ``method="brute"`` is the exact O(N^2) oracle:
+    it broadcasts the full normalized matrix (small-N / test use only).
+    """
+    if method == "brute":
+        return _embedding_near_dup_brute(ds, vec_col, id_col, threshold)
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}: lsh|brute")
+    from astrologer_ray import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    class BucketEmit:
+        """One row per (table, vector): bucket key + normalized vector."""
+
+        def __init__(self):
+            self.planes = None  # built on first batch (needs dim); seeded
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            M = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            if self.planes is None:
+                rng = np.random.default_rng(seed)
+                self.planes = rng.standard_normal((n_tables, n_planes, M.shape[1]))
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            dim = Mn.shape[1]
+            shifts = np.arange(n_planes, dtype=np.uint64)
+            tabs, bucks = [], []
+            for ti in range(n_tables):
+                bits = (Mn @ self.planes[ti].T) > 0
+                b = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+                tabs.append(np.full(len(ids), ti, dtype=np.int32))
+                bucks.append(b)
+            rep_vecs = np.tile(Mn, (n_tables, 1))
+            return pa.table(
+                {
+                    "table": pa.array(np.concatenate(tabs)),
+                    "bucket": pa.array(np.concatenate(bucks)),
+                    id_col: pa.array(np.tile(ids, n_tables)),
+                    "nvec": pa.FixedSizeListArray.from_arrays(
+                        pa.array(rep_vecs.reshape(-1), pa.float64()), dim
+                    ),
+                }
+            )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col]).astype(np.int64)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if len(ids) < 2:
+            return empty
+        V = np.stack(g["nvec"].to_numpy(zero_copy_only=False))
+        sims = V @ V.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ii) == 0:
+            return empty
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        keep = a < b  # drop degenerate duplicate-id pairs
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "cosine": pa.array(sims[ii, jj][keep], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(BucketEmit, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby(["table", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])            # dedup across tables
+        .map_groups(_first_row, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _project(
+                t, {"id_a": "id_a", "id_b": "id_b", "cosine": "cosine"},
+                {"id_a": pa.int64(), "id_b": pa.int64(), "cosine": pa.float64()},
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["id_a", "id_b", "cosine"]], preserve_index=False)
+
+
+def _embedding_near_dup_brute(
+    ds: Dataset, vec_col: str = "embedding", id_col: str = "vec_id",
     threshold: float = 0.95,
 ) -> pa.Table:
-    """Brute-force cosine near-dup pairs (id_a < id_b, sim >= threshold).
-
-    The full normalized matrix is broadcast once (``ray.put``); each batch
-    multiplies against it (numpy matmul) — O(N^2) compute distributed per
-    batch, zero shuffle. The documented scale path is LSH bucketing first
-    (pipelines/ann.py) to cut the candidate space.
+    """Exact all-pairs oracle: broadcasts the full normalized matrix
+    (``ray.put`` once) and matmuls every batch against it. O(N^2) compute,
+    full-matrix driver materialization — small-N / test-oracle use only;
+    the LSH path is the default at scale.
     """
     import ray
 
@@ -328,9 +789,10 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return (
-        ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, 8))
-        .to_pandas()
-        .sort_values(["id_a", "id_b"])
-        .pipe(pa.Table.from_pandas, preserve_index=False)
-    )
+    out = ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    if len(out) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["id_a", "id_b", "cosine"]], preserve_index=False)

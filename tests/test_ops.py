@@ -252,3 +252,66 @@ def test_tumbling_window_counts(ray_session, sf_dir):
     out = tumbling_window(ds, "user_id", "ts", unit="day").to_pandas()
     assert out["n_events"].sum() == ds.count()
     assert (out["n_events"] > 0).all()
+
+
+def test_minhash_distributed_cc_matches_driver(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("lazy", "sleepy", 1)},
+        {"doc_id": 2, "text": "completely different content about pipelines " * 8},
+        {"doc_id": 3, "text": base},
+        {"doc_id": 4, "text": "another unrelated string with its own words " * 9},
+        {"doc_id": 5, "text": "x y z " * 5},
+        {"doc_id": 6, "text": "x y z " * 5},
+    ]
+    drv = minhash_dedup(rd.from_items(rows), threshold=0.5, cc="driver").to_pandas()
+    dst = minhash_dedup(rd.from_items(rows), threshold=0.5, cc="distributed").to_pandas()
+    assert list(map(tuple, drv.values)) == list(map(tuple, dst.values))
+    # auto with a zero edge budget must also take the distributed path
+    auto = minhash_dedup(rd.from_items(rows), threshold=0.5, cc="auto",
+                         driver_edge_budget=0).to_pandas()
+    assert list(map(tuple, auto.values)) == list(map(tuple, drv.values))
+
+
+def test_minhash_signatures_csr_matches_reference():
+    from astrologer_ray.pipelines.dedup import MinHasher, _shingle_hashes
+
+    mh = MinHasher(num_perm=64, seed=7)
+    texts = ["alpha beta gamma delta " * 4, "", "one two", "alpha beta gamma delta " * 4]
+    shl = [_shingle_hashes(t, 3) for t in texts]
+    offsets = np.concatenate(([0], np.cumsum([len(x) for x in shl])))
+    flat = np.concatenate([x for x in shl if len(x)]) if offsets[-1] else np.empty(0, np.uint64)
+    sigs = mh.signatures_csr(flat, offsets.astype(np.int64))
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], mh.signature(t)), f"doc {i}"
+
+
+def test_embedding_lsh_subset_of_brute_with_recall(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((12, 24))
+    vecs = []
+    for i in range(12):          # 12 clusters of 4 tight near-dups
+        for j in range(4):
+            vecs.append(base[i] + rng.standard_normal(24) * 0.02)
+    vecs = np.array(vecs)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    brute = embedding_near_dup_pairs(rd.from_items(rows), threshold=0.99,
+                                     method="brute").to_pandas()
+    lsh = embedding_near_dup_pairs(rd.from_items(rows), threshold=0.99,
+                                   method="lsh").to_pandas()
+    bset = set(zip(brute["id_a"], brute["id_b"]))
+    lset = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lset <= bset                      # every LSH pair is exact-verified
+    assert len(lset) / len(bset) >= 0.9      # recall on tight clusters
+    # cosines agree exactly where both report the pair
+    m = brute.merge(lsh, on=["id_a", "id_b"], suffixes=("_b", "_l"))
+    assert np.allclose(m["cosine_b"], m["cosine_l"])
