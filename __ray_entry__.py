@@ -70,7 +70,7 @@ def _documents_index(sf_dir: str) -> str:
     from astrologer_ray.pipelines.build import build_index
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    index_dir = os.path.join(_CACHE, f"docidx-{tag}")
+    index_dir = os.path.join(_CACHE, f"docidx2-{tag}")  # v2: keyword fields
     if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
         build_index(
             [_tbl(sf_dir, "documents")],
@@ -81,6 +81,7 @@ def _documents_index(sf_dir: str) -> str:
                 "lang": "lang", "content": "text",
             },
             key_cols=("doc_id",),
+            keyword_fields={"src": "source", "lang": "lang"},
             chunk_bits=8,
             partition_rows=20_000,
         )
@@ -621,11 +622,18 @@ def bm25_topk_documents(sf_dir: str):
     )
 
 
-def _bm25_documents_sql() -> str:
+def _bm25_documents_sql(doc_where: str | None = None) -> str:
+    """BM25 oracle; ``doc_where`` restricts CANDIDATE docs only — tf/df/dl
+    statistics stay corpus-global, exactly the engine's (and ES's) filtered
+    search semantics."""
     values = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in BM25_DOC_QUERIES for t in sorted(set(terms))
     )
     ks = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_DOC_QUERIES)
+    filt_join = (
+        f"JOIN documents fd ON fd.doc_id = tf.doc_id\n  WHERE {doc_where}"
+        if doc_where else ""
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
@@ -646,6 +654,7 @@ scores AS (
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {filt_join}
   GROUP BY 1, 2),
 ranked AS (
   SELECT qid, doc_id, score,
@@ -654,6 +663,95 @@ ranked AS (
 SELECT r.qid, r.doc_id, round(r.score, 4) AS score
 FROM ranked r JOIN ks ON ks.qid = r.qid
 WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
+def bm25_topk_filtered(sf_dir: str):
+    """BM25 top-k restricted by an index-served keyword-field filter — the
+    reference's bool.must(term)+query shape
+    (/root/reference/es.postman_collection.json:135,258)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    filt = {"field_term": {"lang": "en"}}
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        for h in s.search(terms, k=k, filter=filt):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def field_scoped_lookup(sf_dir: str):
+    """Exact doc listing via keyword-field postings (no table scan): the
+    reference's '~40 exact keyword fields per doc' surface
+    (/root/reference/es/indices.go:91-226)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.field_lookup({"bool": {"must": [
+        {"field_term": {"src": "src3"}},
+        {"field_term": {"lang": "en"}},
+    ]}})
+    return pa.table({"doc_id": pa.array([h["doc_id"] for h in hits], pa.int64())})
+
+
+FIELD_LOOKUP_SQL = """
+SELECT doc_id FROM documents WHERE source = 'src3' AND lang = 'en' ORDER BY doc_id
+"""
+
+
+def docs_terms_agg_filtered(sf_dir: str):
+    """Filtered terms aggregation: top sources among docs that contain the
+    index term 'data' AND have lang='en' — bool(match + field_term) feeding
+    an attribute aggregation, all served from index + sidecar."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    rows = s.agg_terms("repo", k=10, filter={"bool": {"must": [
+        {"match": "data"},
+        {"field_term": {"lang": "en"}},
+    ]}})
+    return pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+TERMS_AGG_FILTERED_SQL = f"""
+SELECT source AS repo, count(*) AS n FROM documents
+WHERE lang = 'en' AND list_contains({_SPLIT_SQL}, 'data')
+GROUP BY 1 ORDER BY n DESC, repo LIMIT 10
+"""
+
+
+def docs_exists_counts(sf_dir: str):
+    """The 'exists' predicate end-to-end: lang is populated for every doc,
+    path is the constant-empty sidecar column (exists == non-null AND
+    non-empty, the ES semantics for keyword fields)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    return pa.table(
+        {
+            "n_lang_exists": pa.array([s.count({"exists": "lang"})], pa.int64()),
+            "n_path_exists": pa.array([s.count({"exists": "path"})], pa.int64()),
+        }
+    )
+
+
+DOCS_EXISTS_SQL = """
+SELECT count(*) FILTER (WHERE lang IS NOT NULL AND lang <> '') AS n_lang_exists,
+       CAST(0 AS BIGINT) AS n_path_exists
+FROM documents
 """
 
 
@@ -869,6 +967,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "doc_quality": doc_quality,
         "bm25_topk_documents": bm25_topk_documents,
+        "bm25_topk_filtered": bm25_topk_filtered,
+        "field_scoped_lookup": field_scoped_lookup,
+        "docs_terms_agg_filtered": docs_terms_agg_filtered,
+        "docs_exists_counts": docs_exists_counts,
         "ann_topk_embeddings": ann_topk_embeddings,
         "embedding_label_norms": embedding_label_norms,
         "embedding_near_dup_exact": embedding_near_dup_exact,
@@ -903,6 +1005,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "bm25_topk_documents": _bm25_documents_sql(),
+        "bm25_topk_filtered": _bm25_documents_sql("fd.lang = 'en'"),
+        "field_scoped_lookup": FIELD_LOOKUP_SQL,
+        "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,
+        "docs_exists_counts": DOCS_EXISTS_SQL,
         "ann_topk_embeddings": ANN_SQL,
         "embedding_label_norms": LABEL_NORMS_SQL,
         "embedding_near_dup_exact": EMBEDDING_NEAR_DUP_SQL,

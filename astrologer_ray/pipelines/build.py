@@ -497,6 +497,7 @@ def build_index(
     force: bool = False,
     column_map: dict | None = None,
     key_cols: tuple[str, ...] | None = None,
+    keyword_fields: dict | None = None,
     driver_small_threshold: int = 2_000_000,
 ) -> dict:
     """Build the full inverted index; returns the build stats dict.
@@ -548,7 +549,8 @@ def build_index(
     from astrologer_ray.stages.spimi import completed_units, effective_config
 
     build_cfg = effective_config(
-        mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_shards
+        mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_shards,
+        keyword_fields=keyword_fields,
     )
     done = completed_units(partials_dir, units, config=build_cfg) if resume else set()
     # drop stale partials: manifests whose identity no longer matches the
@@ -582,6 +584,7 @@ def build_index(
                 "column_map": column_map,
                 "key_cols": key_cols,
                 "n_buckets": n_shards,
+                "keyword_fields": keyword_fields,
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -674,6 +677,7 @@ def build_index(
         "k1": k1,
         "b": b,
         "mode": mode,
+        "keyword_fields": dict(keyword_fields or {}),
         "chunk_bits": chunk_bits,
         "n_shards": n_shards,
         "n_partitions": len(units),

@@ -38,6 +38,10 @@ import pyarrow.parquet as pq
 from astrologer_ray.functions.tokenizer import CodeTokenizer
 
 KEY_SEP = "\x1f"
+# keyword-field terms are namespaced "<field>\x1e<value>" in the shared
+# term space (reference: every string field is an exact ES keyword,
+# /root/reference/es/indices.go:91-226)
+FIELD_SEP = "\x1e"
 LROW_BITS = 40
 
 POST_SCHEMA = pa.schema(
@@ -99,6 +103,7 @@ def effective_config(
     column_map: dict | None = None,
     key_cols: tuple[str, ...] | list[str] | None = None,
     n_buckets: int = 64,
+    keyword_fields: dict | None = None,
 ) -> dict:
     """Canonical (JSON-stable) build configuration recorded in manifests.
 
@@ -108,11 +113,13 @@ def effective_config(
     postings (queries then tokenize with the wrong analyzer)."""
     cm = column_map or {c: c for c in ("repo", "path", "commit", "lang", "content")}
     kc = list(key_cols or ("repo", "path", "commit"))
+    kw = keyword_fields or {}
     return {
         "mode": mode,
         "column_map": {k: cm.get(k) for k in sorted(cm)},
         "key_cols": kc,
         "n_buckets": int(n_buckets),
+        "keyword_fields": {k: kw[k] for k in sorted(kw)},
     }
 
 
@@ -221,6 +228,7 @@ class TokenizePartials:
         column_map: dict | None = None,
         key_cols: tuple[str, ...] | None = None,
         n_buckets: int = 64,
+        keyword_fields: dict | None = None,
     ):
         """``column_map`` maps the canonical corpus columns (repo, path,
         commit, lang, content) to source column names (None -> constant "");
@@ -235,8 +243,12 @@ class TokenizePartials:
         }
         self.key_cols = key_cols or ("repo", "path", "commit")
         self.n_buckets = n_buckets
+        # field -> source column: emits ONE exact term "<field>\x1e<value>"
+        # per doc (tf=1, no dl contribution) — index-served field lookups
+        self.keyword_fields = keyword_fields or {}
         self.config = effective_config(
-            mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_buckets
+            mode=mode, column_map=column_map, key_cols=key_cols,
+            n_buckets=n_buckets, keyword_fields=keyword_fields,
         )
         os.makedirs(partials_dir, exist_ok=True)
 
@@ -285,6 +297,27 @@ class TokenizePartials:
         lrows = lrow_base + np.arange(n, dtype=np.int64)
 
         doc_idx, term_codes, uniq_terms, tfs, dls = self.tok.batch_counts_coded(content)
+
+        if self.keyword_fields and n:
+            # append exact keyword-field terms: one posting per (doc, field),
+            # tf=1, excluded from dl (BM25 text scoring is unaffected)
+            import pandas as pd
+
+            kw_doc, kw_raw = [], []
+            for fname, src in sorted(self.keyword_fields.items()):
+                vals = [
+                    fname + FIELD_SEP + self._fmt_key_part(v)
+                    for v in t.column(src).to_pylist()
+                ]
+                kw_doc.append(np.arange(n, dtype=doc_idx.dtype if len(doc_idx) else np.int32))
+                kw_raw.extend(vals)
+            kw_doc = np.concatenate(kw_doc)
+            kw_codes, kw_uniq = pd.factorize(np.asarray(kw_raw, dtype=object))
+            base = len(uniq_terms)
+            doc_idx = np.concatenate([doc_idx, kw_doc])
+            term_codes = np.concatenate([term_codes, kw_codes.astype(np.int64) + base])
+            uniq_terms = np.concatenate([uniq_terms, kw_uniq.astype(object)])
+            tfs = np.concatenate([tfs, np.ones(len(kw_doc), dtype=tfs.dtype if len(tfs) else np.int32)])
 
         # SPIMI partial index, PACKED per term (SURVEY §2.3 ST1): one row per
         # (term) with the partition's posting sublists, hash-bucketed for the

@@ -33,6 +33,7 @@ from astrologer_ray import B, K1
 from astrologer_ray.functions.codec import BLOCK, decode_block
 from astrologer_ray.functions.tokenizer import tokenize
 from astrologer_ray.pipelines.build import load_meta
+from astrologer_ray.stages.spimi import FIELD_SEP
 from astrologer_ray.state.bm25 import bm25_term_weight, idf
 
 _INF = np.iinfo(np.int64).max
@@ -159,17 +160,23 @@ class Searcher:
         self._taat_cache_vals = 0
 
         self.doc_lang = self.doc_key = self.doc_repo = self.doc_path = None
+        self.doc_attrs: dict[str, np.ndarray] = {}
         if load_docs:
+            cols = ["doc_id", "doc_key", "repo", "path", "commit", "lang", "dl"]
             dfiles = sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
             docs = pa.concat_tables(
-                [pq.read_table(p, columns=["doc_id", "doc_key", "repo", "path", "lang"])
-                 for p in dfiles]
+                [pq.read_table(p, columns=cols) for p in dfiles]
             ).sort_by("doc_id")
             assert docs.column("doc_id").to_numpy()[-1] == docs.num_rows - 1 if docs.num_rows else True
-            self.doc_key = np.asarray(docs.column("doc_key"), dtype=object)
-            self.doc_repo = np.asarray(docs.column("repo"), dtype=object)
-            self.doc_path = np.asarray(docs.column("path"), dtype=object)
-            self.doc_lang = np.asarray(docs.column("lang"), dtype=object)
+            for c in cols[1:]:
+                arr = docs.column(c)
+                self.doc_attrs[c] = (
+                    arr.to_numpy() if c == "dl" else np.asarray(arr, dtype=object)
+                )
+            self.doc_key = self.doc_attrs["doc_key"]
+            self.doc_repo = self.doc_attrs["repo"]
+            self.doc_path = self.doc_attrs["path"]
+            self.doc_lang = self.doc_attrs["lang"]
 
     def owns_term(self, term: str) -> bool:
         if self.shards is None:
@@ -251,11 +258,100 @@ class Searcher:
         order = np.lexsort((cand, -scores[cand]))[:kk]
         return [(int(cand[i]), float(scores[cand[i]])) for i in order]
 
+    def _attr(self, name: str) -> np.ndarray:
+        if name not in self.doc_attrs:
+            raise ValueError(
+                f"doc attribute {name!r} requires load_docs=True "
+                f"(have: {sorted(self.doc_attrs)})"
+            )
+        return self.doc_attrs[name]
+
+    def _postings_ids_mask(self, term: str) -> np.ndarray:
+        """Doc mask for one exact index term (posting-list membership)."""
+        mask = np.zeros(self.N, dtype=bool)
+        if term in self.postings:
+            ids, _w = self._term_contribution(term)
+            mask[ids] = True
+        return mask
+
+    @staticmethod
+    def _fmt_field_value(v) -> str:
+        if isinstance(v, (int, np.integer)):
+            return f"{int(v):012d}"
+        return str(v)
+
+    def filter_mask(self, f) -> np.ndarray:
+        """Boolean doc mask for an ES-style predicate (the reference's main
+        query shape: bool.must of term filters,
+        /root/reference/es.postman_collection.json:135,180,258).
+
+        Supported predicates::
+
+          {"term": {attr: value}}          sidecar attribute equality
+          {"exists": attr}                 attr non-null and non-empty
+          {"field_term": {field: value}}   keyword-field posting (index-served)
+          {"match": term}                  analyzed-text posting (index-served)
+          {"bool": {"must": [...], "must_not": [...], "should": [...]}}
+        """
+        if not (isinstance(f, dict) and len(f) == 1):
+            raise ValueError(f"filter must be a single-key dict, got {f!r}")
+        kind, arg = next(iter(f.items()))
+        if kind == "term":
+            ((attr, val),) = arg.items()
+            col = self._attr(attr)
+            return col == val
+        if kind == "exists":
+            col = self._attr(arg)
+            return np.array([v is not None and v != "" for v in col], dtype=bool)
+        if kind == "field_term":
+            ((field, val),) = arg.items()
+            return self._postings_ids_mask(
+                field + FIELD_SEP + self._fmt_field_value(val)
+            )
+        if kind == "match":
+            return self._postings_ids_mask(str(arg))
+        if kind == "bool":
+            m = np.ones(self.N, dtype=bool)
+            for sub in arg.get("must", []):
+                m &= self.filter_mask(sub)
+            for sub in arg.get("must_not", []):
+                m &= ~self.filter_mask(sub)
+            should = arg.get("should", [])
+            if should:
+                sm = np.zeros(self.N, dtype=bool)
+                for sub in should:
+                    sm |= self.filter_mask(sub)
+                m &= sm
+            return m
+        raise ValueError(f"unknown filter kind {kind!r}")
+
+    def count(self, filter=None) -> int:
+        """Number of docs matching ``filter`` (all docs when None)."""
+        if filter is None:
+            return self.N
+        return int(self.filter_mask(filter).sum())
+
+    def field_lookup(self, filter, decorate: bool = False) -> list[dict]:
+        """Exact doc listing for a filter — index/sidecar-served, no scan."""
+        ids = np.flatnonzero(self.filter_mask(filter))
+        return self._format([(int(d), 0.0) for d in ids], decorate)
+
+    def agg_terms(self, attr: str, k: int = 10, filter=None) -> list[tuple]:
+        """Terms aggregation over a doc attribute, optionally filtered —
+        the ES filtered-aggregation twin. Top-k by (count desc, value asc)."""
+        col = self._attr(attr)
+        if filter is not None:
+            col = col[self.filter_mask(filter)]
+        vals, counts = np.unique(col.astype(str), return_counts=True)
+        order = np.lexsort((vals, -counts))[:k]
+        return [(str(vals[i]), int(counts[i])) for i in order]
+
     def search(
         self,
         terms: list[str],
         k: int = 10,
         lang: str | None = None,
+        filter=None,
         decorate: bool = False,
         strategy: str = "auto",
     ) -> list[dict]:
@@ -270,6 +366,9 @@ class Searcher:
             if self.doc_lang is None:
                 raise ValueError("lang filter requires load_docs=True")
             allowed = self.doc_lang == lang
+        if filter is not None:
+            fm = self.filter_mask(filter)
+            allowed = fm if allowed is None else (allowed & fm)
 
         if strategy not in ("auto", "taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: auto|taat|wand")
@@ -379,8 +478,10 @@ class SearchStage:
     Output rows: (qid, rank, doc_id, score).
     """
 
-    def __init__(self, index_dir: str, shards: list[int] | None = None):
+    def __init__(self, index_dir: str, shards: list[int] | None = None,
+                 filter=None):
         self.searcher = Searcher(index_dir, shards=shards)
+        self.filter = filter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []
@@ -390,6 +491,7 @@ class SearchStage:
                 list(row["terms"]),
                 k=int(row.get("k", 10)),
                 lang=row.get("lang") if has_lang else None,
+                filter=self.filter,
             )
             for h in hits:
                 qids.append(row["qid"])

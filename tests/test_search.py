@@ -126,3 +126,84 @@ def test_search_stage_batch(index_and_oracle):
         sub = out[out.qid == i].sort_values("rank")
         got = list(zip(sub.doc_id.astype(int), sub.score))
         assert got == want, f"qid={i} {terms}"
+
+
+@pytest.fixture(scope="module")
+def kw_index(ray_session, small_corpus_dir, tmp_path_factory):
+    """Index with keyword fields over repo + lang (field-scoped surface)."""
+    index_dir = str(tmp_path_factory.mktemp("kwindex"))
+    build_index(small_corpus_dir, index_dir, partition_rows=64, n_shards=4,
+                chunk_bits=6, keyword_fields={"repo": "repo", "lang": "lang"})
+    src = pq.read_table(sorted(glob.glob(small_corpus_dir + "/*.parquet")))
+    rows = sorted(
+        zip(src.column("repo").to_pylist(), src.column("path").to_pylist(),
+            src.column("commit").to_pylist(), src.column("lang").to_pylist(),
+            src.column("content").to_pylist()),
+        key=lambda r: f"{r[0]}{KEY_SEP}{r[1]}{KEY_SEP}{r[2]}",
+    )
+    return index_dir, rows
+
+
+def test_keyword_fields_do_not_change_bm25(index_and_oracle, kw_index):
+    """Keyword-field postings must not shift text BM25 (dl/df unchanged)."""
+    plain_dir, contents, _ = index_and_oracle
+    kw_dir, _rows = kw_index
+    s0, s1 = Searcher(plain_dir, load_docs=False), Searcher(kw_dir, load_docs=False)
+    assert s0.avgdl == s1.avgdl and s0.N == s1.N
+    for terms, k in _queries(s0):
+        a = [(h["doc_id"], round(h["score"], 9)) for h in s0.search(terms, k=k)]
+        b = [(h["doc_id"], round(h["score"], 9)) for h in s1.search(terms, k=k)]
+        assert a == b
+
+
+def test_field_term_lookup_matches_scan(kw_index):
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    repos = sorted({r[0] for r in rows})
+    langs = sorted({r[3] for r in rows})
+    for repo in repos[:3]:
+        want = [i for i, r in enumerate(rows) if r[0] == repo]
+        got = [h["doc_id"] for h in s.field_lookup({"field_term": {"repo": repo}})]
+        assert got == want
+    # bool must of two field terms == AND of scans
+    want = [i for i, r in enumerate(rows) if r[0] == repos[0] and r[3] == langs[0]]
+    got = [h["doc_id"] for h in s.field_lookup({"bool": {"must": [
+        {"field_term": {"repo": repos[0]}}, {"field_term": {"lang": langs[0]}},
+    ]}})]
+    assert got == want
+
+
+def test_filter_dsl_term_exists_bool_match(kw_index):
+    from collections import Counter
+
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    langs = [r[3] for r in rows]
+    # sidecar term == numpy scan
+    lang0 = sorted(set(langs))[0]
+    assert s.count({"term": {"lang": lang0}}) == sum(1 for x in langs if x == lang0)
+    # exists: every row has a lang; no row has an empty repo
+    assert s.count({"exists": "lang"}) == len(rows)
+    # match: posting membership == brute containment
+    term = next(t for t in s.df if "\x1e" not in t and s.df[t] < len(rows))
+    want = sum(1 for r in rows if term in tokenize(r[4], mode="code"))
+    assert s.count({"match": term}) == want
+    # must_not + should composition
+    n_not = s.count({"bool": {"must_not": [{"term": {"lang": lang0}}]}})
+    assert n_not == len(rows) - s.count({"term": {"lang": lang0}})
+    two = sorted(set(langs))[:2]
+    n_should = s.count({"bool": {"should": [
+        {"term": {"lang": two[0]}}, {"term": {"lang": two[1]}}]}})
+    assert n_should == sum(1 for x in langs if x in two)
+    # filtered search returns only allowed docs, scores unchanged vs global
+    filt = {"term": {"lang": lang0}}
+    hits = s.search(["the"], k=10, filter=filt)
+    for h in hits:
+        assert langs[h["doc_id"]] == lang0
+    # agg twin matches a pandas groupby
+    got = s.agg_terms("lang", k=3, filter={"exists": "lang"})
+    want_counts = Counter(langs)
+    want = sorted(want_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want
