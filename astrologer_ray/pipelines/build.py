@@ -276,6 +276,7 @@ def _encode_postings(
     n_shards: int,
     parallelism: int,
     driver_small_threshold: int = 2_000_000,
+    keymap_broadcast_rows: int = 50_000_000,
 ) -> pa.Table:
     """Stage 3: bucket-partitioned EXTERNAL merge of the SPIMI partials.
 
@@ -308,20 +309,26 @@ def _encode_postings(
     os.makedirs(postings_dir, exist_ok=True)
 
     # keymap: per-pid files with disjoint ascending lrow ranges -> concat in
-    # filename order is globally lrow-sorted. Broadcast once (zero-copy
-    # plasma on each node). Scale note: at extreme doc counts the keymap
-    # outgrows a broadcast; the fallback is per-partition keymap reads
-    # inside the merge (the files are already per-pid).
+    # filename order is globally lrow-sorted. Two placements:
+    #  - broadcast (default): one ray.put, zero-copy plasma on each node;
+    #  - shared-storage fallback (keymap rows > keymap_broadcast_rows): at
+    #    extreme doc counts (~24 B/doc) the broadcast becomes the binding
+    #    constraint, so each merge task instead reads ONLY the keymap files
+    #    of the partitions present in its bucket straight from storage.
     km_files = sorted(glob.glob(os.path.join(keymap_dir, "keymap-*.parquet")))
-    km = pa.concat_tables(pq.read_table(f) for f in km_files).combine_chunks()
-    km_ref = ray.put(
-        (
-            np.asarray(km.column("lrow")),
-            np.asarray(km.column("doc_id")),
-            np.asarray(km.column("dl")).astype(np.int32),
+    km_rows = sum(pq.read_metadata(f).num_rows for f in km_files)
+    if km_rows <= keymap_broadcast_rows:
+        km = pa.concat_tables(pq.read_table(f) for f in km_files).combine_chunks()
+        km_ref = ray.put(
+            (
+                np.asarray(km.column("lrow")),
+                np.asarray(km.column("doc_id")),
+                np.asarray(km.column("dl")).astype(np.int32),
+            )
         )
-    )
-    del km
+        del km
+    else:
+        km_ref = None
 
     # bucket -> (file, row group) map from the stage-1 manifests
     post_files = sorted(glob.glob(os.path.join(partials_dir, "post-*.parquet")))
@@ -339,16 +346,36 @@ def _encode_postings(
         for b_, lst in sorted(buckets.items())
     ]
 
+    def load_keymap_for(files: list[str]):
+        """Fallback path: per-pid keymap files for exactly this bucket's
+        partitions, concatenated in pid order (== global lrow order)."""
+        pids = sorted(
+            int(os.path.basename(f).split("-")[1].split(".")[0]) for f in files
+        )
+        t = pa.concat_tables(
+            pq.read_table(os.path.join(keymap_dir, f"keymap-{pid:06d}.parquet"))
+            for pid in pids
+        ).combine_chunks()
+        return (
+            np.asarray(t.column("lrow")),
+            np.asarray(t.column("doc_id")),
+            np.asarray(t.column("dl")).astype(np.int32),
+        )
+
     def merge_bucket(batch: pa.Table) -> pa.Table:
         import sys as _sys
         import time as _tt
 
         _mt0 = _tt.time()
-        km_lrow, km_doc, km_dl = ray.get(km_ref)
+        km_cached = ray.get(km_ref) if km_ref is not None else None
         _t_km = _tt.time() - _mt0
         out_summaries = []
         for desc in batch.to_pylist():
             bucket = int(desc["bucket"])
+            km_lrow, km_doc, km_dl = (
+                km_cached if km_cached is not None
+                else load_keymap_for(list(desc["files"]))
+            )
             _t_r0 = _tt.time()
             tables = [
                 pq.ParquetFile(f).read_row_group(rg)
@@ -499,6 +526,7 @@ def build_index(
     key_cols: tuple[str, ...] | None = None,
     keyword_fields: dict | None = None,
     driver_small_threshold: int = 2_000_000,
+    keymap_broadcast_rows: int = 50_000_000,
 ) -> dict:
     """Build the full inverted index; returns the build stats dict.
 
@@ -625,6 +653,7 @@ def build_index(
         partials_dir, docs_dir, postings_dir, avgdl, k1, b,
         chunk_bits, n_shards, parallelism,
         driver_small_threshold=driver_small_threshold,
+        keymap_broadcast_rows=keymap_broadcast_rows,
     )
     timings["postings_encode"] = _time.time() - _t0
 

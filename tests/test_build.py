@@ -274,3 +274,19 @@ def test_resume_rebuilds_on_inplace_edit(ray_session, tmp_path):
 
     s = Searcher(idx, load_docs=False)
     assert "editedtoken" in s.postings  # edited content made it into the index
+
+
+def test_keymap_fallback_identical_postings(ray_session, small_corpus_dir, tmp_path):
+    """Forcing the shared-storage keymap path (broadcast budget 0) must
+    produce byte-identical postings to the broadcast path."""
+    i1 = str(tmp_path / "bc")
+    i2 = str(tmp_path / "fs")
+    build_index(small_corpus_dir, i1, partition_rows=64)
+    build_index(small_corpus_dir, i2, partition_rows=64, keymap_broadcast_rows=0)
+    for sub in ("postings", "dict", "docs"):
+        f1 = sorted(glob.glob(f"{i1}/{sub}/*.parquet"))
+        f2 = sorted(glob.glob(f"{i2}/{sub}/*.parquet"))
+        assert [os.path.basename(f) for f in f1] == [os.path.basename(f) for f in f2]
+        t1 = pq.read_table(f1)
+        t2 = pq.read_table(f2)
+        assert t1.equals(t2), f"{sub} differs between keymap placements"
