@@ -73,6 +73,7 @@ def cmd_build(args) -> int:
     meta = build_index(
         args.corpus, args.index, mode=args.mode, force=args.force,
         partition_rows=args.partition_rows, resume=not args.no_resume,
+        retries=args.retries,
     )
     print(json.dumps(meta, default=str))
     return 0
@@ -112,7 +113,7 @@ def cmd_ingest(args) -> int:
             return {"up_to_date": True, "partitions": len(units)}
         meta = build_index(
             args.corpus, args.index, mode=args.mode, resume=True,
-            partition_rows=args.partition_rows,
+            partition_rows=args.partition_rows, retries=args.retries,
         )
         return {"rebuilt_partitions": missing,
                 **{k: meta[k] for k in ("n_docs", "n_postings", "n_terms")}}
@@ -193,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
         b.add_argument("--poll-seconds", type=float, default=10.0)
         b.add_argument("--max-polls", type=int, default=0,
                        help="stop --follow after N polls (0 = forever)")
+        b.add_argument("--retries", type=int, default=3,
+                       help="per-task retry budget for write stages")
         b.set_defaults(fn=fn)
 
     st = sub.add_parser("stats")

@@ -277,6 +277,7 @@ def _encode_postings(
     parallelism: int,
     driver_small_threshold: int = 2_000_000,
     keymap_broadcast_rows: int = 50_000_000,
+    retries: int = 3,
 ) -> pa.Table:
     """Stage 3: bucket-partitioned EXTERNAL merge of the SPIMI partials.
 
@@ -501,7 +502,8 @@ def _encode_postings(
     summaries = (
         rd.from_items(units, override_num_blocks=max(1, len(units)))
         .map_batches(merge_bucket, batch_format="pyarrow", batch_size=1,
-                     num_cpus=1)
+                     num_cpus=1, max_retries=retries,
+                     retry_exceptions=True)
         .materialize()
     )
     # collect the (small) summary table driver-side
@@ -527,8 +529,15 @@ def build_index(
     keyword_fields: dict | None = None,
     driver_small_threshold: int = 2_000_000,
     keymap_broadcast_rows: int = 50_000_000,
+    retries: int = 3,
 ) -> dict:
     """Build the full inverted index; returns the build stats dict.
+
+    ``retries`` is the per-task retry budget for the write stages
+    (reference sink retry knob, /root/reference/config/main.go:89-92 and
+    es/adapter.go:185-198) — application errors retry too
+    (``retry_exceptions``), on top of Ray's default system-failure retries;
+    the per-partition manifests make retried writes idempotent.
 
     Resume semantics (reference analog: idempotent ``_id`` re-export +
     gap detection, SURVEY §2.7 D1 / §2.10): stage-1 partition units whose
@@ -617,6 +626,8 @@ def build_index(
             batch_format="pyarrow",
             batch_size=1,
             num_cpus=1,
+            max_retries=retries,
+            retry_exceptions=True,
         ).materialize()
 
     timings["tokenize_partials"] = _time.time() - _t0
@@ -654,6 +665,7 @@ def build_index(
         chunk_bits, n_shards, parallelism,
         driver_small_threshold=driver_small_threshold,
         keymap_broadcast_rows=keymap_broadcast_rows,
+        retries=retries,
     )
     timings["postings_encode"] = _time.time() - _t0
 
@@ -722,6 +734,84 @@ def build_index(
     with open(os.path.join(index_dir, "_SUCCESS"), "w") as f:
         json.dump({"n_docs": n_docs, "n_postings": n_postings}, f)
     return meta
+
+
+def build_multi_index(
+    corpus,
+    root: str,
+    specs: dict,
+    *,
+    partition_rows: int = 50_000,
+    resume: bool = True,
+    force: bool = False,
+) -> dict:
+    """One-pass fan-out build: read each corpus partition ONCE and tokenize
+    it for EVERY index spec, then finish each index from its own partials.
+
+    The reference serializes one ledger stream into six typed doc outputs
+    through a single buffer (/root/reference/es/ledger_serializer.go:35-56);
+    here ``specs`` maps index name -> build_index kwargs (mode, column_map,
+    key_cols, keyword_fields, n_shards, chunk_bits, ...). N indexes cost ONE
+    corpus read instead of N. Returns {name: meta}.
+
+    Stage 2+ (doc ids, merge, dictionary) then runs per index via
+    ``build_index(resume=True)``, which finds every stage-1 manifest
+    complete and skips straight to the post-tokenize stages.
+    """
+    import ray
+    import ray.data as rd
+
+    from astrologer_ray.stages.spimi import (
+        completed_units,
+        effective_config,
+        tokenize_units_multi,
+    )
+
+    if force and os.path.isdir(root):
+        shutil.rmtree(root)
+    os.makedirs(root, exist_ok=True)
+    paths = _corpus_paths(corpus)
+    units = plan_partitions(paths, target_rows=partition_rows)
+
+    stage1_specs: dict[str, dict] = {}
+    done_all: set[int] | None = None
+    for name, spec in specs.items():
+        idx_dir = os.path.join(root, name)
+        partials = os.path.join(idx_dir, "partials")
+        kw = dict(
+            partials_dir=partials,
+            mode=spec.get("mode", "code"),
+            column_map=spec.get("column_map"),
+            key_cols=spec.get("key_cols"),
+            n_buckets=spec.get("n_shards", DEFAULT_N_SHARDS),
+            keyword_fields=spec.get("keyword_fields"),
+        )
+        stage1_specs[name] = kw
+        cfg = effective_config(
+            mode=kw["mode"], column_map=kw["column_map"], key_cols=kw["key_cols"],
+            n_buckets=kw["n_buckets"], keyword_fields=kw["keyword_fields"],
+        )
+        done = completed_units(partials, units, config=cfg) if resume else set()
+        done_all = done if done_all is None else (done_all & done)
+
+    todo = [u for u in units if u["part_id"] not in (done_all or set())]
+    if todo:
+        parallelism = max(2, int(ray.cluster_resources().get("CPU", 4)))
+        rd.from_items(todo, override_num_blocks=len(todo)).map_batches(
+            tokenize_units_multi,
+            fn_kwargs={"specs": stage1_specs},
+            batch_format="pyarrow",
+            batch_size=1,
+            num_cpus=1,
+        ).materialize()
+
+    metas = {}
+    for name, spec in specs.items():
+        metas[name] = build_index(
+            corpus, os.path.join(root, name), resume=True,
+            partition_rows=partition_rows, **spec,
+        )
+    return metas
 
 
 def load_meta(index_dir: str) -> dict:

@@ -229,6 +229,7 @@ class TokenizePartials:
         key_cols: tuple[str, ...] | None = None,
         n_buckets: int = 64,
         keyword_fields: dict | None = None,
+        fault_once: str | None = None,
     ):
         """``column_map`` maps the canonical corpus columns (repo, path,
         commit, lang, content) to source column names (None -> constant "");
@@ -250,6 +251,10 @@ class TokenizePartials:
             mode=mode, column_map=column_map, key_cols=key_cols,
             n_buckets=n_buckets, keyword_fields=keyword_fields,
         )
+        # test-only fault injection: unit 1 fails ONCE (marker file at this
+        # path records the injection) so retry/idempotence is testable
+        # inside real Ray workers, where a driver monkeypatch cannot reach
+        self.fault_once = fault_once
         os.makedirs(partials_dir, exist_ok=True)
 
     @staticmethod
@@ -268,11 +273,25 @@ class TokenizePartials:
         return [v if isinstance(v, str) else self._fmt_key_part(v) for v in vals]
 
     def _process_unit(self, unit: dict) -> dict:
-        part_id = int(unit["part_id"])
+        if (
+            self.fault_once
+            and int(unit["part_id"]) == 1
+            and not os.path.exists(self.fault_once)
+        ):
+            open(self.fault_once, "w").close()
+            raise RuntimeError("injected transient failure (fault_once)")
         pf = pq.ParquetFile(unit["file"])
         t = pf.read_row_groups(
             list(range(int(unit["rg_start"]), int(unit["rg_end"])))
         )
+        return self._process_table(t, unit)
+
+    def _process_table(self, t: pa.Table, unit: dict) -> dict:
+        """Tokenize one already-read partition table and write its partials
+        (split from the read so a multi-index fan-out build can feed several
+        stages from ONE read — reference one-pass multi-output serializer,
+        /root/reference/es/ledger_serializer.go:35-56)."""
+        part_id = int(unit["part_id"])
         n = t.num_rows
         repo = self._col(t, "repo", n)
         path = self._col(t, "path", n)
@@ -419,6 +438,23 @@ class TokenizePartials:
         rows = batch.to_pylist()
         out = [self._process_unit(u) for u in rows]
         return pa.Table.from_pylist(out)
+
+
+def tokenize_units_multi(batch: pa.Table, *, specs: dict) -> pa.Table:
+    """Fan-out stage-1: each partition unit is READ ONCE and tokenized for
+    every index spec in ``specs`` (name -> TokenizePartials kwargs); each
+    index gets its own partials + manifests. Output rows add an ``index``
+    column to the per-unit metrics."""
+    stages = {name: TokenizePartials(**kw) for name, kw in specs.items()}
+    rows = []
+    for u in batch.to_pylist():
+        pf = pq.ParquetFile(u["file"])
+        t = pf.read_row_groups(list(range(int(u["rg_start"]), int(u["rg_end"]))))
+        for name, st in stages.items():
+            m = st._process_table(t, u)
+            m["index"] = name
+            rows.append(m)
+    return pa.Table.from_pylist(rows)
 
 
 def tokenize_units(batch: pa.Table, **kwargs) -> pa.Table:

@@ -290,3 +290,61 @@ def test_keymap_fallback_identical_postings(ray_session, small_corpus_dir, tmp_p
         t1 = pq.read_table(f1)
         t2 = pq.read_table(f2)
         assert t1.equals(t2), f"{sub} differs between keymap placements"
+
+
+def test_multi_index_build_matches_separate_builds(ray_session, small_corpus_dir, tmp_path):
+    """One-pass fan-out build == N separate builds, byte-identical."""
+    from astrologer_ray.pipelines.build import build_multi_index
+
+    specs = {
+        "code": {"mode": "code", "n_shards": 4, "chunk_bits": 6},
+        "simple_kw": {"mode": "simple", "n_shards": 4, "chunk_bits": 6,
+                      "keyword_fields": {"lang": "lang"}},
+    }
+    root = str(tmp_path / "multi")
+    metas = build_multi_index(small_corpus_dir, root, specs, partition_rows=64)
+    assert set(metas) == {"code", "simple_kw"}
+
+    for name, spec in specs.items():
+        sep = str(tmp_path / f"sep_{name}")
+        build_index(small_corpus_dir, sep, partition_rows=64, **spec)
+        for sub in ("postings", "dict", "docs"):
+            t1 = pq.read_table(sorted(glob.glob(f"{root}/{name}/{sub}/*.parquet")))
+            t2 = pq.read_table(sorted(glob.glob(f"{sep}/{sub}/*.parquet")))
+            assert t1.equals(t2), f"{name}/{sub} differs from separate build"
+
+    # resume: a second multi build is a no-op for stage 1 (manifests intact)
+    import json as _json
+    m0 = sorted(glob.glob(f"{root}/code/partials/manifest-*.json"))
+    before = [open(f).read() for f in m0]
+    build_multi_index(small_corpus_dir, root, specs, partition_rows=64)
+    after = [open(f).read() for f in m0]
+    assert before == after
+
+
+def test_write_stage_retries_application_errors(ray_session, small_corpus_dir, tmp_path):
+    """A transiently-failing tokenize task must be retried by the write
+    stage's retry config and complete idempotently (sink retry knob)."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.build import _corpus_paths
+    from astrologer_ray.stages.spimi import (
+        completed_units,
+        plan_partitions,
+        tokenize_units,
+    )
+
+    marker = str(tmp_path / "failed_once")
+    partials = str(tmp_path / "partials")
+    units = plan_partitions(_corpus_paths(small_corpus_dir), 64)
+    rd.from_items(units, override_num_blocks=len(units)).map_batches(
+        tokenize_units,
+        fn_kwargs={"partials_dir": partials, "fault_once": marker},
+        batch_format="pyarrow",
+        batch_size=1,
+        num_cpus=1,
+        max_retries=2,          # the same knob build_index(retries=) sets
+        retry_exceptions=True,
+    ).materialize()
+    assert os.path.exists(marker)          # the failure really happened
+    assert completed_units(partials, units) == {u["part_id"] for u in units}
