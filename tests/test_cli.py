@@ -43,3 +43,40 @@ def test_cli_ingest_rebuilds_missing(ray_session, small_corpus_dir, tmp_path, ca
     assert main(["ingest", small_corpus_dir, idx, "--partition-rows", "64"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rebuilt_partitions"] == [1]
+
+
+def test_cli_ingest_follow_picks_up_new_file(ray_session, small_corpus_dir, tmp_path, capsys):
+    """--follow: a parquet file that appears between polls is built on the
+    next poll (the reference's tail-follow daemon, commands/ingest.go:46-52)."""
+    import glob
+    import shutil
+    import threading
+    import time
+
+    corpus = str(tmp_path / "grow_corpus")
+    os.makedirs(corpus)
+    src = sorted(glob.glob(small_corpus_dir + "/*.parquet"))
+    shutil.copy(src[0], corpus + "/part-a.parquet")
+    idx = str(tmp_path / "fidx")
+
+    def drop_file_later():
+        time.sleep(1.0)
+        shutil.copy(src[1], corpus + "/part-b.parquet")
+
+    t = threading.Thread(target=drop_file_later)
+    t.start()
+    assert main(["ingest", corpus, idx, "--partition-rows", "64",
+                 "--follow", "--poll-seconds", "1.5", "--max-polls", "4"]) == 0
+    t.join()
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    # first poll built part-a, a later poll built the partitions of part-b,
+    # and the final poll reports up-to-date
+    assert "rebuilt_partitions" in lines[0]
+    assert any("rebuilt_partitions" in ln and ln != lines[0] for ln in lines[1:])
+    assert lines[-1].get("up_to_date") is True
+
+    from astrologer_ray.pipelines.build import load_meta
+    import pyarrow.parquet as pq
+
+    n_src = sum(pq.read_metadata(f).num_rows for f in glob.glob(corpus + "/*.parquet"))
+    assert load_meta(idx)["n_docs"] == n_src
