@@ -216,3 +216,98 @@ def ann_lsh_topk(
         cand["cosine"].to_numpy(np.float64), len(Q), k,
         np.arange(len(Q), dtype=np.int64), id_col,
     )
+
+
+def _kmeans_lite(X: np.ndarray, k: int, seed: int, iters: int = 8) -> np.ndarray:
+    """Seeded deterministic k-means on normalized vectors (numpy Lloyd's,
+    cosine == dot on the unit sphere). Small driver-side training sample
+    only; assignment of the full corpus happens distributed."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for ci in range(len(C)):
+            members = X[assign == ci]
+            if len(members):
+                m = members.sum(axis=0)
+                C[ci] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ann_ivf_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    train_rows: int = 4096,
+    seed: int = 17,
+) -> pa.Table:
+    """Approximate cosine top-k via IVF (inverted-file) coarse quantization.
+
+    A small seeded sample trains k-means centroids driver-side; centroids +
+    queries broadcast once. Each batch assigns its vectors to their nearest
+    centroid and scores a vector only for queries probing that centroid
+    (each query probes its ``n_probe`` nearest centroids). Per-batch
+    per-query top-k keeps the driver merge k-sized. At scale the centroid
+    id doubles as the partition key for building a materialized IVF index.
+    """
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample = ds.select_columns([vec_col]).limit(train_rows).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    C = _kmeans_lite(X, n_centroids, seed)
+    qprobe = np.argsort(-(Q @ C.T), axis=1)[:, : min(n_probe, len(C))]
+    # centroid -> list of query ids probing it
+    probe_of: list[np.ndarray] = [
+        np.flatnonzero((qprobe == ci).any(axis=1)) for ci in range(len(C))
+    ]
+    ref = ray.put((Q, C, probe_of))
+
+    class IVFTopK:
+        def __init__(self):
+            self.Q, self.C, self.probe_of = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            M = _normalize(
+                np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            )
+            assign = np.argmax(M @ self.C.T, axis=1)
+            out_q, out_i, out_s = [], [], []
+            for ci in np.unique(assign):
+                qids = self.probe_of[int(ci)]
+                if len(qids) == 0:
+                    continue
+                m = assign == ci
+                sub_ids = ids[m]
+                sims = self.Q[qids] @ M[m].T  # (nq_probe, ncand)
+                for row, qi in enumerate(qids):
+                    order = _topk_ids(sims[row], sub_ids, k)
+                    out_q.append(np.full(len(order), qi, dtype=np.int64))
+                    out_i.append(sub_ids[order])
+                    out_s.append(sims[row][order])
+            if not out_q:
+                return pa.table({"q": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "q": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_i)),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    cand = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    if len(cand) == 0:
+        cand = pd.DataFrame({"q": [], id_col: [], "cosine": []})
+    return _merge_query_topk(
+        cand["q"].to_numpy(np.int64), cand[id_col].to_numpy(np.int64),
+        cand["cosine"].to_numpy(np.float64), len(Q), k,
+        np.arange(len(Q), dtype=np.int64), id_col,
+    )

@@ -33,6 +33,42 @@ BENCH_INDEX = "/tmp/bench_index"
 N_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "1000000"))
 
 
+def _probe_burn(n):
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i
+    return n / (time.time() - t0)
+
+
+def _probe_stream(_):
+    import numpy as np
+
+    a = np.random.rand(15_000_000)  # 120 MB
+    t0 = time.time()
+    for _ in range(4):
+        a = a * 1.000001
+    return 15_000_000 * 8 * 2 * 4 / (time.time() - t0) / 1e9
+
+
+def host_probes() -> dict:
+    """Tiny host-state probes embedded in every bench record: the sandbox
+    VM is timeshared and its MEMORY bandwidth (not CPU) varies minute to
+    minute with neighbors — throughput numbers are only interpretable next
+    to the host state they ran under."""
+    import multiprocessing as mp
+
+    cpu1 = _probe_burn(10_000_000) / 1e6
+    bw1 = _probe_stream(None)
+    with mp.Pool(8) as pool:
+        bw8 = sum(pool.map(_probe_stream, range(8)))
+    return {
+        "cpu_1proc_Mops": round(cpu1, 1),
+        "membw_1proc_GBps": round(bw1, 2),
+        "membw_8proc_GBps": round(bw8, 2),
+    }
+
+
 def _ensure_corpus() -> list[str]:
     """Generate (once, untimed) the deterministic bench corpus."""
     import glob
@@ -168,6 +204,7 @@ def main() -> None:
     if "query_qps" in results:
         out["query_qps"] = round(results["query_qps"]["qps"], 1)
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]
+    out["host"] = host_probes()
     print(json.dumps(out))
     ray.shutdown()
 
@@ -186,10 +223,14 @@ def scaling() -> None:
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     _ = run(lo)  # warm OS page cache + corpus generation, untimed
-    # best-of-3 per level: the sandbox host is timeshared (nonzero steal,
-    # ~2x run-to-run spread), so the minimum is the steady-state estimate
-    runs_lo = [run(lo) for _ in range(3)]
-    runs_hi = [run(hi) for _ in range(3)]
+    # best-of-3 per level, INTERLEAVED (lo,hi,lo,hi,...): the sandbox host
+    # is timeshared and its memory bandwidth drifts minute-to-minute with
+    # neighbors — interleaving exposes both levels to the same drift, and
+    # the per-level minimum estimates the steady state
+    runs_lo, runs_hi = [], []
+    for _ in range(3):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["queries"]["build_code_index"])
     r_hi = min(runs_hi, key=lambda r: r["queries"]["build_code_index"])
     t_lo = r_lo["queries"]["build_code_index"]
@@ -218,6 +259,9 @@ def scaling() -> None:
                 "parallel_stage_sec_lo": round(par_lo, 2),
                 "parallel_stage_sec_hi": round(par_hi, 2),
                 "parallel_stage_efficiency": round(par_eff, 3),
+                "all_sec_lo": [r["queries"]["build_code_index"] for r in runs_lo],
+                "all_sec_hi": [r["queries"]["build_code_index"] for r in runs_hi],
+                "host": host_probes(),
             }
         )
     )

@@ -315,3 +315,26 @@ def test_embedding_lsh_subset_of_brute_with_recall(ray_session):
     # cosines agree exactly where both report the pair
     m = brute.merge(lsh, on=["id_a", "id_b"], suffixes=("_b", "_l"))
     assert np.allclose(m["cosine_b"], m["cosine_l"])
+
+
+def test_ann_ivf_recall(ray_session, sf_dir):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.ann import ann_brute_topk, ann_ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    Q = M[:5]
+    brute = ann_brute_topk(ds, Q, k=10).to_pandas()
+    ivf = ann_ivf_topk(ds, Q, k=10, n_centroids=16, n_probe=6).to_pandas()
+    recalls = []
+    for qi in range(5):
+        want = set(brute[brute["qid"] == qi]["vec_id"])
+        got = set(ivf[ivf["qid"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) > 0.5
+    assert all(r > 0 for r in recalls)
+    # reported cosines are exact (match brute where ids overlap)
+    m = brute.merge(ivf, on=["qid", "vec_id"], suffixes=("_b", "_i"))
+    assert np.allclose(m["cosine_b"], m["cosine_i"])
