@@ -510,6 +510,93 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_user_cardinality(sf_dir: str):
+    """Exact per-type distinct-user count (ES cardinality agg, exact
+    flavor; batch-level pre-dedup shrinks the shuffle)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import distinct_count
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type", "user_id"])
+    return distinct_count(ds, "event_type", "user_id").to_pandas().sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+EVENTS_CARDINALITY_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_value_percentiles(sf_dir: str):
+    """Exact per-type percentiles (linear interpolation == quantile_cont)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import percentiles
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type", "value"])
+    return percentiles(ds, "event_type", "value").to_pandas().sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+EVENTS_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_props_sum(sf_dir: str):
+    """JSON-field extraction (§2.8 map/json): pull props.k with one C regex
+    kernel and aggregate per type — no per-row Python json parsing."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(
+            pc.fill_null(t["props"].combine_chunks(), ""), r'"k": (?P<k>[0-9]+)'
+        )
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "k": pc.fill_null(k, 0)})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out[["event_type", "sum_k", "n"]].sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '0') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def ann_ivf_embeddings(sf_dir: str):
+    """IVF coarse-quantized approximate top-k (rows-only; recall vs brute
+    is pytest-asserted — approximate results are not SQL-expressible)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.ann import ann_ivf_topk
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(head["embedding"].to_numpy())
+    out = ann_ivf_topk(ds, Q, k=10, n_centroids=16, n_probe=6).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def events_user_gaps(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import detect_gaps
@@ -958,6 +1045,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_topk": events_type_topk,
         "events_significant_types": events_significant_types,
         "events_user_gaps": events_user_gaps,
+        "events_user_cardinality": events_user_cardinality,
+        "events_value_percentiles": events_value_percentiles,
+        "events_props_sum": events_props_sum,
+        "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_range_listing": events_range_listing,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
@@ -996,6 +1087,9 @@ def oracle_sql() -> dict[str, str]:
         "events_type_topk": EVENTS_TOPK_SQL,
         "events_significant_types": EVENTS_SIG_SQL,
         "events_user_gaps": EVENTS_GAPS_SQL,
+        "events_user_cardinality": EVENTS_CARDINALITY_SQL,
+        "events_value_percentiles": EVENTS_PERCENTILES_SQL,
+        "events_props_sum": EVENTS_PROPS_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,
         "events_tumbling_window": EVENTS_TUMBLING_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,

@@ -338,3 +338,39 @@ def test_ann_ivf_recall(ray_session, sf_dir):
     # reported cosines are exact (match brute where ids overlap)
     m = brute.merge(ivf, on=["qid", "vec_id"], suffixes=("_b", "_i"))
     assert np.allclose(m["cosine_b"], m["cosine_i"])
+
+
+def test_distinct_count_and_hll(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import distinct_count, hll_distinct
+
+    rng = np.random.default_rng(9)
+    rows = [{"g": ["a", "b", "c"][i % 3], "v": int(rng.integers(0, 400))}
+            for i in range(3000)]
+    ds = rd.from_items(rows).repartition(5)
+    exact = distinct_count(ds, "g", "v").to_pandas().set_index("g")["n_distinct"]
+    import pandas as pd
+    want = pd.DataFrame(rows).groupby("g")["v"].nunique()
+    assert dict(exact) == dict(want)
+    approx = hll_distinct(ds, "g", "v", p=12).to_pandas().set_index("g")[
+        "n_distinct_approx"]
+    for g in want.index:
+        rel = abs(approx[g] - want[g]) / want[g]
+        assert rel < 0.1, f"group {g}: {approx[g]} vs {want[g]}"
+
+
+def test_percentiles_match_numpy(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import percentiles
+
+    rng = np.random.default_rng(4)
+    rows = [{"g": "x" if i % 2 else "y", "v": float(rng.normal())} for i in range(999)]
+    out = percentiles(rd.from_items(rows).repartition(4), "g", "v").to_pandas()
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    for _, r in out.iterrows():
+        v = df[df["g"] == r["g"]]["v"].to_numpy()
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert abs(r[col] - round(float(np.quantile(v, q)), 6)) < 1e-9
