@@ -233,30 +233,42 @@ class Searcher:
         added in sorted-term order (scores[ids] += w is elementwise add in
         that order). Beats the python-loop WAND cursors by ~100x on Zipf
         head terms (df ~ N) because the whole posting list decodes and
-        scores vectorized.
+        scores vectorized. The dense accumulators are allocated ONCE per
+        searcher and reset by re-scattering zeros over only the touched
+        ids — per-query memory traffic is bounded by the posting lists
+        actually visited, not by N.
         """
-        scores = np.zeros(self.N, dtype=np.float64)
-        matched = np.zeros(self.N, dtype=bool)
+        if getattr(self, "_score_buf", None) is None:
+            self._score_buf = np.zeros(self.N, dtype=np.float64)
+            self._match_buf = np.zeros(self.N, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        touched = []
         for t in qterms:
             if t not in self.postings:
                 continue
             ids, w = self._term_contribution(t)
             scores[ids] += w
             matched[ids] = True
-        if allowed is not None:
-            matched &= allowed
+            touched.append(ids)
         cand = np.flatnonzero(matched)
-        if len(cand) == 0:
-            return []
-        kk = min(k, len(cand))
-        # cheap pre-cut before the exact (score desc, doc_id asc) sort:
-        # keep everything >= the k-th score so boundary ties survive
-        if len(cand) > 4 * kk:
-            s = scores[cand]
-            kth = s[np.argpartition(-s, kk - 1)[kk - 1]]
-            cand = cand[s >= kth]
-        order = np.lexsort((cand, -scores[cand]))[:kk]
-        return [(int(cand[i]), float(scores[cand[i]])) for i in order]
+        if allowed is not None:
+            cand = cand[allowed[cand]]
+        try:
+            if len(cand) == 0:
+                return []
+            kk = min(k, len(cand))
+            # cheap pre-cut before the exact (score desc, doc_id asc) sort:
+            # keep everything >= the k-th score so boundary ties survive
+            if len(cand) > 4 * kk:
+                s = scores[cand]
+                kth = s[np.argpartition(-s, kk - 1)[kk - 1]]
+                cand = cand[s >= kth]
+            order = np.lexsort((cand, -scores[cand]))[:kk]
+            return [(int(cand[i]), float(scores[cand[i]])) for i in order]
+        finally:
+            for ids in touched:
+                scores[ids] = 0.0
+                matched[ids] = False
 
     def _attr(self, name: str) -> np.ndarray:
         if name not in self.doc_attrs:
