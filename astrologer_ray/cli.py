@@ -70,10 +70,11 @@ def cmd_build(args) -> int:
         return 0
 
     _ray_session(args.num_cpus)
+    kw = dict(kv.split("=", 1) for kv in (args.keyword_field or []))
     meta = build_index(
         args.corpus, args.index, mode=args.mode, force=args.force,
         partition_rows=args.partition_rows, resume=not args.no_resume,
-        retries=args.retries,
+        retries=args.retries, keyword_fields=kw or None,
     )
     print(json.dumps(meta, default=str))
     return 0
@@ -196,6 +197,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="stop --follow after N polls (0 = forever)")
         b.add_argument("--retries", type=int, default=3,
                        help="per-task retry budget for write stages")
+        b.add_argument("--keyword-field", action="append", metavar="FIELD=COL",
+                       help="index exact keyword field (repeatable), "
+                            "e.g. --keyword-field lang=lang")
         b.set_defaults(fn=fn)
 
     st = sub.add_parser("stats")

@@ -80,3 +80,16 @@ def test_cli_ingest_follow_picks_up_new_file(ray_session, small_corpus_dir, tmp_
 
     n_src = sum(pq.read_metadata(f).num_rows for f in glob.glob(corpus + "/*.parquet"))
     assert load_meta(idx)["n_docs"] == n_src
+
+
+def test_cli_build_keyword_field(ray_session, small_corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "kwidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64",
+                 "--keyword-field", "lang=lang"]) == 0
+    capsys.readouterr()
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(idx)
+    langs = sorted({v for v in s.doc_attrs["lang"]})
+    n = len(s.field_lookup({"field_term": {"lang": langs[0]}}))
+    assert n == int((s.doc_attrs["lang"] == langs[0]).sum()) and n > 0
