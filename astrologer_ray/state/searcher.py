@@ -127,7 +127,14 @@ class Searcher:
     """
 
     def __init__(self, index_dir: str, shards: list[int] | None = None,
-                 load_docs: bool = True):
+                 load_docs: bool = True,
+                 chunk_range: tuple[int, int] | None = None):
+        """``shards`` restricts to term-hash shards (term-partitioned
+        serving: per-shard scores are PARTIAL for multi-term queries and
+        must merge by per-doc sum). ``chunk_range=(lo, hi)`` restricts to
+        doc-id chunk ranges instead (document-partitioned serving, the ES
+        topology): every loaded doc's score is COMPLETE, so per-actor
+        top-k lists merge exactly — see state/pool.ShardedSearchPool."""
         self.meta = load_meta(index_dir)
         self.k1 = float(self.meta["k1"])
         self.b = float(self.meta["b"])
@@ -136,11 +143,17 @@ class Searcher:
         self.mode = self.meta["mode"]
         self.n_shards = int(self.meta["n_shards"])
         self.shards = set(shards) if shards is not None else None
+        self.chunk_range = chunk_range
 
         pfiles = sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet")))
         filt = None
         if self.shards is not None:
             filt = pc.field("shard").isin(list(self.shards))
+        if chunk_range is not None:
+            cr = (pc.field("chunk_id") >= int(chunk_range[0])) & (
+                pc.field("chunk_id") < int(chunk_range[1])
+            )
+            filt = cr if filt is None else (filt & cr)
         tables = [pq.read_table(p, filters=filt) for p in pfiles]
         post = pa.concat_tables(tables) if tables else None
 

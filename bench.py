@@ -148,6 +148,42 @@ def bench_query_qps(n_queries: int = 800) -> dict:
     return {"sec": dt, "n_queries": n_queries, "qps": n_queries / dt, "hits": n}
 
 
+def bench_query_qps_sharded(n_queries: int = 800) -> dict:
+    """Doc-range-sharded scatter-gather pool (state/pool.ShardedSearchPool):
+    every actor holds 1/n of the postings, per-query work fans out to all
+    actors and merges exactly. Lower per-actor memory footprint — the
+    resilient topology when the host is bandwidth-starved."""
+    import numpy as np
+
+    from astrologer_ray.state.pool import ShardedSearchPool
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(BENCH_INDEX, load_docs=False)
+    by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    head = [t for t, _ in by_df[:20]]
+    mid = [t for t, _ in by_df[len(by_df) // 2 : len(by_df) // 2 + 200]]
+    tail = [t for t, _ in by_df[-200:]]
+    del s
+    rng = np.random.default_rng(3)
+    queries = [
+        (
+            list(rng.choice(head, size=1))
+            + list(rng.choice(mid, size=int(rng.integers(1, 3))))
+            + list(rng.choice(tail, size=1)),
+            10,
+        )
+        for _ in range(n_queries)
+    ]
+    pool = ShardedSearchPool(BENCH_INDEX, n_actors=max(2, NUM_CPUS // 4))
+    pool.search(queries[0][0], k=10)  # warm: actors load their shard
+    t0 = time.time()
+    res = pool.search_many(queries)
+    dt = time.time() - t0
+    pool.shutdown()
+    return {"sec": dt, "n_queries": n_queries, "qps": n_queries / dt,
+            "hits": sum(len(r) for r in res)}
+
+
 def _timed(fn, *args) -> dict:
     t0 = time.time()
     fn(*args)
@@ -182,6 +218,7 @@ def main() -> None:
     results["build_code_index"] = bench_build()
     if only != "build":
         results["query_qps"] = bench_query_qps()
+        results["query_qps_sharded"] = bench_query_qps_sharded()
         results["q1_pricing_summary"] = _timed(E.q1_pricing_summary, SF_DIR)
         results["top_orders_by_revenue"] = _timed(E.top_orders_by_revenue, SF_DIR)
         results["events_date_histogram"] = _timed(E.events_date_histogram, SF_DIR)
@@ -203,6 +240,7 @@ def main() -> None:
     }
     if "query_qps" in results:
         out["query_qps"] = round(results["query_qps"]["qps"], 1)
+        out["query_qps_sharded"] = round(results["query_qps_sharded"]["qps"], 1)
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]
     out["host"] = host_probes()
     print(json.dumps(out))

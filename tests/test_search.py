@@ -207,3 +207,23 @@ def test_filter_dsl_term_exists_bool_match(kw_index):
     want_counts = Counter(langs)
     want = sorted(want_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert got == want
+
+
+def test_sharded_pool_equals_full_searcher(index_and_oracle):
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    index_dir, _contents, _ = index_and_oracle
+    full = Searcher(index_dir, load_docs=False)
+    pool = ShardedSearchPool(index_dir, n_actors=4)
+    try:
+        qs = _queries(full)
+        for terms, k in qs:
+            want = [(h["doc_id"], h["score"]) for h in full.search(terms, k=k)]
+            got = [(h["doc_id"], h["score"]) for h in pool.search(terms, k=k)]
+            assert got == want, f"{terms}"
+        many = pool.search_many([(t, k) for t, k in qs[:4]])
+        for (terms, k), hits in zip(qs[:4], many):
+            want = [(h["doc_id"], h["score"]) for h in full.search(terms, k=k)]
+            assert [(h["doc_id"], h["score"]) for h in hits] == want
+    finally:
+        pool.shutdown()
