@@ -82,3 +82,92 @@ def frame_sample_plan(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling indices for a video payload (plumbing
     helper; the actual frame extraction is part of the stubbed decode)."""
     return list(range(0, n_frames, max(1, every)))
+
+
+class MediaResizeStage:
+    """Actor-pool stage: payload -> resized payload (1:1, binary in/out).
+
+    The real resampler (PIL/ffmpeg) is absent from this container, so the
+    transform is stubbed behind the same strict/fake switch as
+    :class:`MediaFeatureStage`; the Ray plumbing — binary Arrow columns in
+    and out, per-row target dims from ``meta``, small-batch actor pool —
+    is real. Fake mode emits a deterministic byte stream of size
+    proportional to ``target_w*target_h`` (seeded by the input payload),
+    so size accounting and downstream schema are exercised end-to-end.
+    """
+
+    def __init__(self, decode: str = "strict", target_w: int = 64, target_h: int = 64):
+        assert decode in ("strict", "fake")
+        self.decode = decode
+        self.target_w, self.target_h = target_w, target_h
+
+    def resize_one(self, payload: bytes) -> bytes:
+        if self.decode == "strict":
+            raise NotImplementedError(
+                "image resize requires codec libraries not present here; "
+                "construct with decode='fake' or override resize_one()"
+            )
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=self.target_w * self.target_h,
+                            dtype=np.uint8).tobytes()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t["payload"].to_pylist()
+        out = [self.resize_one(p or b"") for p in payloads]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "payload": pa.array(out, pa.binary()),
+                "meta": pa.array(
+                    [f'{{"w": {self.target_w}, "h": {self.target_h}}}'] * t.num_rows,
+                    pa.string(),
+                ),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: one video row -> MANY frame rows (flat-map shape).
+
+    Demonstrates the 1→N multimodal explosion with real Arrow plumbing:
+    output rows are (media_id, frame_idx, payload). Strict mode raises
+    (no video codec here); fake mode treats the payload as a concatenation
+    of fixed-size pseudo-frames and emits every ``every``-th slice via
+    :func:`frame_sample_plan` — deterministic, so row counts and indices
+    are testable. Batch sizes must stay SMALL: each input row multiplies.
+    """
+
+    def __init__(self, decode: str = "strict", frame_bytes: int = 256, every: int = 4):
+        assert decode in ("strict", "fake")
+        self.decode = decode
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def frames_one(self, payload: bytes) -> list[tuple[int, bytes]]:
+        if self.decode == "strict":
+            raise NotImplementedError(
+                "video frame extraction requires codecs not present here; "
+                "construct with decode='fake' or override frames_one()"
+            )
+        n_frames = max(1, len(payload) // self.frame_bytes)
+        return [
+            (i, payload[i * self.frame_bytes : (i + 1) * self.frame_bytes])
+            for i in frame_sample_plan(n_frames, self.every)
+        ]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            for fi, fb in self.frames_one(payload or b""):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(fb)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "payload": pa.array(frames, pa.binary()),
+            }
+        )

@@ -374,3 +374,44 @@ def test_percentiles_match_numpy(ray_session):
         v = df[df["g"] == r["g"]]["v"].to_numpy()
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert abs(r[col] - round(float(np.quantile(v, q)), 6)) < 1e-9
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.stages.multimodal import FrameSampleStage, MediaResizeStage
+
+    rows = [
+        {"media_id": i, "kind": "video", "payload": bytes(range(256)) * (i + 1),
+         "meta": "{}"}
+        for i in range(10)
+    ]
+    ds = rd.from_items(rows)
+    with pytest.raises(Exception):
+        ds.map_batches(MediaResizeStage, batch_format="pyarrow",
+                       batch_size=4, concurrency=1).materialize()
+    resized = ds.map_batches(
+        MediaResizeStage, fn_constructor_kwargs={"decode": "fake",
+                                                 "target_w": 8, "target_h": 8},
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas().sort_values("media_id")
+    assert all(len(p) == 64 for p in resized["payload"])
+    # deterministic: same payload -> same resized bytes
+    r2 = ds.map_batches(
+        MediaResizeStage, fn_constructor_kwargs={"decode": "fake",
+                                                 "target_w": 8, "target_h": 8},
+        batch_format="pyarrow", batch_size=7, concurrency=1,
+    ).to_pandas().sort_values("media_id")
+    assert list(resized["payload"]) == list(r2["payload"])
+
+    frames = ds.map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"decode": "fake",
+                                                 "frame_bytes": 256, "every": 2},
+        batch_format="pyarrow", batch_size=4, concurrency=1,
+    ).to_pandas()
+    # media i has (i+1) 256-byte frames; every 2nd sampled -> ceil((i+1)/2)
+    got = frames.groupby("media_id").size().to_dict()
+    want = {i: (i + 1 + 1) // 2 for i in range(10)}
+    assert got == want
+    assert (frames["frame_idx"] % 2 == 0).all()
+    assert all(len(p) == 256 for p in frames["payload"])
