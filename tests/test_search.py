@@ -227,3 +227,16 @@ def test_sharded_pool_equals_full_searcher(index_and_oracle):
             assert [(h["doc_id"], h["score"]) for h in hits] == want
     finally:
         pool.shutdown()
+
+
+def test_wand_with_filters_matches_taat(kw_index):
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    langs = sorted({r[3] for r in rows})
+    filt = {"bool": {"must": [{"term": {"lang": langs[0]}}]}}
+    for terms, k in _queries(s)[:6]:
+        a = [(h["doc_id"], round(h["score"], 9))
+             for h in s.search(terms, k=k, filter=filt, strategy="taat")]
+        b = [(h["doc_id"], round(h["score"], 9))
+             for h in s.search(terms, k=k, filter=filt, strategy="wand")]
+        assert a == b, f"{terms}"
