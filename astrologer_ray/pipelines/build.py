@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from astrologer_ray import B, K1
-from astrologer_ray.functions.codec import POSTINGS_SCHEMA, encode_chunk, encode_chunks_batch
+from astrologer_ray.functions.codec import POSTINGS_SCHEMA, encode_chunks_batch
 from astrologer_ray.stages.spimi import (
     completed_partitions,
     manifest_path,

@@ -22,14 +22,12 @@ from __future__ import annotations
 import glob
 import heapq
 import os
-import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from astrologer_ray import B, K1
 from astrologer_ray.functions.codec import BLOCK, decode_block
 from astrologer_ray.functions.tokenizer import tokenize
 from astrologer_ray.pipelines.build import load_meta
