@@ -597,6 +597,69 @@ def ann_ivf_embeddings(sf_dir: str):
     return out
 
 
+def documents_sample(sf_dir: str):
+    """Deterministic 10% hash sample (O4): identical row set in both
+    engines because the sampling hash is plain integer arithmetic."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import sample_hash
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return sample_hash(ds, "doc_id", 0.1).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+DOCUMENTS_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 0.1 * 4294967296
+ORDER BY doc_id
+"""
+
+
+def events_topn_per_user(sf_dir: str):
+    """Per-group top-N (§2.6): each user's 2 highest-value events, ordered
+    by the unique event_id for exact cross-engine determinism on ties."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import top_n_per_group
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+
+    def key(t: pa.Table) -> pa.Table:
+        # composite order key: value desc, event_id asc — packed so ONE
+        # numeric sort matches the SQL (value DESC, event_id) window order
+        v = pc.cast(t["value"], pa.float64())
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "value": v,
+            # value is < 1e6 with 2-3 decimals; cents*2^32 + (2^32-1-event_id)
+            "ordkey": pc.add(
+                pc.multiply(_cents(v), float(2**32)),
+                pc.subtract(float(2**32 - 1), pc.cast(t["event_id"], pa.float64())),
+            ),
+        })
+
+    out = (
+        top_n_per_group(ds.map_batches(key, batch_format="pyarrow"),
+                        "user_id", "ordkey", 2)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    return out[["user_id", "event_id", "value"]]
+
+
+EVENTS_TOPN_SQL = """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(floor(value*100 + 0.5) AS BIGINT) DESC,
+                                     event_id) AS rn
+  FROM events)
+SELECT user_id, event_id, value FROM r WHERE rn <= 2 ORDER BY user_id, event_id
+"""
+
+
 def events_user_gaps(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import detect_gaps
@@ -1046,6 +1109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_significant_types": events_significant_types,
         "events_user_gaps": events_user_gaps,
         "events_user_cardinality": events_user_cardinality,
+        "documents_sample": documents_sample,
+        "events_topn_per_user": events_topn_per_user,
         "events_value_percentiles": events_value_percentiles,
         "events_props_sum": events_props_sum,
         "ann_ivf_embeddings": ann_ivf_embeddings,
@@ -1088,6 +1153,8 @@ def oracle_sql() -> dict[str, str]:
         "events_significant_types": EVENTS_SIG_SQL,
         "events_user_gaps": EVENTS_GAPS_SQL,
         "events_user_cardinality": EVENTS_CARDINALITY_SQL,
+        "documents_sample": DOCUMENTS_SAMPLE_SQL,
+        "events_topn_per_user": EVENTS_TOPN_SQL,
         "events_value_percentiles": EVENTS_PERCENTILES_SQL,
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,

@@ -332,3 +332,37 @@ def hll_distinct(ds: Dataset, group_col: str, val_col: str, p: int = 12) -> Data
         .groupby(group_col)
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def sample_hash(ds: Dataset, id_col: str, frac: float) -> Dataset:
+    """Deterministic hash sampling (§2.6 O4): keep rows whose Knuth
+    multiplicative hash of ``id_col`` falls under ``frac``. Stable across
+    runs/parallelism and exactly SQL-expressible
+    (``(id * 2654435761) % 4294967296 < frac * 4294967296``), unlike
+    seeded random sampling whose RNG stream differs per engine."""
+    threshold = int(frac * 4294967296)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
+        return t.filter(pa.array(h < threshold))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def top_n_per_group(
+    ds: Dataset, group_col: str, order_col: str, n: int,
+    descending: bool = True,
+) -> Dataset:
+    """Per-group top-N by ``order_col`` (ties broken by the order column
+    then input order is NOT stable — so ties break by value only; callers
+    wanting total determinism should order by a unique column). Equivalent
+    to SQL ``row_number() OVER (PARTITION BY g ORDER BY v ...) <= n``
+    when the order column is unique within groups."""
+
+    def take_top(g: pa.Table) -> pa.Table:
+        v = np.asarray(g[order_col])
+        order = np.argsort(-v if descending else v, kind="stable")[:n]
+        return g.take(pa.array(np.sort(order)))
+
+    return ds.groupby(group_col).map_groups(take_top, batch_format="pyarrow")

@@ -415,3 +415,35 @@ def test_media_resize_and_frame_sample(ray_session):
     assert got == want
     assert (frames["frame_idx"] % 2 == 0).all()
     assert all(len(p) == 256 for p in frames["payload"])
+
+
+def test_sample_hash_deterministic_and_unbiased(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import sample_hash
+
+    rows = [{"id": i} for i in range(20000)]
+    ds = rd.from_items(rows).repartition(6)
+    a = sample_hash(ds, "id", 0.2).to_pandas()["id"].sort_values().tolist()
+    b = sample_hash(rd.from_items(rows).repartition(3), "id", 0.2).to_pandas()[
+        "id"].sort_values().tolist()
+    assert a == b                       # parallelism-invariant
+    assert 0.17 < len(a) / 20000 < 0.23  # roughly the requested fraction
+    sup = sample_hash(ds, "id", 0.5).to_pandas()["id"].tolist()
+    assert set(a) <= set(sup)           # nested: smaller frac subset of larger
+
+
+def test_top_n_per_group(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import top_n_per_group
+
+    rng = np.random.default_rng(2)
+    rows = [{"g": int(i % 7), "uid": i, "v": float(rng.integers(0, 10**6))}
+            for i in range(700)]
+    out = top_n_per_group(rd.from_items(rows).repartition(4), "g", "v", 3).to_pandas()
+    import pandas as pd
+    df = pd.DataFrame(rows)
+    for g, sub in out.groupby("g"):
+        want = set(df[df["g"] == g].nlargest(3, "v")["uid"])
+        assert set(sub["uid"]) == want
