@@ -1,0 +1,92 @@
+"""Sharded query-serving actor pool: scatter-gather top-k over doc ranges.
+
+The reference serves queries from Elasticsearch indexes with per-index
+shard counts (/root/reference/es/indices.go:28,58,97) and the cluster
+scatter-gathers per query. The Ray-native analog partitions by DOCUMENT
+(the ES topology): each long-lived actor loads only the posting chunks of
+its doc-id range (``chunk_id`` ranges — memory per actor shrinks with the
+pool), so every doc it scores has its COMPLETE multi-term score, computed
+from corpus-global statistics (df, N, avgdl from ``stats/meta.json``).
+Per-actor top-k lists therefore merge EXACTLY by (score desc, doc_id asc)
+(property-tested against a single full Searcher). Term-hash sharding
+(``Searcher(shards=)``) remains for term-partitioned placements, where
+partial scores merge by per-doc sum instead.
+
+This is the one place the Dataset API genuinely can't express the
+topology: ``map_batches`` routes a row to ONE actor, while a sharded query
+must reach ALL actors. Plain ``@ray.remote`` actors + ``ray.get`` on the
+scatter futures is the right primitive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _merge_topk(hit_lists: list[list[dict]], k: int) -> list[dict]:
+    """Exact merge of per-shard top-k: (score desc, doc_id asc), re-ranked."""
+    all_hits = [h for hits in hit_lists for h in hits]
+    if not all_hits:
+        return []
+    scores = np.array([h["score"] for h in all_hits])
+    ids = np.array([h["doc_id"] for h in all_hits])
+    order = np.lexsort((ids, -scores))[:k]
+    out = []
+    for rank, i in enumerate(order):
+        h = dict(all_hits[int(i)])
+        h["rank"] = rank
+        out.append(h)
+    return out
+
+
+class ShardedSearchPool:
+    """N long-lived Searcher actors, each owning a disjoint shard group.
+
+    ``search`` scatters one query to every actor and merges; ``search_many``
+    keeps all actors busy by scattering the whole query list before any
+    gather (per-actor work pipelines in Ray's queues).
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 4, *,
+                 load_docs: bool = False, num_cpus: float = 1.0):
+        import ray
+
+        from astrologer_ray.pipelines.build import load_meta
+        from astrologer_ray.state.searcher import Searcher
+
+        meta = load_meta(index_dir)
+        max_chunk = (max(0, int(meta["n_docs"]) - 1) >> int(meta["chunk_bits"])) + 1
+        n_actors = max(1, min(n_actors, max_chunk))
+        bounds = np.linspace(0, max_chunk, n_actors + 1).astype(int)
+        actor_cls = ray.remote(num_cpus=num_cpus)(Searcher)
+        self.actors = [
+            actor_cls.remote(index_dir, load_docs=load_docs,
+                             chunk_range=(int(lo), int(hi)))
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        self.n_actors = n_actors
+
+    def search(self, terms: list[str], k: int = 10, **kw) -> list[dict]:
+        import ray
+
+        futs = [a.search.remote(terms, k=k, **kw) for a in self.actors]
+        return _merge_topk(ray.get(futs), k)
+
+    def search_many(self, queries: list[tuple[list[str], int]]) -> list[list[dict]]:
+        """Batch scatter-gather: queries[i] = (terms, k). All scatters are
+        issued before any gather so every actor's queue stays full."""
+        import ray
+
+        futs = [
+            [a.search.remote(terms, k=k) for a in self.actors]
+            for terms, k in queries
+        ]
+        return [_merge_topk(ray.get(fs), k)
+                for fs, (_terms, k) in zip(futs, queries)]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
