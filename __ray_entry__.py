@@ -611,7 +611,8 @@ def documents_sample(sf_dir: str):
 
 DOCUMENTS_SAMPLE_SQL = """
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 < 0.1 * 4294967296
+WHERE (CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761) % 4294967296
+      < 0.1 * 4294967296
 ORDER BY doc_id
 """
 
@@ -632,10 +633,12 @@ def events_topn_per_user(sf_dir: str):
         return pa.table({
             "user_id": t["user_id"], "event_id": t["event_id"],
             "value": v,
-            # value is < 1e6 with 2-3 decimals; cents*2^32 + (2^32-1-event_id)
-            "ordkey": pc.add(
-                pc.multiply(_cents(v), float(2**32)),
-                pc.subtract(float(2**32 - 1), pc.cast(t["event_id"], pa.float64())),
+            # exact int64 pack: cents << 32 | (2^32-1-event_id) — float64
+            # packing loses event_id tiebreak bits once cents*2^32 > 2^53
+            "ordkey": pc.bit_wise_or(
+                pc.shift_left(_cents(v), 32),
+                pc.subtract(pa.scalar(2**32 - 1, pa.int64()),
+                            pc.cast(t["event_id"], pa.int64())),
             ),
         })
 

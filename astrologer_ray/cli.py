@@ -104,7 +104,12 @@ def cmd_ingest(args) -> int:
 
     _ray_session(args.num_cpus)
     partials = os.path.join(args.index, "partials")
-    cfg = effective_config(mode=args.mode, n_buckets=DEFAULT_N_SHARDS)
+    # ingest must preserve the ORIGINAL build configuration: a resume config
+    # missing --keyword-field would mismatch every manifest and silently
+    # retokenize the whole corpus without the keyword postings.
+    kw = dict(kv.split("=", 1) for kv in (args.keyword_field or [])) or None
+    cfg = effective_config(mode=args.mode, n_buckets=DEFAULT_N_SHARDS,
+                           keyword_fields=kw)
 
     def one_pass() -> dict:
         units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
@@ -115,6 +120,7 @@ def cmd_ingest(args) -> int:
         meta = build_index(
             args.corpus, args.index, mode=args.mode, resume=True,
             partition_rows=args.partition_rows, retries=args.retries,
+            keyword_fields=kw,
         )
         return {"rebuilt_partitions": missing,
                 **{k: meta[k] for k in ("n_docs", "n_postings", "n_terms")}}

@@ -337,15 +337,18 @@ def hll_distinct(ds: Dataset, group_col: str, val_col: str, p: int = 12) -> Data
 def sample_hash(ds: Dataset, id_col: str, frac: float) -> Dataset:
     """Deterministic hash sampling (§2.6 O4): keep rows whose Knuth
     multiplicative hash of ``id_col`` falls under ``frac``. Stable across
-    runs/parallelism and exactly SQL-expressible
-    (``(id * 2654435761) % 4294967296 < frac * 4294967296``), unlike
-    seeded random sampling whose RNG stream differs per engine."""
+    runs/parallelism and exactly SQL-expressible; the id is masked to 32
+    bits BEFORE the multiply so the arithmetic never overflows (uint64 here;
+    HUGEINT in SQL) — matching oracle expression:
+    ``(CAST(id & 4294967295 AS HUGEINT) * 2654435761) % 4294967296
+    < frac * 4294967296``. Unlike seeded random sampling, the row set is
+    engine- and parallelism-independent."""
     threshold = int(frac * 4294967296)
 
     def filt(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t[id_col]).astype(np.int64)
-        h = (ids * np.int64(2654435761)) % np.int64(4294967296)
-        return t.filter(pa.array(h < threshold))
+        ids = np.asarray(t[id_col]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        return t.filter(pa.array(h < np.uint64(threshold)))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 

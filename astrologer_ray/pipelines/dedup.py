@@ -19,6 +19,7 @@ cosine; the O(N^2) broadcast brute force remains as the small-N oracle.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -26,6 +27,8 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from astrologer_ray.functions.tokenizer import _SIMPLE_RE
+
+logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -317,8 +320,16 @@ def _cc_min_label_ds(edges: Dataset, num_partitions: int = 8,
     monotonically non-increasing, so an unchanged global label sum is an
     exact convergence certificate. O(component diameter) rounds; the
     member→group-min pair construction upstream keeps diameters small.
+
+    ``num_partitions`` caps the hash-exchange fan-out of the per-round
+    groupbys. Raises ``RuntimeError`` if the label sum is still changing
+    after ``max_iters`` rounds — silent non-convergence would return
+    incorrect cluster labels.
     """
+    from astrologer_ray import ensure_hash_shuffle
     from ray.data.aggregate import Min, Sum
+
+    ensure_hash_shuffle(max(8, num_partitions))
 
     _DL = {"dst": pa.int64(), "label": pa.int64()}
     _SL = {"src": pa.int64(), "label": pa.int64()}
@@ -347,6 +358,7 @@ def _cc_min_label_ds(edges: Dataset, num_partitions: int = 8,
         .materialize()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         neigh = _grouped_join(
             sym_edges,
@@ -373,8 +385,14 @@ def _cc_min_label_ds(edges: Dataset, num_partitions: int = 8,
         )
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels
 
 
@@ -391,6 +409,7 @@ def minhash_dedup_ds(
     cc: str = "auto",
     driver_edge_budget: int = 1_000_000,
     num_partitions: int = 4,
+    endpoint_broadcast_budget: int = 20_000_000,
 ) -> Dataset:
     """Near-duplicate clusters via MinHash-LSH — fully distributed.
 
@@ -454,15 +473,6 @@ def minhash_dedup_ds(
             {"id_a": pa.array(np.full(len(others), lo)), "id_b": pa.array(others)}
         )
 
-    import os as _os, sys as _sys, time as _tt
-
-    _t0 = _tt.time()
-
-    def _dbg(msg):
-        if _os.environ.get("GRAFT_DEBUG_STAGES"):
-            print(f"[minhash] +{_tt.time() - _t0:.1f}s {msg}", file=_sys.stderr, flush=True)
-
-    _dbg("banding+pairs")
     pairs = (
         banded.groupby(["band", "band_hash"])
         .map_groups(collect_pairs, batch_format="pyarrow")
@@ -472,10 +482,10 @@ def minhash_dedup_ds(
         )
         .materialize()
     )  # duplicate (id_a, id_b) across bands collapse inside the attach join
-    _dbg(f"pairs done: {pairs.count()}")
+    n_pairs = pairs.count()
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "cluster_id": pa.array([], pa.int64())})
-    if pairs.count() == 0:
+    if n_pairs == 0:
         return rd.from_arrow(empty)
 
     HALF_SCHEMA = pa.schema([
@@ -550,11 +560,49 @@ def minhash_dedup_ds(
         return pa.table({"id_a": g["id_a"].slice(0, 1), "id_b": g["id_b"].slice(0, 1)}
                         ).cast(pa.schema(list(_PAIR_TYPES.items())))
 
-    _dbg("verify")
     halves = pairs.map_batches(pair_halves, batch_format="pyarrow")
-    sets = ds.select_columns([id_col, text_col]).map_batches(
-        doc_sets, batch_format="pyarrow"
-    )
+
+    # Semi-join the sketch exchange: only docs that are an endpoint of some
+    # candidate pair need their shingle set shipped — at typical near-dup
+    # rates that's a small fraction of the corpus, so filtering the corpus
+    # against a broadcast endpoint-id set shrinks the one big exchange from
+    # corpus-sized to candidate-sized. The endpoint list is ids only
+    # (8 B each); when candidates exceed the broadcast budget the near-dup
+    # fraction is so large that shipping every set is the right plan anyway.
+    candidates = ds.select_columns([id_col, text_col])
+    if n_pairs * 2 <= endpoint_broadcast_budget:
+        import ray
+
+        def flat_ids(t: pa.Table) -> pa.Table:
+            a = np.asarray(t["id_a"]).astype(np.int64)
+            b = np.asarray(t["id_b"]).astype(np.int64)
+            return pa.table({"k": pa.array(
+                np.unique(np.concatenate([a, b])), pa.int64())})
+
+        ep = np.unique(np.asarray(
+            pairs.map_batches(flat_ids, batch_format="pyarrow")
+            .to_pandas()["k"], dtype=np.int64))
+        ep_ref = ray.put(ep)
+
+        def is_endpoint(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            eps = ray.get(ep_ref)
+            pos = np.searchsorted(eps, ids)
+            pos[pos >= len(eps)] = 0
+            return t.filter(pa.array(eps[pos] == ids))
+
+        candidates = candidates.map_batches(is_endpoint, batch_format="pyarrow")
+    else:
+        logger.info(
+            "minhash: %d candidate pairs exceed endpoint broadcast budget "
+            "%d; shipping every doc's shingle set", n_pairs,
+            endpoint_broadcast_budget)
+
+    # shingles are recomputed here for candidate docs only (banding already
+    # hashed them once for every doc): caching them instead would mean
+    # materializing a corpus-sized sketch column to serve a candidate-sized
+    # read — recompute on the filtered subset is strictly cheaper.
+    sets = candidates.map_batches(doc_sets, batch_format="pyarrow")
     verified = (
         sets.union(halves)
         .groupby("k")
@@ -568,11 +616,10 @@ def minhash_dedup_ds(
         .materialize()
     )
     n_edges = verified.count()
-    _dbg(f"verified edges: {n_edges}")
+    logger.debug("minhash: %d verified edges", n_edges)
     if n_edges == 0:
         return rd.from_arrow(empty)
 
-    _dbg("components")
     use_driver = cc == "driver" or (cc == "auto" and n_edges <= driver_edge_budget)
     if use_driver:
         ep = verified.to_pandas()  # ids only; bounded by driver_edge_budget
