@@ -841,6 +841,118 @@ def bm25_topk_filtered(sf_dir: str):
     )
 
 
+def bm25_topk_range_filtered(sf_dir: str):
+    """BM25 top-k restricted by a sidecar-attribute RANGE predicate — the
+    reference's other ubiquitous filter shape (date/amount ranges,
+    /root/reference/es/adapter.go:120-153, es.postman_collection.json:57,96).
+    Served from the loaded sidecar, composed with an index-served keyword
+    filter; no table scan."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir)
+    filt = {"bool": {"must": [
+        {"range": {"dl": {"gte": 20, "lt": 60}}},
+        {"field_term": {"lang": "en"}},
+    ]}}
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        for h in s.search(terms, k=k, filter=filt):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+BM25_SHOULD_QUERIES: list[tuple[int, list[str], list[str], int, int]] = [
+    # (qid, must terms, should terms, minimum_should_match, k)
+    (0, ["data", "fast"], ["query", "merge"], 0, 10),
+    (1, ["customer"], ["table"], 0, 5),
+    (2, ["spark"], ["join", "stream"], 1, 10),
+]
+
+
+def bm25_topk_should(sf_dir: str):
+    """``bool.should`` in QUERY context + minimum_should_match — the last
+    reference query-surface divergence (es.postman_collection.json:258):
+    should clauses add their BM25 contribution to candidates' scores but
+    candidates still come from the must terms (and must satisfy the
+    per-query minimum_should_match)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms, should, msm, k in BM25_SHOULD_QUERIES:
+        for h in s.search(terms, k=k, should_terms=should,
+                          min_should_match=msm):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _bm25_should_sql() -> str:
+    """Oracle for should-as-scoring: must-term candidates, plus the should
+    terms' BM25 contributions LEFT-joined in; rows failing the per-query
+    minimum_should_match drop out."""
+    mv = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _s, _m, _ in BM25_SHOULD_QUERIES
+        for t in sorted(set(terms))
+    )
+    sv = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, should, _m, _ in BM25_SHOULD_QUERIES
+        for t in sorted(set(should) - set(terms))
+    )
+    ks = ", ".join(f"({qid}, {k}, {m})" for qid, _t, _s, m, k in BM25_SHOULD_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+mq(qid, term) AS (VALUES {mv}),
+sq(qid, term) AS (VALUES {sv}),
+ks(qid, k, msm) AS (VALUES {ks}),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+mscore AS (
+  SELECT mq.qid, w.doc_id, sum(w.w) AS s
+  FROM mq JOIN w ON w.term = mq.term GROUP BY 1, 2),
+sscore AS (
+  SELECT sq.qid, w.doc_id, sum(w.w) AS s, count(*) AS nsh
+  FROM sq JOIN w ON w.term = sq.term GROUP BY 1, 2),
+scores AS (
+  SELECT m.qid, m.doc_id, m.s + coalesce(ss.s, 0) AS score
+  FROM mscore m
+  LEFT JOIN sscore ss ON ss.qid = m.qid AND ss.doc_id = m.doc_id
+  JOIN ks ON ks.qid = m.qid
+  WHERE coalesce(ss.nsh, 0) >= ks.msm),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
 def field_scoped_lookup(sf_dir: str):
     """Exact doc listing via keyword-field postings (no table scan): the
     reference's '~40 exact keyword fields per doc' surface
@@ -1127,6 +1239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "bm25_topk_range_filtered": bm25_topk_range_filtered,
+        "bm25_topk_should": bm25_topk_should,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_terms_agg_filtered": docs_terms_agg_filtered,
         "docs_exists_counts": docs_exists_counts,
@@ -1170,6 +1284,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": DOC_QUALITY_SQL,
         "bm25_topk_documents": _bm25_documents_sql(),
         "bm25_topk_filtered": _bm25_documents_sql("fd.lang = 'en'"),
+        "bm25_topk_range_filtered": _bm25_documents_sql(
+            "fd.lang = 'en' AND fd.doc_id IN "
+            "(SELECT doc_id FROM dl WHERE dl >= 20 AND dl < 60)"
+        ),
+        "bm25_topk_should": _bm25_should_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,
         "docs_exists_counts": DOCS_EXISTS_SQL,

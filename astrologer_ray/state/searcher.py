@@ -42,10 +42,11 @@ class _Cursor:
     """doc_id-ascending iterator over one term's chunk list with block skips."""
 
     __slots__ = ("chunks", "ci", "bi", "ids", "tfs", "dls", "pos", "doc", "idf",
-                 "term", "ub", "k1", "b", "avgdl")
+                 "term", "ub", "k1", "b", "avgdl", "is_should")
 
     def __init__(self, term, chunks, idf_t, k1, b, avgdl):
         self.term = term
+        self.is_should = False
         self.chunks = chunks  # list of chunk rows (dicts), chunk_id ascending
         self.idf = idf_t
         self.k1, self.b, self.avgdl = k1, b, avgdl
@@ -142,6 +143,17 @@ class Searcher:
         self.n_shards = int(self.meta["n_shards"])
         self.shards = set(shards) if shards is not None else None
         self.chunk_range = chunk_range
+        # local doc-id space: a doc-range shard only ever touches docs in
+        # [doc_lo, doc_hi) — masks/accumulators are sized to the range, and
+        # the docs sidecar read below is pruned to it, so per-actor memory
+        # shrinks ~1/n_actors instead of staying O(N) per actor
+        chunk_bits = int(self.meta.get("chunk_bits", 20))
+        if chunk_range is not None:
+            self.doc_lo = min(int(chunk_range[0]) << chunk_bits, self.N)
+            self.doc_hi = min(int(chunk_range[1]) << chunk_bits, self.N)
+        else:
+            self.doc_lo, self.doc_hi = 0, self.N
+        self.n_local = max(0, self.doc_hi - self.doc_lo)
 
         pfiles = sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet")))
         filt = None
@@ -175,10 +187,20 @@ class Searcher:
         if load_docs:
             cols = ["doc_id", "doc_key", "repo", "path", "commit", "lang", "dl"]
             dfiles = sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
+            dfilt = None
+            if chunk_range is not None:
+                # prune the sidecar read to this shard's doc range — a
+                # doc-range actor must not hold N rows of attributes
+                dfilt = (pc.field("doc_id") >= self.doc_lo) & (
+                    pc.field("doc_id") < self.doc_hi
+                )
             docs = pa.concat_tables(
-                [pq.read_table(p, columns=cols) for p in dfiles]
+                [pq.read_table(p, columns=cols, filters=dfilt) for p in dfiles]
             ).sort_by("doc_id")
-            assert docs.column("doc_id").to_numpy()[-1] == docs.num_rows - 1 if docs.num_rows else True
+            if docs.num_rows:
+                did = docs.column("doc_id").to_numpy()
+                assert did[0] == self.doc_lo and did[-1] == self.doc_hi - 1
+                assert docs.num_rows == self.n_local
             for c in cols[1:]:
                 arr = docs.column(c)
                 self.doc_attrs[c] = (
@@ -225,6 +247,10 @@ class Searcher:
             )
         ids = np.concatenate(parts_i) if len(parts_i) > 1 else parts_i[0]
         w = np.concatenate(parts_w) if len(parts_w) > 1 else parts_w[0]
+        if self.doc_lo:
+            # cache LOCAL ids once at decode time so every query-time
+            # scatter indexes the range-sized accumulators directly
+            ids = ids - self.doc_lo
         if self._taat_cache_vals + len(ids) <= self.TAAT_CACHE_VALS:
             self._taat_cache[t] = (ids, w)
             self._taat_cache_vals += len(ids)
@@ -237,7 +263,8 @@ class Searcher:
                 self._taat_cache_vals += len(ids)
         return ids, w
 
-    def _search_taat(self, qterms, k, allowed):
+    def _search_taat(self, qterms, k, allowed, should_terms=None,
+                     min_should_match=0):
         """Exact term-at-a-time scoring: one numpy pass per query term.
 
         Bit-identical to the oracle: same weight expression, contributions
@@ -250,8 +277,8 @@ class Searcher:
         actually visited, not by N.
         """
         if getattr(self, "_score_buf", None) is None:
-            self._score_buf = np.zeros(self.N, dtype=np.float64)
-            self._match_buf = np.zeros(self.N, dtype=bool)
+            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
+            self._match_buf = np.zeros(self.n_local, dtype=bool)
         scores, matched = self._score_buf, self._match_buf
         touched = []
         for t in qterms:
@@ -261,7 +288,25 @@ class Searcher:
             scores[ids] += w
             matched[ids] = True
             touched.append(ids)
+        should_count = None
+        if should_terms:
+            # should clauses add score and a per-doc match count; they never
+            # create candidates on their own unless there are no must terms
+            should_count = np.zeros(self.n_local, dtype=np.int32)
+            for t in sorted(set(should_terms) - set(qterms)):
+                if t not in self.postings or not self.owns_term(t):
+                    continue
+                ids, w = self._term_contribution(t)
+                scores[ids] += w
+                should_count[ids] += 1
+                touched.append(ids)
+                if not qterms:
+                    matched[ids] = True
         cand = np.flatnonzero(matched)
+        if should_count is not None:
+            msm = max(min_should_match, 0 if qterms else 1)
+            if msm > 0:
+                cand = cand[should_count[cand] >= msm]
         if allowed is not None:
             cand = cand[allowed[cand]]
         try:
@@ -275,11 +320,14 @@ class Searcher:
                 kth = s[np.argpartition(-s, kk - 1)[kk - 1]]
                 cand = cand[s >= kth]
             order = np.lexsort((cand, -scores[cand]))[:kk]
-            return [(int(cand[i]), float(scores[cand[i]])) for i in order]
+            lo = self.doc_lo
+            return [(int(cand[i]) + lo, float(scores[cand[i]])) for i in order]
         finally:
             for ids in touched:
                 scores[ids] = 0.0
                 matched[ids] = False
+                if should_count is not None:
+                    should_count[ids] = 0
 
     def _attr(self, name: str) -> np.ndarray:
         if name not in self.doc_attrs:
@@ -290,8 +338,9 @@ class Searcher:
         return self.doc_attrs[name]
 
     def _postings_ids_mask(self, term: str) -> np.ndarray:
-        """Doc mask for one exact index term (posting-list membership)."""
-        mask = np.zeros(self.N, dtype=bool)
+        """Doc mask for one exact index term (posting-list membership).
+        Local doc-id space: index ``mask[doc_id - self.doc_lo]``."""
+        mask = np.zeros(self.n_local, dtype=bool)
         if term in self.postings:
             ids, _w = self._term_contribution(term)
             mask[ids] = True
@@ -312,9 +361,18 @@ class Searcher:
 
           {"term": {attr: value}}          sidecar attribute equality
           {"exists": attr}                 attr non-null and non-empty
+          {"range": {attr: {"gte"|"gt"|"lte"|"lt": bound, ...}}}
+                                           sidecar attribute range (the
+                                           reference's other ubiquitous
+                                           filter: date/amount ranges,
+                                           /root/reference/es/adapter.go
+                                           range counts + histogram ranges)
           {"field_term": {field: value}}   keyword-field posting (index-served)
           {"match": term}                  analyzed-text posting (index-served)
           {"bool": {"must": [...], "must_not": [...], "should": [...]}}
+
+        Masks are in LOCAL doc-id space (``mask[doc_id - self.doc_lo]``),
+        sized to this searcher's doc range.
         """
         if not (isinstance(f, dict) and len(f) == 1):
             raise ValueError(f"filter must be a single-key dict, got {f!r}")
@@ -325,7 +383,18 @@ class Searcher:
             return col == val
         if kind == "exists":
             col = self._attr(arg)
-            return np.array([v is not None and v != "" for v in col], dtype=bool)
+            return (col != None) & (col != "")  # noqa: E711 — elementwise
+        if kind == "range":
+            ((attr, bounds),) = arg.items()
+            col = self._attr(attr)
+            m = np.ones(len(col), dtype=bool)
+            ops = {"gte": np.greater_equal, "gt": np.greater,
+                   "lte": np.less_equal, "lt": np.less}
+            for op, bound in bounds.items():
+                if op not in ops:
+                    raise ValueError(f"unknown range op {op!r}: gte|gt|lte|lt")
+                m &= ops[op](col, bound)
+            return m
         if kind == "field_term":
             ((field, val),) = arg.items()
             return self._postings_ids_mask(
@@ -349,14 +418,15 @@ class Searcher:
         raise ValueError(f"unknown filter kind {kind!r}")
 
     def count(self, filter=None) -> int:
-        """Number of docs matching ``filter`` (all docs when None)."""
+        """Number of docs in this searcher's range matching ``filter``
+        (all of them when None); doc-range shard counts sum exactly."""
         if filter is None:
-            return self.N
+            return self.n_local
         return int(self.filter_mask(filter).sum())
 
     def field_lookup(self, filter, decorate: bool = False) -> list[dict]:
         """Exact doc listing for a filter — index/sidecar-served, no scan."""
-        ids = np.flatnonzero(self.filter_mask(filter))
+        ids = np.flatnonzero(self.filter_mask(filter)) + self.doc_lo
         return self._format([(int(d), 0.0) for d in ids], decorate)
 
     def agg_terms(self, attr: str, k: int = 10, filter=None) -> list[tuple]:
@@ -377,10 +447,19 @@ class Searcher:
         filter=None,
         decorate: bool = False,
         strategy: str = "auto",
+        should_terms: list[str] | None = None,
+        min_should_match: int = 0,
     ) -> list[dict]:
         """Exact top-k BM25. ``strategy``: "taat" (vectorized term-at-a-
         time), "wand" (block-max WAND), or "auto" (taat while the doc space
-        fits a dense accumulator). Both are rank-identical to the oracle."""
+        fits a dense accumulator). Both are rank-identical to the oracle.
+
+        ``should_terms`` are ES ``bool.should`` clauses in QUERY context
+        (es.postman_collection.json:258): they add their BM25 contribution
+        to matching candidates' scores but do not create candidates on
+        their own — unless ``terms`` is empty, where at least one should
+        clause must match (the ES default). ``min_should_match`` requires
+        that many should terms per candidate (ES minimum_should_match)."""
         if k <= 0:
             return []
         qterms = sorted({t for t in terms if self.owns_term(t)})
@@ -399,15 +478,23 @@ class Searcher:
             strategy == "auto" and self.N <= self.TAAT_MAX_DOCS
         )
         if use_taat:
-            hits = self._search_taat(qterms, k, allowed)
+            hits = self._search_taat(qterms, k, allowed,
+                                     should_terms, min_should_match)
             return self._format(hits, decorate)
 
+        sterms = sorted({t for t in (should_terms or []) if self.owns_term(t)}
+                        - set(qterms))
+        msm = max(min_should_match, 0 if qterms else 1) if sterms else 0
         cursors = []
-        for t in qterms:
-            chunks = self.postings.get(t)
-            if chunks:
-                idf_t = idf(self.N, int(self.df[t]))
-                cursors.append(_Cursor(t, chunks, idf_t, self.k1, self.b, self.avgdl))
+        for is_should, tl in ((False, qterms), (True, sterms)):
+            for t in tl:
+                chunks = self.postings.get(t)
+                if chunks:
+                    idf_t = idf(self.N, int(self.df[t]))
+                    c = _Cursor(t, chunks, idf_t, self.k1, self.b, self.avgdl)
+                    c.is_should = is_should
+                    cursors.append(c)
+        n_must = sum(1 for c in cursors if not c.is_should)
 
         heap: list[tuple[float, int]] = []  # (score, -doc_id): min = worst
         theta = -np.inf
@@ -451,13 +538,23 @@ class Searcher:
                     for c in prefix:
                         c.next_geq(nxt)
                 else:
-                    if allowed is None or allowed[pivot_doc]:
+                    if allowed is None or allowed[pivot_doc - self.doc_lo]:
                         # contributions in sorted-term order == cursors order
+                        # (must terms first, then should terms); should-only
+                        # matches and msm shortfalls are rejected here —
+                        # pruning stays safe because UB sums overestimate
                         s = 0.0
+                        must_any = n_must == 0
+                        should_cnt = 0
                         for c in cursors:
                             if c.doc == pivot_doc:
                                 s += c.score()
-                        if s > theta or len(heap) < k:
+                                if c.is_should:
+                                    should_cnt += 1
+                                else:
+                                    must_any = True
+                        if (must_any and should_cnt >= msm) and (
+                                s > theta or len(heap) < k):
                             heapq.heappush(heap, (s, -pivot_doc))
                             if len(heap) > k:
                                 heapq.heappop(heap)
@@ -483,10 +580,11 @@ class Searcher:
         for rank, (d, s) in enumerate(hits):
             r = {"rank": rank, "doc_id": d, "score": s}
             if decorate and self.doc_key is not None:
-                r["doc_key"] = str(self.doc_key[d])
-                r["repo"] = str(self.doc_repo[d])
-                r["path"] = str(self.doc_path[d])
-                r["lang"] = str(self.doc_lang[d])
+                i = d - self.doc_lo
+                r["doc_key"] = str(self.doc_key[i])
+                r["repo"] = str(self.doc_repo[i])
+                r["path"] = str(self.doc_path[i])
+                r["lang"] = str(self.doc_lang[i])
             results.append(r)
         return results
 

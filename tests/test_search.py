@@ -240,3 +240,108 @@ def test_wand_with_filters_matches_taat(kw_index):
         b = [(h["doc_id"], round(h["score"], 9))
              for h in s.search(terms, k=k, filter=filt, strategy="wand")]
         assert a == b, f"{terms}"
+
+
+def test_range_filter_matches_scan(kw_index):
+    """{"range": {...}} over the numeric dl sidecar attr == brute mask."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    dls = np.array([len(tokenize(r[4], mode="code")) for r in rows])
+    med = int(np.median(dls))
+    for bounds, mask in [
+        ({"gte": med}, dls >= med),
+        ({"lt": med}, dls < med),
+        ({"gt": med - 5, "lte": med + 5}, (dls > med - 5) & (dls <= med + 5)),
+    ]:
+        filt = {"range": {"dl": bounds}}
+        assert s.count(filt) == int(mask.sum()), bounds
+        got = sorted(h["doc_id"] for h in s.field_lookup(filt))
+        assert got == list(np.flatnonzero(mask)), bounds
+    # composed with search: every hit obeys the range, both strategies agree
+    terms, k = _queries(s)[1]
+    filt = {"range": {"dl": {"gte": med}}}
+    a = [(h["doc_id"], round(h["score"], 9))
+         for h in s.search(terms, k=k, filter=filt, strategy="taat")]
+    b = [(h["doc_id"], round(h["score"], 9))
+         for h in s.search(terms, k=k, filter=filt, strategy="wand")]
+    assert a == b and all(dls[d] >= med for d, _ in a)
+    with pytest.raises(ValueError):
+        s.filter_mask({"range": {"dl": {"between": (1, 2)}}})
+
+
+def test_should_scoring_matches_taat_and_semantics(index_and_oracle):
+    """should adds score without creating candidates; msm gates; TAAT==WAND."""
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    head = [t for t, _ in terms_by_df[:4]]
+    mid = [t for t, _ in terms_by_df[len(terms_by_df) // 2:][:4]]
+    cases = [
+        ([head[0]], [mid[0], mid[1]], 0),
+        ([head[0], head[1]], [mid[0]], 1),
+        ([mid[0]], [head[0], head[1]], 2),
+        ([], [head[0], mid[0]], 0),          # should-only: >=1 must match
+        ([head[0]], ["zzz_no_such_term"], 0),
+        ([head[0]], [head[0], mid[0]], 0),   # overlap contributes once
+    ]
+    must_sets = {
+        t: {i for i, c in enumerate(contents)
+            if t in __import__("astrologer_ray.functions.tokenizer",
+                               fromlist=["tokenize"]).tokenize(c, mode="code")}
+        for t in set(head + mid)
+    }
+    for must, should, msm in cases:
+        a = s.search(must, k=20, should_terms=should, min_should_match=msm,
+                     strategy="taat")
+        b = s.search(must, k=20, should_terms=should, min_should_match=msm,
+                     strategy="wand")
+        assert [(h["doc_id"], round(h["score"], 9)) for h in a] == \
+               [(h["doc_id"], round(h["score"], 9)) for h in b], (must, should, msm)
+        for h in a:
+            d = h["doc_id"]
+            if must:
+                assert any(d in must_sets[t] for t in must)
+            n_sh = sum(d in must_sets.get(t, set()) for t in set(should) - set(must))
+            assert n_sh >= (msm if must else max(msm, 1)), (must, should, msm, d)
+        # should terms strictly increase a matching doc's score
+        if must and should and should[0] in must_sets:
+            base = {h["doc_id"]: h["score"]
+                    for h in s.search(must, k=len(contents))}
+            both = must_sets[must[0]] & must_sets[should[0]]
+            for h in a:
+                if h["doc_id"] in both and should[0] not in must:
+                    assert h["score"] > base[h["doc_id"]] - 1e-12
+
+
+def test_sharded_pool_with_docs_and_filters(index_and_oracle):
+    """Doc-range actors with load_docs=True: sidecar reads are pruned to the
+    range (per-actor exists counts sum to N, none holds all N rows), and
+    filtered/decorated scatter-gather equals the full searcher."""
+    import ray
+
+    from astrologer_ray.state.pool import ShardedSearchPool, _merge_topk
+
+    index_dir, contents, langs = index_and_oracle
+    full = Searcher(index_dir)
+    pool = ShardedSearchPool(index_dir, n_actors=4, load_docs=True)
+    try:
+        per_actor = ray.get([a.count.remote({"exists": "lang"})
+                             for a in pool.actors])
+        assert sum(per_actor) == len(contents)
+        assert all(c < len(contents) for c in per_actor)  # pruned, not full-N
+        lang0 = sorted(set(langs))[0]
+        filt = {"term": {"lang": lang0}}
+        for terms, k in _queries(full)[:6]:
+            want = [(h["doc_id"], h["score"], h["lang"])
+                    for h in full.search(terms, k=k, filter=filt, decorate=True)]
+            got_lists = ray.get([
+                a.search.remote(terms, k=k, filter=filt, decorate=True)
+                for a in pool.actors
+            ])
+            got = [(h["doc_id"], h["score"], h["lang"])
+                   for h in _merge_topk(got_lists, k)]
+            assert got == want, f"{terms}"
+    finally:
+        pool.shutdown()
