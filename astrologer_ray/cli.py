@@ -96,6 +96,7 @@ def cmd_ingest(args) -> int:
     from astrologer_ray.stages.spimi import (
         completed_units,
         effective_config,
+        existing_bucket_count,
         plan_partitions,
     )
 
@@ -105,10 +106,11 @@ def cmd_ingest(args) -> int:
     _ray_session(args.num_cpus)
     partials = os.path.join(args.index, "partials")
     # ingest must preserve the ORIGINAL build configuration: a resume config
-    # missing --keyword-field would mismatch every manifest and silently
-    # retokenize the whole corpus without the keyword postings.
+    # missing --keyword-field (or with a different merge bucket count) would
+    # mismatch every manifest and silently retokenize the whole corpus.
     kw = dict(kv.split("=", 1) for kv in (args.keyword_field or [])) or None
-    cfg = effective_config(mode=args.mode, n_buckets=DEFAULT_N_SHARDS,
+    n_buckets = existing_bucket_count(partials) or DEFAULT_N_SHARDS
+    cfg = effective_config(mode=args.mode, n_buckets=n_buckets,
                            keyword_fields=kw)
 
     def one_pass() -> dict:

@@ -176,33 +176,25 @@ def _varbyte_encode_with_sizes(v: np.ndarray) -> tuple[bytes, np.ndarray]:
     return out.tobytes(), nb
 
 
-def encode_chunks_batch(
+def _encode_runs_core(
     vals_doc: np.ndarray,
     vals_tf: np.ndarray,
     vals_dl: np.ndarray,
     run_starts: np.ndarray,
     run_ends: np.ndarray,
     avgdl: float,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> list[dict]:
-    """Encode MANY doc_id-sorted posting runs sharing flat value arrays.
-
-    Equivalent to ``[encode_chunk(vals[s:e]...) for s, e in runs]`` but with
-    ONE varbyte pass over the concatenated values — per-run numpy-kernel
-    launch overhead (~0.5 ms each) dominates when a shuffle block holds
-    thousands of (term, chunk) runs. The final assembly per run is pure
-    slicing of precomputed arrays/bytes.
-    """
+    k1: float,
+    b: float,
+) -> dict:
+    """Shared vectorized core for the run-batch encoders: ONE delta+varbyte
+    pass over the concatenated values plus all per-block metadata. Returns
+    the flat arrays both assembly styles (row dicts / Arrow columns) slice."""
     total = len(vals_doc)
-    if total == 0:
-        return []
     ids = np.asarray(vals_doc, dtype=np.int64)
     tfs = np.asarray(vals_tf, dtype=np.uint64)
     dls = np.asarray(vals_dl, dtype=np.uint64)
     run_starts = np.asarray(run_starts, dtype=np.int64)
     run_ends = np.asarray(run_ends, dtype=np.int64)
-    n_runs = len(run_starts)
     run_lens = run_ends - run_starts
 
     # global block starts: every run restarts; blocks of BLOCK within runs
@@ -239,6 +231,45 @@ def encode_chunks_batch(
 
     # per-run cumulative tf for sum_tf: one cumsum + slicing
     ctf = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
+    return {
+        "ids": ids, "run_starts": run_starts, "run_ends": run_ends,
+        "run_lens": run_lens, "blocks_per_run": blocks_per_run,
+        "block_starts": block_starts, "id_bytes": id_bytes,
+        "tf_bytes": tf_bytes, "dl_bytes": dl_bytes, "id_off": id_off,
+        "tf_off": tf_off, "dl_off": dl_off, "block_max_tfn": block_max_tfn,
+        "block_last": block_last, "ctf": ctf,
+    }
+
+
+def encode_chunks_batch(
+    vals_doc: np.ndarray,
+    vals_tf: np.ndarray,
+    vals_dl: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """Encode MANY doc_id-sorted posting runs sharing flat value arrays.
+
+    Equivalent to ``[encode_chunk(vals[s:e]...) for s, e in runs]`` but with
+    ONE varbyte pass over the concatenated values — per-run numpy-kernel
+    launch overhead (~0.5 ms each) dominates when a shuffle block holds
+    thousands of (term, chunk) runs. The final assembly per run is pure
+    slicing of precomputed arrays/bytes.
+    """
+    total = len(vals_doc)
+    if total == 0:
+        return []
+    c = _encode_runs_core(vals_doc, vals_tf, vals_dl, run_starts, run_ends,
+                          avgdl, k1, b)
+    ids, run_starts, run_ends = c["ids"], c["run_starts"], c["run_ends"]
+    blocks_per_run, block_starts = c["blocks_per_run"], c["block_starts"]
+    id_bytes, tf_bytes, dl_bytes = c["id_bytes"], c["tf_bytes"], c["dl_bytes"]
+    id_off, tf_off, dl_off = c["id_off"], c["tf_off"], c["dl_off"]
+    block_max_tfn, block_last, ctf = c["block_max_tfn"], c["block_last"], c["ctf"]
+    n_runs = len(run_starts)
 
     rows: list[dict] = []
     bpos = 0
@@ -264,6 +295,95 @@ def encode_chunks_batch(
         )
         bpos = be
     return rows
+
+
+def _bin_from_stream(data: bytes, bounds: np.ndarray) -> pa.Array:
+    """Zero-copy ``binary`` array over one shared byte stream: element *i*
+    is ``data[bounds[i]:bounds[i+1]]`` (bounds int64, len n+1, ascending)."""
+    n = len(bounds) - 1
+    off = bounds.astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data)]
+    )
+
+
+def encode_chunks_table(
+    vals_doc: np.ndarray,
+    vals_tf: np.ndarray,
+    vals_dl: np.ndarray,
+    run_starts: np.ndarray,
+    run_ends: np.ndarray,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    *,
+    terms: pa.Array,
+    chunk_ids: np.ndarray,
+    shard: int,
+) -> pa.Table:
+    """Columnar twin of :func:`encode_chunks_batch`: same cell values, but
+    the output is assembled directly as Arrow arrays — binary columns as
+    offset views over the three shared varbyte streams, list columns from
+    the flat per-block arrays — with no per-run Python loop and no
+    ``from_pylist``. Runs must tile the flat value arrays contiguously
+    (``run_starts[0]==0``, ``run_ends[-1]==len``, adjacent), which is how
+    the postings merge produces them. Returns a POSTINGS_SCHEMA table.
+
+    Falls back to the row-dict path if a byte stream exceeds int32 offsets
+    (>2 GiB per merge bucket — split the bucket instead of hitting this).
+    """
+    total = len(vals_doc)
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.asarray(run_ends, dtype=np.int64)
+    n_runs = len(run_starts)
+    if total == 0 or n_runs == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    assert run_starts[0] == 0 and run_ends[-1] == total
+    assert bool(np.all(run_starts[1:] == run_ends[:-1])), "runs must tile"
+
+    c = _encode_runs_core(vals_doc, vals_tf, vals_dl, run_starts, run_ends,
+                          avgdl, k1, b)
+    if max(len(c["id_bytes"]), len(c["tf_bytes"]), len(c["dl_bytes"])) >= 2**31:
+        rows = encode_chunks_batch(vals_doc, vals_tf, vals_dl, run_starts,
+                                   run_ends, avgdl, k1, b)
+        tl = terms.to_pylist()
+        for i, row in enumerate(rows):
+            row["term"] = tl[i]
+            row["chunk_id"] = int(chunk_ids[i])
+            row["shard"] = shard
+        return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+
+    ids = c["ids"]
+    bpr = c["blocks_per_run"]
+    bs = c["block_starts"]
+    id_off, tf_off, dl_off = c["id_off"], c["tf_off"], c["dl_off"]
+    run_bounds = np.concatenate((run_starts, run_ends[-1:]))
+    # per-run-relative block offsets: block offset minus its run's start
+    rep_rs = np.repeat(run_starts, bpr)
+    list_off = np.concatenate(([0], np.cumsum(bpr))).astype(np.int32)
+
+    def _list(vals: np.ndarray, typ) -> pa.ListArray:
+        return pa.ListArray.from_arrays(pa.array(list_off, pa.int32()),
+                                        pa.array(vals, typ))
+
+    cols = [
+        terms,
+        pa.array(np.asarray(chunk_ids, dtype=np.int64)),
+        pa.array(np.full(n_runs, shard, dtype=np.int32)),
+        pa.array(c["run_lens"]),
+        pa.array(ids[run_starts]),
+        pa.array(ids[run_ends - 1]),
+        _bin_from_stream(c["id_bytes"], id_off[run_bounds]),
+        _bin_from_stream(c["tf_bytes"], tf_off[run_bounds]),
+        _bin_from_stream(c["dl_bytes"], dl_off[run_bounds]),
+        _list(c["block_last"], pa.int64()),
+        _list(id_off[bs] - id_off[rep_rs], pa.int64()),
+        _list(tf_off[bs] - tf_off[rep_rs], pa.int64()),
+        _list(dl_off[bs] - dl_off[rep_rs], pa.int64()),
+        _list(c["block_max_tfn"], pa.float64()),
+        pa.array(c["ctf"][run_ends] - c["ctf"][run_starts]),
+    ]
+    return pa.Table.from_arrays(cols, schema=POSTINGS_SCHEMA)
 
 
 def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

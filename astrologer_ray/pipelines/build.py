@@ -42,7 +42,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from astrologer_ray import B, K1
-from astrologer_ray.functions.codec import POSTINGS_SCHEMA, encode_chunks_batch
+from astrologer_ray.functions.codec import (
+    POSTINGS_SCHEMA,
+    encode_chunks_batch,
+    encode_chunks_table,
+)
 from astrologer_ray.stages.spimi import (
     completed_partitions,
     manifest_path,
@@ -265,6 +269,160 @@ def _write_keymap(docs_dir: str, keymap_dir: str, parallelism: int,
     km.map_batches(write_groups, batch_format="pyarrow", batch_size=None).materialize()
 
 
+def _merge_runs_collision(
+    terms_at, run_start, run_end, doc_vals, tf_vals, dl_vals, vstart, vend,
+    chunk_bits, avgdl, k1, b, shard,
+) -> pa.Table:
+    """Collision fallback for :func:`merge_bucket_table`: at least one pair
+    of DISTINCT terms shares a 63-bit term_hash in this bucket
+    (astronomically rare), so runs are split by actual term string in a
+    per-run Python loop — correctness over speed on this path."""
+    seg_d, seg_f, seg_l = [], [], []
+    seg_bounds = []  # (term, chunk_id, start, end) in output space
+    pos = 0
+    for i in range(len(run_start)):
+        rs, re_ = int(run_start[i]), int(run_end[i])
+        run_terms = terms_at.slice(rs, re_ - rs).to_pylist()
+        by_term: dict[str, list[int]] = {}
+        for j in range(rs, re_):
+            by_term.setdefault(run_terms[j - rs], []).append(j)
+        for tstr, rows_j in sorted(by_term.items()):
+            dd = np.concatenate([doc_vals[vstart[j]:vend[j]] for j in rows_j])
+            ff = np.concatenate([tf_vals[vstart[j]:vend[j]] for j in rows_j])
+            ll = np.concatenate([dl_vals[vstart[j]:vend[j]] for j in rows_j])
+            oo = np.argsort(dd)
+            dd, ff, ll = dd[oo], ff[oo], ll[oo]
+            cids = dd >> chunk_bits
+            cs = np.concatenate(
+                ([0], np.flatnonzero(np.diff(cids)) + 1, [len(dd)])
+            )
+            for s_, e_ in zip(cs[:-1], cs[1:]):
+                seg_d.append(dd[s_:e_])
+                seg_f.append(ff[s_:e_])
+                seg_l.append(ll[s_:e_])
+                seg_bounds.append((tstr, int(cids[s_]), pos, pos + (e_ - s_)))
+                pos += e_ - s_
+    if not seg_bounds:
+        return POSTINGS_SCHEMA.empty_table()
+    flat_d = np.concatenate(seg_d)
+    flat_f = np.concatenate(seg_f)
+    flat_l = np.concatenate(seg_l)
+    starts = np.array([s_ for _, _, s_, _ in seg_bounds], dtype=np.int64)
+    ends = np.array([e_ for _, _, _, e_ in seg_bounds], dtype=np.int64)
+    rows = encode_chunks_batch(flat_d, flat_f, flat_l, starts, ends,
+                               avgdl, k1, b)
+    for (term, cid, _, _), row in zip(seg_bounds, rows):
+        row["term"] = term
+        row["chunk_id"] = cid
+        row["shard"] = shard
+    return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+
+
+def merge_bucket_table(
+    t: pa.Table,
+    km_lrow: np.ndarray,
+    km_doc: np.ndarray,
+    km_dl: np.ndarray,
+    *,
+    shard: int,
+    chunk_bits: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> pa.Table:
+    """Merge ONE bucket's concatenated partial postings into encoded chunks.
+
+    Fully vectorized: one stable sort groups rows into term runs by hash,
+    one ``lexsort((doc_id, run))`` orders every posting value, one
+    difference pass finds the (term, chunk_id) segment boundaries (every
+    term is range-salted at ``doc_id >> chunk_bits`` — SURVEY §4 skew row),
+    and :func:`encode_chunks_table` assembles the output columnar. No
+    per-term Python loop — O(#values) numpy work regardless of how many
+    unique terms the bucket holds. Distinct-term hash collisions divert to
+    :func:`_merge_runs_collision`.
+    """
+    if t.num_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    t = t.combine_chunks()
+    hashes = np.asarray(t.column("term_hash"))
+    order = np.argsort(hashes, kind="stable")
+    t = t.take(pa.array(order))
+    hashes = hashes[order]
+    n_rows = t.num_rows
+
+    lcol = t.column("lrows").combine_chunks()
+    lengths = lcol.value_lengths().to_numpy().astype(np.int64)
+    lrow_vals = lcol.flatten().to_numpy()
+    tf_vals = t.column("tfs").combine_chunks().flatten().to_numpy()
+    idx = np.searchsorted(km_lrow, lrow_vals)
+    assert bool(np.all(km_lrow[idx] == lrow_vals)), "keymap miss"
+    doc_vals = km_doc[idx]
+    dl_vals = km_dl[idx]
+
+    terms_at = t.column("term").combine_chunks()
+    new_run = np.empty(n_rows, dtype=bool)
+    new_run[0] = True
+    np.not_equal(hashes[1:], hashes[:-1], out=new_run[1:])
+    run_start = np.flatnonzero(new_run)
+    same_hash = ~new_run[1:]
+    if bool(same_hash.any()):
+        # 63-bit collision guard: same hash, different term string?
+        tneq = pc.not_equal(
+            terms_at.slice(1), terms_at.slice(0, n_rows - 1)
+        ).to_numpy(zero_copy_only=False)
+        if bool(np.any(same_hash & tneq)):
+            vend = np.cumsum(lengths)
+            vstart = vend - lengths
+            run_end = np.concatenate((run_start[1:], [n_rows]))
+            return _merge_runs_collision(
+                terms_at, run_start, run_end, doc_vals, tf_vals, dl_vals,
+                vstart, vend, chunk_bits, avgdl, k1, b, shard,
+            )
+
+    n_vals = len(doc_vals)
+    if n_vals == 0:
+        return POSTINGS_SCHEMA.empty_table()
+    run_of_val = np.repeat(np.cumsum(new_run) - 1, lengths)
+    n_runs = len(run_start)
+    if n_vals // n_runs >= 512:
+        # few FAT runs (small vocab / huge corpus): per-run argsorts are
+        # cache-resident and beat any global 3M-element sort by ~3x
+        vend = np.cumsum(lengths)
+        vstart = vend - lengths
+        run_end = np.concatenate((run_start[1:], [n_rows]))
+        d = np.empty_like(doc_vals)
+        f = np.empty_like(tf_vals)
+        dl = np.empty_like(dl_vals)
+        for rs, re_ in zip(run_start, run_end):
+            s, e = int(vstart[rs]), int(vend[re_ - 1])
+            o = np.argsort(doc_vals[s:e]) + s
+            d[s:e] = doc_vals[o]
+            f[s:e] = tf_vals[o]
+            dl[s:e] = dl_vals[o]
+        rv = run_of_val  # within-run sort: run labels unchanged
+    else:
+        # many SMALL runs (large vocab): ONE composite-key argsort, no
+        # Python per-run overhead; lexsort only if the key would overflow
+        stride = int(doc_vals.max()) + 1
+        if n_runs * stride < 2**62:
+            order2 = np.argsort(run_of_val * stride + doc_vals)
+        else:
+            order2 = np.lexsort((doc_vals, run_of_val))
+        d = doc_vals[order2]
+        f = tf_vals[order2]
+        dl = dl_vals[order2]
+        rv = run_of_val[order2]
+    cids = d >> chunk_bits
+    brk = np.flatnonzero((rv[1:] != rv[:-1]) | (cids[1:] != cids[:-1])) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(d)]))
+    seg_terms = terms_at.take(pa.array(run_start[rv[starts]]))
+    return encode_chunks_table(
+        d, f, dl, starts, ends, avgdl, k1, b,
+        terms=seg_terms, chunk_ids=cids[starts], shard=shard,
+    )
+
+
 def _encode_postings(
     partials_dir: str,
     docs_dir: str,
@@ -334,7 +492,6 @@ def _encode_postings(
     # bucket -> (file, row group) map from the stage-1 manifests
     post_files = sorted(glob.glob(os.path.join(partials_dir, "post-*.parquet")))
     buckets: dict[int, list[tuple[str, int]]] = {}
-    n_buckets = n_shards
     for pid in sorted(completed_partitions(partials_dir)):
         with open(manifest_path(partials_dir, pid)) as f:
             m = json.load(f)
@@ -364,12 +521,7 @@ def _encode_postings(
         )
 
     def merge_bucket(batch: pa.Table) -> pa.Table:
-        import sys as _sys
-        import time as _tt
-
-        _mt0 = _tt.time()
         km_cached = ray.get(km_ref) if km_ref is not None else None
-        _t_km = _tt.time() - _mt0
         out_summaries = []
         for desc in batch.to_pylist():
             bucket = int(desc["bucket"])
@@ -377,121 +529,24 @@ def _encode_postings(
                 km_cached if km_cached is not None
                 else load_keymap_for(list(desc["files"]))
             )
-            _t_r0 = _tt.time()
-            tables = [
+            t = pa.concat_tables(
                 pq.ParquetFile(f).read_row_group(rg)
                 for f, rg in zip(desc["files"], desc["rgs"])
-            ]
-            _t_read = _tt.time() - _t_r0
-            t = pa.concat_tables(tables).combine_chunks()
-            hashes = np.asarray(t.column("term_hash"))
-            order = np.argsort(hashes, kind="stable")
-            t = t.take(pa.array(order))
-            hashes = hashes[order]
-
-            lcol = t.column("lrows").combine_chunks()
-            lengths = lcol.value_lengths().to_numpy().astype(np.int64)
-            lrow_vals = lcol.flatten().to_numpy()
-            tf_vals = t.column("tfs").combine_chunks().flatten().to_numpy()
-            idx = np.searchsorted(km_lrow, lrow_vals)
-            assert bool(np.all(km_lrow[idx] == lrow_vals)), "keymap miss"
-            doc_vals = km_doc[idx]
-            dl_vals = km_dl[idx]
-
-            vend = np.cumsum(lengths)
-            vstart = vend - lengths
-            run_start = np.concatenate(
-                ([0], np.flatnonzero(hashes[1:] != hashes[:-1]) + 1)
             )
-            run_end = np.concatenate((run_start[1:], [t.num_rows]))
-            terms_at = t.column("term")
-
-            seg_d, seg_f, seg_l = [], [], []
-            seg_bounds = []  # (term, chunk_id, start, end) in output space
-            pos = 0
-            for i in range(len(run_start)):
-                rs, re_ = int(run_start[i]), int(run_end[i])
-                vs, ve = int(vstart[rs]), int(vend[re_ - 1])
-                d = doc_vals[vs:ve]
-                f_ = tf_vals[vs:ve]
-                l_ = dl_vals[vs:ve]
-                o2 = np.argsort(d)
-                d, f_, l_ = d[o2], f_[o2], l_[o2]
-                # hash-collision guard: distinct terms sharing a 63-bit hash
-                n_terms_run = pc.count_distinct(
-                    terms_at.slice(rs, re_ - rs)
-                ).as_py()
-                if n_terms_run > 1:
-                    # split by actual term string (astronomically rare)
-                    run_terms = terms_at.slice(rs, re_ - rs).to_pylist()
-                    by_term: dict[str, list[int]] = {}
-                    for j in range(rs, re_):
-                        by_term.setdefault(run_terms[j - rs], []).append(j)
-                    for tstr, rows_j in sorted(by_term.items()):
-                        dd = np.concatenate(
-                            [doc_vals[vstart[j]:vend[j]] for j in rows_j]
-                        )
-                        ff = np.concatenate(
-                            [tf_vals[vstart[j]:vend[j]] for j in rows_j]
-                        )
-                        ll = np.concatenate(
-                            [dl_vals[vstart[j]:vend[j]] for j in rows_j]
-                        )
-                        oo = np.argsort(dd)
-                        dd, ff, ll = dd[oo], ff[oo], ll[oo]
-                        cids = dd >> chunk_bits
-                        cs = np.concatenate(
-                            ([0], np.flatnonzero(np.diff(cids)) + 1, [len(dd)])
-                        )
-                        for s_, e_ in zip(cs[:-1], cs[1:]):
-                            seg_d.append(dd[s_:e_])
-                            seg_f.append(ff[s_:e_])
-                            seg_l.append(ll[s_:e_])
-                            seg_bounds.append(
-                                (tstr, int(cids[s_]), pos, pos + (e_ - s_))
-                            )
-                            pos += e_ - s_
-                    continue
-                term = terms_at[rs].as_py()
-                # range-salt: split the merged run at chunk boundaries
-                cids = d >> chunk_bits
-                cs = np.concatenate(
-                    ([0], np.flatnonzero(np.diff(cids)) + 1, [len(d)])
-                )
-                for s_, e_ in zip(cs[:-1], cs[1:]):
-                    seg_d.append(d[s_:e_])
-                    seg_f.append(f_[s_:e_])
-                    seg_l.append(l_[s_:e_])
-                    seg_bounds.append((term, int(cids[s_]), pos, pos + (e_ - s_)))
-                    pos += e_ - s_
-
-            if not seg_bounds:
+            # shard = bucket mod n_shards: consistent with owns_term's
+            # term_hash64 % n_shards because n_shards divides n_buckets
+            out = merge_bucket_table(
+                t, km_lrow, km_doc, km_dl, shard=bucket % n_shards,
+                chunk_bits=chunk_bits, avgdl=avgdl, k1=k1, b=b,
+            )
+            if out.num_rows == 0:
                 continue
-            flat_d = np.concatenate(seg_d)
-            flat_f = np.concatenate(seg_f)
-            flat_l = np.concatenate(seg_l)
-            starts = np.array([s_ for _, _, s_, _ in seg_bounds], dtype=np.int64)
-            ends = np.array([e_ for _, _, _, e_ in seg_bounds], dtype=np.int64)
-            rows = encode_chunks_batch(flat_d, flat_f, flat_l, starts, ends,
-                                       avgdl, k1, b)
-            for (term, cid, _, _), row in zip(seg_bounds, rows):
-                row["term"] = term
-                row["chunk_id"] = cid
-                row["shard"] = bucket
-            out = pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
             pq.write_table(
                 out,
                 os.path.join(postings_dir, f"post-bucket-{bucket:05d}.parquet"),
                 compression="zstd",
             )
             out_summaries.append(out.select(["term", "chunk_id", "n", "sum_tf"]))
-            if os.environ.get("GRAFT_DEBUG_STAGES"):
-                print(
-                    f"[merge] pid={os.getpid()} bucket={bucket} "
-                    f"t0={_mt0:.1f} km={_t_km:.1f}s read={_t_read:.1f}s "
-                    f"total={_tt.time()-_mt0:.1f}s",
-                    file=_sys.stderr,
-                )
         if not out_summaries:
             return pa.schema(
                 [("term", pa.string()), ("chunk_id", pa.int64()),
@@ -519,6 +574,8 @@ def build_index(
     b: float = B,
     chunk_bits: int = 20,
     n_shards: int = DEFAULT_N_SHARDS,
+    n_buckets: int | None = None,
+    target_merge_bytes: int = 256 << 20,
     partition_rows: int = 50_000,
     parallelism: int | None = None,
     concurrency: int | None = None,
@@ -583,10 +640,30 @@ def build_index(
         # stage 1 runs alone under the streaming executor: use the session
         concurrency = max(2, parallelism - 1)
 
-    from astrologer_ray.stages.spimi import completed_units, effective_config
+    from astrologer_ray.stages.spimi import (
+        completed_units,
+        effective_config,
+        existing_bucket_count,
+    )
+
+    # Merge bucket count (I/O-parallel merge units) is DECOUPLED from
+    # n_shards (the logical term-shard id served by Searcher/pools) but must
+    # be a multiple of it: hash % n_buckets == b implies hash % n_shards ==
+    # b % n_shards. Resolution order: explicit arg > the existing partials'
+    # value (resume/ingest MUST keep it) > auto from input volume so each
+    # merge task holds ~target_merge_bytes of raw postings instead of a
+    # fixed 1/n_shards of ALL postings — the binding memory/parallelism
+    # constraint at 100 TB otherwise.
+    if n_buckets is None:
+        n_buckets = existing_bucket_count(partials_dir) if resume else None
+    if n_buckets is None:
+        total_input_bytes = sum(os.path.getsize(p) for p in paths)
+        m = max(1, min(1024, -(-total_input_bytes // (n_shards * target_merge_bytes))))
+        n_buckets = int(m) * n_shards
+    n_buckets = max(n_shards, -(-int(n_buckets) // n_shards) * n_shards)
 
     build_cfg = effective_config(
-        mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_shards,
+        mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_buckets,
         keyword_fields=keyword_fields,
     )
     done = completed_units(partials_dir, units, config=build_cfg) if resume else set()
@@ -620,7 +697,7 @@ def build_index(
                 "mode": mode,
                 "column_map": column_map,
                 "key_cols": key_cols,
-                "n_buckets": n_shards,
+                "n_buckets": n_buckets,
                 "keyword_fields": keyword_fields,
             },
             batch_format="pyarrow",
@@ -721,6 +798,7 @@ def build_index(
         "keyword_fields": dict(keyword_fields or {}),
         "chunk_bits": chunk_bits,
         "n_shards": n_shards,
+        "n_buckets": n_buckets,
         "n_partitions": len(units),
         "source_files": paths,
     }

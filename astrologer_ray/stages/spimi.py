@@ -137,6 +137,21 @@ def completed_partitions(partials_dir: str) -> set[int]:
     return out
 
 
+def existing_bucket_count(partials_dir: str) -> int | None:
+    """The ``n_buckets`` the EXISTING partials were written with, or None.
+
+    Resume and ``ingest`` must reuse it verbatim: an auto-derived bucket
+    count that drifted with corpus size would mismatch every manifest's
+    build_config and silently retokenize the whole corpus."""
+    for pid in sorted(completed_partitions(partials_dir)):
+        try:
+            with open(manifest_path(partials_dir, pid)) as f:
+                return int(json.load(f)["n_buckets"])
+        except (OSError, KeyError, ValueError, json.JSONDecodeError):
+            continue
+    return None
+
+
 def completed_units(
     partials_dir: str, units: list[dict], config: dict | None = None
 ) -> set[int]:

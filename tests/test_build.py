@@ -348,3 +348,95 @@ def test_write_stage_retries_application_errors(ray_session, small_corpus_dir, t
     ).materialize()
     assert os.path.exists(marker)          # the failure really happened
     assert completed_units(partials, units) == {u["part_id"] for u in units}
+
+
+def test_merge_bucket_table_vectorized_and_collision_paths():
+    """merge_bucket_table: the vectorized path groups/sorts/salts exactly,
+    and a forged 63-bit term_hash collision diverts to the per-term
+    fallback producing the same rows as distinct hashes would."""
+    import pyarrow as pa
+
+    from astrologer_ray.functions.codec import decode_chunk
+    from astrologer_ray.pipelines.build import merge_bucket_table
+    from astrologer_ray.stages.spimi import POST_SCHEMA
+
+    km_lrow = np.arange(40, dtype=np.int64)
+    km_doc = (np.arange(40, dtype=np.int64) * 7) % 40  # scrambled doc ids
+    km_dl = (10 + km_doc).astype(np.int32)
+
+    def partial(term, thash, lrows, tfs):
+        return pa.table(
+            {"term": [term], "term_hash": [thash],
+             "lrows": [list(map(int, lrows))], "tfs": [list(map(int, tfs))]},
+            schema=POST_SCHEMA)
+
+    # two partitions contribute rows for term "a"; one for "b"
+    parts = [partial("a", 111, [0, 1, 2], [1, 2, 3]),
+             partial("a", 111, [10, 11], [4, 5]),
+             partial("b", 222, [3, 4, 5], [6, 7, 8])]
+    t = pa.concat_tables(parts)
+    out = merge_bucket_table(t, km_lrow, km_doc, km_dl, shard=1,
+                             chunk_bits=20, avgdl=12.0)
+    assert out.column("shard").to_pylist() == [1] * out.num_rows
+    by_term = {}
+    for row in out.to_pylist():
+        ids, tfs, dls = decode_chunk(row)
+        by_term.setdefault(row["term"], []).append((ids, tfs, dls))
+    a_ids = np.concatenate([x[0] for x in by_term["a"]])
+    want_a = np.sort(km_doc[[0, 1, 2, 10, 11]])
+    assert np.array_equal(a_ids, want_a)
+    order = np.argsort(km_doc[[0, 1, 2, 10, 11]])
+    want_tf = np.array([1, 2, 3, 4, 5])[order]
+    assert np.array_equal(np.concatenate([x[1] for x in by_term["a"]]), want_tf)
+    assert np.array_equal(
+        np.concatenate([x[2] for x in by_term["a"]]),
+        km_dl[[0, 1, 2, 10, 11]][order])
+
+    # forged collision: same hash, DIFFERENT terms -> fallback path; output
+    # rows must equal the no-collision build of the same postings
+    parts_c = [partial("x", 999, [0, 1], [1, 2]),
+               partial("y", 999, [2, 3], [3, 4]),
+               partial("x", 999, [10], [5])]
+    out_c = merge_bucket_table(pa.concat_tables(parts_c), km_lrow, km_doc,
+                               km_dl, shard=0, chunk_bits=20, avgdl=12.0)
+    parts_n = [partial("x", 111, [0, 1], [1, 2]),
+               partial("y", 333, [2, 3], [3, 4]),
+               partial("x", 111, [10], [5])]
+    out_n = merge_bucket_table(pa.concat_tables(parts_n), km_lrow, km_doc,
+                               km_dl, shard=0, chunk_bits=20, avgdl=12.0)
+    a = out_c.sort_by([("term", "ascending"), ("chunk_id", "ascending")])
+    b = out_n.sort_by([("term", "ascending"), ("chunk_id", "ascending")])
+    assert a.equals(b)
+
+
+def test_n_buckets_decoupled_from_n_shards(ray_session, small_corpus_dir, tmp_path):
+    """A build with n_buckets = 4 x n_shards yields an identical search
+    surface (same postings per term, same BM25 results, correct shard ids)
+    and more merge units."""
+    import glob as _glob
+
+    from astrologer_ray.functions.codec import term_hash64
+    from astrologer_ray.state.searcher import Searcher
+
+    d1 = str(tmp_path / "idx_base")
+    d2 = str(tmp_path / "idx_wide")
+    m1 = build_index(small_corpus_dir, d1, partition_rows=64, n_shards=4)
+    m2 = build_index(small_corpus_dir, d2, partition_rows=64, n_shards=4,
+                     n_buckets=16)
+    assert m1["n_buckets"] == 4 and m2["n_buckets"] == 16
+    assert len(_glob.glob(d2 + "/postings/*.parquet")) > len(
+        _glob.glob(d1 + "/postings/*.parquet"))
+    s1, s2 = Searcher(d1), Searcher(d2)
+    assert s1.N == s2.N and s1.df == s2.df
+    # shard column consistent with owns_term's term_hash64 % n_shards
+    pt = pq.read_table(sorted(_glob.glob(d2 + "/postings/*.parquet")),
+                       columns=["term", "shard"])
+    for term, shard in zip(pt.column("term").to_pylist()[:500],
+                           pt.column("shard").to_pylist()[:500]):
+        assert shard == term_hash64(term) % 4, term
+    terms = sorted(s1.df, key=s1.df.get, reverse=True)[:6]
+    for i in range(0, len(terms), 2):
+        q = terms[i:i + 2]
+        h1 = [(h["doc_id"], round(h["score"], 10)) for h in s1.search(q, k=20)]
+        h2 = [(h["doc_id"], round(h["score"], 10)) for h in s2.search(q, k=20)]
+        assert h1 == h2, q

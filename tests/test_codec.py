@@ -122,3 +122,49 @@ def test_encode_chunks_batch_equals_per_run():
         want = encode_chunk(vd[s:e], vt[s:e], vl[s:e], avgdl=77.0)
         got = batch[i]
         assert got == want, f"run {i} differs: {set(got) ^ set(want)}"
+
+
+def test_encode_chunks_table_equals_batch():
+    """Columnar assembly == row-dict assembly, cell for cell."""
+    import pyarrow as pa
+
+    from astrologer_ray.functions.codec import (
+        POSTINGS_SCHEMA,
+        encode_chunks_batch,
+        encode_chunks_table,
+    )
+
+    rng = np.random.default_rng(23)
+    lens = [1, 2, BLOCK, BLOCK + 1, 700, 5, 3 * BLOCK + 9, 64]
+    vals_d, vals_t, vals_l, runs = [], [], [], []
+    pos = 0
+    for n in lens:
+        ids, tfs, dls = _random_postings(rng, n)
+        vals_d.append(ids)
+        vals_t.append(tfs)
+        vals_l.append(dls)
+        runs.append((pos, pos + n))
+        pos += n
+    vd, vt, vl = map(np.concatenate, (vals_d, vals_t, vals_l))
+    starts = np.array([r[0] for r in runs])
+    ends = np.array([r[1] for r in runs])
+    rows = encode_chunks_batch(vd, vt, vl, starts, ends, avgdl=77.0)
+    cids = rng.integers(0, 3, len(runs)).astype(np.int64)
+    for i, r in enumerate(rows):
+        r["term"] = f"term{i}"
+        r["chunk_id"] = int(cids[i])
+        r["shard"] = 5
+    want = pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+    got = encode_chunks_table(
+        vd, vt, vl, starts, ends, 77.0,
+        terms=pa.array([f"term{i}" for i in range(len(runs))]),
+        chunk_ids=cids, shard=5,
+    )
+    assert got.schema.equals(want.schema)
+    assert got.equals(want)
+    # decode round-trip through the columnar cells too
+    for i, (s, e) in enumerate(runs):
+        ids2, tfs2, dls2 = decode_chunk(got.slice(i, 1).to_pylist()[0])
+        assert np.array_equal(ids2, vd[s:e])
+        assert np.array_equal(tfs2, vt[s:e])
+        assert np.array_equal(dls2, vl[s:e])
