@@ -733,6 +733,40 @@ GROUP BY text ORDER BY keep_id
 """
 
 
+def docs_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs over documents — the
+    non-probabilistic sibling of the MinHash pipeline, fully distributed
+    (shingle-hash inverted index; no all-pairs, text never shuffles)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5, n=3).to_pandas()
+    out["jac"] = out["jac"].round(6)
+    return out
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH tk AS (SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           FOR i IN range(1, greatest(len(t) - 1, 1))]) AS s
+    FROM tk)
+),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT i.id_a, i.id_b,
+       round(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jac
+FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def doc_quality(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.textstats import QualityScore
@@ -1236,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": doc_token_counts,
         "docs_containing_term": docs_containing_term,
         "dedup_exact_docs": dedup_exact_docs,
+        "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "doc_quality": doc_quality,
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_filtered": bm25_topk_filtered,
@@ -1281,6 +1316,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_counts": DOC_TOKENS_SQL,
         "docs_containing_term": DOCS_TERM_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "docs_ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "bm25_topk_documents": _bm25_documents_sql(),
         "bm25_topk_filtered": _bm25_documents_sql("fd.lang = 'en'"),

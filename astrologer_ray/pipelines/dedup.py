@@ -699,29 +699,41 @@ def embedding_near_dup_pairs(
     ds: Dataset, vec_col: str = "embedding", id_col: str = "vec_id",
     threshold: float = 0.95, *, method: str = "lsh",
     n_planes: int = 10, n_tables: int = 8, seed: int = 13,
-    num_partitions: int = 8,
+    num_partitions: int = 8, endpoint_broadcast_budget: int = 2_000_000,
 ) -> pa.Table:
     """Cosine near-dup pairs (id_a < id_b, cosine >= threshold).
 
-    ``method="lsh"`` (default, the scale path): each vector is bucketed by
-    ``n_tables`` independent sign-random-projection tables; only
-    within-bucket pairs are scored (exact cosine), then deduped across
-    tables with one groupby. The corpus shuffles ``n_tables`` times but no
-    full matrix is ever materialized or broadcast — every reported pair is
-    exact, recall < 1 only for pairs no table co-buckets (measured against
-    brute force in tests). ``method="brute"`` is the exact O(N^2) oracle:
-    it broadcasts the full normalized matrix (small-N / test use only).
+    ``method="lsh"`` (default, the scale path), in the same two-phase
+    semi-join shape as :func:`minhash_dedup_ds`: (1) candidate generation
+    shuffles ID-ONLY ``(table, bucket, id)`` rows for ``n_tables``
+    independent sign-random-projection tables — the vectors themselves
+    never ride the wide exchange; (2) candidates are verified with exact
+    cosine, either against a ``ray.put`` broadcast of just the candidate
+    ENDPOINTS' normalized vectors (zero further exchanges; when
+    ``2*n_pairs <= endpoint_broadcast_budget``) or via a grouped-join
+    attach whose volume is candidate-sized, not corpus-sized. Every
+    reported pair is exact; recall < 1 only for pairs no table co-buckets
+    (measured against brute force in tests). ``method="brute"`` is the
+    exact O(N^2) oracle: it broadcasts the full normalized matrix
+    (small-N / test use only).
     """
     if method == "brute":
         return _embedding_near_dup_brute(ds, vec_col, id_col, threshold)
     if method != "lsh":
         raise ValueError(f"unknown method {method!r}: lsh|brute")
+    import ray
+
     from astrologer_ray import ensure_hash_shuffle
 
     ensure_hash_shuffle()
 
-    class BucketEmit:
-        """One row per (table, vector): bucket key + normalized vector."""
+    class BucketEmitIds:
+        """One ID-ONLY row per (table, vector): the bucket exchange carries
+        (table:int32, bucket:int64, id:int64) — ~20 B/row — instead of the
+        full normalized vector, cutting the candidate-generation shuffle by
+        ~dim*8/20 per table (the round-2 design shipped every vector
+        n_tables times). Vectors are read here only to compute the sign
+        projections; they never ride this exchange."""
 
         def __init__(self):
             self.planes = None  # built on first batch (needs dim); seeded
@@ -733,69 +745,198 @@ def embedding_near_dup_pairs(
                 rng = np.random.default_rng(seed)
                 self.planes = rng.standard_normal((n_tables, n_planes, M.shape[1]))
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-            dim = Mn.shape[1]
             shifts = np.arange(n_planes, dtype=np.uint64)
             tabs, bucks = [], []
             for ti in range(n_tables):
                 bits = (Mn @ self.planes[ti].T) > 0
-                b = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
+                bk = (bits.astype(np.uint64) << shifts).sum(axis=1).astype(np.int64)
                 tabs.append(np.full(len(ids), ti, dtype=np.int32))
-                bucks.append(b)
-            rep_vecs = np.tile(Mn, (n_tables, 1))
+                bucks.append(bk)
             return pa.table(
                 {
                     "table": pa.array(np.concatenate(tabs)),
                     "bucket": pa.array(np.concatenate(bucks)),
                     id_col: pa.array(np.tile(ids, n_tables)),
-                    "nvec": pa.FixedSizeListArray.from_arrays(
-                        pa.array(rep_vecs.reshape(-1), pa.float64()), dim
-                    ),
                 }
             )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g[id_col]).astype(np.int64)
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
-        if len(ids) < 2:
-            return empty
-        V = np.stack(g["nvec"].to_numpy(zero_copy_only=False))
-        sims = V @ V.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        if len(ii) == 0:
-            return empty
-        a = np.minimum(ids[ii], ids[jj])
-        b = np.maximum(ids[ii], ids[jj])
-        keep = a < b  # drop degenerate duplicate-id pairs
-        return pa.table(
-            {
-                "id_a": pa.array(a[keep], pa.int64()),
-                "id_b": pa.array(b[keep], pa.int64()),
-                "cosine": pa.array(sims[ii, jj][keep], pa.float64()),
-            }
-        )
+    _CAND_TYPES = {"id_a": pa.int64(), "id_b": pa.int64()}
 
-    out = (
+    def bucket_candidates(g: pa.Table) -> pa.Table:
+        """All within-bucket id pairs (a < b) — candidates, not yet scored.
+        Buckets are ~N/2^n_planes docs, so the m^2 blowup is bounded by the
+        plane count; pairs are 16 B each."""
+        ids = np.unique(np.asarray(g[id_col]).astype(np.int64))
+        if len(ids) < 2:
+            return pa.schema(list(_CAND_TYPES.items())).empty_table()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"id_a": pa.array(ids[ii]), "id_b": pa.array(ids[jj])})
+
+    pairs = (
         ds.select_columns([id_col, vec_col])
-        .map_batches(BucketEmit, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(BucketEmitIds, batch_format="pyarrow", concurrency=(1, 8))
         .groupby(["table", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .map_groups(bucket_candidates, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])            # dedup across tables
         .map_groups(_first_row, batch_format="pyarrow")
         .map_batches(
-            lambda t: _project(
-                t, {"id_a": "id_a", "id_b": "id_b", "cosine": "cosine"},
-                {"id_a": pa.int64(), "id_b": pa.int64(), "cosine": pa.float64()},
-            ),
+            lambda t: _project(t, {"id_a": "id_a", "id_b": "id_b"}, _CAND_TYPES),
             batch_format="pyarrow",
         )
-        .to_pandas()
+        .materialize()
     )
+    n_pairs = pairs.count()
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+    if n_pairs == 0:
+        return empty
+
+    # ---- exact-cosine verification of the candidates. Semi-join shape as
+    # minhash: only candidate ENDPOINTS need their vector shipped anywhere.
+    if n_pairs * 2 <= endpoint_broadcast_budget:
+        # endpoints fit a broadcast: collect their normalized vectors once
+        # (ray.put), verify pairs with zero further exchanges
+        pt = pairs.to_arrow_refs()
+        # drop Ray's schema-less empty blocks before concat (2.49 quirk)
+        cand = pa.concat_tables(
+            [b for b in ray.get(pt) if b.num_columns]
+        )
+        ep = np.unique(np.concatenate(
+            [np.asarray(cand["id_a"]), np.asarray(cand["id_b"])]
+        ).astype(np.int64))
+        ep_ref = ray.put(ep)
+
+        def endpoint_vecs(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            keep = np.isin(ids, ray.get(ep_ref))
+            return t.filter(pa.array(keep))
+
+        evt = (
+            ds.select_columns([id_col, vec_col])
+            .map_batches(endpoint_vecs, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        ev = pa.concat_tables(ray.get(evt))
+        eids = np.asarray(ev[id_col]).astype(np.int64)
+        M = np.stack(ev[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        o = np.argsort(eids)
+        vec_ref = ray.put((eids[o], M[o]))
+
+        class VerifyPairs:
+            def __init__(self):
+                self.ids, self.M = ray.get(vec_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                a = np.asarray(t["id_a"]).astype(np.int64)
+                b = np.asarray(t["id_b"]).astype(np.int64)
+                ia = np.searchsorted(self.ids, a)
+                ib = np.searchsorted(self.ids, b)
+                cos = np.einsum("ij,ij->i", self.M[ia], self.M[ib])
+                keep = cos >= threshold
+                return pa.table(
+                    {"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
+                     "cosine": pa.array(cos[keep], pa.float64())}
+                )
+
+        out = (
+            pairs.map_batches(VerifyPairs, batch_format="pyarrow",
+                              concurrency=(1, 8))
+            .to_pandas()
+        )
+    else:
+        # candidate fraction too large to broadcast: grouped-join attach —
+        # each pair keyed by each endpoint meets that endpoint's vector in
+        # ONE groupby(k), then the halves meet in groupby(id_a, id_b).
+        half_types = {"k": pa.int64(), "kind": pa.int8(), "id_a": pa.int64(),
+                      "id_b": pa.int64(), "nvec": pa.list_(pa.float64())}
+        half_schema = pa.schema(list(half_types.items()))
+
+        def pair_halves(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "id_a" not in t.column_names:
+                return half_schema.empty_table()
+            a = np.asarray(t["id_a"]).astype(np.int64)
+            b = np.asarray(t["id_b"]).astype(np.int64)
+            n = 2 * len(a)
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate([a, b])),
+                 pa.array(np.zeros(n, dtype=np.int8)),
+                 pa.array(np.concatenate([a, a])),
+                 pa.array(np.concatenate([b, b])),
+                 pa.ListArray.from_arrays(np.zeros(n + 1, dtype=np.int32),
+                                          pa.array([], pa.float64()))],
+                schema=half_schema,
+            )
+
+        def vec_rows(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            M = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            n, dim = M.shape
+            return pa.Table.from_arrays(
+                [pa.array(ids), pa.array(np.ones(n, dtype=np.int8)),
+                 pa.array(np.zeros(n, dtype=np.int64)),
+                 pa.array(np.zeros(n, dtype=np.int64)),
+                 pa.ListArray.from_arrays(
+                     (np.arange(n + 1) * dim).astype(np.int32),
+                     pa.array(M.reshape(-1), pa.float64()))],
+                schema=half_schema,
+            )
+
+        attached_types = {"id_a": pa.int64(), "id_b": pa.int64(),
+                          "nvec": pa.list_(pa.float64())}
+
+        def attach_vec(g: pa.Table) -> pa.Table:
+            kind = np.asarray(g["kind"])
+            di = np.flatnonzero(kind == 1)
+            pi = np.flatnonzero(kind == 0)
+            if len(di) == 0 or len(pi) == 0:
+                return pa.schema(list(attached_types.items())).empty_table()
+            ab = np.stack([np.asarray(g["id_a"])[pi],
+                           np.asarray(g["id_b"])[pi]], axis=1)
+            ab = np.unique(ab, axis=0)
+            v = g["nvec"][int(di[0])].as_py()
+            return pa.table(
+                {"id_a": pa.array(ab[:, 0]), "id_b": pa.array(ab[:, 1]),
+                 "nvec": pa.array([v] * len(ab), pa.list_(pa.float64()))}
+            ).cast(pa.schema(list(attached_types.items())))
+
+        def verify_pair(g: pa.Table) -> pa.Table:
+            if g.num_rows < 2 or "nvec" not in g.column_names:
+                return empty.schema.empty_table()
+            va = np.asarray(g["nvec"][0].as_py())
+            vb = np.asarray(g["nvec"][1].as_py())
+            cos = float(va @ vb)
+            if cos < threshold:
+                return empty.schema.empty_table()
+            return pa.table({"id_a": g["id_a"].slice(0, 1),
+                             "id_b": g["id_b"].slice(0, 1),
+                             "cosine": pa.array([cos], pa.float64())}
+                            ).cast(empty.schema)
+
+        halves = pairs.map_batches(pair_halves, batch_format="pyarrow")
+        vecs = ds.select_columns([id_col, vec_col]).map_batches(
+            vec_rows, batch_format="pyarrow"
+        )
+        out = (
+            halves.union(vecs)
+            .groupby("k")
+            .map_groups(attach_vec, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .map_groups(verify_pair, batch_format="pyarrow")
+            .map_batches(
+                lambda t: _project(
+                    t, {c: c for c in ("id_a", "id_b", "cosine")},
+                    {"id_a": pa.int64(), "id_b": pa.int64(),
+                     "cosine": pa.float64()},
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
     if len(out) == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+        return empty
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["id_a", "id_b", "cosine"]], preserve_index=False)
 
@@ -843,3 +984,162 @@ def _embedding_near_dup_brute(
                          "cosine": pa.array([], pa.float64())})
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["id_a", "id_b", "cosine"]], preserve_index=False)
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.8, n: int = 3,
+) -> pa.Table:
+    """EXACT word-n-gram Jaccard near-dup pairs (id_a < id_b, jac >= thr).
+
+    The non-probabilistic sibling of :func:`minhash_dedup_ds` (same shingle
+    universe the reference-style LSH approximates): Jaccard over each doc's
+    DISTINCT set of ``n``-token shingles from the simple ``[a-z0-9]+``
+    split — token-for-token the SQL split the DuckDB oracle uses.
+
+    Distributed shape (no all-pairs anywhere):
+      1. shingle rows  : ``(h, doc_id)`` per distinct shingle, hashed 63-bit
+                         — text never shuffles, only 16 B rows.
+      2. sizes         : per-doc distinct-shingle counts, computed INSIDE
+                         the emit block (a doc's rows are co-block), no
+                         exchange.
+      3. intersections : ``groupby(h)`` -> per-shingle co-occurring pairs ->
+                         ``groupby(id_a, id_b).count()`` = |A ∩ B|. Only
+                         docs sharing a shingle ever pair.
+      4. jaccard       : two grouped joins attach |A| and |B|;
+                         ``jac = c / (na + nb - c)``; filter + sort.
+
+    Skew note: a shingle shared by *m* docs emits m(m-1)/2 id pairs — at
+    corpus scale, strip boilerplate first or raise ``n``; the pair rows are
+    16 B so the exchange tolerates substantial overlap before it binds.
+
+    Docs with fewer than ``n`` tokens have no shingles and never pair
+    (matches the SQL oracle).
+    """
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count
+
+    from astrologer_ray import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    sh_schema = pa.schema([("h", pa.int64()), (id_col, pa.int64())])
+    size_schema = pa.schema([(id_col, pa.int64()), ("nsh", pa.int64())])
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        hs_all, id_all = [], []
+        for d, tx in zip(ids, texts):
+            toks = _SIMPLE_RE.findall((tx or "").lower())
+            if len(toks) < n:
+                continue
+            uniq = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.fromiter(
+                (int.from_bytes(
+                    _hl.blake2b(s.encode(), digest_size=8).digest(), "big"
+                ) >> 1 for s in uniq),
+                dtype=np.int64, count=len(uniq),
+            )
+            hs_all.append(hs)
+            id_all.append(np.full(len(hs), d, dtype=np.int64))
+        if not hs_all:
+            return sh_schema.empty_table()
+        return pa.table({"h": np.concatenate(hs_all),
+                         id_col: np.concatenate(id_all)}, schema=sh_schema)
+
+    shingles = ds.select_columns([id_col, text_col]).map_batches(
+        shingle_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def block_sizes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or id_col not in t.column_names:
+            return size_schema.empty_table()
+        # a doc's shingle rows never span blocks (emitted together above)
+        ids = np.asarray(t[id_col])
+        uniq, counts = np.unique(ids, return_counts=True)
+        return pa.table({id_col: uniq, "nsh": counts.astype(np.int64)},
+                        schema=size_schema)
+
+    # per-doc sizes: ids never span blocks, so per-block counts are exact.
+    # They broadcast (12 B/doc) — at 10^9 docs that is ~12 GB plasma, the
+    # documented ceiling; shard the corpus above it.
+    import ray
+
+    sref = shingles.map_batches(block_sizes, batch_format="pyarrow").to_arrow_refs()
+    st = pa.concat_tables([b for b in ray.get(sref) if b.num_columns])
+    sid = np.asarray(st[id_col]).astype(np.int64)
+    scount = np.asarray(st["nsh"]).astype(np.int64)
+    o = np.argsort(sid)
+    sizes_ref = ray.put((sid[o], scount[o]))
+
+    _CT = {"id_a": pa.int64(), "id_b": pa.int64()}
+    ct_schema = pa.schema(list(_CT.items()))
+
+    def block_co_pairs(t: pa.Table) -> pa.Table:
+        """All co-shingle id pairs within one hash-partitioned block.
+
+        After ``repartition(keys=["h"], sort=True)`` every shingle's rows
+        are contiguous in exactly one block; vectorized run detection +
+        per-run triu pairing touch only the rare shingles with >= 2 docs —
+        no per-group Python dispatch for the unique-majority."""
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return ct_schema.empty_table()
+        h = np.asarray(t["h"]).astype(np.int64)
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        o2 = np.lexsort((ids, h))
+        h, ids = h[o2], ids[o2]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1,
+                                 [len(h)]))
+        lens = np.diff(starts)
+        multi = np.flatnonzero(lens >= 2)
+        if len(multi) == 0:
+            return ct_schema.empty_table()
+        aa, bb = [], []
+        for ri in multi:
+            grp = np.unique(ids[starts[ri]:starts[ri + 1]])
+            if len(grp) < 2:
+                continue
+            ii, jj = np.triu_indices(len(grp), k=1)
+            aa.append(grp[ii])
+            bb.append(grp[jj])
+        if not aa:
+            return ct_schema.empty_table()
+        return pa.table({"id_a": np.concatenate(aa), "id_b": np.concatenate(bb)},
+                        schema=ct_schema)
+
+    inter = (
+        shingles.repartition(8, keys=["h"], sort=True)
+        .map_batches(block_co_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jac": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "c" not in t.column_names:
+            return empty
+        kid, kn = ray.get(sizes_ref)
+        a = np.asarray(t["id_a"]).astype(np.int64)
+        b = np.asarray(t["id_b"]).astype(np.int64)
+        c = np.asarray(t["c"]).astype(np.float64)
+        na = kn[np.searchsorted(kid, a)].astype(np.float64)
+        nb = kn[np.searchsorted(kid, b)].astype(np.float64)
+        jac = c / (na + nb - c)
+        keep = jac >= threshold
+        return pa.table({"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep]),
+                         "jac": pa.array(jac[keep], pa.float64())})
+
+    out = inter.map_batches(score, batch_format="pyarrow").to_pandas()
+    if len(out) == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "jac": pa.array([], pa.float64())})
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["id_a", "id_b", "jac"]], preserve_index=False)

@@ -447,3 +447,67 @@ def test_top_n_per_group(ray_session):
     for g, sub in out.groupby("g"):
         want = set(df[df["g"] == g].nlargest(3, "v")["uid"])
         assert set(sub["uid"]) == want
+
+
+def test_embedding_lsh_attach_fallback_equals_broadcast(ray_session):
+    """endpoint_broadcast_budget=0 forces the grouped-join verify path —
+    output must equal the endpoint-broadcast path exactly."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(29)
+    base = rng.standard_normal((8, 16))
+    vecs = []
+    for i in range(8):
+        for j in range(3):
+            vecs.append(base[i] + rng.standard_normal(16) * 0.02)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+    bcast = embedding_near_dup_pairs(rd.from_items(rows), threshold=0.99,
+                                     method="lsh").to_pandas()
+    attach = embedding_near_dup_pairs(
+        rd.from_items(rows), threshold=0.99, method="lsh",
+        endpoint_broadcast_budget=0).to_pandas()
+    assert len(bcast) > 0
+    assert bcast[["id_a", "id_b"]].values.tolist() == \
+        attach[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(bcast["cosine"], attach["cosine"])
+
+
+def test_ngram_jaccard_pairs_matches_brute(ray_session):
+    """Distributed inverted-index Jaccard == brute all-pairs set Jaccard."""
+    import itertools
+
+    import ray.data as rd
+
+    from astrologer_ray.functions.tokenizer import _SIMPLE_RE
+    from astrologer_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy cat again and again",
+        "completely different content with no overlap whatsoever here",
+        "the quick brown fox jumps over the lazy dog again and again",  # dup of 0
+        "short one",                       # < 3 tokens -> no shingles
+        "another unrelated document about ray data pipelines and arrow",
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    def shset(t):
+        toks = _SIMPLE_RE.findall(t.lower())
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = []
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        sa, sb = shset(texts[a]), shset(texts[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.3:
+            want.append((a, b, round(j, 9)))
+    got = ngram_jaccard_pairs(rd.from_items(rows), threshold=0.3).to_pandas()
+    got_t = [(int(r.id_a), int(r.id_b), round(float(r.jac), 9))
+             for r in got.itertuples()]
+    assert sorted(got_t) == sorted(want)
+    assert (0, 3, 1.0) in got_t            # exact dup pair at jac=1
+    assert not any(4 in (a, b) for a, b, _ in got_t)   # shingle-less doc
