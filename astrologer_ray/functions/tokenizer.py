@@ -40,6 +40,8 @@ from collections import Counter
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 MAX_TERM_LEN = 64
 
@@ -154,6 +156,12 @@ class CodeTokenizer:
         return doc_idx, codes.astype(np.int64), self._vocab_arr[uniq_tids], tfs, dls
 
     def _batch_count_ids(self, contents):
+        if isinstance(contents, (pa.Array, pa.ChunkedArray)):
+            if self.mode == "code":
+                return self._batch_count_ids_arrow(contents)
+            # simple mode keeps the Python path: str.lower() (not utf8proc
+            # lowercase) is what the SQL-oracle parity contract specifies
+            contents = contents.to_pylist()
         ndocs = len(contents)
         raw_lists: list[list[str]] = []
         if self.mode == "simple":
@@ -165,12 +173,7 @@ class CodeTokenizer:
         lengths = np.fromiter((len(r) for r in raw_lists), dtype=np.int64, count=ndocs)
         total = int(lengths.sum())
         if total == 0:
-            return (
-                np.empty(0, dtype=np.int32),
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.int32),
-                np.zeros(ndocs, dtype=np.int64),
-            )
+            return self._empty_counts(ndocs)
         all_raw = np.empty(total, dtype=object)
         pos = 0
         for r in raw_lists:
@@ -179,7 +182,65 @@ class CodeTokenizer:
 
         # hash-based factorize beats sort-based np.unique ~10x on strings
         inv, uniq = pd.factorize(all_raw)
-        id_arrays = [self._ids_for_raw(str(u)) for u in uniq]
+        doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+        return self._count_from_raw(inv, uniq, doc_of_tok, ndocs)
+
+    @staticmethod
+    def _empty_counts(ndocs: int):
+        return (
+            np.empty(0, dtype=np.int32),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+            np.zeros(ndocs, dtype=np.int64),
+        )
+
+    def _batch_count_ids_arrow(self, col):
+        """``code``-mode tokenization straight from Arrow buffers — the
+        content strings never materialize as Python objects; every
+        token-level pass (scrub, digit-boundary split, run split, empty
+        filter, factorize) is a C kernel. Only the batch's UNIQUE raw
+        tokens cross into Python, where the split/vocab caches apply.
+
+        Token-stream equality with ``_TOKEN_RE.findall(scrub_text(s))`` is
+        property-tested: runs of ``[A-Za-z0-9_]`` split exactly at a
+        leading digit-prefix (``123abc`` -> ``123|abc``, ``a123b`` stays
+        whole), which the RE2 rewrite ``\\b([0-9]+)([A-Za-z_])`` ->
+        ``\\1\\x01\\2`` reproduces (\\x01 was just scrubbed, so the
+        separator cannot collide with content).
+        """
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ndocs = len(col)
+        s = pc.fill_null(col, "")
+        s = pc.replace_substring_regex(
+            s, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
+        )
+        s = pc.replace_substring_regex(
+            s, pattern=r"\b([0-9]+)([A-Za-z_])", replacement="\\1\x01\\2"
+        )
+        toks = pc.split_pattern_regex(s, pattern="[^A-Za-z0-9_]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens_all = pc.list_value_length(toks).to_numpy()
+        flat = toks.flatten()
+        if len(flat) == 0:
+            return self._empty_counts(ndocs)
+        doc_all = np.repeat(np.arange(ndocs, dtype=np.int64), lens_all)
+        nonempty = pc.not_equal(pc.binary_length(flat), 0)
+        flat = flat.filter(nonempty)
+        if len(flat) == 0:
+            return self._empty_counts(ndocs)
+        doc_of_tok = doc_all[nonempty.to_numpy(zero_copy_only=False)]
+        enc = pc.dictionary_encode(flat)
+        inv = enc.indices.to_numpy().astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        return self._count_from_raw(inv, uniq, doc_of_tok, ndocs)
+
+    def _count_from_raw(self, inv, uniq, doc_of_tok, ndocs):
+        """Common tail: expand raw-token occurrences (factorized as
+        ``uniq[inv]``, doc attribution ``doc_of_tok``) into emitted term
+        ids via the per-unique split cache, then per-(doc, term) counts."""
+        id_arrays = [self._ids_for_raw(u if isinstance(u, str) else str(u)) for u in uniq]
         counts = np.fromiter((len(a) for a in id_arrays), dtype=np.int64, count=len(uniq))
         flat = (
             np.concatenate(id_arrays)
@@ -193,16 +254,10 @@ class CodeTokenizer:
         tok_start = starts[inv]
         m = int(tok_cnt.sum())
         if m == 0:
-            return (
-                np.empty(0, dtype=np.int32),
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=np.int32),
-                np.zeros(ndocs, dtype=np.int64),
-            )
+            return self._empty_counts(ndocs)
         csum = np.cumsum(tok_cnt) - tok_cnt
         within = np.arange(m, dtype=np.int64) - np.repeat(csum, tok_cnt)
         emitted_ids = flat[np.repeat(tok_start, tok_cnt) + within]
-        doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
         doc_of_emit = np.repeat(doc_of_tok, tok_cnt)
 
         dls = np.bincount(doc_of_emit, minlength=ndocs).astype(np.int64)

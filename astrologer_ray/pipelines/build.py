@@ -852,7 +852,7 @@ def build_multi_index(
     units = plan_partitions(paths, target_rows=partition_rows)
 
     stage1_specs: dict[str, dict] = {}
-    done_all: set[int] | None = None
+    done_sets: dict[str, set[int]] = {}
     for name, spec in specs.items():
         idx_dir = os.path.join(root, name)
         partials = os.path.join(idx_dir, "partials")
@@ -869,15 +869,22 @@ def build_multi_index(
             mode=kw["mode"], column_map=kw["column_map"], key_cols=kw["key_cols"],
             n_buckets=kw["n_buckets"], keyword_fields=kw["keyword_fields"],
         )
-        done = completed_units(partials, units, config=cfg) if resume else set()
-        done_all = done if done_all is None else (done_all & done)
+        done_sets[name] = completed_units(partials, units, config=cfg) if resume else set()
 
-    todo = [u for u in units if u["part_id"] not in (done_all or set())]
-    if todo:
-        parallelism = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    # Asymmetric resume: a unit re-tokenizes ONLY for the indexes whose
+    # partials are missing/stale — one index's staleness (config change,
+    # deleted manifest) must not rewrite another's completed partials.
+    # Units are grouped by the exact set of indexes needing them so the
+    # common all-fresh / all-stale cases stay a single Ray job.
+    groups: dict[tuple[str, ...], list[dict]] = {}
+    for u in units:
+        need = tuple(n for n in specs if u["part_id"] not in done_sets[n])
+        if need:
+            groups.setdefault(need, []).append(u)
+    for need, todo in groups.items():
         rd.from_items(todo, override_num_blocks=len(todo)).map_batches(
             tokenize_units_multi,
-            fn_kwargs={"specs": stage1_specs},
+            fn_kwargs={"specs": {n: stage1_specs[n] for n in need}},
             batch_format="pyarrow",
             batch_size=1,
             num_cpus=1,

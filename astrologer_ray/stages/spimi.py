@@ -33,6 +33,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from astrologer_ray.functions.tokenizer import CodeTokenizer
@@ -278,14 +279,41 @@ class TokenizePartials:
             return f"{int(v):012d}"
         return str(v)
 
-    def _col(self, t: pa.Table, canonical: str, n: int) -> list:
+    def _fmt_key_arr(self, col) -> pa.Array:
+        """Arrow-kernel twin of :meth:`_fmt_key_part` (applied per column,
+        not per value): strings pass through, integers get the sign-aware
+        12-wide zero pad so string order == numeric order. Falls back to
+        the Python formatter for exotic column types."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            out = col
+        elif pa.types.is_integer(col.type):
+            out = pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+            if col.null_count < len(col) and pc.any(pc.less(col, 0)).as_py():
+                # f"{v:012d}" counts the sign in the width: '-' + 11 digits
+                negfmt = pc.binary_join_element_wise(
+                    "-",
+                    pc.utf8_lpad(pc.cast(pc.abs_checked(col), pa.string()), 11, "0"),
+                    "",
+                )
+                out = pc.if_else(pc.less(col, 0), negfmt, out)
+        else:
+            return pa.array(
+                [self._fmt_key_part(v) for v in col.to_pylist()], pa.string()
+            )
+        return pc.fill_null(out, "None")  # str(None) parity for null keys
+
+    def _col(self, t: pa.Table, canonical: str, n: int):
+        """Canonical column as an Arrow string array (``content`` is the
+        raw source column so the tokenizer reads Arrow buffers directly)."""
         src = self.column_map.get(canonical)
         if src is None:
-            return [""] * n
-        vals = t.column(src).to_pylist()
+            return pa.array([""] * n, pa.string())
+        col = t.column(src)
         if canonical == "content":
-            return vals
-        return [v if isinstance(v, str) else self._fmt_key_part(v) for v in vals]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return self._fmt_key_arr(col)
 
     def _process_unit(self, unit: dict) -> dict:
         if (
@@ -322,11 +350,9 @@ class TokenizePartials:
             sha = [hashlib.sha256(b"").hexdigest()] * n
         else:
             sha = _sha256_per_row(t.column(content_src))
-        key_parts = [
-            [self._fmt_key_part(v) for v in t.column(c).to_pylist()]
-            for c in self.key_cols
-        ]
-        doc_key = [KEY_SEP.join(parts) for parts in zip(*key_parts)]
+        doc_key = pc.binary_join_element_wise(
+            *[self._fmt_key_arr(t.column(c)) for c in self.key_cols], KEY_SEP
+        )
         lrow_base = np.int64(part_id) << LROW_BITS
         lrows = lrow_base + np.arange(n, dtype=np.int64)
 
@@ -337,16 +363,18 @@ class TokenizePartials:
             # tf=1, excluded from dl (BM25 text scoring is unaffected)
             import pandas as pd
 
-            kw_doc, kw_raw = [], []
+            kw_doc, kw_arrs = [], []
             for fname, src in sorted(self.keyword_fields.items()):
-                vals = [
-                    fname + FIELD_SEP + self._fmt_key_part(v)
-                    for v in t.column(src).to_pylist()
-                ]
+                kw_arrs.append(
+                    pc.binary_join_element_wise(
+                        fname + FIELD_SEP, self._fmt_key_arr(t.column(src)), ""
+                    )
+                )
                 kw_doc.append(np.arange(n, dtype=doc_idx.dtype if len(doc_idx) else np.int32))
-                kw_raw.extend(vals)
             kw_doc = np.concatenate(kw_doc)
-            kw_codes, kw_uniq = pd.factorize(np.asarray(kw_raw, dtype=object))
+            kw_codes, kw_uniq = pd.factorize(
+                pa.concat_arrays(kw_arrs).to_numpy(zero_copy_only=False)
+            )
             base = len(uniq_terms)
             doc_idx = np.concatenate([doc_idx, kw_doc])
             term_codes = np.concatenate([term_codes, kw_codes.astype(np.int64) + base])

@@ -120,7 +120,6 @@ def bench_query_qps(n_queries: int = 800) -> dict:
     head = [t for t, _ in by_df[:20]]
     mid = [t for t, _ in by_df[len(by_df) // 2 : len(by_df) // 2 + 200]]
     tail = [t for t, _ in by_df[-200:]]
-    del s
     rng = np.random.default_rng(3)
     queries = []
     for i in range(n_queries):
@@ -130,6 +129,18 @@ def bench_query_qps(n_queries: int = 800) -> dict:
             + list(rng.choice(tail, size=1))
         )
         queries.append({"qid": i, "terms": terms, "k": 10})
+    # driver-local steady-state per-query latency on ONE warm Searcher:
+    # decomposes pool QPS into per-query compute/bandwidth cost (this
+    # number) vs actor-pool scheduling + memory contention (the residual)
+    lat = []
+    for q in queries[:48]:
+        t0 = time.perf_counter()
+        s.search(q["terms"], k=10)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = sorted(lat[8:])  # first few warm the accumulator/LRU
+    lat_p50 = lat[len(lat) // 2]
+    lat_p95 = lat[int(len(lat) * 0.95)]
+    del s
     n_actors = max(2, NUM_CPUS // 4)
     batch = max(8, n_queries // (n_actors * 4))
     # one block per batch — from_items' default block count would funnel
@@ -145,7 +156,9 @@ def bench_query_qps(n_queries: int = 800) -> dict:
         num_cpus=1,
     ).count()
     dt = time.time() - t0
-    return {"sec": dt, "n_queries": n_queries, "qps": n_queries / dt, "hits": n}
+    return {"sec": dt, "n_queries": n_queries, "qps": n_queries / dt, "hits": n,
+            "single_lat_ms_p50": round(lat_p50, 2),
+            "single_lat_ms_p95": round(lat_p95, 2)}
 
 
 def bench_query_qps_sharded(n_queries: int = 800) -> dict:
@@ -241,6 +254,8 @@ def main() -> None:
     if "query_qps" in results:
         out["query_qps"] = round(results["query_qps"]["qps"], 1)
         out["query_qps_sharded"] = round(results["query_qps_sharded"]["qps"], 1)
+        out["query_single_lat_ms_p50"] = results["query_qps"]["single_lat_ms_p50"]
+        out["query_single_lat_ms_p95"] = results["query_qps"]["single_lat_ms_p95"]
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]
     out["host"] = host_probes()
     print(json.dumps(out))

@@ -440,3 +440,42 @@ def test_n_buckets_decoupled_from_n_shards(ray_session, small_corpus_dir, tmp_pa
         h1 = [(h["doc_id"], round(h["score"], 10)) for h in s1.search(q, k=20)]
         h2 = [(h["doc_id"], round(h["score"], 10)) for h in s2.search(q, k=20)]
         assert h1 == h2, q
+
+
+def test_multi_index_asymmetric_resume(ray_session, small_corpus_dir, tmp_path):
+    """One index force-invalidated rebuilds ONLY its own partials: the
+    other index's stage-1 files are untouched (content AND mtime), and the
+    rebuilt index's final postings equal a fresh separate build."""
+    from astrologer_ray.pipelines.build import build_multi_index
+
+    specs = {
+        "code": {"mode": "code", "n_shards": 4, "chunk_bits": 6},
+        "simple": {"mode": "simple", "n_shards": 4, "chunk_bits": 6},
+    }
+    root = str(tmp_path / "multi")
+    build_multi_index(small_corpus_dir, root, specs, partition_rows=64)
+
+    code_files = sorted(glob.glob(f"{root}/code/partials/*"))
+    code_stat = [(f, os.stat(f).st_mtime_ns, open(f, "rb").read()) for f in code_files]
+
+    # force-invalidate 'simple' stage 1: drop two of its manifests
+    simple_manifests = sorted(glob.glob(f"{root}/simple/partials/manifest-*.json"))
+    assert len(simple_manifests) >= 2
+    for f in simple_manifests[:2]:
+        os.remove(f)
+
+    build_multi_index(small_corpus_dir, root, specs, partition_rows=64)
+
+    # 'code' partials byte- and mtime-identical (never re-tokenized)
+    for f, mt, data in code_stat:
+        assert os.stat(f).st_mtime_ns == mt, f"{f} was rewritten"
+        assert open(f, "rb").read() == data
+    # 'simple' manifests restored
+    assert sorted(glob.glob(f"{root}/simple/partials/manifest-*.json")) == simple_manifests
+
+    sep = str(tmp_path / "sep_simple")
+    build_index(small_corpus_dir, sep, partition_rows=64, **specs["simple"])
+    for sub in ("postings", "dict", "docs"):
+        t1 = pq.read_table(sorted(glob.glob(f"{root}/simple/{sub}/*.parquet")))
+        t2 = pq.read_table(sorted(glob.glob(f"{sep}/{sub}/*.parquet")))
+        assert t1.equals(t2), f"simple/{sub} differs after asymmetric resume"

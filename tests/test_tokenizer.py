@@ -103,3 +103,44 @@ def test_vectorized_cache_stable_across_batches():
     c1 = Counter(dict(zip(d1[1], d1[2])))
     c2 = Counter(dict(zip(d2[1], d2[2])))
     assert c1 == c2 == token_counts("fooBar baz")
+
+
+@pytest.mark.parametrize("mode", ["code", "simple"])
+def test_arrow_input_matches_list_input(mode):
+    import pyarrow as pa
+
+    docs = [
+        "parseHTTPResponse foo_bar 123abc 9a9b a123b _9abc 12_a ab9cd",
+        "", None, "   ", "a\x00b ctrl\x01sep\ttab",
+        "UPPER lower 0xFF 999 _lead __dunder__ trail_ 9",
+        "mixed123Case456 99bottles end9", "é9abc über π≈3 café",
+        "x" * 70 + " hello",
+    ]
+    t_list = CodeTokenizer(mode=mode)
+    t_arrow = CodeTokenizer(mode=mode)
+    li = t_list.batch_counts([d or "" for d in docs])
+    ar = t_arrow.batch_counts(pa.chunked_array([docs[:4], docs[4:]], pa.string()))
+    for i in range(4):
+        np.testing.assert_array_equal(li[i], ar[i])
+    # parity with the scalar reference too
+    got = [Counter() for _ in docs]
+    for d, t, f in zip(ar[0], ar[1], ar[2]):
+        got[d][t] = f
+    for i, doc in enumerate(docs):
+        assert got[i] == token_counts(doc or "", mode=mode)
+
+
+def test_fmt_key_arr_matches_python():
+    import pyarrow as pa
+
+    from astrologer_ray.stages.spimi import TokenizePartials
+
+    st = TokenizePartials.__new__(TokenizePartials)
+    ints = [0, 5, -5, 123456789012345, -123456789012345, None]
+    got = st._fmt_key_arr(pa.array(ints, pa.int64())).to_pylist()
+    want = [st._fmt_key_part(v) if v is not None else "None" for v in ints]
+    assert got == want
+    strs = ["a", "", None, "b"]
+    assert st._fmt_key_arr(pa.array(strs, pa.string())).to_pylist() == [
+        "a", "", "None", "b"
+    ]
