@@ -425,9 +425,13 @@ SELECT event_id FROM events WHERE event_id >= 100 AND event_id <= 199 ORDER BY e
 """
 
 
-def union_all_keys(sf_dir: str):
+def union_all_keys(sf_dir: str, output_dir: str | None = None):
     """D4 — union of streams (reference: six doc streams through one
-    buffer, es/ledger_serializer.go:35-56): one combined key manifest."""
+    buffer, es/ledger_serializer.go:35-56): one combined key manifest.
+
+    The query's contract is the FULL sorted listing, so the driver-gate
+    path drains it to pandas; at scale pass ``output_dir`` and the sorted
+    union streams to partitioned parquet instead of through the driver."""
     rd = _rd()
 
     def tag(ds, kind, col):
@@ -449,9 +453,11 @@ def union_all_keys(sf_dir: str):
         tag(rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id"]),
             "document", "doc_id"),
     ]
-    u = parts[0].union(parts[1]).union(parts[2])
-    out = u.sort(["kind", "key"]).to_pandas().reset_index(drop=True)
-    return out
+    u = parts[0].union(parts[1]).union(parts[2]).sort(["kind", "key"])
+    if output_dir is not None:
+        u.write_parquet(output_dir)
+        return _rd().read_parquet(output_dir)
+    return u.to_pandas().reset_index(drop=True)
 
 
 UNION_SQL = """

@@ -90,3 +90,62 @@ class ShardedSearchPool:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class ReplicatedSearchPool:
+    """N full-index Searcher replicas; each query routes to ONE actor.
+
+    The ES replica topology (replicas serve whole queries, cf. the
+    reference's per-index shard/replica settings,
+    /root/reference/es/indices.go:28,58,97): adding replicas scales QPS
+    until the node's memory bandwidth saturates, and every query costs one
+    actor hop instead of ``ShardedSearchPool``'s scatter-gather fan-out.
+    Prefer replicas when the index fits comfortably in one actor's heap;
+    prefer doc-range shards when per-actor memory (or bandwidth per
+    working set) is the constraint.
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 4, *,
+                 load_docs: bool = False, num_cpus: float = 1.0):
+        import ray
+
+        from astrologer_ray.state.searcher import Searcher
+
+        actor_cls = ray.remote(num_cpus=num_cpus)(Searcher)
+        self.actors = [
+            actor_cls.remote(index_dir, load_docs=load_docs)
+            for _ in range(max(1, n_actors))
+        ]
+        self.n_actors = len(self.actors)
+        self._rr = 0
+
+    def warm(self) -> None:
+        """Block until every replica has loaded its index state."""
+        import ray
+
+        ray.get([a.search.remote([], k=1) for a in self.actors])
+
+    def search(self, terms: list[str], k: int = 10, **kw) -> list[dict]:
+        import ray
+
+        a = self.actors[self._rr % self.n_actors]
+        self._rr += 1
+        return ray.get(a.search.remote(terms, k=k, **kw))
+
+    def search_many(self, queries: list[tuple[list[str], int]]) -> list[list[dict]]:
+        """Round-robin scatter of whole queries; all issued before any
+        gather so every replica's queue stays full."""
+        import ray
+
+        futs = [
+            self.actors[i % self.n_actors].search.remote(terms, k=k)
+            for i, (terms, k) in enumerate(queries)
+        ]
+        return ray.get(futs)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

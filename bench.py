@@ -161,14 +161,10 @@ def bench_query_qps(n_queries: int = 800) -> dict:
             "single_lat_ms_p95": round(lat_p95, 2)}
 
 
-def bench_query_qps_sharded(n_queries: int = 800) -> dict:
-    """Doc-range-sharded scatter-gather pool (state/pool.ShardedSearchPool):
-    every actor holds 1/n of the postings, per-query work fans out to all
-    actors and merges exactly. Lower per-actor memory footprint — the
-    resilient topology when the host is bandwidth-starved."""
+def _sample_queries(n_queries: int) -> list[tuple[list[str], int]]:
+    """Deterministic head/mid/tail query mix from the real dictionary."""
     import numpy as np
 
-    from astrologer_ray.state.pool import ShardedSearchPool
     from astrologer_ray.state.searcher import Searcher
 
     s = Searcher(BENCH_INDEX, load_docs=False)
@@ -178,7 +174,7 @@ def bench_query_qps_sharded(n_queries: int = 800) -> dict:
     tail = [t for t, _ in by_df[-200:]]
     del s
     rng = np.random.default_rng(3)
-    queries = [
+    return [
         (
             list(rng.choice(head, size=1))
             + list(rng.choice(mid, size=int(rng.integers(1, 3))))
@@ -187,8 +183,37 @@ def bench_query_qps_sharded(n_queries: int = 800) -> dict:
         )
         for _ in range(n_queries)
     ]
+
+
+def bench_query_qps_sharded(n_queries: int = 800) -> dict:
+    """Doc-range-sharded scatter-gather pool (state/pool.ShardedSearchPool):
+    every actor holds 1/n of the postings, per-query work fans out to all
+    actors and merges exactly. Lower per-actor memory footprint — the
+    resilient topology when the host is bandwidth-starved."""
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    queries = _sample_queries(n_queries)
     pool = ShardedSearchPool(BENCH_INDEX, n_actors=max(2, NUM_CPUS // 4))
     pool.search(queries[0][0], k=10)  # warm: actors load their shard
+    t0 = time.time()
+    res = pool.search_many(queries)
+    dt = time.time() - t0
+    pool.shutdown()
+    return {"sec": dt, "n_queries": n_queries, "qps": n_queries / dt,
+            "hits": sum(len(r) for r in res)}
+
+
+def bench_query_qps_replicated(n_queries: int = 800) -> dict:
+    """Warm replicated pool (state/pool.ReplicatedSearchPool): N full-index
+    replicas, one actor per query. Timed AFTER warm() so this is the
+    steady-state serving number — the Ray-Data ``query_qps`` figure, by
+    contrast, deliberately includes per-run actor spin-up + index load
+    (the cold batch-scoring-job regime)."""
+    from astrologer_ray.state.pool import ReplicatedSearchPool
+
+    queries = _sample_queries(n_queries)
+    pool = ReplicatedSearchPool(BENCH_INDEX, n_actors=max(2, NUM_CPUS // 4))
+    pool.warm()
     t0 = time.time()
     res = pool.search_many(queries)
     dt = time.time() - t0
@@ -232,6 +257,7 @@ def main() -> None:
     if only != "build":
         results["query_qps"] = bench_query_qps()
         results["query_qps_sharded"] = bench_query_qps_sharded()
+        results["query_qps_replicated"] = bench_query_qps_replicated()
         results["q1_pricing_summary"] = _timed(E.q1_pricing_summary, SF_DIR)
         results["top_orders_by_revenue"] = _timed(E.top_orders_by_revenue, SF_DIR)
         results["events_date_histogram"] = _timed(E.events_date_histogram, SF_DIR)
@@ -254,6 +280,7 @@ def main() -> None:
     if "query_qps" in results:
         out["query_qps"] = round(results["query_qps"]["qps"], 1)
         out["query_qps_sharded"] = round(results["query_qps_sharded"]["qps"], 1)
+        out["query_qps_replicated"] = round(results["query_qps_replicated"]["qps"], 1)
         out["query_single_lat_ms_p50"] = results["query_qps"]["single_lat_ms_p50"]
         out["query_single_lat_ms_p95"] = results["query_qps"]["single_lat_ms_p95"]
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]

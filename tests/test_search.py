@@ -345,3 +345,24 @@ def test_sharded_pool_with_docs_and_filters(index_and_oracle):
             assert got == want, f"{terms}"
     finally:
         pool.shutdown()
+
+
+def test_replicated_pool_equals_full_searcher(index_and_oracle):
+    from astrologer_ray.state.pool import ReplicatedSearchPool
+
+    index_dir, _contents, _ = index_and_oracle
+    full = Searcher(index_dir, load_docs=False)
+    pool = ReplicatedSearchPool(index_dir, n_actors=3)
+    try:
+        pool.warm()
+        qs = _queries(full)
+        for terms, k in qs:  # round-robin covers every replica
+            want = [(h["doc_id"], h["score"]) for h in full.search(terms, k=k)]
+            got = [(h["doc_id"], h["score"]) for h in pool.search(terms, k=k)]
+            assert got == want, f"{terms}"
+        many = pool.search_many([(t, k) for t, k in qs[:5]])
+        for (terms, k), hits in zip(qs[:5], many):
+            want = [(h["doc_id"], h["score"]) for h in full.search(terms, k=k)]
+            assert [(h["doc_id"], h["score"]) for h in hits] == want
+    finally:
+        pool.shutdown()
