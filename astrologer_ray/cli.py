@@ -172,8 +172,18 @@ def cmd_search(args) -> int:
 
     _ray_session(args.num_cpus)
     s = Searcher(args.index)
-    hits = s.search(tokenize(args.query, mode=s.mode), k=args.k,
-                    lang=args.lang, decorate=True)
+    hits = s.search(
+        tokenize(args.query, mode=s.mode),
+        k=args.k,
+        lang=args.lang,
+        filter=json.loads(args.filter) if args.filter else None,
+        strategy=args.strategy,
+        should_terms=(
+            tokenize(args.should, mode=s.mode) if args.should else None
+        ),
+        min_should_match=args.min_should_match,
+        decorate=True,
+    )
     for h in hits:
         print(json.dumps(h))
     return 0
@@ -221,6 +231,16 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("query")
     se.add_argument("-k", type=int, default=10)
     se.add_argument("--lang", default=None)
+    se.add_argument("--filter", default=None, metavar="JSON",
+                    help='filter DSL, e.g. \'{"bool": {"must": '
+                         '[{"term": {"lang": "go"}}, {"range": '
+                         '{"dl": {"gte": 10}}}]}}\'')
+    se.add_argument("--strategy", default="auto",
+                    choices=["auto", "taat", "wand"])
+    se.add_argument("--should", default=None,
+                    help="should-clause text: adds BM25 score to matching "
+                         "candidates (ES bool.should in query context)")
+    se.add_argument("--min-should-match", type=int, default=0)
     se.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -151,7 +151,10 @@ class CodeTokenizer:
         with ``terms[i] == uniq_terms[codes[i]]`` — callers that need
         per-unique-term work (hashing, bucketing) skip a second factorize."""
         doc_idx, term_ids, tfs, dls = self._batch_count_ids(contents)
-        uniq_tids, codes = np.unique(term_ids, return_inverse=True)
+        # hash-based factorize, not np.unique: callers re-sort postings
+        # anyway (spimi lexsorts by bucket/hash/doc), so first-appearance
+        # code order is fine and saves the O(P log P) sort
+        codes, uniq_tids = pd.factorize(term_ids)
         self._refresh_vocab_arr()
         return doc_idx, codes.astype(np.int64), self._vocab_arr[uniq_tids], tfs, dls
 
@@ -264,7 +267,10 @@ class CodeTokenizer:
 
         V = len(self._vocab)
         keys = doc_of_emit * V + emitted_ids
-        ukeys, tfs = np.unique(keys, return_counts=True)
+        # hash-based (doc, term) count: O(m) factorize + bincount instead
+        # of np.unique's O(m log m) sort over every emitted occurrence
+        inv2, ukeys = pd.factorize(keys)
+        tfs = np.bincount(inv2, minlength=len(ukeys))
         doc_idx = (ukeys // V).astype(np.int32)
         term_ids = ukeys % V
         return doc_idx, term_ids, tfs.astype(np.int32), dls

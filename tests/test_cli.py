@@ -29,6 +29,16 @@ def test_cli_full_flow(ray_session, small_corpus_dir, tmp_path, capsys):
     hit = json.loads(lines[0])
     assert {"rank", "doc_id", "score", "repo"} <= set(hit)
 
+    # filter DSL + explicit strategy + should clause through the CLI
+    filt = json.dumps({"bool": {"must": [{"exists": "repo"},
+                                         {"range": {"dl": {"gte": 1}}}]}})
+    assert main(["search", idx, "mergeSort index", "-k", "3",
+                 "--filter", filt, "--strategy", "wand",
+                 "--should", "quick"]) == 0
+    flines = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(flines) <= 3
+    assert json.loads(flines[0])["score"] > 0
+
 
 def test_cli_ingest_rebuilds_missing(ray_session, small_corpus_dir, tmp_path, capsys):
     import glob
