@@ -45,10 +45,12 @@ def term_hash64(term: str) -> int:
 def _varbyte_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128-encode ``v`` (uint64). Returns (byte array, per-value sizes).
 
-    Iterates over byte POSITIONS (k = 0..max_bytes-1), each pass a vector op
-    over the values that have a k-th byte — for typical posting streams
-    (deltas/tf/dl mostly < 128) that is 1-3 passes over n values, with no
-    per-byte-sized temporaries.
+    Builds an (n, kmax) byte matrix by byte POSITION — each column one
+    full-width vector op, no gathers — then compresses valid bytes out with
+    a single boolean mask (row-major ravel == little-endian byte order).
+    Streams where every value fits 7 bits (typical tf) take the one-pass
+    ``astype(uint8)`` fast path; typical posting streams have kmax <= 3 so
+    the matrix temporary stays small.
     """
     n = len(v)
     nb = np.ones(n, dtype=np.int64)
@@ -57,18 +59,18 @@ def _varbyte_core(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         if not hi.any():
             break
         nb += hi
-    total = int(nb.sum())
-    starts = np.cumsum(nb) - nb
-    out = np.empty(total, dtype=np.uint8)
     kmax = int(nb.max()) if n else 0
+    if kmax <= 1:
+        # every value < 128: the encoding is the value itself, no
+        # continuation bits — one cast, no temporaries
+        return v.astype(np.uint8), nb
+    mat = np.empty((n, kmax), dtype=np.uint8)
     for k in range(kmax):
-        m = nb > k
-        vals_k = (v[m] >> np.uint64(7 * k)) & np.uint64(0x7F)
-        cont = (nb[m] - 1) > k
-        out[starts[m] + k] = (
-            vals_k | (cont.astype(np.uint64) << np.uint64(7))
-        ).astype(np.uint8)
-    return out, nb
+        col = ((v >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        col |= np.where(nb - 1 > k, np.uint8(0x80), np.uint8(0))
+        mat[:, k] = col
+    mask = np.arange(kmax) < nb[:, None]
+    return mat[mask], nb
 
 
 def varbyte_encode(values: np.ndarray) -> bytes:

@@ -521,9 +521,12 @@ def _encode_postings(
         )
 
     def merge_bucket(batch: pa.Table) -> pa.Table:
+        import time as _t
+
         km_cached = ray.get(km_ref) if km_ref is not None else None
         out_summaries = []
         for desc in batch.to_pylist():
+            _task0 = _t.monotonic()
             bucket = int(desc["bucket"])
             km_lrow, km_doc, km_dl = (
                 km_cached if km_cached is not None
@@ -541,11 +544,26 @@ def _encode_postings(
             )
             if out.num_rows == 0:
                 continue
-            pq.write_table(
-                out,
-                os.path.join(postings_dir, f"post-bucket-{bucket:05d}.parquet"),
-                compression="zstd",
+            out_path = os.path.join(
+                postings_dir, f"post-bucket-{bucket:05d}.parquet"
             )
+            pq.write_table(out, out_path, compression="zstd")
+            # per-bucket lineage timing (same diagnosis role as the stage-1
+            # manifests' task_sec); sidecar json, not globbed by Searcher
+            with open(
+                os.path.join(postings_dir, f"merge-manifest-{bucket:05d}.json"),
+                "w",
+            ) as mf:
+                json.dump(
+                    {
+                        "bucket": bucket,
+                        "n_chunk_rows": out.num_rows,
+                        "out_bytes": os.path.getsize(out_path),
+                        "task_sec": round(_t.monotonic() - _task0, 4),
+                        "t_end_unix": round(_t.time(), 3),
+                    },
+                    mf,
+                )
             out_summaries.append(out.select(["term", "chunk_id", "n", "sum_tf"]))
         if not out_summaries:
             return pa.schema(
@@ -769,7 +787,10 @@ def build_index(
     else:
         from ray.data.aggregate import Count, Sum
 
-        chunks_summary = rd.read_parquet(postings_dir, columns=["term", "n", "sum_tf"])
+        # explicit file list: the dir also holds merge-manifest json sidecars
+        chunks_summary = rd.read_parquet(
+            sorted(post_files), columns=["term", "n", "sum_tf"]
+        )
         dictionary = chunks_summary.groupby("term").aggregate(
             Sum("n", alias_name="df"),
             Sum("sum_tf", alias_name="cf"),

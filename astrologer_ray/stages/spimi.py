@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -316,6 +317,7 @@ class TokenizePartials:
         return self._fmt_key_arr(col)
 
     def _process_unit(self, unit: dict) -> dict:
+        self._unit_t0 = time.monotonic()
         if (
             self.fault_once
             and int(unit["part_id"]) == 1
@@ -334,6 +336,7 @@ class TokenizePartials:
         (split from the read so a multi-index fan-out build can feed several
         stages from ONE read — reference one-pass multi-output serializer,
         /root/reference/es/ledger_serializer.go:35-56)."""
+        t_task0 = self.__dict__.pop("_unit_t0", None) or time.monotonic()
         part_id = int(unit["part_id"])
         n = t.num_rows
         repo = self._col(t, "repo", n)
@@ -463,6 +466,11 @@ class TokenizePartials:
             # merge exchange map); json string so it tables cleanly
             "bucket_rgs": json.dumps(bucket_rgs),
             "n_buckets": self.n_buckets,
+            # per-task lineage timing: scaling diagnosis reads these to
+            # separate worker contention (tasks slow down with parallelism)
+            # from scheduling/serial gaps (idle cores)
+            "task_sec": round(time.monotonic() - t_task0, 4),
+            "t_end_unix": round(time.time(), 3),
         }
         # full resume identity: source-file stat + build config (a manifest
         # from another mode/mapping or an edited file must NOT count as done)

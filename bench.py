@@ -51,22 +51,32 @@ def _probe_stream(_):
     return 15_000_000 * 8 * 2 * 4 / (time.time() - t0) / 1e9
 
 
-def host_probes() -> dict:
+def host_probes(full: bool = False) -> dict:
     """Tiny host-state probes embedded in every bench record: the sandbox
     VM is timeshared and its MEMORY bandwidth (not CPU) varies minute to
     minute with neighbors — throughput numbers are only interpretable next
-    to the host state they ran under."""
+    to the host state they ran under.
+
+    ``full=True`` adds a 32-process aggregate-bandwidth probe: if the
+    8-proc and 32-proc aggregates are similar, the box's memory bus is
+    saturated below 32 workers and a bandwidth-bound stage CANNOT scale
+    8→32 CPUs on this host (real N→4N *nodes* bring 4× the bandwidth)."""
     import multiprocessing as mp
 
     cpu1 = _probe_burn(10_000_000) / 1e6
     bw1 = _probe_stream(None)
     with mp.Pool(8) as pool:
         bw8 = sum(pool.map(_probe_stream, range(8)))
-    return {
+    out = {
         "cpu_1proc_Mops": round(cpu1, 1),
         "membw_1proc_GBps": round(bw1, 2),
         "membw_8proc_GBps": round(bw8, 2),
     }
+    if full:
+        with mp.Pool(32) as pool:
+            bw32 = sum(pool.map(_probe_stream, range(32)))
+        out["membw_32proc_GBps"] = round(bw32, 2)
+    return out
 
 
 def _ensure_corpus() -> list[str]:
@@ -290,36 +300,46 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Two-parallelism-level evidence for the north_rule scaling criterion."""
+    """Two-parallelism-level evidence for the north_rule scaling criterion.
+
+    Methodology: the sandbox host is timeshared and its memory bandwidth
+    drifts 10-20x minute-to-minute with neighbors, so a lo-CPU run from one
+    window is not comparable to a hi-CPU run from another. Runs are
+    interleaved in adjacent (lo, hi) PAIRS — the two runs of a pair share
+    (approximately) one host window, so the pair's efficiency is
+    drift-cancelled — with a cheap bandwidth probe before each run embedded
+    in the record. The headline efficiency comes from the fastest pair
+    (lowest combined wall time == the least-contended window observed)."""
     lo, hi = 8, NUM_CPUS if NUM_CPUS > 8 else 32
 
     def run(ncpu: int) -> dict:
+        probe = host_probes()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
              "--only=build"],
             env=env, capture_output=True, text=True, check=True,
         )
-        return json.loads(p.stdout.strip().splitlines()[-1])
+        r = json.loads(p.stdout.strip().splitlines()[-1])
+        r["probe_before"] = probe
+        return r
 
     _ = run(lo)  # warm OS page cache + corpus generation, untimed
-    # best-of-3 per level, INTERLEAVED (lo,hi,lo,hi,...): the sandbox host
-    # is timeshared and its memory bandwidth drifts minute-to-minute with
-    # neighbors — interleaving exposes both levels to the same drift, and
-    # the per-level minimum estimates the steady state
-    runs_lo, runs_hi = [], []
-    for _ in range(3):
-        runs_lo.append(run(lo))
-        runs_hi.append(run(hi))
-    r_lo = min(runs_lo, key=lambda r: r["queries"]["build_code_index"])
-    r_hi = min(runs_hi, key=lambda r: r["queries"]["build_code_index"])
-    t_lo = r_lo["queries"]["build_code_index"]
-    t_hi = r_hi["queries"]["build_code_index"]
+    pairs = []
+    for _ in range(4):
+        pairs.append((run(lo), run(hi)))
+
+    def t(r):
+        return r["queries"]["build_code_index"]
+
+    best_lo, best_hi = min(pairs, key=lambda p_: t(p_[0]) + t(p_[1]))
+    t_lo, t_hi = t(best_lo), t(best_hi)
     eff = (t_lo / t_hi) / (hi / lo)
+    pair_effs = [round((t(a) / t(b)) / (hi / lo), 3) for a, b in pairs]
     # parallel-stage efficiency: tokenize + merge are the stages whose work
     # grows with corpus size (the O(1)/driver-side steps vanish at scale)
-    st_lo = r_lo["build_stage_timings"]
-    st_hi = r_hi["build_stage_timings"]
+    st_lo = best_lo["build_stage_timings"]
+    st_hi = best_hi["build_stage_timings"]
     par_lo = st_lo["tokenize_partials"] + st_lo["postings_encode"]
     par_hi = st_hi["tokenize_partials"] + st_hi["postings_encode"]
     par_eff = (par_lo / par_hi) / (hi / lo)
@@ -331,17 +351,22 @@ def scaling() -> None:
                 "cpus_hi": hi,
                 "sec_lo": t_lo,
                 "sec_hi": t_hi,
-                "files_per_s_lo": r_lo["build_files_per_s"],
-                "files_per_s_hi": r_hi["build_files_per_s"],
-                "postings_per_s_lo": r_lo["build_postings_per_s"],
-                "postings_per_s_hi": r_hi["build_postings_per_s"],
+                "files_per_s_lo": best_lo["build_files_per_s"],
+                "files_per_s_hi": best_hi["build_files_per_s"],
+                "postings_per_s_lo": best_lo["build_postings_per_s"],
+                "postings_per_s_hi": best_hi["build_postings_per_s"],
                 "scaling_efficiency": round(eff, 3),
+                "pair_efficiencies": pair_effs,
                 "parallel_stage_sec_lo": round(par_lo, 2),
                 "parallel_stage_sec_hi": round(par_hi, 2),
                 "parallel_stage_efficiency": round(par_eff, 3),
-                "all_sec_lo": [r["queries"]["build_code_index"] for r in runs_lo],
-                "all_sec_hi": [r["queries"]["build_code_index"] for r in runs_hi],
-                "host": host_probes(),
+                "stage_timings_lo": st_lo,
+                "stage_timings_hi": st_hi,
+                "all_sec_lo": [round(t(a), 3) for a, _ in pairs],
+                "all_sec_hi": [round(t(b), 3) for _, b in pairs],
+                "probes_lo": [a["probe_before"] for a, _ in pairs],
+                "probes_hi": [b["probe_before"] for _, b in pairs],
+                "host": host_probes(full=True),
             }
         )
     )
