@@ -98,9 +98,14 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
     ``keymap_dir`` is given, the per-source-partition keymap files are
     written here too (the table is already in memory — saves a re-read).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from astrologer_ray.stages.spimi import LROW_BITS
 
-    t = pa.concat_tables(pq.read_table(p) for p in partial_docs)
+    # parquet read/encode release the GIL: thread-pool the per-file I/O so
+    # this driver-side stage is not a serial tail on the critical path
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        t = pa.concat_tables(ex.map(pq.read_table, partial_docs))
     t = t.sort_by("doc_key")
     keys = t.column("doc_key").combine_chunks()
     n = len(keys)
@@ -109,13 +114,17 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
     out = t.add_column(0, "doc_id", pa.array(np.arange(t.num_rows, dtype=np.int64)))
     out = out.select([f.name for f in DOCS_SCHEMA]).cast(DOCS_SCHEMA)
     os.makedirs(docs_dir, exist_ok=True)
-    rows_per_file = 1_000_000
-    for i in range(0, max(out.num_rows, 1), rows_per_file):
-        part = out.slice(i, rows_per_file)
+    rows_per_file = 250_000
+
+    def _write_docs_slice(i: int) -> None:
         pq.write_table(
-            part, os.path.join(docs_dir, f"docs-{i:012d}.parquet"),
+            out.slice(i, rows_per_file),
+            os.path.join(docs_dir, f"docs-{i:012d}.parquet"),
             compression="zstd",
         )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(_write_docs_slice, range(0, max(out.num_rows, 1), rows_per_file)))
     if keymap_dir is not None:
         os.makedirs(keymap_dir, exist_ok=True)
         lrow = np.asarray(out.column("lrow"))
@@ -125,11 +134,16 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
         order = np.lexsort((lrow, pid))
         lrow, doc_id, dl, pid = lrow[order], doc_id[order], dl[order], pid[order]
         starts = np.concatenate(([0], np.flatnonzero(np.diff(pid)) + 1, [len(pid)]))
-        for s, e in zip(starts[:-1], starts[1:]):
+
+        def _write_km(se: tuple[int, int]) -> None:
+            s, e = se
             pq.write_table(
                 pa.table({"lrow": lrow[s:e], "doc_id": doc_id[s:e], "dl": dl[s:e]}),
                 os.path.join(keymap_dir, f"keymap-{int(pid[s]):06d}.parquet"),
             )
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(_write_km, zip(starts[:-1], starts[1:])))
     return {"n_docs": out.num_rows, "n_blocks": 1}
 
 
