@@ -1012,6 +1012,29 @@ SELECT doc_id FROM documents WHERE source = 'src3' AND lang = 'en' ORDER BY doc_
 """
 
 
+def docs_prefix_lookup(sf_dir: str):
+    """Exact doc listing via PREFIX expansion over the term dictionary
+    (ES ``prefix`` query): docs with any analyzed token starting with
+    'dat', restricted to lang='en' keyword-field postings — entirely
+    index-served, no table scan."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.field_lookup({"bool": {"must": [
+        {"prefix": "dat"},
+        {"field_term": {"lang": "en"}},
+    ]}})
+    return pa.table({"doc_id": pa.array([h["doc_id"] for h in hits], pa.int64())})
+
+
+PREFIX_LOOKUP_SQL = f"""
+SELECT doc_id FROM documents
+WHERE lang = 'en'
+  AND len(list_filter({_SPLIT_SQL}, x -> starts_with(x, 'dat'))) > 0
+ORDER BY doc_id
+"""
+
+
 def docs_terms_agg_filtered(sf_dir: str):
     """Filtered terms aggregation: top sources among docs that contain the
     index term 'data' AND have lang='en' — bool(match + field_term) feeding
@@ -1283,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
         "field_scoped_lookup": field_scoped_lookup,
+        "docs_prefix_lookup": docs_prefix_lookup,
         "docs_terms_agg_filtered": docs_terms_agg_filtered,
         "docs_exists_counts": docs_exists_counts,
         "ann_topk_embeddings": ann_topk_embeddings,
@@ -1332,6 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_should": _bm25_should_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
+        "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,
         "docs_exists_counts": DOCS_EXISTS_SQL,
         "ann_topk_embeddings": ANN_SQL,

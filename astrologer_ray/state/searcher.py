@@ -352,6 +352,35 @@ class Searcher:
             return f"{int(v):012d}"
         return str(v)
 
+    def _term_array(self) -> np.ndarray:
+        """Sorted array of this searcher's loaded index terms (lazy, cached)
+        — the dictionary scan backing prefix expansion."""
+        arr = getattr(self, "_sorted_terms", None)
+        if arr is None:
+            arr = np.sort(np.array(list(self.postings.keys()), dtype=object))
+            self._sorted_terms = arr
+        return arr
+
+    def expand_prefix(self, prefix: str, max_terms: int | None = None) -> list[str]:
+        """Index terms starting with ``prefix`` (ES ``prefix`` query
+        expansion). Matches are contiguous in the sorted dictionary:
+        binary-search to the first, scan while the prefix holds. With
+        ``max_terms`` the highest-df expansions win (the ES
+        ``max_expansions`` analog); None = exact (no cap), which is what
+        the filter predicates use so they stay oracle-comparable."""
+        if not prefix:
+            raise ValueError("empty prefix")
+        arr = self._term_array()
+        lo = int(np.searchsorted(arr, prefix, side="left"))
+        hi = lo
+        n = len(arr)
+        while hi < n and str(arr[hi]).startswith(prefix):
+            hi += 1
+        terms = [str(t) for t in arr[lo:hi]]
+        if max_terms is not None and len(terms) > max_terms:
+            terms = sorted(terms, key=lambda t: (-self.df.get(t, 0), t))[:max_terms]
+        return terms
+
     def filter_mask(self, f) -> np.ndarray:
         """Boolean doc mask for an ES-style predicate (the reference's main
         query shape: bool.must of term filters,
@@ -369,6 +398,11 @@ class Searcher:
                                            range counts + histogram ranges)
           {"field_term": {field: value}}   keyword-field posting (index-served)
           {"match": term}                  analyzed-text posting (index-served)
+          {"prefix": "pre"}                any analyzed-text term starting
+                                           with "pre" (dictionary expansion,
+                                           index-served — ES prefix query)
+          {"field_prefix": {field: "pre"}} keyword-field value prefix
+          {"attr_prefix": {attr: "pre"}}   sidecar attribute starts-with
           {"bool": {"must": [...], "must_not": [...], "should": [...]}}
 
         Masks are in LOCAL doc-id space (``mask[doc_id - self.doc_lo]``),
@@ -402,15 +436,34 @@ class Searcher:
             )
         if kind == "match":
             return self._postings_ids_mask(str(arg))
+        if kind == "prefix":
+            m = np.zeros(self.n_local, dtype=bool)
+            for t in self.expand_prefix(str(arg)):
+                if FIELD_SEP in t:
+                    continue  # keyword-field namespace, not analyzed text
+                m |= self._postings_ids_mask(t)
+            return m
+        if kind == "field_prefix":
+            ((field, val),) = arg.items()
+            m = np.zeros(self.n_local, dtype=bool)
+            for t in self.expand_prefix(field + FIELD_SEP + str(val)):
+                m |= self._postings_ids_mask(t)
+            return m
+        if kind == "attr_prefix":
+            ((attr, val),) = arg.items()
+            col = pa.array(self._attr(attr), type=pa.string())
+            return np.asarray(
+                pc.fill_null(pc.starts_with(col, str(val)), False)
+            )
         if kind == "bool":
-            m = np.ones(self.N, dtype=bool)
+            m = np.ones(self.n_local, dtype=bool)
             for sub in arg.get("must", []):
                 m &= self.filter_mask(sub)
             for sub in arg.get("must_not", []):
                 m &= ~self.filter_mask(sub)
             should = arg.get("should", [])
             if should:
-                sm = np.zeros(self.N, dtype=bool)
+                sm = np.zeros(self.n_local, dtype=bool)
                 for sub in should:
                     sm |= self.filter_mask(sub)
                 m &= sm

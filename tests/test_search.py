@@ -366,3 +366,50 @@ def test_replicated_pool_equals_full_searcher(index_and_oracle):
             assert [(h["doc_id"], h["score"]) for h in hits] == want
     finally:
         pool.shutdown()
+
+
+def test_prefix_filters_match_scan(kw_index):
+    """prefix / field_prefix / attr_prefix == brute startswith scans."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    plain = sorted(t for t in s.df if "\x1e" not in t)
+    pre = plain[len(plain) // 3][:3]
+    # expansion == sorted dictionary slice (all terms, either namespace)
+    assert s.expand_prefix(pre) == sorted(t for t in s.df if t.startswith(pre))
+    assert len(s.expand_prefix(pre)) >= 1
+    # max_terms keeps the highest-df expansions
+    capped = s.expand_prefix(pre, max_terms=1)
+    full = s.expand_prefix(pre)
+    assert len(capped) == 1 and s.df[capped[0]] == max(s.df[t] for t in full)
+    # text prefix filter == any-token-startswith brute scan
+    toksets = [set(tokenize(r[4], mode="code")) for r in rows]
+    want = sum(1 for ts in toksets if any(t.startswith(pre) for t in ts))
+    assert s.count({"prefix": pre}) == want
+    # field_prefix over the repo keyword field == attr startswith
+    repos = [r[0] for r in rows]
+    rpre = sorted(set(repos))[0][:2]
+    want_r = sum(1 for r in repos if r.startswith(rpre))
+    assert s.count({"field_prefix": {"repo": rpre}}) == want_r
+    # attr_prefix (sidecar scan flavor) agrees
+    assert s.count({"attr_prefix": {"repo": rpre}}) == want_r
+    with pytest.raises(ValueError):
+        s.expand_prefix("")
+
+
+def test_bool_filter_under_chunk_range_shards(kw_index):
+    """bool/should masks must size to the doc-range slice: per-shard counts
+    of a composed filter sum exactly to the full searcher's count."""
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    langs = sorted({r[3] for r in rows})
+    filt = {"bool": {"must": [{"exists": "lang"}],
+                     "should": [{"term": {"lang": langs[0]}},
+                                {"prefix": rows[0][4].split()[0][:2].lower()}]}}
+    n_chunks = (s.N >> int(s.meta.get("chunk_bits", 20))) + 1
+    mid = max(1, n_chunks // 2)
+    parts = [Searcher(index_dir, chunk_range=(0, mid)),
+             Searcher(index_dir, chunk_range=(mid, n_chunks))]
+    total = sum(p.count(filt) for p in parts)
+    assert total == s.count(filt)
