@@ -70,7 +70,7 @@ def _documents_index(sf_dir: str) -> str:
     from astrologer_ray.pipelines.build import build_index
 
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    index_dir = os.path.join(_CACHE, f"docidx2-{tag}")  # v2: keyword fields
+    index_dir = os.path.join(_CACHE, f"docidx3-{tag}")  # v3: positional
     if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
         build_index(
             [_tbl(sf_dir, "documents")],
@@ -84,6 +84,7 @@ def _documents_index(sf_dir: str) -> str:
             keyword_fields={"src": "source", "lang": "lang"},
             chunk_bits=8,
             partition_rows=20_000,
+            positions=True,  # phrase queries share this index; BM25 unchanged
         )
     return index_dir
 
@@ -1242,6 +1243,96 @@ FROM documents ORDER BY media_id
 """
 
 
+PHRASE_QUERIES: list[tuple[int, list[str], int]] = [
+    (0, ["merge", "sort"], 10),
+    (1, ["table", "scan"], 10),
+    (2, ["data", "stream"], 5),
+    (3, ["slow", "query"], 10),
+    (4, ["batch", "batch", "batch"], 10),  # repeated-term phrase
+]
+
+
+def phrase_topk_documents(sf_dir: str):
+    """ES ``match_phrase`` analog: top-k docs containing each query as a
+    CONSECUTIVE token phrase, served from the positional index
+    (/root/reference/es.postman_collection.json match queries; positions are
+    the standard ES index option the reference relies on for phrases).
+    Score = BM25 sum of the unique phrase terms on matching docs, ranked
+    (score desc, doc_id asc) — Searcher.phrase_search's documented contract."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms, k in PHRASE_QUERIES:
+        for h in s.phrase_search(terms, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _phrase_documents_sql() -> str:
+    """Phrase-match oracle: token positions via zipped unnest, consecutive
+    match by grouping candidate (doc, start = pos - i) pairs and requiring
+    every phrase offset i to be present (handles repeated phrase terms)."""
+    ph = ", ".join(
+        f"({qid}, {i}, '{t}')"
+        for qid, terms, _ in PHRASE_QUERIES for i, t in enumerate(terms)
+    )
+    uq = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms, _ in PHRASE_QUERIES for t in sorted(set(terms))
+    )
+    ks = ", ".join(f"({qid}, {k}, {len(terms)})"
+                   for qid, terms, k in PHRASE_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ph(qid, i, term) AS (VALUES {ph}),
+uq(qid, term) AS (VALUES {uq}),
+ks(qid, k, m) AS (VALUES {ks}),
+cand AS (
+  SELECT ph.qid, t.doc_id, t.pos - ph.i AS start, ph.i
+  FROM ph JOIN toks t ON t.term = ph.term),
+pm AS (
+  SELECT DISTINCT c.qid, c.doc_id
+  FROM cand c JOIN ks ON ks.qid = c.qid
+  GROUP BY c.qid, c.doc_id, c.start, ks.m
+  HAVING count(DISTINCT c.i) = ks.m),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+scores AS (
+  SELECT pm.qid, pm.doc_id, sum(w.w) AS score
+  FROM pm JOIN uq ON uq.qid = pm.qid
+  JOIN w ON w.doc_id = pm.doc_id AND w.term = uq.term
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
 def bm25_topk_code(sf_dir: str):
     """Flagship: code-mode index over the synthesized code corpus."""
     from astrologer_ray.functions.tokenizer import tokenize
@@ -1305,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
+        "phrase_topk_documents": phrase_topk_documents,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_prefix_lookup": docs_prefix_lookup,
         "docs_terms_agg_filtered": docs_terms_agg_filtered,
@@ -1355,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id FROM dl WHERE dl >= 20 AND dl < 60)"
         ),
         "bm25_topk_should": _bm25_should_sql(),
+        "phrase_topk_documents": _phrase_documents_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,

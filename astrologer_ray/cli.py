@@ -75,6 +75,7 @@ def cmd_build(args) -> int:
         args.corpus, args.index, mode=args.mode, force=args.force,
         partition_rows=args.partition_rows, resume=not args.no_resume,
         retries=args.retries, keyword_fields=kw or None,
+        positions=args.positions,
     )
     print(json.dumps(meta, default=str))
     return 0
@@ -107,11 +108,23 @@ def cmd_ingest(args) -> int:
     partials = os.path.join(args.index, "partials")
     # ingest must preserve the ORIGINAL build configuration: a resume config
     # missing --keyword-field (or with a different merge bucket count) would
-    # mismatch every manifest and silently retokenize the whole corpus.
+    # mismatch every manifest and silently retokenize the whole corpus — so
+    # flags not given on the command line default from the index's meta.json.
     kw = dict(kv.split("=", 1) for kv in (args.keyword_field or [])) or None
+    positions = args.positions
+    try:
+        from astrologer_ray.pipelines.build import load_meta
+
+        meta0 = load_meta(args.index)
+        if kw is None:
+            kw = meta0.get("keyword_fields") or None
+        if not positions:
+            positions = bool(meta0.get("positions", False))
+    except (FileNotFoundError, KeyError, OSError):
+        pass  # first build of this index: flags as given
     n_buckets = existing_bucket_count(partials) or DEFAULT_N_SHARDS
     cfg = effective_config(mode=args.mode, n_buckets=n_buckets,
-                           keyword_fields=kw)
+                           keyword_fields=kw, positions=positions)
 
     def one_pass() -> dict:
         units = plan_partitions(_corpus_paths(args.corpus), args.partition_rows)
@@ -122,7 +135,7 @@ def cmd_ingest(args) -> int:
         meta = build_index(
             args.corpus, args.index, mode=args.mode, resume=True,
             partition_rows=args.partition_rows, retries=args.retries,
-            keyword_fields=kw,
+            keyword_fields=kw, positions=positions,
         )
         return {"rebuilt_partitions": missing,
                 **{k: meta[k] for k in ("n_docs", "n_postings", "n_terms")}}
@@ -172,18 +185,25 @@ def cmd_search(args) -> int:
 
     _ray_session(args.num_cpus)
     s = Searcher(args.index)
-    hits = s.search(
-        tokenize(args.query, mode=s.mode),
-        k=args.k,
-        lang=args.lang,
-        filter=json.loads(args.filter) if args.filter else None,
-        strategy=args.strategy,
-        should_terms=(
-            tokenize(args.should, mode=s.mode) if args.should else None
-        ),
-        min_should_match=args.min_should_match,
-        decorate=True,
-    )
+    filt = json.loads(args.filter) if args.filter else None
+    if args.phrase:
+        hits = s.phrase_search(
+            tokenize(args.query, mode=s.mode), k=args.k, filter=filt,
+            decorate=True,
+        )
+    else:
+        hits = s.search(
+            tokenize(args.query, mode=s.mode),
+            k=args.k,
+            lang=args.lang,
+            filter=filt,
+            strategy=args.strategy,
+            should_terms=(
+                tokenize(args.should, mode=s.mode) if args.should else None
+            ),
+            min_should_match=args.min_should_match,
+            decorate=True,
+        )
     for h in hits:
         print(json.dumps(h))
     return 0
@@ -218,6 +238,9 @@ def main(argv: list[str] | None = None) -> int:
         b.add_argument("--keyword-field", action="append", metavar="FIELD=COL",
                        help="index exact keyword field (repeatable), "
                             "e.g. --keyword-field lang=lang")
+        b.add_argument("--positions", action="store_true",
+                       help="store per-posting token positions "
+                            "(enables phrase search; ~2x partial volume)")
         b.set_defaults(fn=fn)
 
     st = sub.add_parser("stats")
@@ -241,6 +264,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="should-clause text: adds BM25 score to matching "
                          "candidates (ES bool.should in query context)")
     se.add_argument("--min-should-match", type=int, default=0)
+    se.add_argument("--phrase", action="store_true",
+                    help="treat the query as a consecutive phrase "
+                         "(requires an index built with --positions)")
     se.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -322,6 +322,7 @@ def encode_chunks_table(
     terms: pa.Array,
     chunk_ids: np.ndarray,
     shard: int,
+    pos_vals: np.ndarray | None = None,
 ) -> pa.Table:
     """Columnar twin of :func:`encode_chunks_batch`: same cell values, but
     the output is assembled directly as Arrow arrays — binary columns as
@@ -338,14 +339,23 @@ def encode_chunks_table(
     run_starts = np.asarray(run_starts, dtype=np.int64)
     run_ends = np.asarray(run_ends, dtype=np.int64)
     n_runs = len(run_starts)
+    out_schema = POSTINGS_SCHEMA if pos_vals is None else POSTINGS_SCHEMA_POS
     if total == 0 or n_runs == 0:
-        return POSTINGS_SCHEMA.empty_table()
+        return out_schema.empty_table()
     assert run_starts[0] == 0 and run_ends[-1] == total
     assert bool(np.all(run_starts[1:] == run_ends[:-1])), "runs must tile"
 
     c = _encode_runs_core(vals_doc, vals_tf, vals_dl, run_starts, run_ends,
                           avgdl, k1, b)
-    if max(len(c["id_bytes"]), len(c["tf_bytes"]), len(c["dl_bytes"])) >= 2**31:
+    if pos_vals is not None:
+        # 4th stream: each posting's ascending token positions, varbyte,
+        # posting i's occurrence slice = ctf[i]:ctf[i+1] (counts == tf) —
+        # chunk boundaries follow from the same cumulative-tf array
+        assert len(pos_vals) == int(c["ctf"][-1]), "positions != sum(tf)"
+        pos_bytes, pos_nb = _varbyte_encode_with_sizes(pos_vals)
+        pos_off = np.concatenate(([0], np.cumsum(pos_nb)))
+    if max(len(c["id_bytes"]), len(c["tf_bytes"]), len(c["dl_bytes"]),
+           0 if pos_vals is None else len(pos_bytes)) >= 2**31:
         rows = encode_chunks_batch(vals_doc, vals_tf, vals_dl, run_starts,
                                    run_ends, avgdl, k1, b)
         tl = terms.to_pylist()
@@ -353,7 +363,10 @@ def encode_chunks_table(
             row["term"] = tl[i]
             row["chunk_id"] = int(chunk_ids[i])
             row["shard"] = shard
-        return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+            if pos_vals is not None:
+                os_, oe = int(c["ctf"][run_starts[i]]), int(c["ctf"][run_ends[i]])
+                row["pos_bytes"] = pos_bytes[pos_off[os_]:pos_off[oe]]
+        return pa.Table.from_pylist(rows, schema=out_schema)
 
     ids = c["ids"]
     bpr = c["blocks_per_run"]
@@ -385,7 +398,9 @@ def encode_chunks_table(
         _list(c["block_max_tfn"], pa.float64()),
         pa.array(c["ctf"][run_ends] - c["ctf"][run_starts]),
     ]
-    return pa.Table.from_arrays(cols, schema=POSTINGS_SCHEMA)
+    if pos_vals is not None:
+        cols.append(_bin_from_stream(pos_bytes, pos_off[c["ctf"][run_bounds]]))
+    return pa.Table.from_arrays(cols, schema=out_schema)
 
 
 def decode_chunk(row: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -443,3 +458,18 @@ POSTINGS_SCHEMA = pa.schema(
         ("sum_tf", pa.int64()),
     ]
 )
+# positional index variant: one extra varbyte stream per chunk holding every
+# posting's ascending token positions (posting i's slice has tf_i values —
+# the tf stream is the split key, so no extra offsets are stored)
+POSTINGS_SCHEMA_POS = POSTINGS_SCHEMA.append(pa.field("pos_bytes", pa.binary()))
+
+
+def decode_chunk_positions(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a positional chunk's positions -> (pos int64 flat, occ_offsets)
+    with posting ``i``'s ascending positions at
+    ``pos[occ_offsets[i]:occ_offsets[i+1]]`` (lengths == decoded tfs)."""
+    n = int(row["n"])
+    tfs = varbyte_decode(row["tf_bytes"], n).astype(np.int64)
+    occ = np.concatenate(([0], np.cumsum(tfs)))
+    pos = varbyte_decode(row["pos_bytes"], int(occ[-1])).astype(np.int64)
+    return pos, occ

@@ -145,23 +145,30 @@ class CodeTokenizer:
         return doc_idx, self._vocab_arr[term_ids], tfs, dls
 
     def batch_counts_coded(
-        self, contents
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        self, contents, positions: bool = False
+    ) -> tuple:
         """Term-deduplicated variant: (doc_idx, codes, uniq_terms, tfs, dls)
         with ``terms[i] == uniq_terms[codes[i]]`` — callers that need
-        per-unique-term work (hashing, bucketing) skip a second factorize."""
-        doc_idx, term_ids, tfs, dls = self._batch_count_ids(contents)
+        per-unique-term work (hashing, bucketing) skip a second factorize.
+        ``positions=True`` appends the posting-grouped position array
+        (see :meth:`_count_from_raw`)."""
+        res = self._batch_count_ids(contents, positions=positions)
+        doc_idx, term_ids, tfs, dls = res[:4]
         # hash-based factorize, not np.unique: callers re-sort postings
         # anyway (spimi lexsorts by bucket/hash/doc), so first-appearance
         # code order is fine and saves the O(P log P) sort
         codes, uniq_tids = pd.factorize(term_ids)
         self._refresh_vocab_arr()
-        return doc_idx, codes.astype(np.int64), self._vocab_arr[uniq_tids], tfs, dls
+        out = (doc_idx, codes.astype(np.int64), self._vocab_arr[uniq_tids], tfs, dls)
+        if positions:
+            pos_flat = res[4] if len(res) > 4 else np.empty(0, dtype=np.int32)
+            out = out + (pos_flat,)
+        return out
 
-    def _batch_count_ids(self, contents):
+    def _batch_count_ids(self, contents, positions: bool = False):
         if isinstance(contents, (pa.Array, pa.ChunkedArray)):
             if self.mode == "code":
-                return self._batch_count_ids_arrow(contents)
+                return self._batch_count_ids_arrow(contents, positions=positions)
             # simple mode keeps the Python path: str.lower() (not utf8proc
             # lowercase) is what the SQL-oracle parity contract specifies
             contents = contents.to_pylist()
@@ -186,7 +193,8 @@ class CodeTokenizer:
         # hash-based factorize beats sort-based np.unique ~10x on strings
         inv, uniq = pd.factorize(all_raw)
         doc_of_tok = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
-        return self._count_from_raw(inv, uniq, doc_of_tok, ndocs)
+        return self._count_from_raw(inv, uniq, doc_of_tok, ndocs,
+                                    positions=positions)
 
     @staticmethod
     def _empty_counts(ndocs: int):
@@ -197,7 +205,7 @@ class CodeTokenizer:
             np.zeros(ndocs, dtype=np.int64),
         )
 
-    def _batch_count_ids_arrow(self, col):
+    def _batch_count_ids_arrow(self, col, positions: bool = False):
         """``code``-mode tokenization straight from Arrow buffers — the
         content strings never materialize as Python objects; every
         token-level pass (scrub, digit-boundary split, run split, empty
@@ -237,12 +245,18 @@ class CodeTokenizer:
         enc = pc.dictionary_encode(flat)
         inv = enc.indices.to_numpy().astype(np.int64)
         uniq = enc.dictionary.to_pylist()
-        return self._count_from_raw(inv, uniq, doc_of_tok, ndocs)
+        return self._count_from_raw(inv, uniq, doc_of_tok, ndocs,
+                                    positions=positions)
 
-    def _count_from_raw(self, inv, uniq, doc_of_tok, ndocs):
+    def _count_from_raw(self, inv, uniq, doc_of_tok, ndocs, positions=False):
         """Common tail: expand raw-token occurrences (factorized as
         ``uniq[inv]``, doc attribution ``doc_of_tok``) into emitted term
-        ids via the per-unique split cache, then per-(doc, term) counts."""
+        ids via the per-unique split cache, then per-(doc, term) counts.
+
+        With ``positions=True`` a 5th array is returned: the emitted-term
+        position (0-based index in the doc's emitted token stream) of every
+        occurrence, grouped by posting — posting ``i``'s ascending position
+        run occupies ``pos_flat[cum_tf[i]:cum_tf[i+1]]``."""
         id_arrays = [self._ids_for_raw(u if isinstance(u, str) else str(u)) for u in uniq]
         counts = np.fromiter((len(a) for a in id_arrays), dtype=np.int64, count=len(uniq))
         flat = (
@@ -273,4 +287,11 @@ class CodeTokenizer:
         tfs = np.bincount(inv2, minlength=len(ukeys))
         doc_idx = (ukeys // V).astype(np.int32)
         term_ids = ukeys % V
-        return doc_idx, term_ids, tfs.astype(np.int32), dls
+        if not positions:
+            return doc_idx, term_ids, tfs.astype(np.int32), dls
+        # occurrence position within its doc's emitted stream (emission
+        # order == token order), then grouped by posting via a stable sort
+        dl_cum = np.cumsum(dls) - dls
+        occ_pos = np.arange(m, dtype=np.int64) - dl_cum[doc_of_emit]
+        pos_flat = occ_pos[np.argsort(inv2, kind="stable")].astype(np.int32)
+        return doc_idx, term_ids, tfs.astype(np.int32), dls, pos_flat

@@ -44,6 +44,7 @@ import pyarrow.parquet as pq
 from astrologer_ray import B, K1
 from astrologer_ray.functions.codec import (
     POSTINGS_SCHEMA,
+    POSTINGS_SCHEMA_POS,
     encode_chunks_batch,
     encode_chunks_table,
 )
@@ -285,13 +286,18 @@ def _write_keymap(docs_dir: str, keymap_dir: str, parallelism: int,
 
 def _merge_runs_collision(
     terms_at, run_start, run_end, doc_vals, tf_vals, dl_vals, vstart, vend,
-    chunk_bits, avgdl, k1, b, shard,
+    chunk_bits, avgdl, k1, b, shard, pos_all=None,
 ) -> pa.Table:
     """Collision fallback for :func:`merge_bucket_table`: at least one pair
     of DISTINCT terms shares a 63-bit term_hash in this bucket
     (astronomically rare), so runs are split by actual term string in a
     per-run Python loop — correctness over speed on this path."""
-    seg_d, seg_f, seg_l = [], [], []
+    from astrologer_ray.functions.codec import varbyte_encode
+
+    with_pos = pos_all is not None
+    if with_pos:
+        occ_start = np.cumsum(tf_vals, dtype=np.int64) - tf_vals
+    seg_d, seg_f, seg_l, seg_p = [], [], [], []
     seg_bounds = []  # (term, chunk_id, start, end) in output space
     pos = 0
     for i in range(len(run_start)):
@@ -304,8 +310,12 @@ def _merge_runs_collision(
             dd = np.concatenate([doc_vals[vstart[j]:vend[j]] for j in rows_j])
             ff = np.concatenate([tf_vals[vstart[j]:vend[j]] for j in rows_j])
             ll = np.concatenate([dl_vals[vstart[j]:vend[j]] for j in rows_j])
+            # global posting indices of this term's postings, pre-sort
+            pidx = np.concatenate(
+                [np.arange(vstart[j], vend[j], dtype=np.int64) for j in rows_j]
+            )
             oo = np.argsort(dd)
-            dd, ff, ll = dd[oo], ff[oo], ll[oo]
+            dd, ff, ll, pidx = dd[oo], ff[oo], ll[oo], pidx[oo]
             cids = dd >> chunk_bits
             cs = np.concatenate(
                 ([0], np.flatnonzero(np.diff(cids)) + 1, [len(dd)])
@@ -314,10 +324,17 @@ def _merge_runs_collision(
                 seg_d.append(dd[s_:e_])
                 seg_f.append(ff[s_:e_])
                 seg_l.append(ll[s_:e_])
+                if with_pos:
+                    seg_p.append(
+                        np.concatenate(
+                            [pos_all[occ_start[p]:occ_start[p] + tf_vals[p]]
+                             for p in pidx[s_:e_]]
+                        ) if e_ > s_ else np.empty(0, dtype=np.int64)
+                    )
                 seg_bounds.append((tstr, int(cids[s_]), pos, pos + (e_ - s_)))
                 pos += e_ - s_
     if not seg_bounds:
-        return POSTINGS_SCHEMA.empty_table()
+        return (POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA).empty_table()
     flat_d = np.concatenate(seg_d)
     flat_f = np.concatenate(seg_f)
     flat_l = np.concatenate(seg_l)
@@ -325,11 +342,15 @@ def _merge_runs_collision(
     ends = np.array([e_ for _, _, _, e_ in seg_bounds], dtype=np.int64)
     rows = encode_chunks_batch(flat_d, flat_f, flat_l, starts, ends,
                                avgdl, k1, b)
-    for (term, cid, _, _), row in zip(seg_bounds, rows):
+    for i, ((term, cid, _, _), row) in enumerate(zip(seg_bounds, rows)):
         row["term"] = term
         row["chunk_id"] = cid
         row["shard"] = shard
-    return pa.Table.from_pylist(rows, schema=POSTINGS_SCHEMA)
+        if with_pos:
+            row["pos_bytes"] = varbyte_encode(seg_p[i])
+    return pa.Table.from_pylist(
+        rows, schema=POSTINGS_SCHEMA_POS if with_pos else POSTINGS_SCHEMA
+    )
 
 
 def merge_bucket_table(
@@ -356,7 +377,9 @@ def merge_bucket_table(
     :func:`_merge_runs_collision`.
     """
     if t.num_rows == 0:
-        return POSTINGS_SCHEMA.empty_table()
+        return (
+            POSTINGS_SCHEMA_POS if "poss" in t.column_names else POSTINGS_SCHEMA
+        ).empty_table()
     t = t.combine_chunks()
     hashes = np.asarray(t.column("term_hash"))
     order = np.argsort(hashes, kind="stable")
@@ -368,6 +391,12 @@ def merge_bucket_table(
     lengths = lcol.value_lengths().to_numpy().astype(np.int64)
     lrow_vals = lcol.flatten().to_numpy()
     tf_vals = t.column("tfs").combine_chunks().flatten().to_numpy()
+    # positional partials: occurrence-flat positions aligned with the
+    # posting flattening order (posting i's slice has tf_vals[i] values)
+    pos_all = (
+        t.column("poss").combine_chunks().flatten().to_numpy()
+        if "poss" in t.column_names else None
+    )
     idx = np.searchsorted(km_lrow, lrow_vals)
     assert bool(np.all(km_lrow[idx] == lrow_vals)), "keymap miss"
     doc_vals = km_doc[idx]
@@ -391,11 +420,14 @@ def merge_bucket_table(
             return _merge_runs_collision(
                 terms_at, run_start, run_end, doc_vals, tf_vals, dl_vals,
                 vstart, vend, chunk_bits, avgdl, k1, b, shard,
+                pos_all=pos_all,
             )
 
     n_vals = len(doc_vals)
     if n_vals == 0:
-        return POSTINGS_SCHEMA.empty_table()
+        return (
+            POSTINGS_SCHEMA_POS if pos_all is not None else POSTINGS_SCHEMA
+        ).empty_table()
     run_of_val = np.repeat(np.cumsum(new_run) - 1, lengths)
     n_runs = len(run_start)
     if n_vals // n_runs >= 512:
@@ -407,12 +439,14 @@ def merge_bucket_table(
         d = np.empty_like(doc_vals)
         f = np.empty_like(tf_vals)
         dl = np.empty_like(dl_vals)
+        perm = np.empty(n_vals, dtype=np.int64)
         for rs, re_ in zip(run_start, run_end):
             s, e = int(vstart[rs]), int(vend[re_ - 1])
             o = np.argsort(doc_vals[s:e]) + s
             d[s:e] = doc_vals[o]
             f[s:e] = tf_vals[o]
             dl[s:e] = dl_vals[o]
+            perm[s:e] = o
         rv = run_of_val  # within-run sort: run labels unchanged
     else:
         # many SMALL runs (large vocab): ONE composite-key argsort, no
@@ -426,6 +460,17 @@ def merge_bucket_table(
         f = tf_vals[order2]
         dl = dl_vals[order2]
         rv = run_of_val[order2]
+        perm = order2
+    pos_sorted = None
+    if pos_all is not None:
+        # CSR gather of variable-length position segments into the sorted
+        # posting order (counts == tf per posting)
+        occ_start = np.cumsum(tf_vals, dtype=np.int64) - tf_vals
+        cnt = f.astype(np.int64)
+        ccum = np.cumsum(cnt)
+        total_occ = int(ccum[-1]) if len(ccum) else 0
+        within = np.arange(total_occ, dtype=np.int64) - np.repeat(ccum - cnt, cnt)
+        pos_sorted = pos_all[np.repeat(occ_start[perm], cnt) + within]
     cids = d >> chunk_bits
     brk = np.flatnonzero((rv[1:] != rv[:-1]) | (cids[1:] != cids[:-1])) + 1
     starts = np.concatenate(([0], brk))
@@ -434,6 +479,7 @@ def merge_bucket_table(
     return encode_chunks_table(
         d, f, dl, starts, ends, avgdl, k1, b,
         terms=seg_terms, chunk_ids=cids[starts], shard=shard,
+        pos_vals=pos_sorted,
     )
 
 
@@ -616,6 +662,7 @@ def build_index(
     column_map: dict | None = None,
     key_cols: tuple[str, ...] | None = None,
     keyword_fields: dict | None = None,
+    positions: bool = False,
     driver_small_threshold: int = 2_000_000,
     keymap_broadcast_rows: int = 50_000_000,
     retries: int = 3,
@@ -696,7 +743,7 @@ def build_index(
 
     build_cfg = effective_config(
         mode=mode, column_map=column_map, key_cols=key_cols, n_buckets=n_buckets,
-        keyword_fields=keyword_fields,
+        keyword_fields=keyword_fields, positions=positions,
     )
     done = completed_units(partials_dir, units, config=build_cfg) if resume else set()
     # drop stale partials: manifests whose identity no longer matches the
@@ -731,6 +778,7 @@ def build_index(
                 "key_cols": key_cols,
                 "n_buckets": n_buckets,
                 "keyword_fields": keyword_fields,
+                "positions": positions,
             },
             batch_format="pyarrow",
             batch_size=1,
@@ -831,6 +879,7 @@ def build_index(
         "b": b,
         "mode": mode,
         "keyword_fields": dict(keyword_fields or {}),
+        "positions": bool(positions),
         "chunk_bits": chunk_bits,
         "n_shards": n_shards,
         "n_buckets": n_buckets,

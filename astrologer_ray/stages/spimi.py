@@ -54,6 +54,9 @@ POST_SCHEMA = pa.schema(
         ("tfs", pa.list_(pa.int32())),
     ]
 )
+# positional variant: ``poss`` concatenates each posting's ascending token
+# positions (sublist lengths == the aligned ``tfs`` entries)
+POST_SCHEMA_POS = POST_SCHEMA.append(pa.field("poss", pa.list_(pa.int32())))
 DOCS_PART_SCHEMA = pa.schema(
     [
         ("lrow", pa.int64()),
@@ -106,6 +109,7 @@ def effective_config(
     key_cols: tuple[str, ...] | list[str] | None = None,
     n_buckets: int = 64,
     keyword_fields: dict | None = None,
+    positions: bool = False,
 ) -> dict:
     """Canonical (JSON-stable) build configuration recorded in manifests.
 
@@ -122,6 +126,7 @@ def effective_config(
         "key_cols": kc,
         "n_buckets": int(n_buckets),
         "keyword_fields": {k: kw[k] for k in sorted(kw)},
+        "positions": bool(positions),
     }
 
 
@@ -246,6 +251,7 @@ class TokenizePartials:
         key_cols: tuple[str, ...] | None = None,
         n_buckets: int = 64,
         keyword_fields: dict | None = None,
+        positions: bool = False,
         fault_once: str | None = None,
     ):
         """``column_map`` maps the canonical corpus columns (repo, path,
@@ -264,9 +270,13 @@ class TokenizePartials:
         # field -> source column: emits ONE exact term "<field>\x1e<value>"
         # per doc (tf=1, no dl contribution) — index-served field lookups
         self.keyword_fields = keyword_fields or {}
+        # positional postings: partials carry per-posting token positions
+        # (phrase/proximity queries); off by default — ~2x partial volume
+        self.positions = bool(positions)
         self.config = effective_config(
             mode=mode, column_map=column_map, key_cols=key_cols,
             n_buckets=n_buckets, keyword_fields=keyword_fields,
+            positions=positions,
         )
         # test-only fault injection: unit 1 fails ONCE (marker file at this
         # path records the injection) so retry/idempotence is testable
@@ -359,7 +369,15 @@ class TokenizePartials:
         lrow_base = np.int64(part_id) << LROW_BITS
         lrows = lrow_base + np.arange(n, dtype=np.int64)
 
-        doc_idx, term_codes, uniq_terms, tfs, dls = self.tok.batch_counts_coded(content)
+        if self.positions:
+            doc_idx, term_codes, uniq_terms, tfs, dls, pos_flat = (
+                self.tok.batch_counts_coded(content, positions=True)
+            )
+        else:
+            doc_idx, term_codes, uniq_terms, tfs, dls = (
+                self.tok.batch_counts_coded(content)
+            )
+            pos_flat = None
 
         if self.keyword_fields and n:
             # append exact keyword-field terms: one posting per (doc, field),
@@ -383,6 +401,12 @@ class TokenizePartials:
             term_codes = np.concatenate([term_codes, kw_codes.astype(np.int64) + base])
             uniq_terms = np.concatenate([uniq_terms, kw_uniq.astype(object)])
             tfs = np.concatenate([tfs, np.ones(len(kw_doc), dtype=tfs.dtype if len(tfs) else np.int32)])
+            if pos_flat is not None:
+                # keyword postings carry a placeholder position 0 (tf=1 each)
+                # so the positions-count == tf codec invariant holds
+                pos_flat = np.concatenate(
+                    [pos_flat, np.zeros(len(kw_doc), dtype=np.int32)]
+                )
 
         # SPIMI partial index, PACKED per term (SURVEY §2.3 ST1): one row per
         # (term) with the partition's posting sublists, hash-bucketed for the
@@ -406,22 +430,37 @@ class TokenizePartials:
             rs = np.concatenate(([0], np.flatnonzero(oc[1:] != oc[:-1]) + 1))
             offsets = np.concatenate((rs, [len(oc)])).astype(np.int32)
             run_codes = oc[rs]
-            post = pa.table(
-                {
-                    "term": pa.array(uniq[run_codes], pa.string()),
-                    "term_hash": pa.array(uhash[run_codes]),
-                    "lrows": pa.ListArray.from_arrays(
-                        offsets, pa.array(lrows[doc_idx[order]])
-                    ),
-                    "tfs": pa.ListArray.from_arrays(
-                        offsets, pa.array(tfs[order], pa.int32())
-                    ),
-                },
-                schema=POST_SCHEMA,
-            )
+            cols = {
+                "term": pa.array(uniq[run_codes], pa.string()),
+                "term_hash": pa.array(uhash[run_codes]),
+                "lrows": pa.ListArray.from_arrays(
+                    offsets, pa.array(lrows[doc_idx[order]])
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    offsets, pa.array(tfs[order], pa.int32())
+                ),
+            }
+            if pos_flat is not None:
+                # permute the variable-length per-posting position segments
+                # into the sorted posting order (CSR gather), then re-list
+                # them at the packed term-row boundaries
+                seg_start = np.cumsum(tfs, dtype=np.int64) - tfs
+                cnt = tfs[order].astype(np.int64)
+                ccum = np.cumsum(cnt)
+                within = np.arange(int(ccum[-1]) if len(ccum) else 0,
+                                   dtype=np.int64) - np.repeat(ccum - cnt, cnt)
+                pos_sorted = pos_flat[np.repeat(seg_start[order], cnt) + within]
+                occ_cum = np.concatenate(([0], ccum))
+                cols["poss"] = pa.ListArray.from_arrays(
+                    occ_cum[offsets].astype(np.int32),
+                    pa.array(pos_sorted, pa.int32()),
+                )
+            schema = POST_SCHEMA_POS if pos_flat is not None else POST_SCHEMA
+            post = pa.table(cols, schema=schema)
             run_buckets = ubucket[run_codes]
         else:
-            post = POST_SCHEMA.empty_table()
+            schema = POST_SCHEMA_POS if self.positions else POST_SCHEMA
+            post = schema.empty_table()
             run_buckets = np.empty(0, dtype=np.int64)
         docs = pa.table(
             {
@@ -439,7 +478,7 @@ class TokenizePartials:
 
         post_path = os.path.join(self.partials_dir, f"post-{part_id:06d}.parquet")
         docs_path = os.path.join(self.partials_dir, f"docs-{part_id:06d}.parquet")
-        with pq.ParquetWriter(post_path, POST_SCHEMA, compression="zstd") as w:
+        with pq.ParquetWriter(post_path, post.schema, compression="zstd") as w:
             if post.num_rows:
                 b_rs = np.concatenate(
                     ([0], np.flatnonzero(run_buckets[1:] != run_buckets[:-1]) + 1,

@@ -84,6 +84,15 @@ class ShardedSearchPool:
         return [_merge_topk(ray.get(fs), k)
                 for fs, (_terms, k) in zip(futs, queries)]
 
+    def phrase_search(self, terms: list[str], k: int = 10, **kw) -> list[dict]:
+        """Scatter a consecutive-phrase query (requires positions=True index).
+        Doc-range actors each return complete scores for their docs, so the
+        top-k lists merge exactly, same as :meth:`search`."""
+        import ray
+
+        futs = [a.phrase_search.remote(terms, k=k, **kw) for a in self.actors]
+        return _merge_topk(ray.get(futs), k)
+
     def shutdown(self) -> None:
         import ray
 

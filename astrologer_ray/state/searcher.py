@@ -628,6 +628,81 @@ class Searcher:
         out = sorted(heap, key=lambda t2: (-t2[0], -t2[1]))
         return self._format([(-nd, s) for s, nd in out], decorate)
 
+    # max token position per doc in the phrase composite key (doc, pos)
+    # -> doc * STRIDE + pos fits int64 for doc_id < 2^39
+    PHRASE_POS_STRIDE = 1 << 24
+
+    def _phrase_occurrences(self, t: str) -> tuple[np.ndarray, np.ndarray]:
+        """Per-OCCURRENCE (local_doc, token_position) arrays for one term
+        of a positional index (one entry per appearance, not per doc)."""
+        from astrologer_ray.functions.codec import (
+            decode_chunk,
+            decode_chunk_positions,
+        )
+
+        docs_parts, pos_parts = [], []
+        for row in self.postings[t]:
+            if row.get("pos_bytes") is None:
+                raise ValueError(
+                    "phrase_search requires an index built with positions=True"
+                )
+            ids, _tfs, _dls = decode_chunk(row)
+            pos, occ = decode_chunk_positions(row)
+            docs_parts.append(np.repeat(ids, np.diff(occ)))
+            pos_parts.append(pos)
+        d = np.concatenate(docs_parts) - self.doc_lo
+        return d, np.concatenate(pos_parts)
+
+    def phrase_search(
+        self, terms: list[str], k: int = 10, filter=None, decorate: bool = False,
+    ) -> list[dict]:
+        """Top-k docs containing ``terms`` as a CONSECUTIVE token phrase
+        (ES ``match_phrase`` analog; requires ``build_index(...,
+        positions=True)``).
+
+        Adjacency is an exact set intersection: each term's occurrences
+        become composite keys ``doc * STRIDE + (pos - i)``; a key that
+        survives all m intersections is a document position where term i
+        appears at offset i for every i. Score semantics (documented, what
+        the SQL oracle checks): the BM25 sum of the UNIQUE phrase terms'
+        contributions on phrase-matching docs — same weight expression and
+        (score desc, doc_id asc) order as :meth:`search`.
+        """
+        terms = list(terms)
+        if not terms:
+            return []
+        if any(t not in self.postings or not self.owns_term(t) for t in terms):
+            return []
+        stride = self.PHRASE_POS_STRIDE
+        off = len(terms)  # keeps the shifted position strictly positive
+        keys = None
+        for i, t in enumerate(terms):
+            d, p = self._phrase_occurrences(t)
+            if len(p) and int(p.max()) >= stride - off:
+                raise ValueError("token position exceeds PHRASE_POS_STRIDE")
+            ki = d * stride + (p - i + off)
+            keys = ki if keys is None else np.intersect1d(
+                keys, ki, assume_unique=True
+            )
+            if len(keys) == 0:
+                return []
+        match = np.unique(keys // stride)  # local doc ids, ascending
+        scores = np.zeros(len(match), dtype=np.float64)
+        for t in sorted(set(terms)):
+            ids, w = self._term_contribution(t)
+            loc = np.searchsorted(ids, match)
+            ok = (loc < len(ids)) & (ids[np.minimum(loc, len(ids) - 1)] == match)
+            scores[ok] += w[loc[ok]]
+        if filter is not None:
+            fm = self.filter_mask(filter)
+            keep = fm[match]
+            match, scores = match[keep], scores[keep]
+        if len(match) == 0:
+            return []
+        order = np.lexsort((match, -scores))[: min(k, len(match))]
+        hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
+        return self._format(hits, decorate)
+
     def _format(self, hits: list[tuple[int, float]], decorate: bool) -> list[dict]:
         results = []
         for rank, (d, s) in enumerate(hits):

@@ -103,3 +103,25 @@ def test_cli_build_keyword_field(ray_session, small_corpus_dir, tmp_path, capsys
     langs = sorted({v for v in s.doc_attrs["lang"]})
     n = len(s.field_lookup({"field_term": {"lang": langs[0]}}))
     assert n == int((s.doc_attrs["lang"] == langs[0]).sum()) and n > 0
+
+
+def test_cli_ingest_preserves_build_config(ray_session, small_corpus_dir,
+                                           tmp_path, capsys):
+    """ADVICE r2: a plain ``ingest`` (no flags) on an index built with
+    --keyword-field/--positions must adopt the index's own meta config —
+    up-to-date, zero retokenize — not silently rebuild without keywords."""
+    import json as _json
+
+    idx = str(tmp_path / "kwidx2")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64",
+                 "--keyword-field", "lang=lang", "--positions"]) == 0
+    capsys.readouterr()
+    assert main(["ingest", small_corpus_dir, idx,
+                 "--partition-rows", "64"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out.get("up_to_date") is True, out
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(idx)  # keyword postings survived the ingest
+    langs = sorted({v for v in s.doc_attrs["lang"]})
+    assert len(s.field_lookup({"field_term": {"lang": langs[0]}})) > 0

@@ -168,3 +168,51 @@ def test_encode_chunks_table_equals_batch():
         assert np.array_equal(ids2, vd[s:e])
         assert np.array_equal(tfs2, vt[s:e])
         assert np.array_equal(dls2, vl[s:e])
+
+
+def test_encode_chunks_table_positions_roundtrip():
+    """Positional encode: pos_bytes decodes back to each posting's ascending
+    position run (lengths == tf) and every non-positional column is
+    byte-identical to the plain encode."""
+    import pyarrow as pa
+
+    from astrologer_ray.functions.codec import (
+        POSTINGS_SCHEMA_POS,
+        decode_chunk_positions,
+        encode_chunks_table,
+    )
+
+    rng = np.random.default_rng(41)
+    lens = [1, 5, BLOCK, BLOCK + 1, 300, 2]
+    vals_d, vals_t, vals_l, runs = [], [], [], []
+    pos = 0
+    for n in lens:
+        ids, tfs, dls = _random_postings(rng, n)
+        vals_d.append(ids)
+        vals_t.append(tfs)
+        vals_l.append(dls)
+        runs.append((pos, pos + n))
+        pos += n
+    vd, vt, vl = map(np.concatenate, (vals_d, vals_t, vals_l))
+    starts = np.array([r[0] for r in runs])
+    ends = np.array([r[1] for r in runs])
+    # per-posting ascending positions, run length == tf
+    pos_vals = np.concatenate(
+        [np.cumsum(rng.integers(1, 9, int(f))) for f in vt]
+    ).astype(np.int64)
+    terms = pa.array([f"t{i}" for i in range(len(runs))])
+    cids = rng.integers(0, 3, len(runs)).astype(np.int64)
+    plain = encode_chunks_table(vd, vt, vl, starts, ends, 55.0,
+                                terms=terms, chunk_ids=cids, shard=1)
+    got = encode_chunks_table(vd, vt, vl, starts, ends, 55.0,
+                              terms=terms, chunk_ids=cids, shard=1,
+                              pos_vals=pos_vals)
+    assert got.schema.equals(POSTINGS_SCHEMA_POS)
+    assert got.drop_columns(["pos_bytes"]).equals(plain)
+    occ_bounds = np.concatenate(([0], np.cumsum(vt)))
+    for i, (s, e) in enumerate(runs):
+        row = got.slice(i, 1).to_pylist()[0]
+        p, occ = decode_chunk_positions(row)
+        lo, hi = occ_bounds[s], occ_bounds[e]
+        assert np.array_equal(p, pos_vals[lo:hi]), f"run {i}"
+        assert np.array_equal(np.diff(occ), vt[s:e])

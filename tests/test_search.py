@@ -413,3 +413,108 @@ def test_bool_filter_under_chunk_range_shards(kw_index):
              Searcher(index_dir, chunk_range=(mid, n_chunks))]
     total = sum(p.count(filt) for p in parts)
     assert total == s.count(filt)
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, small_corpus_dir, tmp_path_factory):
+    """Positional twin of ``index_and_oracle``'s index (same build knobs)."""
+    index_dir = str(tmp_path_factory.mktemp("pindex"))
+    build_index(small_corpus_dir, index_dir, partition_rows=64, n_shards=4,
+                chunk_bits=6, positions=True)
+    return index_dir
+
+
+def test_positional_index_bm25_unchanged(index_and_oracle, pos_index):
+    """positions=True must not perturb ranking: same hits, same scores."""
+    plain = Searcher(index_and_oracle[0])
+    posi = Searcher(pos_index)
+    for terms, k in _queries(plain):
+        want = [(h["doc_id"], h["score"]) for h in plain.search(terms, k=k)]
+        got = [(h["doc_id"], h["score"]) for h in posi.search(terms, k=k)]
+        assert got == want, f"{terms}"
+
+
+def _phrase_queries(contents):
+    """Adjacent-token phrases drawn from the corpus itself + adversarial
+    cases: repeated-term phrase, terms-present-but-never-adjacent, absent."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    toks = [tokenize(c or "") for c in contents]
+    qs = []
+    for tk in toks:
+        if len(tk) >= 2 and not qs:
+            qs.append(tk[:2])            # real bigram
+        if len(tk) >= 5 and len(qs) == 1:
+            qs.append(tk[2:5])           # real trigram
+    for tk in toks:                      # repeated-term bigram, if any
+        for j in range(len(tk) - 1):
+            if tk[j] == tk[j + 1]:
+                qs.append([tk[j], tk[j + 1]])
+                break
+        if len(qs) >= 3:
+            break
+    # both terms common but reversed order (mostly non-adjacent docs)
+    if qs:
+        qs.append(list(reversed(qs[0])))
+    qs.append(["zz_absent_term", "also_absent"])
+    return qs, toks
+
+
+def test_phrase_search_matches_brute_force(pos_index, index_and_oracle):
+    _, contents, _ = index_and_oracle
+    s = Searcher(pos_index)
+    qs, toks = _phrase_queries(contents)
+    assert len(qs) >= 4
+    for terms in qs:
+        m = len(terms)
+        mask = np.array(
+            [any(tk[j:j + m] == terms for j in range(len(tk) - m + 1))
+             for tk in toks]
+        )
+        want = oracle_topk(contents, terms, k=10, allowed=mask) if mask.any() else []
+        got = [(h["doc_id"], h["score"]) for h in s.phrase_search(terms, k=10)]
+        assert got == want, f"phrase {terms}"
+
+
+def test_phrase_sharded_pool_equals_full(pos_index, index_and_oracle):
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    _, contents, _ = index_and_oracle
+    full = Searcher(pos_index, load_docs=False)
+    pool = ShardedSearchPool(pos_index, n_actors=3)
+    try:
+        qs, _ = _phrase_queries(contents)
+        for terms in qs:
+            want = [(h["doc_id"], h["score"])
+                    for h in full.phrase_search(terms, k=10)]
+            got = [(h["doc_id"], h["score"])
+                   for h in pool.phrase_search(terms, k=10)]
+            assert got == want, f"phrase {terms}"
+    finally:
+        pool.shutdown()
+
+
+def test_phrase_requires_positional_index(index_and_oracle):
+    s = Searcher(index_and_oracle[0])
+    term = max(s.df, key=s.df.get)
+    with pytest.raises(ValueError, match="positions"):
+        s.phrase_search([term, term])
+
+
+def test_phrase_with_filter(pos_index, index_and_oracle):
+    """Phrase + attribute filter composes like search's filter path."""
+    _, contents, langs = index_and_oracle
+    s = Searcher(pos_index)
+    qs, toks = _phrase_queries(contents)
+    terms = qs[0]
+    m = len(terms)
+    for lang in ("python", "go"):
+        mask = np.array(
+            [any(tk[j:j + m] == terms for j in range(len(tk) - m + 1))
+             for tk in toks]
+        ) & (langs == lang)
+        want = oracle_topk(contents, terms, k=10, allowed=mask) if mask.any() else []
+        got = [(h["doc_id"], h["score"])
+               for h in s.phrase_search(terms, k=10,
+                                        filter={"term": {"lang": lang}})]
+        assert got == want, f"lang={lang}"

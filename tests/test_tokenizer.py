@@ -144,3 +144,38 @@ def test_fmt_key_arr_matches_python():
     assert st._fmt_key_arr(pa.array(strs, pa.string())).to_pylist() == [
         "a", "", "None", "b"
     ]
+
+
+def test_batch_counts_positions_match_token_stream():
+    """positions=True: per-posting position runs must equal the 0-based
+    indices of that term in the doc's emitted token stream (`tokenize`
+    order), ascending, with run lengths == tf."""
+    import pyarrow as pa
+
+    from astrologer_ray.functions.tokenizer import CodeTokenizer, tokenize
+
+    docs = [
+        "getIndex mergeSort getIndex",
+        "a b a a c",
+        "",
+        "foo_bar baz9qux foo_bar FOO_BAR",
+        "x",
+    ]
+    for mode in ("code", "simple"):
+        for payload in (docs, pa.array(docs, pa.string())):
+            tok = CodeTokenizer(mode=mode)
+            doc_idx, codes, uniq, tfs, dls, pos_flat = tok.batch_counts_coded(
+                payload, positions=True
+            )
+            assert len(pos_flat) == int(tfs.sum())
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            toks = [tokenize(d, mode=mode) for d in docs]
+            seen = set()
+            for i in range(len(doc_idx)):
+                d, t = int(doc_idx[i]), uniq[codes[i]]
+                got = list(pos_flat[cum[i]:cum[i + 1]])
+                want = [j for j, tk in enumerate(toks[d]) if tk == t]
+                assert got == want, f"mode={mode} doc={d} term={t!r}"
+                seen.add((d, t))
+            # every (doc, term) pair accounted for exactly once
+            assert len(seen) == len(doc_idx)
