@@ -90,7 +90,8 @@ def _corpus_paths(corpus) -> list[str]:
 
 
 def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
-                           keymap_dir: str | None = None) -> dict:
+                           keymap_dir: str | None = None,
+                           id_base: int = 0) -> dict:
     """Small-corpus fast path: single-process pyarrow sort + rank.
 
     Identical assignment to the distributed path (doc_id = rank of unique
@@ -98,6 +99,8 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
     Ray executions it saves are pure overhead at that size. When
     ``keymap_dir`` is given, the per-source-partition keymap files are
     written here too (the table is already in memory — saves a re-read).
+    ``id_base`` offsets the dense ids (segment append: new docs continue
+    the existing id space, see pipelines/segments.py).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -112,7 +115,9 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
     n = len(keys)
     if n > 1 and pc.any(pc.equal(keys.slice(0, n - 1), keys.slice(1, n))).as_py():
         raise ValueError("duplicate doc_key — run dedup_exact on the key first")
-    out = t.add_column(0, "doc_id", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+    out = t.add_column(0, "doc_id", pa.array(
+        np.arange(id_base, id_base + t.num_rows, dtype=np.int64)
+    ))
     out = out.select([f.name for f in DOCS_SCHEMA]).cast(DOCS_SCHEMA)
     os.makedirs(docs_dir, exist_ok=True)
     rows_per_file = 250_000
@@ -145,12 +150,16 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
 
         with ThreadPoolExecutor(max_workers=8) as ex:
             list(ex.map(_write_km, zip(starts[:-1], starts[1:])))
-    return {"n_docs": out.num_rows, "n_blocks": 1}
+    return {"n_docs": out.num_rows, "n_blocks": 1,
+            "min_doc_key": keys[0].as_py() if n else None,
+            "max_doc_key": keys[-1].as_py() if n else None}
 
 
 def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int,
                     driver_sort_threshold: int = 2_000_000,
-                    keymap_dir: str | None = None) -> dict:
+                    keymap_dir: str | None = None,
+                    id_base: int = 0,
+                    pids: set[int] | None = None) -> dict:
     """Stage 2: global doc_key sort -> dense doc_id; writes docs/.
 
     Distributed path: two passes over the *materialized* sorted key table
@@ -162,9 +171,15 @@ def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int,
     import ray.data as rd
 
     partial_docs = sorted(glob.glob(os.path.join(partials_dir, "docs-*.parquet")))
+    if pids is not None:
+        partial_docs = [
+            p for p in partial_docs
+            if int(os.path.basename(p).split("-")[1].split(".")[0]) in pids
+        ]
     total_rows = sum(pq.read_metadata(p).num_rows for p in partial_docs)
     if total_rows <= driver_sort_threshold:
-        return _assign_doc_ids_driver(partial_docs, docs_dir, keymap_dir)
+        return _assign_doc_ids_driver(partial_docs, docs_dir, keymap_dir,
+                                      id_base=id_base)
 
     docs = rd.read_parquet(partial_docs)
     sorted_docs = docs.sort("doc_key").materialize()
@@ -191,11 +206,11 @@ def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int,
                 f"(repo,path,commit) first: {a['max_key']!r}"
             )
     offsets = {}
-    off = 0
+    off = id_base
     for s in summaries:
         offsets[s["min_key"]] = off
         off += s["n"]
-    total = off
+    total = off - id_base
 
     os.makedirs(docs_dir, exist_ok=True)
 
@@ -221,7 +236,9 @@ def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int,
         assign_and_write, batch_format="pyarrow", batch_size=None
     ).take_all()
     assert sum(w["n"] for w in written) == total
-    return {"n_docs": total, "n_blocks": len(written)}
+    return {"n_docs": total, "n_blocks": len(written),
+            "min_doc_key": summaries[0]["min_key"] if summaries else None,
+            "max_doc_key": summaries[-1]["max_key"] if summaries else None}
 
 
 def _write_keymap(docs_dir: str, keymap_dir: str, parallelism: int,
@@ -496,8 +513,12 @@ def _encode_postings(
     driver_small_threshold: int = 2_000_000,
     keymap_broadcast_rows: int = 50_000_000,
     retries: int = 3,
+    pids: set[int] | None = None,
 ) -> pa.Table:
     """Stage 3: bucket-partitioned EXTERNAL merge of the SPIMI partials.
+
+    ``pids`` restricts the merge to a subset of source partitions (segment
+    append encodes ONLY the new partitions' postings, pipelines/segments.py).
 
     The wide term exchange is materialized through shared storage instead of
     an in-memory all-to-all: stage 1 already wrote each partition's packed
@@ -552,7 +573,10 @@ def _encode_postings(
     # bucket -> (file, row group) map from the stage-1 manifests
     post_files = sorted(glob.glob(os.path.join(partials_dir, "post-*.parquet")))
     buckets: dict[int, list[tuple[str, int]]] = {}
-    for pid in sorted(completed_partitions(partials_dir)):
+    src_pids = completed_partitions(partials_dir)
+    if pids is not None:
+        src_pids &= set(pids)
+    for pid in sorted(src_pids):
         with open(manifest_path(partials_dir, pid)) as f:
             m = json.load(f)
         for bstr, rg in json.loads(m.get("bucket_rgs", "{}")).items():
@@ -641,6 +665,80 @@ def _encode_postings(
     )
     # collect the (small) summary table driver-side
     return pa.Table.from_pandas(summaries.to_pandas(), preserve_index=False)
+
+
+def _tokenize_stage(todo: list[dict], partials_dir: str, *, mode: str,
+                    column_map: dict | None, key_cols, n_buckets: int,
+                    keyword_fields: dict | None, positions: bool,
+                    retries: int) -> None:
+    """Stage 1 runner: one Ray task per partition unit writing SPIMI
+    partials + manifest (checkpointed; shared by build and segment append).
+    """
+    import ray.data as rd
+
+    # one block per unit => one task per unit (from_items' default block
+    # count caps task parallelism otherwise)
+    units_ds = rd.from_items(todo, override_num_blocks=len(todo))
+    units_ds.map_batches(
+        tokenize_units,
+        fn_kwargs={
+            "partials_dir": partials_dir,
+            "mode": mode,
+            "column_map": column_map,
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "keyword_fields": keyword_fields,
+            "positions": positions,
+        },
+        batch_format="pyarrow",
+        batch_size=1,
+        num_cpus=1,
+        max_retries=retries,
+        retry_exceptions=True,
+    ).materialize()
+
+
+def _write_dictionary(postings_dir: str, dict_dir: str,
+                      driver_small_threshold: int = 2_000_000) -> int:
+    """Stage 4: term dictionary (df = sum of chunk posting counts) from the
+    encoded postings' summary columns; returns the term count. Shared by the
+    full build and the segment append (pipelines/segments.py)."""
+    import ray.data as rd
+
+    post_files = glob.glob(os.path.join(postings_dir, "*.parquet"))
+    n_chunk_rows = sum(pq.read_metadata(p).num_rows for p in post_files)
+    if n_chunk_rows <= driver_small_threshold:
+        # chunk summaries are tiny relative to postings: one-process groupby
+        cs = pa.concat_tables(
+            pq.read_table(p, columns=["term", "n", "sum_tf"]) for p in post_files
+        )
+        dictionary_t = (
+            cs.group_by("term")
+            .aggregate([("n", "sum"), ("sum_tf", "sum"), ("term", "count")])
+            .rename_columns(["term", "df", "cf", "n_chunks"])
+        )
+        os.makedirs(dict_dir, exist_ok=True)
+        pq.write_table(
+            dictionary_t, os.path.join(dict_dir, "dict-000000.parquet"),
+            compression="zstd",
+        )
+        return dictionary_t.num_rows
+    from ray.data.aggregate import Count, Sum
+
+    # explicit file list: the dir also holds merge-manifest json sidecars
+    chunks_summary = rd.read_parquet(
+        sorted(post_files), columns=["term", "n", "sum_tf"]
+    )
+    dictionary = chunks_summary.groupby("term").aggregate(
+        Sum("n", alias_name="df"),
+        Sum("sum_tf", alias_name="cf"),
+        Count(alias_name="n_chunks"),
+    )
+    dictionary.write_parquet(dict_dir)
+    return sum(
+        pq.read_metadata(p).num_rows
+        for p in glob.glob(os.path.join(dict_dir, "*.parquet"))
+    )
 
 
 def build_index(
@@ -766,26 +864,10 @@ def build_index(
     # stateless tasks reuse warm worker processes — an actor pool would pay
     # process spawn + imports per actor per build)
     if todo:
-        # one block per unit => one task per unit (from_items' default block
-        # count caps task parallelism otherwise)
-        units_ds = rd.from_items(todo, override_num_blocks=len(todo))
-        units_ds.map_batches(
-            tokenize_units,
-            fn_kwargs={
-                "partials_dir": partials_dir,
-                "mode": mode,
-                "column_map": column_map,
-                "key_cols": key_cols,
-                "n_buckets": n_buckets,
-                "keyword_fields": keyword_fields,
-                "positions": positions,
-            },
-            batch_format="pyarrow",
-            batch_size=1,
-            num_cpus=1,
-            max_retries=retries,
-            retry_exceptions=True,
-        ).materialize()
+        _tokenize_stage(todo, partials_dir, mode=mode, column_map=column_map,
+                        key_cols=key_cols, n_buckets=n_buckets,
+                        keyword_fields=keyword_fields, positions=positions,
+                        retries=retries)
 
     timings["tokenize_partials"] = _time.time() - _t0
 
@@ -828,42 +910,7 @@ def build_index(
 
     # ---- stage 4: dictionary (df = sum of chunk posting counts)
     _t0 = _time.time()
-    post_files = glob.glob(os.path.join(postings_dir, "*.parquet"))
-    n_chunk_rows = sum(pq.read_metadata(p).num_rows for p in post_files)
-    if n_chunk_rows <= driver_small_threshold:
-        # chunk summaries are tiny relative to postings: one-process groupby
-        cs = pa.concat_tables(
-            pq.read_table(p, columns=["term", "n", "sum_tf"]) for p in post_files
-        )
-        dictionary_t = (
-            cs.group_by("term")
-            .aggregate([("n", "sum"), ("sum_tf", "sum"), ("term", "count")])
-            .rename_columns(["term", "df", "cf", "n_chunks"])
-        )
-        os.makedirs(dict_dir, exist_ok=True)
-        pq.write_table(
-            dictionary_t, os.path.join(dict_dir, "dict-000000.parquet"),
-            compression="zstd",
-        )
-        n_terms = dictionary_t.num_rows
-    else:
-        from ray.data.aggregate import Count, Sum
-
-        # explicit file list: the dir also holds merge-manifest json sidecars
-        chunks_summary = rd.read_parquet(
-            sorted(post_files), columns=["term", "n", "sum_tf"]
-        )
-        dictionary = chunks_summary.groupby("term").aggregate(
-            Sum("n", alias_name="df"),
-            Sum("sum_tf", alias_name="cf"),
-            Count(alias_name="n_chunks"),
-        )
-        dictionary.write_parquet(dict_dir)
-        n_terms = sum(
-            pq.read_metadata(p).num_rows
-            for p in glob.glob(os.path.join(dict_dir, "*.parquet"))
-        )
-
+    n_terms = _write_dictionary(postings_dir, dict_dir, driver_small_threshold)
     timings["dictionary"] = _time.time() - _t0
 
     # ---- stage 5: stats + lineage
