@@ -816,6 +816,64 @@ def bm25_topk_documents(sf_dir: str):
     )
 
 
+def _documents_appended_index(sf_dir: str) -> str:
+    """Base index over the first 70% of documents (doc_id order) plus one
+    delta segment over the rest (pipelines/segments.py) — BM25 over the
+    segmented index must equal the full-corpus SQL oracle exactly."""
+    import pyarrow.parquet as pq
+
+    from astrologer_ray.pipelines.build import build_index
+    from astrologer_ray.pipelines.segments import append_segment
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(_CACHE, f"docidxseg-{tag}")
+    index_dir = os.path.join(root, "idx")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return index_dir
+    corpus = os.path.join(root, "corpus")
+    os.makedirs(corpus, exist_ok=True)
+    t = pq.read_table(_tbl(sf_dir, "documents")).sort_by("doc_id")
+    split = int(t.num_rows * 0.7)
+    f0 = os.path.join(corpus, "part-000.parquet")
+    f1 = os.path.join(corpus, "part-001.parquet")
+    pq.write_table(t.slice(0, split), f0)
+    pq.write_table(t.slice(split), f1)
+    kw = dict(
+        mode="simple",
+        column_map={"repo": "source", "path": None, "commit": None,
+                    "lang": "lang", "content": "text"},
+        key_cols=("doc_id",),
+        keyword_fields={"src": "source", "lang": "lang"},
+        chunk_bits=8,
+    )
+    build_index([f0], index_dir, partition_rows=20_000, force=True, **kw)
+    append_segment([f0, f1], index_dir, partition_rows=20_000)
+    with open(done, "w") as f:
+        f.write("ok")
+    return index_dir
+
+
+def bm25_topk_appended(sf_dir: str):
+    """Same reference query set as :func:`bm25_topk_documents`, served from
+    a base index + delta segment — rank/score-identical to the single-shot
+    full build AND to the SQL oracle (global df/avgdl across segments)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_appended_index(sf_dir), load_docs=False)
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        for h in s.search(terms, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 def _bm25_documents_sql(doc_where: str | None = None) -> str:
     """BM25 oracle; ``doc_where`` restricts CANDIDATE docs only — tf/df/dl
     statistics stay corpus-global, exactly the engine's (and ES's) filtered
@@ -1393,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "doc_quality": doc_quality,
         "bm25_topk_documents": bm25_topk_documents,
+        "bm25_topk_appended": bm25_topk_appended,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
@@ -1441,6 +1500,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "doc_quality": DOC_QUALITY_SQL,
         "bm25_topk_documents": _bm25_documents_sql(),
+        # segmented serving is invisible to the scores: same full-corpus oracle
+        "bm25_topk_appended": _bm25_documents_sql(),
         "bm25_topk_filtered": _bm25_documents_sql("fd.lang = 'en'"),
         "bm25_topk_range_filtered": _bm25_documents_sql(
             "fd.lang = 'en' AND fd.doc_id IN "

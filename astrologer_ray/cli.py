@@ -132,6 +132,16 @@ def cmd_ingest(args) -> int:
         missing = [u["part_id"] for u in units if u["part_id"] not in done]
         if not missing and os.path.exists(os.path.join(args.index, "_SUCCESS")):
             return {"up_to_date": True, "partitions": len(units)}
+        if args.append:
+            # delta segment: encode ONLY the new partitions; the base index
+            # is never rewritten (pipelines/segments.py)
+            from astrologer_ray.pipelines.segments import append_segment
+
+            out = append_segment(args.corpus, args.index,
+                                 partition_rows=args.partition_rows,
+                                 retries=args.retries)
+            out.pop("segment_meta", None)
+            return out
         meta = build_index(
             args.corpus, args.index, mode=args.mode, resume=True,
             partition_rows=args.partition_rows, retries=args.retries,
@@ -150,6 +160,18 @@ def cmd_ingest(args) -> int:
         if args.max_polls and polls >= args.max_polls:
             return 0
         time.sleep(args.poll_seconds)
+
+
+def cmd_compact(args) -> int:
+    """Fold all delta segments into the base (pipelines/segments.py)."""
+    from astrologer_ray.pipelines.segments import compact_index
+
+    _ray_session(args.num_cpus)
+    meta = compact_index(args.corpus, args.index,
+                         partition_rows=args.partition_rows,
+                         retries=args.retries)
+    print(json.dumps(meta, default=str))
+    return 0
 
 
 def cmd_stats(args) -> int:
@@ -230,6 +252,10 @@ def main(argv: list[str] | None = None) -> int:
         b.add_argument("--dry-run", action="store_true")
         b.add_argument("--follow", action="store_true",
                        help="ingest only: poll the corpus forever")
+        b.add_argument("--append", action="store_true",
+                       help="ingest only: add new partitions as a delta "
+                            "segment instead of re-running the global "
+                            "post-tokenize stages (requires monotone keys)")
         b.add_argument("--poll-seconds", type=float, default=10.0)
         b.add_argument("--max-polls", type=int, default=0,
                        help="stop --follow after N polls (0 = forever)")
@@ -248,6 +274,15 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("index")
     st.add_argument("--partition-rows", type=int, default=50_000)
     st.set_defaults(fn=cmd_stats)
+
+    co = sub.add_parser("compact",
+                        help="fold delta segments back into the base index "
+                             "(Lucene forced merge; stage 1 not repeated)")
+    co.add_argument("corpus")
+    co.add_argument("index")
+    co.add_argument("--partition-rows", type=int, default=50_000)
+    co.add_argument("--retries", type=int, default=3)
+    co.set_defaults(fn=cmd_compact)
 
     se = sub.add_parser("search")
     se.add_argument("index")

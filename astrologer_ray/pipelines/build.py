@@ -932,6 +932,15 @@ def build_index(
         "n_buckets": n_buckets,
         "n_partitions": len(units),
         "source_files": paths,
+        # full build config + key range: segment append (pipelines/
+        # segments.py) reuses the exact config and gates on key monotony;
+        # encode_avgdl is the avgdl baked into THIS index's block maxima
+        # (query-time WAND bounds rescale by avgdl_now/encode_avgdl)
+        "column_map": build_cfg["column_map"],
+        "key_cols": build_cfg["key_cols"],
+        "encode_avgdl": avgdl,
+        "min_doc_key": id_stats.get("min_doc_key"),
+        "max_doc_key": id_stats.get("max_doc_key"),
     }
     with open(os.path.join(stats_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -52,10 +52,13 @@ class ShardedSearchPool:
         import ray
 
         from astrologer_ray.pipelines.build import load_meta
+        from astrologer_ray.pipelines.segments import combined_stats
         from astrologer_ray.state.searcher import Searcher
 
         meta = load_meta(index_dir)
-        max_chunk = (max(0, int(meta["n_docs"]) - 1) >> int(meta["chunk_bits"])) + 1
+        # doc count spans base + delta segments (pipelines/segments.py)
+        n_docs = combined_stats(index_dir)["n_docs"]
+        max_chunk = (max(0, n_docs - 1) >> int(meta["chunk_bits"])) + 1
         n_actors = max(1, min(n_actors, max_chunk))
         bounds = np.linspace(0, max_chunk, n_actors + 1).astype(int)
         actor_cls = ray.remote(num_cpus=num_cpus)(Searcher)

@@ -38,6 +38,16 @@ _INF = np.iinfo(np.int64).max
 _UB_SAFETY = 1.0 + 1e-12
 
 
+def _scale_blockmax(t: pa.Table, scale: float) -> pa.Table:
+    """Multiply every value of the ``block_max_tfn`` list column by
+    ``scale`` (vectorized on the flattened child — no per-row loop)."""
+    i = t.schema.get_field_index("block_max_tfn")
+    col = t.column(i).combine_chunks()
+    flat = pc.multiply(col.values, pa.scalar(float(scale), pa.float64()))
+    scaled = pa.ListArray.from_arrays(col.offsets, flat)
+    return t.set_column(i, "block_max_tfn", scaled)
+
+
 class _Cursor:
     """doc_id-ascending iterator over one term's chunk list with block skips."""
 
@@ -134,11 +144,17 @@ class Searcher:
         doc-id chunk ranges instead (document-partitioned serving, the ES
         topology): every loaded doc's score is COMPLETE, so per-actor
         top-k lists merge exactly — see state/pool.ShardedSearchPool."""
-        self.meta = load_meta(index_dir)
+        from astrologer_ray.pipelines.segments import index_generations
+
+        # generations = base index + any delta segments (pipelines/
+        # segments.py) — same layout each; BM25 stats are GLOBAL sums
+        gens = index_generations(index_dir)
+        self.meta = gens[0][1]
         self.k1 = float(self.meta["k1"])
         self.b = float(self.meta["b"])
-        self.avgdl = float(self.meta["avgdl"])
-        self.N = int(self.meta["n_docs"])
+        self.N = sum(int(m["n_docs"]) for _, m in gens)
+        sum_dl = sum(int(m["sum_dl"]) for _, m in gens)
+        self.avgdl = (sum_dl / self.N) if self.N else 0.0
         self.mode = self.meta["mode"]
         self.n_shards = int(self.meta["n_shards"])
         self.shards = set(shards) if shards is not None else None
@@ -155,7 +171,6 @@ class Searcher:
             self.doc_lo, self.doc_hi = 0, self.N
         self.n_local = max(0, self.doc_hi - self.doc_lo)
 
-        pfiles = sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet")))
         filt = None
         if self.shards is not None:
             filt = pc.field("shard").isin(list(self.shards))
@@ -164,16 +179,43 @@ class Searcher:
                 pc.field("chunk_id") < int(chunk_range[1])
             )
             filt = cr if filt is None else (filt & cr)
-        tables = [pq.read_table(p, filters=filt) for p in pfiles]
+        tables = []
+        for gdir, gmeta in gens:
+            gt = [
+                pq.read_table(p, filters=filt)
+                for p in sorted(glob.glob(os.path.join(gdir, "postings", "*.parquet")))
+            ]
+            if not gt:
+                continue
+            t = pa.concat_tables(gt)
+            # this generation's block maxima were baked with the global
+            # avgdl at ITS encode time; scale to a valid bound under the
+            # current (larger-corpus) avgdl — tf-norm ratio < avgdl ratio
+            # (proof: pipelines/segments.py module docstring)
+            enc = float(gmeta.get("encode_avgdl") or gmeta.get("avgdl") or 0.0)
+            if enc > 0 and self.avgdl > enc:
+                t = _scale_blockmax(t, self.avgdl / enc)
+            tables.append(t)
         post = pa.concat_tables(tables) if tables else None
 
         self.postings: dict[str, list[dict]] = {}
         if post is not None and post.num_rows:
-            for row in post.sort_by([("term", "ascending"), ("chunk_id", "ascending")]).to_pylist():
+            # (term, last_doc_id) — NOT chunk_id: generations' doc-id ranges
+            # are disjoint ascending, but a boundary chunk can be split
+            # across two generations (same chunk_id twice per term)
+            order = [("term", "ascending"), ("last_doc_id", "ascending")]
+            for row in post.sort_by(order).to_pylist():
                 self.postings.setdefault(row["term"], []).append(row)
 
-        dfiles = sorted(glob.glob(os.path.join(index_dir, "dict", "*.parquet")))
-        dt = pa.concat_tables([pq.read_table(p, columns=["term", "df", "cf"]) for p in dfiles])
+        dt = pa.concat_tables([
+            pq.read_table(p, columns=["term", "df", "cf"])
+            for gdir, _ in gens
+            for p in sorted(glob.glob(os.path.join(gdir, "dict", "*.parquet")))
+        ])
+        if len(gens) > 1:
+            # per-generation dictionaries: global df/cf are the sums
+            dt = dt.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+            dt = dt.rename_columns(["term", "df", "cf"])
         self.df = dict(zip(dt.column("term").to_pylist(), dt.column("df").to_pylist()))
         self.cf = dict(zip(dt.column("term").to_pylist(), dt.column("cf").to_pylist()))
 
@@ -186,7 +228,10 @@ class Searcher:
         self.doc_attrs: dict[str, np.ndarray] = {}
         if load_docs:
             cols = ["doc_id", "doc_key", "repo", "path", "commit", "lang", "dl"]
-            dfiles = sorted(glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
+            dfiles = [
+                p for gdir, _ in gens
+                for p in sorted(glob.glob(os.path.join(gdir, "docs", "*.parquet")))
+            ]
             dfilt = None
             if chunk_range is not None:
                 # prune the sidecar read to this shard's doc range — a
