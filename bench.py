@@ -118,6 +118,46 @@ def bench_build() -> dict:
     }
 
 
+def bench_append(full_build_sec: float) -> dict:
+    """Incremental-ingest headline: append ~1% new docs to the just-built
+    index as a delta segment (pipelines/segments.py) — at 100 TB this is
+    the nightly-ingest cost, which must NOT scale with the index size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from astrologer_ray.pipelines.segments import append_segment
+
+    paths = _ensure_corpus()
+    n_tail = max(1000, N_FILES // 100)
+    tail_dir = BENCH_CORPUS + "_tail"
+    tail = os.path.join(tail_dir, "part-tail.parquet")  # sorts after corpus
+    if not os.path.exists(tail):
+        os.makedirs(tail_dir, exist_ok=True)
+        rng = np.random.default_rng(99)
+        vocab = np.array([f"word{i}" for i in range(5000)])
+        # repo 'zzz~tail' sorts after every generated 'orgN/repoM' key, so
+        # the append is monotone (the ledger-order contract)
+        rows = {
+            "repo": ["zzz~tail"] * n_tail,
+            "path": [f"src/t{i:07d}.py" for i in range(n_tail)],
+            "commit": ["c0"] * n_tail,
+            "lang": ["py"] * n_tail,
+            "content": [" ".join(rng.choice(vocab, size=60)) for _ in range(n_tail)],
+        }
+        pq.write_table(pa.table(rows), tail, row_group_size=5000)
+    t0 = time.time()
+    out = append_segment(paths + [tail], BENCH_INDEX, partition_rows=5000)
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "n_docs": out["appended"],
+        "docs_per_s": out["appended"] / dt if dt else 0.0,
+        # the point of segments: delta cost vs re-running the full build
+        "speedup_vs_full_rebuild": round(full_build_sec / dt, 1) if dt else None,
+    }
+
+
 def bench_query_qps(n_queries: int = 800) -> dict:
     import numpy as np
     import ray.data as rd
@@ -273,6 +313,9 @@ def main() -> None:
         results["events_date_histogram"] = _timed(E.events_date_histogram, SF_DIR)
         results["minhash_dedup"] = _timed(E.minhash_dedup_documents, SF_DIR)
         results["ann_topk"] = _timed(E.ann_topk_embeddings, SF_DIR)
+        # last: mutates BENCH_INDEX (adds a delta segment)
+        results["append_delta"] = bench_append(
+            results["build_code_index"]["sec"])
     total = time.time() - t_all
 
     out = {
@@ -293,6 +336,9 @@ def main() -> None:
         out["query_qps_replicated"] = round(results["query_qps_replicated"]["qps"], 1)
         out["query_single_lat_ms_p50"] = results["query_qps"]["single_lat_ms_p50"]
         out["query_single_lat_ms_p95"] = results["query_qps"]["single_lat_ms_p95"]
+        out["append_docs_per_s"] = round(results["append_delta"]["docs_per_s"], 1)
+        out["append_speedup_vs_full"] = results["append_delta"][
+            "speedup_vs_full_rebuild"]
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]
     out["host"] = host_probes()
     print(json.dumps(out))
