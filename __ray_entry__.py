@@ -967,6 +967,83 @@ def bm25_topk_range_filtered(sf_dir: str):
     )
 
 
+MLT_SRC_DOC_IDS = [7, 123, 321]
+MLT_MAX_TERMS = 25
+MLT_K = 10
+
+
+def mlt_documents(sf_dir: str):
+    """ES ``more_like_this`` with unindexed like-text: term selection by
+    tf*idf from the live dictionary (top max_query_terms, ties term-asc),
+    then ordinary top-k BM25 with the selected terms. Source texts are
+    documents rows — the oracle recomputes the selection in SQL."""
+    import pyarrow.parquet as pq
+
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    t = pq.read_table(_tbl(sf_dir, "documents"), columns=["doc_id", "text"],
+                      filters=pc.field("doc_id").isin(MLT_SRC_DOC_IDS))
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    rows = []
+    for src in MLT_SRC_DOC_IDS:
+        for h in s.more_like_this(texts[src], k=MLT_K,
+                                  max_query_terms=MLT_MAX_TERMS):
+            rows.append((src, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _mlt_documents_sql() -> str:
+    """SQL twin of :func:`mlt_documents`: identical tf*idf term selection
+    (row_number over sel_score desc, term asc) and identical BM25 scoring."""
+    srcs = ", ".join(f"({d})" for d in MLT_SRC_DOC_IDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+src(qid) AS (VALUES {srcs}),
+qsel AS (
+  SELECT s.qid, tf.term,
+         row_number() OVER (
+           PARTITION BY s.qid
+           ORDER BY tf.tf * ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5)) DESC,
+                    tf.term) AS rn
+  FROM src s
+  JOIN tf ON tf.doc_id = s.qid
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats st),
+q AS (SELECT qid, term FROM qsel WHERE rn <= {MLT_MAX_TERMS}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT qid, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {MLT_K} ORDER BY qid, rn
+"""
+
+
 BM25_SHOULD_QUERIES: list[tuple[int, list[str], list[str], int, int]] = [
     # (qid, must terms, should terms, minimum_should_match, k)
     (0, ["data", "fast"], ["query", "merge"], 0, 10),
@@ -1455,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
+        "mlt_documents": mlt_documents,
         "phrase_topk_documents": phrase_topk_documents,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_prefix_lookup": docs_prefix_lookup,
@@ -1508,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id FROM dl WHERE dl >= 20 AND dl < 60)"
         ),
         "bm25_topk_should": _bm25_should_sql(),
+        "mlt_documents": _mlt_documents_sql(),
         "phrase_topk_documents": _phrase_documents_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,

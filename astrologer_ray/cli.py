@@ -208,7 +208,12 @@ def cmd_search(args) -> int:
     _ray_session(args.num_cpus)
     s = Searcher(args.index)
     filt = json.loads(args.filter) if args.filter else None
-    if args.phrase:
+    if args.mlt:
+        hits = s.more_like_this(
+            args.query, k=args.k, filter=filt,
+            max_query_terms=args.mlt_max_terms, decorate=True,
+        )
+    elif args.phrase:
         hits = s.phrase_search(
             tokenize(args.query, mode=s.mode), k=args.k, filter=filt,
             decorate=True,
@@ -302,6 +307,10 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--phrase", action="store_true",
                     help="treat the query as a consecutive phrase "
                          "(requires an index built with --positions)")
+    se.add_argument("--mlt", action="store_true",
+                    help="more-like-this: treat the query as document text; "
+                         "search with its top tf*idf terms")
+    se.add_argument("--mlt-max-terms", type=int, default=25)
     se.set_defaults(fn=cmd_search)
 
     args = p.parse_args(argv)

@@ -748,6 +748,49 @@ class Searcher:
         hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
         return self._format(hits, decorate)
 
+    def more_like_this(
+        self,
+        text: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_doc_freq: int = 1,
+        min_term_freq: int = 1,
+        filter=None,
+        decorate: bool = False,
+        strategy: str = "auto",
+    ) -> list[dict]:
+        """ES ``more_like_this`` with unindexed ``like`` text
+        (es.postman_collection.json query surface analog): tokenize the
+        text with the index's analyzer, keep terms present in the
+        dictionary with ``tf >= min_term_freq`` and ``df >= min_doc_freq``,
+        select the ``max_query_terms`` highest ``tf * idf`` terms
+        (ties: term ascending — deterministic, SQL-oracle-able), and run
+        them as a regular top-k BM25 query. :meth:`mlt_terms` exposes the
+        selection itself.
+        """
+        terms = self.mlt_terms(text, max_query_terms=max_query_terms,
+                               min_doc_freq=min_doc_freq,
+                               min_term_freq=min_term_freq)
+        if not terms:
+            return []
+        return self.search(terms, k=k, filter=filter, decorate=decorate,
+                           strategy=strategy)
+
+    def mlt_terms(self, text: str, max_query_terms: int = 25,
+                  min_doc_freq: int = 1, min_term_freq: int = 1) -> list[str]:
+        """The deterministic MLT term selection (see :meth:`more_like_this`)."""
+        from collections import Counter
+
+        tf = Counter(tokenize(text, mode=self.mode))
+        scored = []
+        for t, f in tf.items():
+            df_t = self.df.get(t, 0)
+            if f < min_term_freq or df_t < min_doc_freq:
+                continue
+            scored.append((-f * idf(self.N, int(df_t)), t))
+        scored.sort()
+        return [t for _, t in scored[:max_query_terms]]
+
     def _format(self, hits: list[tuple[int, float]], decorate: bool) -> list[dict]:
         results = []
         for rank, (d, s) in enumerate(hits):

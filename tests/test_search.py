@@ -518,3 +518,30 @@ def test_phrase_with_filter(pos_index, index_and_oracle):
                for h in s.phrase_search(terms, k=10,
                                         filter={"term": {"lang": lang}})]
         assert got == want, f"lang={lang}"
+
+
+def test_more_like_this_matches_brute_force(index_and_oracle):
+    """MLT term selection == brute tf*idf top-N (ties term-asc), and the
+    hits are exactly search(selected_terms)."""
+    from collections import Counter
+
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.bm25 import idf
+
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    for src in (0, 5, 41):
+        text = contents[src]
+        tf = Counter(tokenize(text, mode=s.mode))
+        scored = sorted(
+            (-f * idf(s.N, int(s.df[t])), t)
+            for t, f in tf.items() if t in s.df
+        )
+        want_terms = [t for _, t in scored[:25]]
+        assert s.mlt_terms(text) == want_terms
+        got = s.more_like_this(text, k=10)
+        assert got == s.search(want_terms, k=10)
+        # the source doc itself should surface near the top of its own MLT
+        assert src in [h["doc_id"] for h in got]
+    assert s.mlt_terms(text, max_query_terms=5) == want_terms[:5]
+    assert s.more_like_this("", k=10) == []
