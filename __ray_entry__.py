@@ -967,6 +967,77 @@ def bm25_topk_range_filtered(sf_dir: str):
     )
 
 
+PAGED_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["data", "fast", "query"]),
+    (1, ["window", "merge", "sort", "stream"]),
+]
+PAGE_SIZE = 5
+N_PAGES = 3
+
+
+def bm25_paged_documents(sf_dir: str):
+    """Deep pagination via the ``after`` cursor (ES ``search_after`` — the
+    reference's paging-token walk, /root/reference/es/indices.go:26-27):
+    page N+1 is requested with page N's last (score, doc_id) as the cursor;
+    stitched pages must equal the oracle's contiguous rank prefix."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms in PAGED_QUERIES:
+        cursor = None
+        for page in range(1, N_PAGES + 1):
+            hits = s.search(terms, k=PAGE_SIZE, after=cursor)
+            for h in hits:
+                rows.append((qid, page, h["doc_id"], round(h["score"], 4)))
+            if len(hits) < PAGE_SIZE:
+                break
+            cursor = (hits[-1]["score"], hits[-1]["doc_id"])
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "page": pa.array([r[1] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _bm25_paged_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in PAGED_QUERIES for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT qid, CAST((rn - 1) // {PAGE_SIZE} + 1 AS BIGINT) AS page,
+       doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {PAGE_SIZE * N_PAGES} ORDER BY qid, rn
+"""
+
+
 MLT_SRC_DOC_IDS = [7, 123, 321]
 MLT_MAX_TERMS = 25
 MLT_K = 10
@@ -1533,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
         "mlt_documents": mlt_documents,
+        "bm25_paged_documents": bm25_paged_documents,
         "phrase_topk_documents": phrase_topk_documents,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_prefix_lookup": docs_prefix_lookup,
@@ -1587,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_should": _bm25_should_sql(),
         "mlt_documents": _mlt_documents_sql(),
+        "bm25_paged_documents": _bm25_paged_sql(),
         "phrase_topk_documents": _phrase_documents_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,

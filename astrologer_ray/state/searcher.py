@@ -309,7 +309,7 @@ class Searcher:
         return ids, w
 
     def _search_taat(self, qterms, k, allowed, should_terms=None,
-                     min_should_match=0):
+                     min_should_match=0, after=None):
         """Exact term-at-a-time scoring: one numpy pass per query term.
 
         Bit-identical to the oracle: same weight expression, contributions
@@ -354,6 +354,14 @@ class Searcher:
                 cand = cand[should_count[cand] >= msm]
         if allowed is not None:
             cand = cand[allowed[cand]]
+        if after is not None and len(cand):
+            # deep pagination: keep docs strictly AFTER the (score, doc_id)
+            # cursor in (score desc, doc_id asc) order — the reference's
+            # paging-token model (search_after, es/indices.go paging sort)
+            a_s, a_d = float(after[0]), int(after[1])
+            cs = scores[cand]
+            gids = cand + self.doc_lo
+            cand = cand[(cs < a_s) | ((cs == a_s) & (gids > a_d))]
         try:
             if len(cand) == 0:
                 return []
@@ -547,10 +555,17 @@ class Searcher:
         strategy: str = "auto",
         should_terms: list[str] | None = None,
         min_should_match: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> list[dict]:
         """Exact top-k BM25. ``strategy``: "taat" (vectorized term-at-a-
         time), "wand" (block-max WAND), or "auto" (taat while the doc space
         fits a dense accumulator). Both are rank-identical to the oracle.
+
+        ``after=(score, doc_id)`` returns the k docs strictly AFTER that
+        cursor in (score desc, doc_id asc) order — ES ``search_after``
+        deep pagination, the reference's paging-token model (the index is
+        page-walked by sort key, /root/reference/es/indices.go:26-27).
+        Stateless and exact: page N+1's cursor is page N's last hit.
 
         ``should_terms`` are ES ``bool.should`` clauses in QUERY context
         (es.postman_collection.json:258): they add their BM25 contribution
@@ -577,7 +592,7 @@ class Searcher:
         )
         if use_taat:
             hits = self._search_taat(qterms, k, allowed,
-                                     should_terms, min_should_match)
+                                     should_terms, min_should_match, after)
             return self._format(hits, decorate)
 
         sterms = sorted({t for t in (should_terms or []) if self.owns_term(t)}
@@ -651,7 +666,15 @@ class Searcher:
                                     should_cnt += 1
                                 else:
                                     must_any = True
-                        if (must_any and should_cnt >= msm) and (
+                        # search_after cursor: only docs strictly after it
+                        # in (score desc, doc_id asc) order may enter the
+                        # heap (UB pruning is unaffected — it only skips
+                        # docs that cannot beat the kept heap's minimum)
+                        ok_after = after is None or (
+                            s < after[0]
+                            or (s == after[0] and pivot_doc > after[1])
+                        )
+                        if (must_any and should_cnt >= msm and ok_after) and (
                                 s > theta or len(heap) < k):
                             heapq.heappush(heap, (s, -pivot_doc))
                             if len(heap) > k:

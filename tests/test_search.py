@@ -545,3 +545,29 @@ def test_more_like_this_matches_brute_force(index_and_oracle):
         assert src in [h["doc_id"] for h in got]
     assert s.mlt_terms(text, max_query_terms=5) == want_terms[:5]
     assert s.more_like_this("", k=10) == []
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_search_after_pages_stitch_exactly(index_and_oracle, strategy):
+    """Pages fetched with the after-cursor concatenate to the single-shot
+    top-(p*k) list — the ES search_after contract, both strategies."""
+    index_dir, _, _ = index_and_oracle
+    s = Searcher(index_dir)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    terms = [terms_by_df[0][0], terms_by_df[len(terms_by_df) // 2][0]]
+    want = [(h["doc_id"], h["score"])
+            for h in s.search(terms, k=15, strategy=strategy)]
+    got, cursor = [], None
+    for _ in range(3):
+        page = s.search(terms, k=5, strategy=strategy, after=cursor)
+        got += [(h["doc_id"], h["score"]) for h in page]
+        if len(page) < 5:
+            break
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert got == want
+    # cursor past the end returns empty
+    if got:
+        last = got[-1]
+        tail = s.search(terms, k=5, strategy=strategy,
+                        after=(0.0, 1 << 60))
+        assert all(h["score"] <= 0.0 for h in tail) or tail == []
