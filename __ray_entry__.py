@@ -1038,6 +1038,70 @@ FROM ranked WHERE rn <= {PAGE_SIZE * N_PAGES} ORDER BY qid, rn
 """
 
 
+def bm25_collapse_documents(sf_dir: str):
+    """ES field collapsing: top-k BM25 with at most one hit (best score,
+    doc_id-asc ties) per distinct ``source`` — the code-search
+    one-result-per-repo UX over the reference's keyword fields."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir)  # collapse needs the docs sidecar
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        for h in s.search_collapse(terms, collapse="repo", k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "score": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _bm25_collapse_sql() -> str:
+    """SQL twin of field collapsing: row_number per (qid, source) first,
+    then the global rank over the group winners."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in BM25_DOC_QUERIES for t in sorted(set(terms))
+    )
+    ks = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_DOC_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+ks(qid, k) AS (VALUES {ks}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+grouped AS (
+  SELECT sc.qid, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.qid, d.source
+                            ORDER BY sc.score DESC, sc.doc_id) AS grn
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM grouped WHERE grn = 1)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
 MLT_SRC_DOC_IDS = [7, 123, 321]
 MLT_MAX_TERMS = 25
 MLT_K = 10
@@ -1604,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
         "mlt_documents": mlt_documents,
+        "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
         "phrase_topk_documents": phrase_topk_documents,
         "field_scoped_lookup": field_scoped_lookup,
@@ -1659,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_should": _bm25_should_sql(),
         "mlt_documents": _mlt_documents_sql(),
+        "bm25_collapse_documents": _bm25_collapse_sql(),
         "bm25_paged_documents": _bm25_paged_sql(),
         "phrase_topk_documents": _phrase_documents_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,

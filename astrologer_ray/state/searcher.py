@@ -771,6 +771,64 @@ class Searcher:
         hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
         return self._format(hits, decorate)
 
+    def search_collapse(
+        self,
+        terms: list[str],
+        collapse: str,
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """Top-k BM25 with ES field collapsing: at most ONE hit (the
+        best-scoring, doc_id-asc tie-break) per distinct value of the
+        ``collapse`` doc attribute — the code-search "one result per repo"
+        UX (ES ``collapse`` on the reference's keyword fields).
+
+        Exact: scores every candidate (TAAT), takes the per-group argmax,
+        then the global (score desc, doc_id asc) top-k of the group
+        winners. Requires ``load_docs=True``.
+        """
+        if k <= 0:
+            return []
+        col = self._attr(collapse)
+        qterms = sorted({t for t in terms if self.owns_term(t)})
+        allowed = self.filter_mask(filter) if filter is not None else None
+        if getattr(self, "_score_buf", None) is None:
+            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
+            self._match_buf = np.zeros(self.n_local, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        touched = []
+        for t in qterms:
+            if t not in self.postings:
+                continue
+            ids, w = self._term_contribution(t)
+            scores[ids] += w
+            matched[ids] = True
+            touched.append(ids)
+        try:
+            cand = np.flatnonzero(matched)
+            if allowed is not None:
+                cand = cand[allowed[cand]]
+            if len(cand) == 0:
+                return []
+            # per-group winner: sort candidates best-first, keep the first
+            # occurrence of each collapse value (np.unique keeps the
+            # first index of each value in the ORIGINAL order only via
+            # stable argsort + first-seen mask)
+            order = np.lexsort((cand, -scores[cand]))
+            sc = cand[order]
+            vals = col[sc]
+            _, first_idx = np.unique(vals.astype(str), return_index=True)
+            winners = sc[np.sort(first_idx)][:k]
+            lo = self.doc_lo
+            return self._format(
+                [(int(d) + lo, float(scores[d])) for d in winners], decorate
+            )
+        finally:
+            for ids in touched:
+                scores[ids] = 0.0
+                matched[ids] = False
+
     def more_like_this(
         self,
         text: str,

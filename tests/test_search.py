@@ -571,3 +571,35 @@ def test_search_after_pages_stitch_exactly(index_and_oracle, strategy):
         tail = s.search(terms, k=5, strategy=strategy,
                         after=(0.0, 1 << 60))
         assert all(h["score"] <= 0.0 for h in tail) or tail == []
+
+
+def test_search_collapse_matches_brute_force(index_and_oracle):
+    """Field collapsing == per-group winner of the exhaustive ranking."""
+    index_dir, _, _ = index_and_oracle
+    s = Searcher(index_dir)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    terms = [terms_by_df[0][0], terms_by_df[2][0]]
+    full = s.search(terms, k=10_000)  # exhaustive ranking
+    seen, want = set(), []
+    for h in full:
+        grp = str(s.doc_repo[h["doc_id"] - s.doc_lo])
+        if grp in seen:
+            continue
+        seen.add(grp)
+        want.append((h["doc_id"], h["score"]))
+    got = [(h["doc_id"], h["score"])
+           for h in s.search_collapse(terms, collapse="repo", k=5)]
+    assert got == want[:5]
+    assert len({str(s.doc_repo[d - s.doc_lo]) for d, _ in got}) == len(got)
+    # with a filter
+    f = {"term": {"lang": "go"}}
+    gotf = [(h["doc_id"], h["score"])
+            for h in s.search_collapse(terms, collapse="repo", k=5, filter=f)]
+    fullf = s.search(terms, k=10_000, filter=f)
+    seen, wantf = set(), []
+    for h in fullf:
+        grp = str(s.doc_repo[h["doc_id"] - s.doc_lo])
+        if grp not in seen:
+            seen.add(grp)
+            wantf.append((h["doc_id"], h["score"]))
+    assert gotf == wantf[:5]
