@@ -555,6 +555,41 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def events_extended_stats(sf_dir: str):
+    """ES ``extended_stats`` per event_type — exact integer-cent moments
+    (order-independent, parallelism-invariant; pipelines/aggs.py)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import extended_stats
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type", "value"])
+    return extended_stats(ds, "event_type", "value")
+
+
+EVENTS_EXTENDED_STATS_SQL = """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events),
+agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         min(c) AS mn, max(c) AS mx
+  FROM c GROUP BY 1)
+SELECT event_type, n,
+       mn / 100.0 AS min_value,
+       mx / 100.0 AS max_value,
+       s / 100.0 AS sum_value,
+       round(s / n / 100.0, 6) AS avg_value,
+       round((s2 - (s * s) / CAST(n AS DOUBLE)) / n / 10000.0, 6) AS var_pop,
+       round(CASE WHEN (s2 - (s * s) / CAST(n AS DOUBLE)) / n > 0
+                  THEN sqrt((s2 - (s * s) / CAST(n AS DOUBLE)) / n / 10000.0)
+                  ELSE 0.0 END, 6) AS std_pop
+FROM agg ORDER BY event_type
+"""
+
+
 def events_props_sum(sf_dir: str):
     """JSON-field extraction (§2.8 map/json): pull props.k with one C regex
     kernel and aggregate per type — no per-row Python json parsing."""
@@ -1651,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_sample": documents_sample,
         "events_topn_per_user": events_topn_per_user,
         "events_value_percentiles": events_value_percentiles,
+        "events_extended_stats": events_extended_stats,
         "events_props_sum": events_props_sum,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_range_listing": events_range_listing,
@@ -1704,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "documents_sample": DOCUMENTS_SAMPLE_SQL,
         "events_topn_per_user": EVENTS_TOPN_SQL,
         "events_value_percentiles": EVENTS_PERCENTILES_SQL,
+        "events_extended_stats": EVENTS_EXTENDED_STATS_SQL,
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,
         "events_tumbling_window": EVENTS_TUMBLING_SQL,

@@ -334,6 +334,65 @@ def hll_distinct(ds: Dataset, group_col: str, val_col: str, p: int = 12) -> Data
     )
 
 
+def extended_stats(
+    ds: Dataset, group_col: str, val_col: str, round_to: int = 6,
+) -> pa.Table:
+    """ES ``extended_stats``: per-group count/min/max/sum/avg/variance/std,
+    EXACT via integer-cent moments (the repo's money policy): each batch
+    pre-aggregates (n, Σc, Σc², min, max) on int64 cents inside
+    ``map_batches``, ONE small groupby combines the partials, and the
+    driver finalizes variance from the exact integer moments with Python
+    bignum arithmetic — order-independent, so parallelism-invariant and
+    SQL-hash-comparable. int64 bound: needs ``n·c² < 2^63`` per group
+    (cents ≤ 56k allows ~3e9 rows/group; larger scales would widen the
+    Σc² partial to decimal128).
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(
+                pc.cast(t.column(val_col), pa.float64()), 100.0), 0.5)),
+            pa.int64(),
+        )
+        sub = pa.table({group_col: t.column(group_col), "c": c,
+                        "c2": pc.multiply(c, c)})
+        return sub.group_by(group_col).aggregate(
+            [("c", "count"), ("c", "sum"), ("c2", "sum"),
+             ("c", "min"), ("c", "max")]
+        ).rename_columns([group_col, "n", "s", "s2", "mn", "mx"])
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+            Sum("s2", alias_name="s2"), Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+        .take_all()  # one row per group — small by contract
+    )
+    rows = []
+    for r in sorted(combined, key=lambda r: r[group_col]):
+        n, s, s2 = int(r["n"]), int(r["s"]), int(r["s2"])
+        # same float expression as the SQL twin (s*s exact in int64, cast
+        # to double, then divide) — mirrors DuckDB's cast-then-divide
+        # rounding so the result is bit-identical across engines
+        var_c = (s2 - float(s * s) / n) / n
+        rows.append({
+            group_col: r[group_col],
+            "n": n,
+            "min_value": int(r["mn"]) / 100.0,
+            "max_value": int(r["mx"]) / 100.0,
+            "sum_value": s / 100.0,
+            "avg_value": round(s / n / 100.0, round_to),
+            "var_pop": round(var_c / 10_000.0, round_to),
+            "std_pop": round((var_c / 10_000.0) ** 0.5 if var_c > 0 else 0.0,
+                             round_to),
+        })
+    return pa.Table.from_pylist(rows)
+
+
 def sample_hash(ds: Dataset, id_col: str, frac: float) -> Dataset:
     """Deterministic hash sampling (§2.6 O4): keep rows whose Knuth
     multiplicative hash of ``id_col`` falls under ``frac``. Stable across

@@ -511,3 +511,42 @@ def test_ngram_jaccard_pairs_matches_brute(ray_session):
     assert sorted(got_t) == sorted(want)
     assert (0, 3, 1.0) in got_t            # exact dup pair at jac=1
     assert not any(4 in (a, b) for a, b, _ in got_t)   # shingle-less doc
+
+
+def test_extended_stats_exact_and_parallelism_invariant(ray_session):
+    """extended_stats integer-moment math == a single-process recompute,
+    regardless of block structure (order-independent partials)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import extended_stats
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    g = rng.choice(["a", "b", "c"], size=n)
+    v = np.round(rng.uniform(0.01, 500.0, size=n), 2)
+    t = pa.table({"g": g, "v": v})
+
+    def brute():
+        rows = []
+        for grp in ["a", "b", "c"]:
+            c = np.floor(v[g == grp] * 100.0 + 0.5).astype(np.int64)
+            s, s2, nn = int(c.sum()), int((c * c).sum()), len(c)
+            var_c = (s2 - float(s * s) / nn) / nn
+            rows.append({
+                "g": grp, "n": nn,
+                "min_value": int(c.min()) / 100.0,
+                "max_value": int(c.max()) / 100.0,
+                "sum_value": s / 100.0,
+                "avg_value": round(s / nn / 100.0, 6),
+                "var_pop": round(var_c / 10_000.0, 6),
+                "std_pop": round((var_c / 10_000.0) ** 0.5, 6),
+            })
+        return rows
+
+    want = brute()
+    for blocks in (1, 7, 64):
+        ds = rd.from_arrow(t).repartition(blocks)
+        got = extended_stats(ds, "g", "v").to_pylist()
+        assert got == want, f"blocks={blocks}"
