@@ -1137,6 +1137,79 @@ WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
 """
 
 
+HIGHLIGHT_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["data", "fast", "query"]),
+    (2, ["window", "merge", "sort", "stream"]),
+]
+
+
+def highlight_documents(sf_dir: str):
+    """ES ``highlight`` analog served from the positional index: for each
+    top-5 hit, each matching query term's occurrence count and first
+    0-based token position — the oracle recomputes from the split array."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms in HIGHLIGHT_QUERIES:
+        for r in s.highlight(terms, k=5):
+            rows.append((qid, r["doc_id"], r["term"], r["n_occ"], r["first_pos"]))
+    return pa.table(
+        {
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "n_occ": pa.array([r[3] for r in rows], pa.int64()),
+            "first_pos": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _highlight_documents_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in HIGHLIGHT_QUERIES for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores),
+pos AS (
+  SELECT d.doc_id, u.term, u.i - 1 AS pos
+  FROM documents d,
+       LATERAL (SELECT unnest({_SPLIT_SQL.replace('text', 'd.text')}) AS term,
+                       generate_subscripts({_SPLIT_SQL.replace('text', 'd.text')}, 1) AS i) u)
+SELECT r.qid, r.doc_id, p.term,
+       count(*) AS n_occ, min(p.pos) AS first_pos
+FROM ranked r
+JOIN q ON q.qid = r.qid
+JOIN pos p ON p.doc_id = r.doc_id AND p.term = q.term
+WHERE r.rn <= 5
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 MLT_SRC_DOC_IDS = [7, 123, 321]
 MLT_MAX_TERMS = 25
 MLT_K = 10
@@ -1706,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mlt_documents": mlt_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
+        "highlight_documents": highlight_documents,
         "phrase_topk_documents": phrase_topk_documents,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_prefix_lookup": docs_prefix_lookup,
@@ -1763,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_documents": _mlt_documents_sql(),
         "bm25_collapse_documents": _bm25_collapse_sql(),
         "bm25_paged_documents": _bm25_paged_sql(),
+        "highlight_documents": _highlight_documents_sql(),
         "phrase_topk_documents": _phrase_documents_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,

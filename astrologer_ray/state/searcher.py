@@ -872,6 +872,30 @@ class Searcher:
         scored.sort()
         return [t for _, t in scored[:max_query_terms]]
 
+    def highlight(self, terms: list[str], k: int = 10, filter=None) -> list[dict]:
+        """Per-hit query-term occurrence evidence from the positional index
+        (ES ``highlight`` analog, offsets flavor): one row per (hit, query
+        term present in the hit) with the occurrence count and the first
+        0-based token position. Requires ``build_index(positions=True)``.
+        """
+        hits = self.search(terms, k=k, filter=filter)
+        uniq = sorted({t for t in terms if t in self.postings})
+        occ = {t: self._phrase_occurrences(t) for t in uniq}
+        out = []
+        for h in hits:
+            local = h["doc_id"] - self.doc_lo
+            for t in uniq:
+                d, p = occ[t]
+                lo_i = int(np.searchsorted(d, local, "left"))
+                hi_i = int(np.searchsorted(d, local, "right"))
+                if hi_i > lo_i:
+                    out.append({
+                        "doc_id": h["doc_id"], "term": t,
+                        "n_occ": hi_i - lo_i,
+                        "first_pos": int(p[lo_i]),
+                    })
+        return out
+
     def _format(self, hits: list[tuple[int, float]], decorate: bool) -> list[dict]:
         results = []
         for rank, (d, s) in enumerate(hits):

@@ -603,3 +603,21 @@ def test_search_collapse_matches_brute_force(index_and_oracle):
             seen.add(grp)
             wantf.append((h["doc_id"], h["score"]))
     assert gotf == wantf[:5]
+
+
+def test_highlight_matches_brute_force(pos_index, index_and_oracle):
+    """highlight() occurrence counts/first positions == retokenized text."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    _, contents, _ = index_and_oracle
+    s = Searcher(pos_index)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    terms = [terms_by_df[0][0], terms_by_df[1][0]]
+    rows = s.highlight(terms, k=5)
+    assert rows
+    hits = {h["doc_id"] for h in s.search(terms, k=5)}
+    assert {r["doc_id"] for r in rows} <= hits
+    for r in rows:
+        toks = tokenize(contents[r["doc_id"]], mode=s.mode)
+        occ = [i for i, t in enumerate(toks) if t == r["term"]]
+        assert r["n_occ"] == len(occ) and r["first_pos"] == occ[0], r
