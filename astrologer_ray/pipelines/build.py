@@ -879,9 +879,13 @@ def build_index(
     sum_dl = sum(m["sum_dl"] for m in metrics)
     n_postings = sum(m["n_postings"] for m in metrics)
 
-    # wipe derived dirs (they are rebuilt from partials below)
+    # wipe derived dirs (they are rebuilt from partials below). Delta
+    # segments (pipelines/segments.py) are folded in too: the rebuild
+    # derives the base from ALL partials, so leaving segments/ alive would
+    # double-count their docs at query time.
     for d in (docs_dir, postings_dir, dict_dir, stats_dir,
-              os.path.join(index_dir, "keymap")):
+              os.path.join(index_dir, "keymap"),
+              os.path.join(index_dir, "segments")):
         if os.path.isdir(d):
             shutil.rmtree(d)
 

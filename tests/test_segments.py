@@ -239,3 +239,24 @@ def test_cli_ingest_append(seg_env, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["appended"] == 200 and out["n_segments"] == 1
+
+
+def test_plain_rebuild_folds_segments(ray_session, tmp_path):
+    """A global rebuild (build_index resume=True, what plain `ingest` runs)
+    derives the base from ALL partials — segments must be wiped with the
+    other derived artifacts or their docs would double-count."""
+    from astrologer_ray.pipelines.build import build_index
+    from astrologer_ray.pipelines.segments import append_segment, segment_dirs
+    from astrologer_ray.state.searcher import Searcher
+
+    f0, f1 = str(tmp_path / "part-000.parquet"), str(tmp_path / "part-001.parquet")
+    _write_part(f0, 0, 200)
+    _write_part(f1, 200, 300)
+    idx = str(tmp_path / "idx")
+    build_index([f0], idx, mode="code", chunk_bits=8, partition_rows=100)
+    append_segment([f0, f1], idx, partition_rows=100)
+    assert len(segment_dirs(idx)) == 1
+    build_index([f0, f1], idx, mode="code", chunk_bits=8, partition_rows=100,
+                resume=True)
+    assert segment_dirs(idx) == []
+    assert Searcher(idx).N == 300
