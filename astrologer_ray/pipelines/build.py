@@ -514,6 +514,7 @@ def _encode_postings(
     keymap_broadcast_rows: int = 50_000_000,
     retries: int = 3,
     pids: set[int] | None = None,
+    merge_num_cpus: float | None = None,
 ) -> pa.Table:
     """Stage 3: bucket-partitioned EXTERNAL merge of the SPIMI partials.
 
@@ -542,6 +543,19 @@ def _encode_postings(
     """
     import ray
     import ray.data as rd
+
+    if merge_num_cpus is None:
+        # merge tasks are MEMORY-BANDWIDTH-heavy (one big gather+sort over
+        # the bucket's postings): co-scheduling one per core thrashes the
+        # bus — measured 55-58 s for 32 concurrent vs 22-30 s for 8
+        # concurrent on the same input/host. Reserving cores/8 per task
+        # caps concurrency at ~8 per 32-core node (about where a node's
+        # bandwidth saturates) and leaves the remaining cores to pyarrow's
+        # internal read/compress threads inside each task. Clamped to 4 so
+        # a task always fits on one node of a multi-node cluster (where
+        # cluster_resources() counts ALL nodes' cores).
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        merge_num_cpus = max(1, min(4, ncpu // 8))
 
     keymap_dir = os.path.join(os.path.dirname(postings_dir), "keymap")
     _write_keymap(docs_dir, keymap_dir, parallelism,
@@ -659,7 +673,7 @@ def _encode_postings(
     summaries = (
         rd.from_items(units, override_num_blocks=max(1, len(units)))
         .map_batches(merge_bucket, batch_format="pyarrow", batch_size=1,
-                     num_cpus=1, max_retries=retries,
+                     num_cpus=merge_num_cpus, max_retries=retries,
                      retry_exceptions=True)
         .materialize()
     )
