@@ -548,14 +548,17 @@ def _encode_postings(
         # merge tasks are MEMORY-BANDWIDTH-heavy (one big gather+sort over
         # the bucket's postings): co-scheduling one per core thrashes the
         # bus — measured 55-58 s for 32 concurrent vs 22-30 s for 8
-        # concurrent on the same input/host. Reserving cores/8 per task
-        # caps concurrency at ~8 per 32-core node (about where a node's
-        # bandwidth saturates) and leaves the remaining cores to pyarrow's
-        # internal read/compress threads inside each task. Clamped to 4 so
-        # a task always fits on one node of a multi-node cluster (where
-        # cluster_resources() counts ALL nodes' cores).
+        # concurrent on the same input/host. A merge task therefore
+        # reserves a CONSTANT 4 cpus: a per-TASK property (the slice of a
+        # node's memory bus one bucket merge consumes, with pyarrow's
+        # internal read/compress threads using the reserved cores), NOT a
+        # cluster-derived value — so merge concurrency is cores/4 and
+        # scales with the cluster (8-core node: 2 tasks; 32-core node: 8
+        # tasks; 256-node cluster: 8 per node). Deriving it from
+        # cluster_resources() pinned concurrency at ~8 tasks at EVERY
+        # cluster size, which flatlined the stage between scaling levels.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        merge_num_cpus = max(1, min(4, ncpu // 8))
+        merge_num_cpus = max(1, min(4, ncpu // 2))
 
     keymap_dir = os.path.join(os.path.dirname(postings_dir), "keymap")
     _write_keymap(docs_dir, keymap_dir, parallelism,
