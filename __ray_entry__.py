@@ -1414,6 +1414,71 @@ ORDER BY doc_id
 """
 
 
+def docs_fuzzy_lookup(sf_dir: str):
+    """Exact doc listing via FUZZY expansion over the term dictionary (ES
+    ``fuzzy`` query): docs with any analyzed token within Levenshtein
+    distance 1 of the misspelling 'datq' — dictionary scan is a vectorized
+    edit-distance DP, postings-served, no table scan."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.field_lookup({"fuzzy": {"value": "datq", "max_edits": 1}})
+    return pa.table({"doc_id": pa.array([h["doc_id"] for h in hits], pa.int64())})
+
+
+FUZZY_LOOKUP_SQL = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_SPLIT_SQL}, x -> levenshtein(x, 'datq') <= 1)) > 0
+ORDER BY doc_id
+"""
+
+
+def docs_wildcard_lookup(sf_dir: str):
+    """Exact doc listing via WILDCARD expansion (ES ``wildcard`` query):
+    docs with any analyzed token matching 'd*ta' ('*' any run, '?' one
+    char) — one Arrow match_like kernel over the dictionary."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.field_lookup({"wildcard": "d*ta"})
+    return pa.table({"doc_id": pa.array([h["doc_id"] for h in hits], pa.int64())})
+
+
+WILDCARD_LOOKUP_SQL = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_SPLIT_SQL}, x -> x LIKE 'd%ta')) > 0
+ORDER BY doc_id
+"""
+
+
+def term_suggest(sf_dir: str):
+    """Term suggester (ES ``suggest``): dictionary corrections for the
+    misspelling 'hast', ordered (edit distance asc, df desc, term asc),
+    top 5 — served from the dictionary alone, no postings decode."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = s.suggest("hast", k=5, max_edits=2)
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "distance": pa.array([r["distance"] for r in rows], pa.int64()),
+        "df": pa.array([r["df"] for r in rows], pa.int64()),
+    })
+
+
+TERM_SUGGEST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+cand AS (
+  SELECT term, levenshtein(term, 'hast') AS distance, df FROM vocab)
+SELECT term, distance, df FROM cand
+WHERE distance BETWEEN 1 AND 2
+ORDER BY distance, df DESC, term LIMIT 5
+"""
+
+
 def docs_terms_agg_filtered(sf_dir: str):
     """Filtered terms aggregation: top sources among docs that contain the
     index term 'data' AND have lang='en' — bool(match + field_term) feeding
@@ -1783,6 +1848,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk_documents": phrase_topk_documents,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_prefix_lookup": docs_prefix_lookup,
+        "docs_fuzzy_lookup": docs_fuzzy_lookup,
+        "docs_wildcard_lookup": docs_wildcard_lookup,
+        "term_suggest": term_suggest,
         "docs_terms_agg_filtered": docs_terms_agg_filtered,
         "docs_exists_counts": docs_exists_counts,
         "ann_topk_embeddings": ann_topk_embeddings,
@@ -1841,6 +1909,9 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_documents": _phrase_documents_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
+        "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
+        "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,
+        "term_suggest": TERM_SUGGEST_SQL,
         "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,
         "docs_exists_counts": DOCS_EXISTS_SQL,
         "ann_topk_embeddings": ANN_SQL,

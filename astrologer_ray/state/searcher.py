@@ -434,6 +434,132 @@ class Searcher:
             terms = sorted(terms, key=lambda t: (-self.df.get(t, 0), t))[:max_terms]
         return terms
 
+    def _text_term_table(self) -> tuple[np.ndarray, np.ndarray]:
+        """(terms, lengths) for ANALYZED-text dictionary entries only
+        (keyword-field ``field\\x1evalue`` postings excluded), sorted —
+        the scan set for fuzzy/wildcard expansion. Lazy, cached."""
+        cached = getattr(self, "_text_terms", None)
+        if cached is None:
+            arr = self._term_array()
+            keep = np.fromiter(
+                (FIELD_SEP not in t for t in arr), dtype=bool, count=len(arr)
+            )
+            terms = arr[keep]
+            lens = np.fromiter(
+                (len(t) for t in terms), dtype=np.int32, count=len(terms)
+            )
+            cached = (terms, lens)
+            self._text_terms = cached
+        return cached
+
+    @staticmethod
+    def _levenshtein_all(query: str, terms: np.ndarray,
+                         lens: np.ndarray) -> np.ndarray:
+        """Exact Levenshtein distance from ``query`` to every term,
+        vectorized ACROSS terms: the candidate set becomes one fixed-width
+        UTF-32 matrix (numpy ``U`` dtype is already a codepoint matrix —
+        no per-string Python), and each DP row update is pure array math.
+        The insert recurrence new[j]=min(cand[j], new[j-1]+1) is a prefix
+        scan: with g[j]=new[j]-j it collapses to g=cummin(cand[j]-j), so
+        the whole row is O(1) numpy calls. Total: len(query) vector steps
+        over an (M, Lmax) matrix."""
+        m = len(terms)
+        if m == 0:
+            return np.zeros(0, dtype=np.int32)
+        lmax = int(lens.max())
+        # numpy 'U' storage is fixed-width UTF-32 -> zero-padded codepoints
+        mat = np.asarray(terms, dtype=f"U{lmax}").view(np.uint32).reshape(m, lmax)
+        qcodes = np.frombuffer(query.encode("utf-32-le"), dtype=np.uint32)
+        idx = np.arange(lmax + 1, dtype=np.int32)
+        dp = np.broadcast_to(idx, (m, lmax + 1)).copy()
+        gcol = np.empty((m, 1), dtype=np.int32)
+        for i, qc in enumerate(qcodes, 1):
+            cand = np.minimum(dp[:, :-1] + (mat != qc), dp[:, 1:] + 1)
+            gcol[:] = i
+            g = np.minimum.accumulate(
+                np.hstack([gcol, cand - idx[1:]]), axis=1
+            )
+            dp = g + idx
+        return dp[np.arange(m), lens]
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     prefix_length: int = 0,
+                     max_terms: int | None = None) -> list[str]:
+        """Analyzed-text index terms within Levenshtein distance
+        ``max_edits`` of ``term`` (ES ``fuzzy`` query expansion; the exact
+        term, distance 0, is included). ``prefix_length`` requires that
+        many leading chars to match exactly (the ES knob that keeps the
+        scan cheap); ``max_terms`` keeps the highest-df expansions
+        (``max_expansions`` analog). Candidates are pre-filtered by the
+        length window |len-len(term)| <= max_edits before the DP."""
+        if not term:
+            raise ValueError("empty fuzzy term")
+        terms, lens = self._text_term_table()
+        cand = np.abs(lens - len(term)) <= max_edits
+        if prefix_length > 0:
+            pre = term[:prefix_length]
+            lo = int(np.searchsorted(terms, pre, side="left"))
+            # prefix-sharing terms are contiguous in the sorted dictionary
+            hi = lo
+            n = len(terms)
+            while hi < n and str(terms[hi]).startswith(pre):
+                hi += 1
+            inwin = np.zeros(len(terms), dtype=bool)
+            inwin[lo:hi] = True
+            cand &= inwin
+        sub_terms, sub_lens = terms[cand], lens[cand]
+        dist = self._levenshtein_all(term, sub_terms, sub_lens)
+        out = [str(t) for t in sub_terms[dist <= max_edits]]
+        if max_terms is not None and len(out) > max_terms:
+            out = sorted(out, key=lambda t: (-self.df.get(t, 0), t))[:max_terms]
+        return out
+
+    def expand_wildcard(self, pattern: str,
+                        max_terms: int | None = None) -> list[str]:
+        """Analyzed-text index terms matching an ES ``wildcard`` pattern
+        (``*`` = any run, ``?`` = one char). Translated to SQL-LIKE and
+        matched over the dictionary with one Arrow ``match_like`` kernel —
+        the same semantics an oracle's ``LIKE`` sees."""
+        if not pattern.strip("*?"):
+            raise ValueError("wildcard pattern must have literal characters")
+        like = (
+            pattern.replace("\\", "\\\\").replace("%", "\\%")
+            .replace("_", "\\_").replace("*", "%").replace("?", "_")
+        )
+        terms, _lens = self._text_term_table()
+        hit = np.asarray(
+            pc.match_like(pa.array(terms, type=pa.string()), like)
+        )
+        out = [str(t) for t in terms[hit]]
+        if max_terms is not None and len(out) > max_terms:
+            out = sorted(out, key=lambda t: (-self.df.get(t, 0), t))[:max_terms]
+        return out
+
+    def suggest(self, term: str, k: int = 5, max_edits: int = 2,
+                prefix_length: int = 0) -> list[dict]:
+        """Term suggester (ES ``suggest``): dictionary corrections for a
+        (possibly misspelled) input term, ordered by (edit distance asc,
+        df desc, term asc), exact matches excluded — served entirely from
+        the dictionary, no postings decode."""
+        terms, lens = self._text_term_table()
+        cand = np.abs(lens - len(term)) <= max_edits
+        if prefix_length > 0:
+            starts = np.asarray(pc.starts_with(
+                pa.array(terms[cand], type=pa.string()), term[:prefix_length]
+            ))
+            idxs = np.flatnonzero(cand)
+            cand = np.zeros(len(terms), dtype=bool)
+            cand[idxs[starts]] = True
+        sub_terms, sub_lens = terms[cand], lens[cand]
+        dist = self._levenshtein_all(term, sub_terms, sub_lens)
+        keep = (dist <= max_edits) & (dist > 0)
+        rows = [
+            {"term": str(t), "distance": int(d), "df": int(self.df.get(t, 0))}
+            for t, d in zip(sub_terms[keep], dist[keep])
+        ]
+        rows.sort(key=lambda r: (r["distance"], -r["df"], r["term"]))
+        return rows[:k]
+
     def filter_mask(self, f) -> np.ndarray:
         """Boolean doc mask for an ES-style predicate (the reference's main
         query shape: bool.must of term filters,
@@ -454,6 +580,11 @@ class Searcher:
           {"prefix": "pre"}                any analyzed-text term starting
                                            with "pre" (dictionary expansion,
                                            index-served — ES prefix query)
+          {"fuzzy": {"value": t, "max_edits": d}}
+                                           any analyzed-text term within
+                                           Levenshtein d of t (ES fuzzy)
+          {"wildcard": "pat*ern"}          any analyzed-text term matching
+                                           the ES wildcard pattern
           {"field_prefix": {field: "pre"}} keyword-field value prefix
           {"attr_prefix": {attr: "pre"}}   sidecar attribute starts-with
           {"bool": {"must": [...], "must_not": [...], "should": [...]}}
@@ -494,6 +625,23 @@ class Searcher:
             for t in self.expand_prefix(str(arg)):
                 if FIELD_SEP in t:
                     continue  # keyword-field namespace, not analyzed text
+                m |= self._postings_ids_mask(t)
+            return m
+        if kind == "fuzzy":
+            if isinstance(arg, str):
+                arg = {"value": arg}
+            m = np.zeros(self.n_local, dtype=bool)
+            for t in self.expand_fuzzy(
+                arg["value"],
+                max_edits=int(arg.get("max_edits", 1)),
+                prefix_length=int(arg.get("prefix_length", 0)),
+                max_terms=arg.get("max_terms"),
+            ):
+                m |= self._postings_ids_mask(t)
+            return m
+        if kind == "wildcard":
+            m = np.zeros(self.n_local, dtype=bool)
+            for t in self.expand_wildcard(str(arg)):
                 m |= self._postings_ids_mask(t)
             return m
         if kind == "field_prefix":

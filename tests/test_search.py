@@ -621,3 +621,88 @@ def test_highlight_matches_brute_force(pos_index, index_and_oracle):
         toks = tokenize(contents[r["doc_id"]], mode=s.mode)
         occ = [i for i, t in enumerate(toks) if t == r["term"]]
         assert r["n_occ"] == len(occ) and r["first_pos"] == occ[0], r
+
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        new = [i]
+        for j, cb in enumerate(b, 1):
+            new.append(min(dp[j - 1] + (ca != cb), dp[j] + 1, new[-1] + 1))
+        dp = new
+    return dp[-1]
+
+
+def test_fuzzy_expansion_and_filter_match_scan(kw_index):
+    """expand_fuzzy == brute Levenshtein over the analyzed dictionary;
+    the fuzzy filter == any-token-within-distance brute scan."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    plain = sorted(t for t in s.df if "\x1e" not in t)
+    q = plain[len(plain) // 2]
+    for d in (1, 2):
+        want = sorted(t for t in plain if _lev_ref(q, t) <= d)
+        assert s.expand_fuzzy(q, max_edits=d) == want
+    # misspelling: drop last char, add a junk one
+    q2 = q[:-1] + "q" if len(q) > 2 else q + "q"
+    want = sorted(t for t in plain if _lev_ref(q2, t) <= 1)
+    assert s.expand_fuzzy(q2, max_edits=1) == want
+    # prefix_length restricts to exact-prefix candidates
+    want_p = sorted(t for t in plain
+                    if _lev_ref(q2, t) <= 2 and t.startswith(q2[:2]))
+    assert s.expand_fuzzy(q2, max_edits=2, prefix_length=2) == want_p
+    # max_terms keeps the highest-df expansions
+    full = s.expand_fuzzy(q, max_edits=2)
+    if len(full) > 1:
+        capped = s.expand_fuzzy(q, max_edits=2, max_terms=1)
+        assert len(capped) == 1
+        assert s.df[capped[0]] == max(s.df[t] for t in full)
+    # filter == brute any-token scan
+    toksets = [set(tokenize(r[4], mode="code")) for r in rows]
+    want_n = sum(1 for ts in toksets
+                 if any(_lev_ref(q2, t) <= 1 for t in ts))
+    assert s.count({"fuzzy": {"value": q2, "max_edits": 1}}) == want_n
+    with pytest.raises(ValueError):
+        s.expand_fuzzy("")
+
+
+def test_wildcard_expansion_and_filter_match_scan(kw_index):
+    """expand_wildcard == fnmatch over the analyzed dictionary; the
+    wildcard filter == any-token-matches brute scan."""
+    import fnmatch
+
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    plain = sorted(t for t in s.df if "\x1e" not in t)
+    base = next(t for t in plain if len(t) >= 4)
+    for pat in (base[0] + "*" + base[-1], base[:2] + "?" + base[3:], "*" + base[-2:]):
+        want = sorted(t for t in plain if fnmatch.fnmatchcase(t, pat))
+        assert s.expand_wildcard(pat) == want, pat
+    toksets = [set(tokenize(r[4], mode="code")) for r in rows]
+    pat = base[0] + "*" + base[-1]
+    want_n = sum(1 for ts in toksets
+                 if any(fnmatch.fnmatchcase(t, pat) for t in ts))
+    assert s.count({"wildcard": pat}) == want_n
+    with pytest.raises(ValueError):
+        s.expand_wildcard("*?*")
+
+
+def test_suggest_ordering_and_exclusions(kw_index):
+    """suggest: (distance asc, df desc, term asc) order, exact term
+    excluded, distances exact, served from the dictionary."""
+    index_dir, _rows = kw_index
+    s = Searcher(index_dir)
+    plain = sorted(t for t in s.df if "\x1e" not in t)
+    q = plain[len(plain) // 2]
+    got = s.suggest(q, k=10, max_edits=2)
+    want = sorted(
+        ({"term": t, "distance": _lev_ref(q, t), "df": s.df[t]}
+         for t in plain if 0 < _lev_ref(q, t) <= 2),
+        key=lambda r: (r["distance"], -r["df"], r["term"]),
+    )[:10]
+    assert got == want
+    assert all(r["term"] != q for r in got)
