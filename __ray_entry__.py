@@ -1479,6 +1479,136 @@ ORDER BY distance, df DESC, term LIMIT 5
 """
 
 
+def docs_sort_by_dl(sf_dir: str):
+    """ES sort-by-field with ``search_after`` paging: two stitched pages of
+    the 5 longest lang='en' docs by dl (token count), tiebreak doc_id asc —
+    the reference's index-order listing surface generalized to any field
+    (/root/reference/es/indices.go:26-27 index sort)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    filt = {"term": {"lang": "en"}}
+    rows, after = [], None
+    for page in (1, 2):
+        hits = s.sort_by_attr("dl", k=5, descending=True,
+                              filter=filt, after=after)
+        for h in hits:
+            rows.append((page, h["doc_id"], int(h["value"])))
+        if not hits:
+            break
+        after = (hits[-1]["value"], hits[-1]["doc_id"])
+    return pa.table({
+        "page": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "dl": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+SORT_BY_DL_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_SPLIT_SQL}) AS dl FROM documents WHERE lang = 'en'),
+ranked AS (
+  SELECT doc_id, dl,
+         row_number() OVER (ORDER BY dl DESC, doc_id) AS rn FROM dl)
+SELECT (rn - 1) // 5 + 1 AS page, doc_id, dl
+FROM ranked WHERE rn <= 10 ORDER BY rn
+"""
+
+
+def docs_composite_pages(sf_dir: str):
+    """ES ``composite`` aggregation with after-key paging: (lang, source)
+    buckets in ascending key order, three stitched pages of 4 — the
+    scroll-safe full bucket enumeration."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    rows, after = [], None
+    for _ in range(3):
+        page = s.agg_composite(["lang", "repo"], size=4, after=after)
+        for (lang, src), cnt in page["buckets"]:
+            rows.append((lang, src, cnt))
+        after = page["after_key"]
+        if after is None:
+            break
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "cnt": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+COMPOSITE_SQL = """
+SELECT lang, source, count(*) AS cnt FROM documents
+GROUP BY lang, source ORDER BY lang, source LIMIT 12
+"""
+
+
+def bm25_top_hits_by_lang(sf_dir: str):
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: for
+    one BM25 query, the top-3 lang buckets by matched-doc count (ties:
+    value asc), each carrying its best 2 hits by (score desc, doc_id) —
+    the "best N per group" code-search UX, exact TAAT scoring."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    qid, terms, _k = BM25_DOC_QUERIES[0]
+    rows = [
+        (r["group"], r["doc_count"], r["doc_id"],
+         round(r["score"], 4), r["hit_rank"])
+        for r in s.search_top_hits(terms, "lang", n_hits=2, k_groups=3)
+    ]
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "doc_count": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+        "hit_rank": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+def _bm25_top_hits_sql() -> str:
+    qid, terms, _k = BM25_DOC_QUERIES[0]
+    values = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1),
+buckets AS (
+  SELECT d.lang, count(*) AS doc_count
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id GROUP BY d.lang),
+topb AS (
+  SELECT lang, doc_count,
+         row_number() OVER (ORDER BY doc_count DESC, lang) AS brn
+  FROM buckets),
+hits AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY sc.score DESC, sc.doc_id) AS hrn
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+SELECT t.lang, t.doc_count, h.doc_id, round(h.score, 4) AS score,
+       h.hrn AS hit_rank
+FROM topb t JOIN hits h ON h.lang = t.lang
+WHERE t.brn <= 3 AND h.hrn <= 2
+ORDER BY t.brn, h.hrn
+"""
+
+
 def docs_terms_agg_filtered(sf_dir: str):
     """Filtered terms aggregation: top sources among docs that contain the
     index term 'data' AND have lang='en' — bool(match + field_term) feeding
@@ -1851,6 +1981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_lookup": docs_fuzzy_lookup,
         "docs_wildcard_lookup": docs_wildcard_lookup,
         "term_suggest": term_suggest,
+        "docs_sort_by_dl": docs_sort_by_dl,
+        "docs_composite_pages": docs_composite_pages,
+        "bm25_top_hits_by_lang": bm25_top_hits_by_lang,
         "docs_terms_agg_filtered": docs_terms_agg_filtered,
         "docs_exists_counts": docs_exists_counts,
         "ann_topk_embeddings": ann_topk_embeddings,
@@ -1912,6 +2045,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,
         "term_suggest": TERM_SUGGEST_SQL,
+        "docs_sort_by_dl": SORT_BY_DL_SQL,
+        "docs_composite_pages": COMPOSITE_SQL,
+        "bm25_top_hits_by_lang": _bm25_top_hits_sql(),
         "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,
         "docs_exists_counts": DOCS_EXISTS_SQL,
         "ann_topk_embeddings": ANN_SQL,

@@ -977,6 +977,171 @@ class Searcher:
                 scores[ids] = 0.0
                 matched[ids] = False
 
+    def sort_by_attr(
+        self,
+        attr: str,
+        k: int = 10,
+        descending: bool = True,
+        filter=None,
+        after: tuple | None = None,
+    ) -> list[dict]:
+        """ES sort-by-field top-k: the reference serves every listing in
+        index order (`"sort.field": "paging_token"`,
+        /root/reference/es/indices.go:26-27) and ES exposes arbitrary
+        field sorts the same way. Order is (attr desc|asc, doc_id asc);
+        ``after=(value, doc_id)`` is the ES ``search_after`` cursor for
+        this sort — page N+1's cursor is page N's last hit. Requires
+        ``load_docs=True``."""
+        if k <= 0:
+            return []
+        col = self._attr(attr)
+        ids = (
+            np.flatnonzero(self.filter_mask(filter))
+            if filter is not None else np.arange(self.n_local)
+        )
+        vals = col[ids]
+        if after is not None:
+            av, adoc = after
+            alocal = int(adoc) - self.doc_lo
+            if descending:
+                keep = (vals < av) | ((vals == av) & (ids > alocal))
+            else:
+                keep = (vals > av) | ((vals == av) & (ids > alocal))
+            ids, vals = ids[keep], vals[keep]
+        if descending:
+            # vals asc with doc_id DESC tiebreak, then reversed wholesale
+            # -> vals desc, doc_id asc (works for any comparable dtype,
+            # including strings where negation is unavailable)
+            order = np.lexsort((-ids, vals))[::-1][:k]
+        else:
+            order = np.lexsort((ids, vals))[:k]
+        lo = self.doc_lo
+        return [
+            {"doc_id": int(ids[i]) + lo, "value": vals[i].item()
+             if hasattr(vals[i], "item") else vals[i]}
+            for i in order
+        ]
+
+    def agg_composite(
+        self,
+        sources: list[str],
+        size: int = 10,
+        after: tuple | None = None,
+        filter=None,
+    ) -> dict:
+        """ES ``composite`` aggregation: multi-source buckets in ascending
+        key order, paged with ``after_key`` — the scroll-safe aggregation
+        ES recommends for full bucket enumeration. Returns
+        ``{"buckets": [(key_tuple, count), ...], "after_key": tuple|None}``;
+        feed ``after_key`` back as ``after`` for the next page. Requires
+        ``load_docs=True``."""
+        ids = (
+            np.flatnonzero(self.filter_mask(filter))
+            if filter is not None else np.arange(self.n_local)
+        )
+        cols = [self._attr(a)[ids] for a in sources]
+        if len(ids) == 0:
+            return {"buckets": [], "after_key": None}
+        order = np.lexsort(tuple(reversed(cols)))
+        cols = [c[order] for c in cols]
+        change = np.zeros(len(order), dtype=bool)
+        change[0] = True
+        for c in cols:
+            change[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(order)))
+        key_cols = [c[starts] for c in cols]
+        if after is not None:
+            # keep keys strictly greater than the cursor, lexicographically
+            gt = np.zeros(len(starts), dtype=bool)
+            eq = np.ones(len(starts), dtype=bool)
+            for kc, av in zip(key_cols, after):
+                gt |= eq & (kc > av)
+                eq &= kc == av
+            sel = np.flatnonzero(gt)[:size]
+        else:
+            sel = np.arange(min(size, len(starts)))
+        buckets = [
+            (
+                tuple(kc[i].item() if hasattr(kc[i], "item") else kc[i]
+                      for kc in key_cols),
+                int(counts[i]),
+            )
+            for i in sel
+        ]
+        after_key = buckets[-1][0] if len(buckets) == size else None
+        return {"buckets": buckets, "after_key": after_key}
+
+    def search_top_hits(
+        self,
+        terms: list[str],
+        group_attr: str,
+        n_hits: int = 3,
+        k_groups: int = 10,
+        filter=None,
+    ) -> list[dict]:
+        """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
+        buckets of ``group_attr`` over the query's matches, ordered
+        (matched-doc count desc, value asc), keeping the top ``n_hits``
+        hits per bucket by (score desc, doc_id asc) — the "best N results
+        per repo/lang" code-search UX. Exact: TAAT-scores every candidate.
+        Rows: {group, doc_count, doc_id, score, hit_rank}. Requires
+        ``load_docs=True``."""
+        if k_groups <= 0 or n_hits <= 0:
+            return []
+        col = self._attr(group_attr)
+        qterms = sorted({t for t in terms if self.owns_term(t)})
+        allowed = self.filter_mask(filter) if filter is not None else None
+        if getattr(self, "_score_buf", None) is None:
+            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
+            self._match_buf = np.zeros(self.n_local, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        touched = []
+        for t in qterms:
+            if t not in self.postings:
+                continue
+            tids, w = self._term_contribution(t)
+            scores[tids] += w
+            matched[tids] = True
+            touched.append(tids)
+        try:
+            cand = np.flatnonzero(matched)
+            if allowed is not None:
+                cand = cand[allowed[cand]]
+            if len(cand) == 0:
+                return []
+            order = np.lexsort((cand, -scores[cand]))  # best-first global
+            sc = cand[order]
+            vals = col[sc].astype(str)
+            uvals, inv, cnts = np.unique(
+                vals, return_inverse=True, return_counts=True
+            )
+            top_buckets = np.lexsort((uvals, -cnts))[:k_groups]
+            # rank within group: stable grouping preserves best-first order
+            g_order = np.argsort(inv, kind="stable")
+            grp_sorted = inv[g_order]
+            first = np.r_[0, np.flatnonzero(np.diff(grp_sorted)) + 1]
+            sizes = np.diff(np.r_[first, len(g_order)])
+            ranks = np.empty(len(g_order), dtype=np.int64)
+            ranks[g_order] = np.arange(len(g_order)) - np.repeat(first, sizes)
+            lo = self.doc_lo
+            out = []
+            for b in top_buckets:
+                in_b = np.flatnonzero((inv == b) & (ranks < n_hits))
+                for i in in_b:  # in_b ascending == best-first within bucket
+                    out.append({
+                        "group": str(uvals[b]),
+                        "doc_count": int(cnts[b]),
+                        "doc_id": int(sc[i]) + lo,
+                        "score": float(scores[sc[i]]),
+                        "hit_rank": int(ranks[i]) + 1,
+                    })
+            return out
+        finally:
+            for tids in touched:
+                scores[tids] = 0.0
+                matched[tids] = False
+
     def more_like_this(
         self,
         text: str,

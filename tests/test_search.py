@@ -706,3 +706,91 @@ def test_suggest_ordering_and_exclusions(kw_index):
     )[:10]
     assert got == want
     assert all(r["term"] != q for r in got)
+
+
+def test_sort_by_attr_pages_match_brute(index_and_oracle):
+    """sort_by_attr == brute (value, doc_id) ordering; stitched pages ==
+    the brute prefix; ascending and descending; filter composes."""
+    index_dir, contents, langs = index_and_oracle
+    s = Searcher(index_dir)
+    dl = s.doc_attrs["dl"]
+    for descending in (True, False):
+        sign = -1 if descending else 1
+        want = sorted(range(len(dl)), key=lambda i: (sign * dl[i], i))
+        got, after = [], None
+        while True:
+            hits = s.sort_by_attr("dl", k=7, descending=descending,
+                                  after=after)
+            if not hits:
+                break
+            got.extend(h["doc_id"] for h in hits)
+            after = (hits[-1]["value"], hits[-1]["doc_id"])
+        assert got == want
+    lang0 = langs[0]
+    hits = s.sort_by_attr("dl", k=5, filter={"term": {"lang": lang0}})
+    cand = [i for i in range(len(dl)) if langs[i] == lang0]
+    want5 = sorted(cand, key=lambda i: (-dl[i], i))[:5]
+    assert [h["doc_id"] for h in hits] == want5
+    assert all(int(dl[h["doc_id"]]) == h["value"] for h in hits)
+
+
+def test_agg_composite_full_enumeration(index_and_oracle):
+    """composite pages stitched to exhaustion == the full GROUP BY in
+    ascending key order, counts exact, after_key None on the last page."""
+    index_dir, contents, langs = index_and_oracle
+    s = Searcher(index_dir)
+    repos = s.doc_attrs["repo"]
+    from collections import Counter
+
+    want = sorted(Counter(zip(langs, repos)).items())
+    got, after, pages = [], None, 0
+    while True:
+        page = s.agg_composite(["lang", "repo"], size=3, after=after)
+        got.extend(page["buckets"])
+        after = page["after_key"]
+        pages += 1
+        if after is None:
+            break
+        assert len(page["buckets"]) == 3
+    assert [(k, c) for k, c in got] == [(k, c) for k, c in want]
+    assert pages == (len(want) + 2) // 3 + (1 if len(want) % 3 == 0 else 0)
+    # filtered composite counts only matching docs
+    lang0 = langs[0]
+    page = s.agg_composite(["lang"], size=100,
+                           filter={"term": {"lang": lang0}})
+    assert page["buckets"] == [((lang0,), int((langs == lang0).sum()))]
+
+
+def test_search_top_hits_matches_brute(index_and_oracle):
+    """top_hits == brute: TAAT scores -> bucket by lang (count desc, value
+    asc) -> per-bucket (score desc, doc_id) top-n; n=1 row set matches
+    collapse winners."""
+    index_dir, contents, langs = index_and_oracle
+    s = Searcher(index_dir)
+    terms, _k = _queries(s)[1]
+    scored = {h["doc_id"]: h["score"]
+              for h in s.search(terms, k=len(contents), strategy="taat")}
+    from collections import Counter
+
+    cnt = Counter(langs[d] for d in scored)
+    buckets = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    want = []
+    for lang, c in buckets:
+        hits = sorted(
+            ((d, sc) for d, sc in scored.items() if langs[d] == lang),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        for rank, (d, sc) in enumerate(hits, 1):
+            want.append((lang, c, d, round(sc, 6), rank))
+    got = [
+        (r["group"], r["doc_count"], r["doc_id"],
+         round(r["score"], 6), r["hit_rank"])
+        for r in s.search_top_hits(terms, "lang", n_hits=3, k_groups=2)
+    ]
+    assert got == want
+    # n_hits=1 == collapse winners restricted to the same buckets
+    col = [(r["group"], r["doc_id"]) for r in
+           s.search_top_hits(terms, "lang", n_hits=1, k_groups=100)]
+    winners = {g: d for g, d in col}
+    for h in s.search_collapse(terms, "lang", k=100):
+        assert winners[langs[h["doc_id"]]] == h["doc_id"]
