@@ -1609,6 +1609,69 @@ ORDER BY t.brn, h.hrn
 """
 
 
+def events_asof_orders(sf_dir: str):
+    """Distributed AS-OF join (custom operator — Ray Data has none): each
+    event attaches the same user's most recent order at or before the
+    event's date; right-side date ties break deterministically by
+    (cents, o_orderkey) last — union + ONE hash groupby exchange +
+    vectorized searchsorted per group (pipelines/joins.asof_join)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.joins import asof_join
+
+    events = rd.read_parquet(
+        _tbl(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "day": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                           pa.timestamp("us")),
+        }),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": pc.cast(t["o_orderdate"], pa.timestamp("us")),
+            "cents": _cents(t["o_totalprice"]),
+            "o_orderkey": t["o_orderkey"],
+        }),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        events, orders,
+        key="user_id", on="day",
+        left_cols={"event_id": pa.int64()},
+        right_cols={"cents": pa.int64(), "o_orderkey": pa.int64()},
+        right_key="o_custkey", right_on="o_orderdate",
+    )
+    return out.select_columns(
+        ["event_id", "r_o_orderdate", "r_cents", "r_o_orderkey"]
+    )
+
+
+ASOF_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, date_trunc('day', ts) AS day FROM events),
+j AS (
+  SELECT e.event_id, o.o_orderdate, o.o_orderkey,
+         CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC,
+                    CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) DESC,
+                    o.o_orderkey DESC) AS rn
+  FROM e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.day)
+SELECT event_id, o_orderdate AS r_o_orderdate, cents AS r_cents,
+       o_orderkey AS r_o_orderkey
+FROM j WHERE rn = 1 ORDER BY event_id
+"""
+
+
 def docs_terms_agg_filtered(sf_dir: str):
     """Filtered terms aggregation: top sources among docs that contain the
     index term 'data' AND have lang='en' — bool(match + field_term) feeding
@@ -1984,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sort_by_dl": docs_sort_by_dl,
         "docs_composite_pages": docs_composite_pages,
         "bm25_top_hits_by_lang": bm25_top_hits_by_lang,
+        "events_asof_orders": events_asof_orders,
         "docs_terms_agg_filtered": docs_terms_agg_filtered,
         "docs_exists_counts": docs_exists_counts,
         "ann_topk_embeddings": ann_topk_embeddings,
@@ -2048,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sort_by_dl": SORT_BY_DL_SQL,
         "docs_composite_pages": COMPOSITE_SQL,
         "bm25_top_hits_by_lang": _bm25_top_hits_sql(),
+        "events_asof_orders": ASOF_SQL,
         "docs_terms_agg_filtered": TERMS_AGG_FILTERED_SQL,
         "docs_exists_counts": DOCS_EXISTS_SQL,
         "ann_topk_embeddings": ANN_SQL,

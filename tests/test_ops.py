@@ -550,3 +550,54 @@ def test_extended_stats_exact_and_parallelism_invariant(ray_session):
         ds = rd.from_arrow(t).repartition(blocks)
         got = extended_stats(ds, "g", "v").to_pylist()
         assert got == want, f"blocks={blocks}"
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join: backward match, deterministic tie-break by right_cols
+    order, tolerance window, one-sided keys dropped, parallelism-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.joins import asof_join
+
+    ts = lambda s: pd.Timestamp(s).to_datetime64()
+    left_rows = [
+        {"k": 1, "t": ts("2024-01-10"), "lid": 100},
+        {"k": 1, "t": ts("2024-01-20"), "lid": 101},
+        {"k": 1, "t": ts("2024-01-01"), "lid": 102},  # before any right
+        {"k": 2, "t": ts("2024-01-15"), "lid": 103},
+        {"k": 3, "t": ts("2024-01-15"), "lid": 104},  # key with no right
+    ]
+    right_rows = [
+        {"k": 1, "rt": ts("2024-01-05"), "v": 7, "rid": 1},
+        # tie on rt: last in (rt, v, rid) order must win -> v=9, rid=3
+        {"k": 1, "rt": ts("2024-01-18"), "v": 9, "rid": 3},
+        {"k": 1, "rt": ts("2024-01-18"), "v": 9, "rid": 2},
+        {"k": 1, "rt": ts("2024-01-18"), "v": 4, "rid": 9},
+        {"k": 2, "rt": ts("2024-01-01"), "v": 5, "rid": 4},
+        {"k": 4, "rt": ts("2024-01-01"), "v": 6, "rid": 5},  # right-only key
+    ]
+
+    def run(nblocks, tolerance=None):
+        l = rd.from_pandas(pd.DataFrame(left_rows)).repartition(nblocks)
+        r = rd.from_pandas(pd.DataFrame(right_rows)).repartition(nblocks)
+        out = asof_join(
+            l, r, key="k", on="t",
+            left_cols={"lid": pa.int64()},
+            right_cols={"v": pa.int64(), "rid": pa.int64()},
+            right_key="k", right_on="rt", tolerance=tolerance,
+        ).to_pandas()
+        return out.sort_values("lid").reset_index(drop=True)
+
+    out = run(1)
+    got = list(zip(out["lid"], out["r_v"], out["r_rid"]))
+    # lid 102 (no earlier right) and 104 (no right side) are dropped
+    assert got == [(100, 7, 1), (101, 9, 3), (103, 5, 4)]
+    assert out.dtypes["r_v"] == np.int64 and out.dtypes["r_rid"] == np.int64
+    assert list(out["r_rt"]) == [ts("2024-01-05"), ts("2024-01-18"),
+                                 ts("2024-01-01")]
+    # parallelism invariance
+    assert run(4).equals(out)
+    # tolerance: lid=103 is 14 days after its match -> dropped at 7 days
+    tol = run(2, tolerance=pd.Timedelta(days=7))
+    assert list(tol["lid"]) == [100, 101]
