@@ -1094,6 +1094,66 @@ def bm25_collapse_documents(sf_dir: str):
     )
 
 
+def bm25_topk_boosted(sf_dir: str):
+    """BM25 top-k with ES query-time term boosts (``term^2.5``): each
+    query's alphabetically-first term is boosted 2.5x, the rest 1.0 —
+    the contribution is weight*boost in BOTH strategies (score-identical,
+    tested) and in the SQL oracle."""
+    from astrologer_ray.state.searcher import Searcher
+
+    index_dir = _documents_index(sf_dir)
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        boosts = {sorted(set(terms))[0]: 2.5}
+        for h in s.search(terms, k=k, boosts=boosts):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_boosted_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}', {2.5 if i == 0 else 1.0})"
+        for qid, terms, _ in BM25_DOC_QUERIES
+        for i, t in enumerate(sorted(set(terms)))
+    )
+    ks = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_DOC_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term, boost) AS (VALUES {values}),
+ks(qid, k) AS (VALUES {ks}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+                * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) )
+              * q.boost ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
 def _bm25_collapse_sql() -> str:
     """SQL twin of field collapsing: row_number per (qid, source) first,
     then the global rank over the group winners."""
@@ -2034,6 +2094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
+        "bm25_topk_boosted": bm25_topk_boosted,
         "mlt_documents": mlt_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
@@ -2099,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id FROM dl WHERE dl >= 20 AND dl < 60)"
         ),
         "bm25_topk_should": _bm25_should_sql(),
+        "bm25_topk_boosted": _bm25_boosted_sql(),
         "mlt_documents": _mlt_documents_sql(),
         "bm25_collapse_documents": _bm25_collapse_sql(),
         "bm25_paged_documents": _bm25_paged_sql(),

@@ -47,6 +47,7 @@ def oracle_topk(
     allowed: np.ndarray | None = None,
     avgdl: float | None = None,
     n_docs: int | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> list[tuple[int, float]]:
     """Brute-force BM25 top-k over raw contents (pure python/numpy).
 
@@ -54,6 +55,8 @@ def oracle_topk(
     ``doc_ids`` given). ``allowed`` is an optional boolean mask (term
     filters, e.g. lang). ``avgdl``/``n_docs`` default to this corpus's own —
     pass them when scoring a subset against a larger index's stats.
+    ``boosts`` maps term -> query-time boost, applied as weight*boost
+    (the engine's association, so floats stay bit-identical).
     """
     from astrologer_ray.functions.tokenizer import token_counts
 
@@ -76,6 +79,8 @@ def oracle_topk(
         w = np.zeros(n, dtype=np.float64)
         idf_t = idf(n_docs, df)
         w[has] = bm25_term_weight(idf_t, tf[has], dls[has], avgdl, k1, b)
+        if boosts and t in boosts:
+            w[has] = w[has] * float(boosts[t])
         scores += w
         matched |= has
 

@@ -52,17 +52,20 @@ class _Cursor:
     """doc_id-ascending iterator over one term's chunk list with block skips."""
 
     __slots__ = ("chunks", "ci", "bi", "ids", "tfs", "dls", "pos", "doc", "idf",
-                 "term", "ub", "k1", "b", "avgdl", "is_should")
+                 "term", "ub", "k1", "b", "avgdl", "is_should", "boost")
 
-    def __init__(self, term, chunks, idf_t, k1, b, avgdl):
+    def __init__(self, term, chunks, idf_t, k1, b, avgdl, boost=1.0):
         self.term = term
         self.is_should = False
+        self.boost = float(boost)
         self.chunks = chunks  # list of chunk rows (dicts), chunk_id ascending
         self.idf = idf_t
         self.k1, self.b, self.avgdl = k1, b, avgdl
+        # boost scales weight AND bounds identically (weight * boost, the
+        # same association TAAT uses, so strategies stay score-identical)
         self.ub = idf_t * (k1 + 1.0) * max(
             max(c["block_max_tfn"]) for c in chunks
-        ) * _UB_SAFETY
+        ) * _UB_SAFETY * self.boost
         self.ci = 0
         self._load_block(0, 0)
 
@@ -77,7 +80,7 @@ class _Cursor:
         return (
             self.idf * (self.k1 + 1.0)
             * self.chunks[self.ci]["block_max_tfn"][self.bi] * _UB_SAFETY
-        )
+        ) * self.boost
 
     def block_last(self) -> int:
         return int(self.chunks[self.ci]["block_last"][self.bi])
@@ -85,7 +88,8 @@ class _Cursor:
     def score(self) -> float:
         tf = float(self.tfs[self.pos])
         dl = float(self.dls[self.pos])
-        return bm25_term_weight(self.idf, tf, dl, self.avgdl, self.k1, self.b)
+        w = bm25_term_weight(self.idf, tf, dl, self.avgdl, self.k1, self.b)
+        return w * self.boost
 
     def advance(self):
         self.pos += 1
@@ -309,7 +313,7 @@ class Searcher:
         return ids, w
 
     def _search_taat(self, qterms, k, allowed, should_terms=None,
-                     min_should_match=0, after=None):
+                     min_should_match=0, after=None, boosts=None):
         """Exact term-at-a-time scoring: one numpy pass per query term.
 
         Bit-identical to the oracle: same weight expression, contributions
@@ -330,7 +334,13 @@ class Searcher:
             if t not in self.postings:
                 continue
             ids, w = self._term_contribution(t)
-            scores[ids] += w
+            # boost multiplies the cached weight array (weight * boost —
+            # the association the WAND cursor mirrors); the LRU'd w itself
+            # is never mutated
+            if boosts and t in boosts:
+                scores[ids] += w * float(boosts[t])
+            else:
+                scores[ids] += w
             matched[ids] = True
             touched.append(ids)
         should_count = None
@@ -342,7 +352,10 @@ class Searcher:
                 if t not in self.postings or not self.owns_term(t):
                     continue
                 ids, w = self._term_contribution(t)
-                scores[ids] += w
+                if boosts and t in boosts:
+                    scores[ids] += w * float(boosts[t])
+                else:
+                    scores[ids] += w
                 should_count[ids] += 1
                 touched.append(ids)
                 if not qterms:
@@ -704,6 +717,7 @@ class Searcher:
         should_terms: list[str] | None = None,
         min_should_match: int = 0,
         after: tuple[float, int] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[dict]:
         """Exact top-k BM25. ``strategy``: "taat" (vectorized term-at-a-
         time), "wand" (block-max WAND), or "auto" (taat while the doc space
@@ -720,7 +734,12 @@ class Searcher:
         to matching candidates' scores but do not create candidates on
         their own — unless ``terms`` is empty, where at least one should
         clause must match (the ES default). ``min_should_match`` requires
-        that many should terms per candidate (ES minimum_should_match)."""
+        that many should terms per candidate (ES minimum_should_match).
+
+        ``boosts`` maps term -> query-time boost (ES ``term^2.5``): the
+        term's BM25 contribution is multiplied by the boost wherever the
+        term appears (must or should clause); TAAT and WAND stay
+        score-identical."""
         if k <= 0:
             return []
         qterms = sorted({t for t in terms if self.owns_term(t)})
@@ -740,7 +759,8 @@ class Searcher:
         )
         if use_taat:
             hits = self._search_taat(qterms, k, allowed,
-                                     should_terms, min_should_match, after)
+                                     should_terms, min_should_match, after,
+                                     boosts)
             return self._format(hits, decorate)
 
         sterms = sorted({t for t in (should_terms or []) if self.owns_term(t)}
@@ -752,7 +772,9 @@ class Searcher:
                 chunks = self.postings.get(t)
                 if chunks:
                     idf_t = idf(self.N, int(self.df[t]))
-                    c = _Cursor(t, chunks, idf_t, self.k1, self.b, self.avgdl)
+                    bst = float(boosts.get(t, 1.0)) if boosts else 1.0
+                    c = _Cursor(t, chunks, idf_t, self.k1, self.b,
+                                self.avgdl, boost=bst)
                     c.is_should = is_should
                     cursors.append(c)
         n_must = sum(1 for c in cursors if not c.is_should)
@@ -926,6 +948,7 @@ class Searcher:
         k: int = 10,
         filter=None,
         decorate: bool = False,
+        boosts: dict[str, float] | None = None,
     ) -> list[dict]:
         """Top-k BM25 with ES field collapsing: at most ONE hit (the
         best-scoring, doc_id-asc tie-break) per distinct value of the
@@ -950,7 +973,13 @@ class Searcher:
             if t not in self.postings:
                 continue
             ids, w = self._term_contribution(t)
-            scores[ids] += w
+            # boost multiplies the cached weight array (weight * boost —
+            # the association the WAND cursor mirrors); the LRU'd w itself
+            # is never mutated
+            if boosts and t in boosts:
+                scores[ids] += w * float(boosts[t])
+            else:
+                scores[ids] += w
             matched[ids] = True
             touched.append(ids)
         try:

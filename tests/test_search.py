@@ -794,3 +794,32 @@ def test_search_top_hits_matches_brute(index_and_oracle):
     winners = {g: d for g, d in col}
     for h in s.search_collapse(terms, "lang", k=100):
         assert winners[langs[h["doc_id"]]] == h["doc_id"]
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_boosted_search_matches_brute(index_and_oracle, strategy):
+    """Query-time term boosts: weight*boost in both strategies == brute
+    reweighted oracle, score-identical; boost=1 == no boosts."""
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    for terms, k in _queries(s)[:6]:
+        boosts = {sorted(set(terms))[0]: 2.5}
+        want = oracle_topk(contents, terms, k=k, boosts=boosts)
+        got = [(h["doc_id"], h["score"])
+               for h in s.search(terms, k=k, boosts=boosts,
+                                 strategy=strategy)]
+        assert got == want, f"[{strategy}] {terms} k={k}"
+        plain = s.search(terms, k=k, strategy=strategy)
+        boost1 = s.search(terms, k=k, strategy=strategy,
+                          boosts={t: 1.0 for t in terms})
+        assert plain == boost1
+
+
+def test_boosted_taat_equals_wand(index_and_oracle):
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    for terms, k in _queries(s):
+        boosts = {t: 1.0 + 0.5 * i for i, t in enumerate(sorted(set(terms)))}
+        t_hits = s.search(terms, k=k, boosts=boosts, strategy="taat")
+        w_hits = s.search(terms, k=k, boosts=boosts, strategy="wand")
+        assert t_hits == w_hits
