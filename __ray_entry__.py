@@ -1154,6 +1154,74 @@ WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
 """
 
 
+def bm25_explain_documents(sf_dir: str):
+    """ES ``_explain`` analog: per-(hit, term) BM25 contribution rows for
+    two queries' top-5 hits — tf, df and the weight from the scorer's own
+    expression; the oracle recomputes every component from the corpus."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = []
+    for qid in (0, 2):
+        _q, terms, _k = BM25_DOC_QUERIES[qid]
+        for r in s.explain(terms, k=5):
+            rows.append((qid, r["doc_id"], r["term"], r["tf"], r["df"],
+                         round(r["weight"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "term": pa.array([r[2] for r in rows], pa.string()),
+        "tf": pa.array([r[3] for r in rows], pa.int64()),
+        "df": pa.array([r[4] for r in rows], pa.int64()),
+        "weight": pa.array([r[5] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_explain_sql() -> str:
+    qids = (0, 2)
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid in qids
+        for t in sorted(set(BM25_DOC_QUERIES[qid][1]))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT q.qid, r.doc_id, q.term, tf.tf, df.df,
+       round( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)),
+              4) AS weight
+FROM ranked r
+JOIN q ON q.qid = r.qid
+JOIN tf ON tf.doc_id = r.doc_id AND tf.term = q.term
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = r.doc_id
+CROSS JOIN stats s
+WHERE r.rn <= 5
+ORDER BY q.qid, r.rn, q.term
+"""
+
+
 def _bm25_collapse_sql() -> str:
     """SQL twin of field collapsing: row_number per (qid, source) first,
     then the global rank over the group winners."""
@@ -2095,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
+        "bm25_explain_documents": bm25_explain_documents,
         "mlt_documents": mlt_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
@@ -2161,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_should": _bm25_should_sql(),
         "bm25_topk_boosted": _bm25_boosted_sql(),
+        "bm25_explain_documents": _bm25_explain_sql(),
         "mlt_documents": _mlt_documents_sql(),
         "bm25_collapse_documents": _bm25_collapse_sql(),
         "bm25_paged_documents": _bm25_paged_sql(),

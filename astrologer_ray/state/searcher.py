@@ -1238,6 +1238,47 @@ class Searcher:
                     })
         return out
 
+    def explain(self, terms: list[str], k: int = 10, filter=None,
+                strategy: str = "auto") -> list[dict]:
+        """ES ``_explain`` analog: the per-(hit, term) BM25 contribution
+        breakdown for the top-k hits — one row per query term present in
+        the hit with its tf, df, and weight (the same ``bm25_term_weight``
+        expression the scorer uses, so rows sum to the hit's score
+        bit-for-bit in sorted-term order)."""
+        from astrologer_ray.functions.codec import decode_chunk
+
+        hits = self.search(terms, k=k, filter=filter, strategy=strategy)
+        if not hits:
+            return []
+        uniq = sorted({t for t in terms
+                       if t in self.postings and self.owns_term(t)})
+        decoded = {}
+        for t in uniq:
+            parts = [decode_chunk(row) for row in self.postings[t]]
+            ids = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            decoded[t] = (ids, tfs, dls)
+        out = []
+        for h in hits:
+            did = h["doc_id"]
+            for t in uniq:
+                ids, tfs, dls = decoded[t]
+                i = int(np.searchsorted(ids, did))
+                if i >= len(ids) or ids[i] != did:
+                    continue
+                df_t = int(self.df[t])
+                w = bm25_term_weight(
+                    idf(self.N, df_t), float(tfs[i]), float(dls[i]),
+                    self.avgdl, self.k1, self.b,
+                )
+                out.append({
+                    "doc_id": did, "term": t, "tf": int(tfs[i]),
+                    "df": df_t, "weight": float(w),
+                    "score": float(h["score"]),
+                })
+        return out
+
     def _format(self, hits: list[tuple[int, float]], decorate: bool) -> list[dict]:
         results = []
         for rank, (d, s) in enumerate(hits):

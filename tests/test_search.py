@@ -823,3 +823,32 @@ def test_boosted_taat_equals_wand(index_and_oracle):
         t_hits = s.search(terms, k=k, boosts=boosts, strategy="taat")
         w_hits = s.search(terms, k=k, boosts=boosts, strategy="wand")
         assert t_hits == w_hits
+
+
+def test_explain_rows_sum_to_score(index_and_oracle):
+    """explain: per-term weights sum to the hit's score bit-for-bit in
+    sorted-term order; tf/df match brute token counts."""
+    from collections import Counter
+
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    for terms, k in _queries(s)[:5]:
+        hits = {h["doc_id"]: h["score"] for h in s.search(terms, k=k)}
+        rows = s.explain(terms, k=k)
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == set(hits)
+        for d, rws in by_doc.items():
+            assert sorted(r["term"] for r in rws) == [r["term"] for r in rws]
+            acc = 0.0
+            for r in rws:
+                acc += r["weight"]
+                assert r["score"] == hits[d]
+            assert acc == hits[d]  # bit-identical, not approx
+            cnt = Counter(tokenize(contents[d], mode="code"))
+            for r in rws:
+                assert r["tf"] == cnt[r["term"]]
+                assert r["df"] == s.df[r["term"]]
