@@ -2040,6 +2040,72 @@ def phrase_topk_documents(sf_dir: str):
     )
 
 
+RESCORE_TERMS = ["merge", "sort", "window"]
+RESCORE_PHRASE = ["merge", "sort"]
+
+
+def bm25_rescore_documents(sf_dir: str):
+    """ES ``rescore``: the top-30 BM25 window for ['merge','sort','window']
+    reranked by combined = bm25 + 2.0 * pf, pf = consecutive 'merge sort'
+    phrase occurrences from the positional index; top-10 of the window."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = [
+        (h["doc_id"], round(h["score"], 4))
+        for h in s.rescore(RESCORE_TERMS, RESCORE_PHRASE,
+                           k=10, window=30, weight=2.0)
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_rescore_sql() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(RESCORE_TERMS)))
+    w1, w2 = RESCORE_PHRASE
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1),
+win AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scores),
+pf AS (
+  SELECT t1.doc_id, count(*) AS pf
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.term = '{w1}' AND t2.term = '{w2}'
+  GROUP BY 1),
+combined AS (
+  SELECT w.doc_id, w.score + 2.0 * coalesce(pf.pf, 0) AS score
+  FROM win w LEFT JOIN pf ON pf.doc_id = w.doc_id
+  WHERE w.rn <= 30)
+SELECT doc_id, round(score, 4) AS score FROM combined
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def _phrase_documents_sql() -> str:
     """Phrase-match oracle: token positions via zipped unnest, consecutive
     match by grouping candidate (doc, start = pos - i) pairs and requiring
@@ -2164,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_explain_documents": bm25_explain_documents,
+        "bm25_rescore_documents": bm25_rescore_documents,
         "mlt_documents": mlt_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
@@ -2231,6 +2298,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_should": _bm25_should_sql(),
         "bm25_topk_boosted": _bm25_boosted_sql(),
         "bm25_explain_documents": _bm25_explain_sql(),
+        "bm25_rescore_documents": _bm25_rescore_sql(),
         "mlt_documents": _mlt_documents_sql(),
         "bm25_collapse_documents": _bm25_collapse_sql(),
         "bm25_paged_documents": _bm25_paged_sql(),

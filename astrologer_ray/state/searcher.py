@@ -909,22 +909,10 @@ class Searcher:
         terms = list(terms)
         if not terms:
             return []
-        if any(t not in self.postings or not self.owns_term(t) for t in terms):
+        keys = self._phrase_match_keys(terms)
+        if keys is None or len(keys) == 0:
             return []
-        stride = self.PHRASE_POS_STRIDE
-        off = len(terms)  # keeps the shifted position strictly positive
-        keys = None
-        for i, t in enumerate(terms):
-            d, p = self._phrase_occurrences(t)
-            if len(p) and int(p.max()) >= stride - off:
-                raise ValueError("token position exceeds PHRASE_POS_STRIDE")
-            ki = d * stride + (p - i + off)
-            keys = ki if keys is None else np.intersect1d(
-                keys, ki, assume_unique=True
-            )
-            if len(keys) == 0:
-                return []
-        match = np.unique(keys // stride)  # local doc ids, ascending
+        match = np.unique(keys // self.PHRASE_POS_STRIDE)  # local ids, asc
         scores = np.zeros(len(match), dtype=np.float64)
         for t in sorted(set(terms)):
             ids, w = self._term_contribution(t)
@@ -940,6 +928,61 @@ class Searcher:
         order = np.lexsort((match, -scores))[: min(k, len(match))]
         hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
         return self._format(hits, decorate)
+
+    def _phrase_match_keys(self, terms: list[str]) -> np.ndarray | None:
+        """Composite ``doc * STRIDE + start`` keys of every position where
+        ``terms`` occurs as a consecutive phrase (one key per occurrence,
+        start shifted by ``len(terms)`` to stay positive); None when a
+        phrase term is absent from this searcher's dictionary."""
+        if any(t not in self.postings or not self.owns_term(t)
+               for t in terms):
+            return None
+        stride = self.PHRASE_POS_STRIDE
+        off = len(terms)  # keeps the shifted position strictly positive
+        keys = None
+        for i, t in enumerate(terms):
+            d, p = self._phrase_occurrences(t)
+            if len(p) and int(p.max()) >= stride - off:
+                raise ValueError("token position exceeds PHRASE_POS_STRIDE")
+            ki = d * stride + (p - i + off)
+            keys = ki if keys is None else np.intersect1d(
+                keys, ki, assume_unique=True
+            )
+            if len(keys) == 0:
+                return keys
+        return keys
+
+    def rescore(
+        self,
+        terms: list[str],
+        phrase: list[str],
+        k: int = 10,
+        window: int = 50,
+        weight: float = 2.0,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``rescore``: rerank the top-``window`` BM25 hits with a
+        phrase-proximity bonus — ``final = bm25 + weight * pf`` where
+        ``pf`` counts CONSECUTIVE occurrences of ``phrase`` (positional
+        index). Docs outside the window never re-enter (ES window
+        semantics); final order is (combined desc, doc_id asc). Requires
+        ``build_index(positions=True)``."""
+        hits = self.search(terms, k=window, filter=filter)
+        if not hits:
+            return []
+        pf: dict[int, int] = {}
+        keys = self._phrase_match_keys(list(phrase))
+        if keys is not None and len(keys):
+            docs = keys // self.PHRASE_POS_STRIDE + self.doc_lo
+            ud, cnt = np.unique(docs, return_counts=True)
+            pf = dict(zip(ud.tolist(), cnt.tolist()))
+        rescored = sorted(
+            ((h["doc_id"], h["score"] + weight * pf.get(h["doc_id"], 0))
+             for h in hits),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        return self._format(rescored, decorate)
 
     def search_collapse(
         self,

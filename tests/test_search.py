@@ -852,3 +852,45 @@ def test_explain_rows_sum_to_score(index_and_oracle):
             for r in rws:
                 assert r["tf"] == cnt[r["term"]]
                 assert r["df"] == s.df[r["term"]]
+
+
+def test_rescore_matches_brute(pos_index, index_and_oracle):
+    """rescore == brute: top-window BM25 + weight * consecutive-phrase
+    count, reranked (combined desc, doc_id asc); docs outside the window
+    never re-enter."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    _plain, contents, _langs = index_and_oracle
+    s = Searcher(pos_index)
+    toks = [tokenize(c, mode="code") for c in contents]
+    terms, _k = _queries(s)[1]
+    phrase = None
+    # find a phrase that actually occurs somewhere
+    for tl in toks:
+        if len(tl) >= 2:
+            phrase = [tl[3 % len(tl)], tl[(3 % len(tl)) + 1]] \
+                if len(tl) > 4 else [tl[0], tl[1]]
+            break
+    assert phrase
+
+    def pf(tl):
+        return sum(
+            1 for i in range(len(tl) - 1)
+            if tl[i] == phrase[0] and tl[i + 1] == phrase[1]
+        )
+
+    for window, k, weight in ((8, 5, 2.0), (50, 10, 0.5)):
+        base = s.search(terms, k=window)
+        want = sorted(
+            ((h["doc_id"], h["score"] + weight * pf(toks[h["doc_id"]]))
+             for h in base),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        got = [(h["doc_id"], h["score"])
+               for h in s.rescore(terms, phrase, k=k, window=window,
+                                  weight=weight)]
+        assert got == want
+    # absent phrase term -> pure BM25 order survives
+    got = [h["doc_id"] for h in
+           s.rescore(terms, ["zzz_no_such_term", phrase[0]], k=5, window=20)]
+    assert got == [h["doc_id"] for h in s.search(terms, k=20)][:5]
