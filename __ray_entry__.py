@@ -625,6 +625,115 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def events_pipeline_aggs(sf_dir: str):
+    """ES pipeline aggregations over a day histogram: cumulative_sum of
+    the doc count, derivative of the day's cents sum, 3-bucket trailing
+    moving_avg of the count — parent agg distributed, pipeline step
+    O(#buckets) driver-side (the ES execution model)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    from astrologer_ray.pipelines.aggs import pipeline_aggs
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["ts", "value"])
+    hist = (
+        ds.map_batches(
+            lambda t: pa.table({
+                "bucket": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                                  pa.timestamp("us")),
+                "cents": _cents(t["value"]),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+    # the reduced histogram is O(#days) — tiny; pipeline step is driver-side
+    buckets = pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+    out = pipeline_aggs(
+        buckets, "bucket",
+        cum_cols=["n"], diff_cols=["sum_cents"], mavg_cols=["n"], window=3,
+    )
+    # the first bucket's derivative is null (ES emits none); coalesce to 0
+    # on BOTH sides so the hash compare sees a total int column
+    i = out.column_names.index("diff_sum_cents")
+    return out.set_column(
+        i, "diff_sum_cents",
+        pc.fill_null(out["diff_sum_cents"], pa.scalar(0, pa.int64())),
+    )
+
+
+EVENTS_PIPELINE_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n,
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1)
+SELECT bucket, n, sum_cents,
+       CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT) AS cum_n,
+       coalesce(sum_cents - lag(sum_cents) OVER (ORDER BY bucket), 0) AS diff_sum_cents,
+       avg(n) OVER (ORDER BY bucket
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg_n
+FROM h ORDER BY bucket
+"""
+
+
+def events_percentile_ranks(sf_dir: str):
+    """ES ``percentile_ranks``: exact percentage of events with value <=
+    each threshold — one distributed partial-count pass."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import percentile_ranks
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["value"])
+    return percentile_ranks(ds, "value", [5.0, 50.0, 200.0])
+
+
+EVENTS_PCT_RANKS_SQL = """
+SELECT t.threshold, 100.0 * count(*) FILTER (WHERE e.value <= t.threshold)
+       / count(*) AS pct
+FROM events e CROSS JOIN (VALUES (5.0), (50.0), (200.0)) t(threshold)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_weighted_avg(sf_dir: str):
+    """ES ``weighted_avg`` per event_type: value weighted by the props
+    JSON field k — int64 sums (cents * k), ONE float division per group,
+    bit-identical across engines and parallelism."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import weighted_avg
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "events"), columns=["event_type", "value", "props"]
+    ).map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "cents": _cents(t["value"]),
+            "k": pc.cast(
+                pc.replace_substring_regex(
+                    pc.coalesce(
+                        pc.extract_regex(t["props"], r'"k": (?P<v>[0-9]+)')
+                        .combine_chunks().field("v"),
+                        pa.scalar("0"),
+                    ),
+                    "^$", "0",
+                ),
+                pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return weighted_avg(ds, "event_type", "cents", "k").sort("event_type")
+
+
+EVENTS_WAVG_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)
+                * CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '0') AS BIGINT)) AS DOUBLE)
+       / (100.0 * sum(CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '0') AS BIGINT))) AS wavg
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def ann_ivf_embeddings(sf_dir: str):
     """IVF coarse-quantized approximate top-k (rows-only; recall vs brute
     is pytest-asserted — approximate results are not SQL-expressible)."""
@@ -2213,6 +2322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentiles": events_value_percentiles,
         "events_extended_stats": events_extended_stats,
         "events_props_sum": events_props_sum,
+        "events_pipeline_aggs": events_pipeline_aggs,
+        "events_percentile_ranks": events_percentile_ranks,
+        "events_weighted_avg": events_weighted_avg,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "events_range_listing": events_range_listing,
         "events_tumbling_window": events_tumbling_window,
@@ -2278,6 +2390,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_percentiles": EVENTS_PERCENTILES_SQL,
         "events_extended_stats": EVENTS_EXTENDED_STATS_SQL,
         "events_props_sum": EVENTS_PROPS_SQL,
+        "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
+        "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,
+        "events_weighted_avg": EVENTS_WAVG_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,
         "events_tumbling_window": EVENTS_TUMBLING_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,

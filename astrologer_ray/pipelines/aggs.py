@@ -428,3 +428,120 @@ def top_n_per_group(
         return g.take(pa.array(np.sort(order)))
 
     return ds.groupby(group_col).map_groups(take_top, batch_format="pyarrow")
+
+
+def pipeline_aggs(
+    buckets: pa.Table,
+    order_col: str,
+    cum_cols: list[str] = (),
+    diff_cols: list[str] = (),
+    mavg_cols: list[str] = (),
+    window: int = 3,
+) -> pa.Table:
+    """ES *pipeline aggregations* (cumulative_sum / derivative /
+    moving_avg) over an already-reduced parent-bucket table.
+
+    ES's model exactly: pipeline aggs post-process the OUTPUT of a parent
+    aggregation, so this runs driver-side in O(#buckets) — the distributed
+    work is the parent histogram/terms agg that produced ``buckets``.
+
+    - ``cum_<c>``: running sum in ``order_col`` order (int-exact for int
+      inputs — SQL ``sum(c) OVER (ORDER BY ...)``)
+    - ``diff_<c>``: lag-1 difference, null for the first bucket (SQL
+      ``c - lag(c) OVER (ORDER BY ...)``)
+    - ``mavg_<c>``: trailing moving average over ``min(window, i+1)``
+      values incl. the current bucket, as float64 ``sum/len`` (SQL ``avg(c)
+      OVER (ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND CURRENT
+      ROW)``)
+    """
+    t = buckets.sort_by(order_col)
+    out = {c: t[c] for c in t.column_names}
+    for c in cum_cols:
+        out[f"cum_{c}"] = pa.array(
+            np.cumsum(np.asarray(t[c], dtype=np.int64)), pa.int64()
+        )
+    for c in diff_cols:
+        v = np.asarray(t[c], dtype=np.int64)
+        d = np.empty(len(v), dtype=np.int64)
+        d[1:] = v[1:] - v[:-1]
+        out[f"diff_{c}"] = pa.array(
+            d, pa.int64(), mask=np.r_[True, np.zeros(len(v) - 1, bool)]
+        )
+    for c in mavg_cols:
+        v = np.asarray(t[c], dtype=np.float64)
+        cs = np.r_[0.0, np.cumsum(v)]
+        n = len(v)
+        lo = np.maximum(np.arange(n) - window + 1, 0)
+        sums = cs[np.arange(n) + 1] - cs[lo]
+        out[f"mavg_{c}"] = pa.array(sums / (np.arange(n) + 1 - lo),
+                                    pa.float64())
+    return pa.table(out)
+
+
+def percentile_ranks(ds: Dataset, col: str, thresholds: list[float]) -> pa.Table:
+    """ES ``percentile_ranks``: for each threshold, the percentage of rows
+    with ``col <= t`` — one distributed pass of per-batch counts (partial
+    aggregation), exact. Percentage = ``100.0 * count / total`` (the same
+    expression an SQL oracle uses, so floats match bit-for-bit)."""
+    th = sorted(float(x) for x in thresholds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        return pa.table({
+            "total": pa.array([len(v)], pa.int64()),
+            **{f"c{i}": pa.array([int((v <= x).sum())], pa.int64())
+               for i, x in enumerate(th)},
+        })
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    sums = parts.aggregate(
+        Sum("total", alias_name="total"),
+        *[Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(th))],
+    )
+    total = int(sums["total"])
+    return pa.table({
+        "threshold": pa.array(th, pa.float64()),
+        "pct": pa.array(
+            [100.0 * int(sums[f"c{i}"]) / total for i in range(len(th))],
+            pa.float64(),
+        ),
+    })
+
+
+def weighted_avg(
+    ds: Dataset, group_col: str, cents_col: str, weight_col: str
+) -> Dataset:
+    """ES ``weighted_avg`` per group, exact under the integer-cents policy:
+    sums run in int64 (``cents * weight``), the single float division
+    happens once per group — ``CAST(sum(cents*w) AS DOUBLE) /
+    (100.0 * sum(w))`` in both engines, so results are bit-identical
+    regardless of summation order."""
+    from ray.data.aggregate import Sum
+
+    def mul(t: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: t[group_col],
+            "ck": pc.multiply(pc.cast(t[cents_col], pa.int64()),
+                              pc.cast(t[weight_col], pa.int64())),
+            "w": pc.cast(t[weight_col], pa.int64()),
+        })
+
+    g = (
+        ds.map_batches(mul, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("ck", alias_name="sum_ck"),
+                   Sum("w", alias_name="sum_w"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        wavg = np.asarray(t["sum_ck"], dtype=np.float64) / (
+            100.0 * np.asarray(t["sum_w"], dtype=np.float64)
+        )
+        return pa.table({
+            group_col: t[group_col],
+            "wavg": pa.array(wavg, pa.float64()),
+        })
+
+    return g.map_batches(finish, batch_format="pyarrow")

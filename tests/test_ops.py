@@ -601,3 +601,40 @@ def test_asof_join_semantics(ray_session):
     # tolerance: lid=103 is 14 days after its match -> dropped at 7 days
     tol = run(2, tolerance=pd.Timedelta(days=7))
     assert list(tol["lid"]) == [100, 101]
+
+
+def test_pipeline_aggs_window_math():
+    """cumulative_sum / derivative / moving_avg over a tiny bucket table:
+    exact ints, null first derivative, partial leading windows."""
+    from astrologer_ray.pipelines.aggs import pipeline_aggs
+
+    t = pa.table({"b": [3, 1, 2, 4], "n": [10, 4, 6, 2],
+                  "s": [100, 50, 70, 30]})
+    out = pipeline_aggs(t, "b", cum_cols=["n"], diff_cols=["s"],
+                        mavg_cols=["n"], window=3)
+    assert out["b"].to_pylist() == [1, 2, 3, 4]          # sorted by bucket
+    assert out["cum_n"].to_pylist() == [4, 10, 20, 22]
+    assert out["diff_s"].to_pylist() == [None, 20, 30, -70]
+    assert out["mavg_n"].to_pylist() == [4.0, 5.0, 20 / 3, 6.0]
+
+
+def test_percentile_ranks_and_weighted_avg(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import percentile_ranks, weighted_avg
+
+    ds = rd.from_items(
+        [{"v": float(i), "g": "a" if i % 2 else "b",
+          "cents": 100 * i, "w": i % 3} for i in range(1, 21)]
+    ).repartition(4)
+    pr = percentile_ranks(ds, "v", [5, 10, 100])
+    assert pr["pct"].to_pylist() == [25.0, 50.0, 100.0]
+    wa = {r["g"]: r["wavg"] for r in
+          weighted_avg(ds, "g", "cents", "w").take_all()}
+    # brute: sum(i*w)/sum(w) per group over i=1..20
+    import numpy as np
+    i = np.arange(1, 21)
+    w = i % 3
+    for gname, mask in (("a", i % 2 == 1), ("b", i % 2 == 0)):
+        want = float((i[mask] * w[mask]).sum()) / float(w[mask].sum())
+        assert wa[gname] == pytest.approx(want, rel=1e-12)
