@@ -208,10 +208,31 @@ def cmd_search(args) -> int:
     _ray_session(args.num_cpus)
     s = Searcher(args.index)
     filt = json.loads(args.filter) if args.filter else None
-    if args.mlt:
+    if args.suggest:
+        for r in s.suggest(args.query, k=args.k,
+                           max_edits=args.max_edits):
+            print(json.dumps(r))
+        return 0
+    if args.fuzzy:
+        hits = s.field_lookup(
+            {"fuzzy": {"value": args.query, "max_edits": args.max_edits}},
+            decorate=True,
+        )[: args.k]
+    elif args.wildcard:
+        hits = s.field_lookup({"wildcard": args.query}, decorate=True)[: args.k]
+    elif args.sort_by:
+        hits = s.sort_by_attr(args.sort_by, k=args.k,
+                              descending=not args.asc, filter=filt)
+    elif args.mlt:
         hits = s.more_like_this(
             args.query, k=args.k, filter=filt,
             max_query_terms=args.mlt_max_terms, decorate=True,
+        )
+    elif args.rescore:
+        hits = s.rescore(
+            tokenize(args.query, mode=s.mode),
+            tokenize(args.rescore, mode=s.mode),
+            k=args.k, window=args.rescore_window, filter=filt, decorate=True,
         )
     elif args.phrase:
         hits = s.phrase_search(
@@ -307,6 +328,24 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--phrase", action="store_true",
                     help="treat the query as a consecutive phrase "
                          "(requires an index built with --positions)")
+    se.add_argument("--fuzzy", action="store_true",
+                    help="treat QUERY as one term; list docs with any "
+                         "term within --max-edits (ES fuzzy query)")
+    se.add_argument("--wildcard", action="store_true",
+                    help="treat QUERY as an ES wildcard pattern (*/?)")
+    se.add_argument("--suggest", action="store_true",
+                    help="print dictionary corrections for QUERY "
+                         "(distance asc, df desc)")
+    se.add_argument("--max-edits", type=int, default=1)
+    se.add_argument("--sort-by", default=None, metavar="ATTR",
+                    help="ignore QUERY; top-k docs by sidecar attribute "
+                         "(ES field sort)")
+    se.add_argument("--asc", action="store_true",
+                    help="ascending --sort-by order (default descending)")
+    se.add_argument("--rescore", default=None, metavar="PHRASE",
+                    help="rerank the top window with a consecutive-PHRASE "
+                         "bonus (ES rescore; needs positions=True)")
+    se.add_argument("--rescore-window", type=int, default=50)
     se.add_argument("--mlt", action="store_true",
                     help="more-like-this: treat the query as document text; "
                          "search with its top tf*idf terms")

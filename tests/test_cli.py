@@ -125,3 +125,34 @@ def test_cli_ingest_preserves_build_config(ray_session, small_corpus_dir,
     s = Searcher(idx)  # keyword postings survived the ingest
     langs = sorted({v for v in s.doc_attrs["lang"]})
     assert len(s.field_lookup({"field_term": {"lang": langs[0]}})) > 0
+
+
+def test_cli_query_surface_flags(ray_session, small_corpus_dir, tmp_path, capsys):
+    """fuzzy / wildcard / suggest / sort-by / rescore through the CLI."""
+    idx = str(tmp_path / "cliidx4")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64",
+                 "--positions"]) == 0
+    capsys.readouterr()
+
+    assert main(["search", idx, "index", "--fuzzy", "--max-edits", "1",
+                 "-k", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines and all("doc_id" in json.loads(x) for x in lines)
+
+    assert main(["search", idx, "ind*", "--wildcard", "-k", "5"]) == 0
+    wlines = capsys.readouterr().out.strip().splitlines()
+    assert wlines
+
+    assert main(["search", idx, "indx", "--suggest", "--max-edits", "2"]) == 0
+    slines = capsys.readouterr().out.strip().splitlines()
+    assert slines and {"term", "distance", "df"} <= set(json.loads(slines[0]))
+
+    assert main(["search", idx, "ignored", "--sort-by", "dl", "-k", "3"]) == 0
+    dls = [json.loads(x)["value"]
+           for x in capsys.readouterr().out.strip().splitlines()]
+    assert dls == sorted(dls, reverse=True) and len(dls) == 3
+
+    assert main(["search", idx, "mergeSort index", "--rescore",
+                 "merge sort", "-k", "3"]) == 0
+    rlines = capsys.readouterr().out.strip().splitlines()
+    assert rlines and json.loads(rlines[0])["score"] > 0
