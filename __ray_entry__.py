@@ -1263,6 +1263,39 @@ WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
 """
 
 
+def bm25_topk_deleted(sf_dir: str):
+    """ES ``_delete_by_query`` + search: docs containing 'slow' are
+    tombstoned on a copy of the index, then the standard query set runs —
+    deleted docs vanish from results while BM25 stats (N/avgdl/df) keep
+    counting them until a rebuild, exactly ES pre-merge semantics. The
+    oracle keeps corpus-global stats and only excludes candidates."""
+    import shutil
+
+    from astrologer_ray.pipelines.segments import delete_by_query
+    from astrologer_ray.state.searcher import Searcher
+
+    src = _documents_index(sf_dir)
+    index_dir = src + "-del"
+    marker = os.path.join(index_dir, "_DELETED")
+    if not os.path.exists(marker):
+        if os.path.isdir(index_dir):
+            shutil.rmtree(index_dir)
+        shutil.copytree(src, index_dir)
+        delete_by_query(index_dir, {"match": "slow"})
+        with open(marker, "w") as f:
+            f.write("match:slow\n")
+    s = Searcher(index_dir, load_docs=False)
+    rows = []
+    for qid, terms, k in BM25_DOC_QUERIES:
+        for h in s.search(terms, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 def bm25_explain_documents(sf_dir: str):
     """ES ``_explain`` analog: per-(hit, term) BM25 contribution rows for
     two queries' top-5 hits — tf, df and the weight from the scorer's own
@@ -2341,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
+        "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_rescore_documents": bm25_rescore_documents,
         "mlt_documents": mlt_documents,
@@ -2412,6 +2446,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_should": _bm25_should_sql(),
         "bm25_topk_boosted": _bm25_boosted_sql(),
+        "bm25_topk_deleted": _bm25_documents_sql(
+            f"len(list_filter({_SPLIT_SQL.replace('lower(text)', 'lower(fd.text)')},"
+            " x -> x = 'slow')) = 0"
+        ),
         "bm25_explain_documents": _bm25_explain_sql(),
         "bm25_rescore_documents": _bm25_rescore_sql(),
         "mlt_documents": _mlt_documents_sql(),

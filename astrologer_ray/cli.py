@@ -201,6 +201,16 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """ES _delete_by_query: tombstone docs matching the filter DSL."""
+    from astrologer_ray.pipelines.segments import delete_by_query
+
+    _ray_session(args.num_cpus)
+    out = delete_by_query(args.index, json.loads(args.filter))
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_search(args) -> int:
     from astrologer_ray.functions.tokenizer import tokenize
     from astrologer_ray.state.searcher import Searcher
@@ -309,6 +319,15 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--partition-rows", type=int, default=50_000)
     co.add_argument("--retries", type=int, default=3)
     co.set_defaults(fn=cmd_compact)
+
+    de = sub.add_parser("delete",
+                        help="tombstone docs matching a filter "
+                             "(ES _delete_by_query; stats keep counting "
+                             "them until a rebuild)")
+    de.add_argument("index")
+    de.add_argument("--filter", required=True, metavar="JSON",
+                    help='Searcher filter DSL, e.g. {"match": "slow"}')
+    de.set_defaults(fn=cmd_delete)
 
     se = sub.add_parser("search")
     se.add_argument("index")

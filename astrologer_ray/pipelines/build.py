@@ -899,10 +899,14 @@ def build_index(
     # wipe derived dirs (they are rebuilt from partials below). Delta
     # segments (pipelines/segments.py) are folded in too: the rebuild
     # derives the base from ALL partials, so leaving segments/ alive would
-    # double-count their docs at query time.
+    # double-count their docs at query time. Tombstones (deletes/) are
+    # doc_id-based and doc_ids are reassigned here, so stale tombstones
+    # would mask the WRONG docs — a rebuild clears them (the documented
+    # delete_by_query contract: rebuilds expunge/reset deletes).
     for d in (docs_dir, postings_dir, dict_dir, stats_dir,
               os.path.join(index_dir, "keymap"),
-              os.path.join(index_dir, "segments")):
+              os.path.join(index_dir, "segments"),
+              os.path.join(index_dir, "deletes")):
         if os.path.isdir(d):
             shutil.rmtree(d)
 

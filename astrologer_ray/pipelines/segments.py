@@ -388,3 +388,38 @@ def compact_index(corpus, index_dir: str, *,
     if os.path.isdir(root):
         shutil.rmtree(root)
     return meta
+
+
+def delete_by_query(index_dir: str, filter) -> dict:
+    """ES ``_delete_by_query`` with tombstones: resolve ``filter`` (the
+    Searcher filter DSL — term/match/range/bool/...) against the live
+    index and append the matching doc ids to ``deletes/``. Every Searcher
+    masks tombstoned docs out of every result path; index statistics
+    (N, avgdl, df) intentionally keep counting them — exactly ES semantics
+    between segment merges. A full rebuild from the corpus clears the
+    tombstones (docs reappear unless removed from the corpus; the
+    reference has no delete either — its model is reindexing,
+    /root/reference/commands/export.go re-export).
+
+    Idempotent: already-tombstoned docs are not re-written. Returns
+    ``{"deleted": newly, "total_deleted": all}``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(index_dir, load_docs=True)
+    ids = np.flatnonzero(s.filter_mask(filter)).astype(np.int64)
+    prior = s.deleted if s.deleted is not None else np.empty(0, np.int64)
+    new = np.setdiff1d(ids, prior, assume_unique=False)
+    ddir = os.path.join(index_dir, "deletes")
+    if len(new):
+        os.makedirs(ddir, exist_ok=True)
+        n_files = len(glob.glob(os.path.join(ddir, "*.parquet")))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(new, pa.int64())}),
+            os.path.join(ddir, f"deleted-{n_files:05d}.parquet"),
+        )
+    return {"deleted": int(len(new)),
+            "total_deleted": int(len(prior) + len(new))}

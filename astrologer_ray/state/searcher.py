@@ -223,6 +223,22 @@ class Searcher:
         self.df = dict(zip(dt.column("term").to_pylist(), dt.column("df").to_pylist()))
         self.cf = dict(zip(dt.column("term").to_pylist(), dt.column("cf").to_pylist()))
 
+        # tombstone deletes (pipelines/segments.delete_by_query — the ES
+        # _delete_by_query-between-merges model): deleted docs are masked
+        # out of every result path at serving time, while index stats
+        # (N, avgdl, df) intentionally keep counting them until a rebuild
+        # — exactly ES semantics before a segment merge expunges deletes.
+        self.deleted: np.ndarray | None = None
+        delf = sorted(glob.glob(os.path.join(index_dir, "deletes", "*.parquet")))
+        if delf:
+            dd = pa.concat_tables(
+                [pq.read_table(p, columns=["doc_id"]) for p in delf]
+            )
+            ids = np.unique(np.asarray(dd["doc_id"], dtype=np.int64))
+            ids = ids[(ids >= self.doc_lo) & (ids < self.doc_hi)]
+            if len(ids):
+                self.deleted = ids  # GLOBAL ids, limited to this doc range
+
         from collections import OrderedDict
 
         self._taat_cache: OrderedDict[str, tuple] = OrderedDict()
@@ -259,6 +275,17 @@ class Searcher:
             self.doc_repo = self.doc_attrs["repo"]
             self.doc_path = self.doc_attrs["path"]
             self.doc_lang = self.doc_attrs["lang"]
+
+    def _apply_deletes(self, allowed: np.ndarray | None) -> np.ndarray | None:
+        """Fold the tombstone mask into a candidate mask (local id space).
+        ``allowed`` must be a freshly-computed throwaway mask (every caller
+        builds one per query) — it is mutated in place when present."""
+        if self.deleted is None:
+            return allowed
+        if allowed is None:
+            allowed = np.ones(self.n_local, dtype=bool)
+        allowed[self.deleted - self.doc_lo] = False
+        return allowed
 
     def owns_term(self, term: str) -> bool:
         if self.shards is None:
@@ -688,20 +715,27 @@ class Searcher:
         """Number of docs in this searcher's range matching ``filter``
         (all of them when None); doc-range shard counts sum exactly."""
         if filter is None:
-            return self.n_local
-        return int(self.filter_mask(filter).sum())
+            return self.n_local - (
+                0 if self.deleted is None else len(self.deleted)
+            )
+        m = self._apply_deletes(self.filter_mask(filter))
+        return int(m.sum())
 
     def field_lookup(self, filter, decorate: bool = False) -> list[dict]:
         """Exact doc listing for a filter — index/sidecar-served, no scan."""
-        ids = np.flatnonzero(self.filter_mask(filter)) + self.doc_lo
+        m = self._apply_deletes(self.filter_mask(filter))
+        ids = np.flatnonzero(m) + self.doc_lo
         return self._format([(int(d), 0.0) for d in ids], decorate)
 
     def agg_terms(self, attr: str, k: int = 10, filter=None) -> list[tuple]:
         """Terms aggregation over a doc attribute, optionally filtered —
         the ES filtered-aggregation twin. Top-k by (count desc, value asc)."""
         col = self._attr(attr)
-        if filter is not None:
-            col = col[self.filter_mask(filter)]
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if m is not None:
+            col = col[m]
         vals, counts = np.unique(col.astype(str), return_counts=True)
         order = np.lexsort((vals, -counts))[:k]
         return [(str(vals[i]), int(counts[i])) for i in order]
@@ -751,6 +785,7 @@ class Searcher:
         if filter is not None:
             fm = self.filter_mask(filter)
             allowed = fm if allowed is None else (allowed & fm)
+        allowed = self._apply_deletes(allowed)
 
         if strategy not in ("auto", "taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: auto|taat|wand")
@@ -919,8 +954,10 @@ class Searcher:
             loc = np.searchsorted(ids, match)
             ok = (loc < len(ids)) & (ids[np.minimum(loc, len(ids) - 1)] == match)
             scores[ok] += w[loc[ok]]
-        if filter is not None:
-            fm = self.filter_mask(filter)
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if fm is not None:
             keep = fm[match]
             match, scores = match[keep], scores[keep]
         if len(match) == 0:
@@ -1006,7 +1043,9 @@ class Searcher:
             return []
         col = self._attr(collapse)
         qterms = sorted({t for t in terms if self.owns_term(t)})
-        allowed = self.filter_mask(filter) if filter is not None else None
+        allowed = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
         if getattr(self, "_score_buf", None) is None:
             self._score_buf = np.zeros(self.n_local, dtype=np.float64)
             self._match_buf = np.zeros(self.n_local, dtype=bool)
@@ -1067,10 +1106,11 @@ class Searcher:
         if k <= 0:
             return []
         col = self._attr(attr)
-        ids = (
-            np.flatnonzero(self.filter_mask(filter))
-            if filter is not None else np.arange(self.n_local)
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
         )
+        ids = (np.flatnonzero(m) if m is not None
+               else np.arange(self.n_local))
         vals = col[ids]
         if after is not None:
             av, adoc = after
@@ -1107,10 +1147,11 @@ class Searcher:
         ``{"buckets": [(key_tuple, count), ...], "after_key": tuple|None}``;
         feed ``after_key`` back as ``after`` for the next page. Requires
         ``load_docs=True``."""
-        ids = (
-            np.flatnonzero(self.filter_mask(filter))
-            if filter is not None else np.arange(self.n_local)
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
         )
+        ids = (np.flatnonzero(m) if m is not None
+               else np.arange(self.n_local))
         cols = [self._attr(a)[ids] for a in sources]
         if len(ids) == 0:
             return {"buckets": [], "after_key": None}
@@ -1163,7 +1204,9 @@ class Searcher:
             return []
         col = self._attr(group_attr)
         qterms = sorted({t for t in terms if self.owns_term(t)})
-        allowed = self.filter_mask(filter) if filter is not None else None
+        allowed = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
         if getattr(self, "_score_buf", None) is None:
             self._score_buf = np.zeros(self.n_local, dtype=np.float64)
             self._match_buf = np.zeros(self.n_local, dtype=bool)

@@ -156,3 +156,17 @@ def test_cli_query_surface_flags(ray_session, small_corpus_dir, tmp_path, capsys
                  "merge sort", "-k", "3"]) == 0
     rlines = capsys.readouterr().out.strip().splitlines()
     assert rlines and json.loads(rlines[0])["score"] > 0
+
+
+def test_cli_delete_by_query(ray_session, small_corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "cliidx5")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64"]) == 0
+    capsys.readouterr()
+    assert main(["search", idx, "index", "-k", "2000"]) == 0
+    pre = len(capsys.readouterr().out.strip().splitlines())
+    assert main(["delete", idx, "--filter",
+                 json.dumps({"match": "index"})]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["deleted"] == pre > 0
+    assert main(["search", idx, "index", "-k", "2000"]) == 0
+    assert capsys.readouterr().out.strip() == ""

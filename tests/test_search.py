@@ -894,3 +894,65 @@ def test_rescore_matches_brute(pos_index, index_and_oracle):
     got = [h["doc_id"] for h in
            s.rescore(terms, ["zzz_no_such_term", phrase[0]], k=5, window=20)]
     assert got == [h["doc_id"] for h in s.search(terms, k=20)][:5]
+
+
+def test_delete_by_query_tombstones(ray_session, small_corpus_dir, tmp_path):
+    """ES delete_by_query semantics: deleted docs vanish from every result
+    path while surviving docs' scores stay BIT-IDENTICAL (stats keep
+    counting tombstones until rebuild — the ES pre-merge model); delete is
+    idempotent; doc-range shards see the same tombstones; a full rebuild
+    clears them."""
+    from astrologer_ray.pipelines.segments import delete_by_query
+
+    idx = str(tmp_path / "delidx")
+    build_index(small_corpus_dir, idx, partition_rows=64, n_shards=4,
+                chunk_bits=6)
+    s0 = Searcher(idx)
+    terms_by_df = sorted(s0.df.items(), key=lambda kv: -kv[1])
+    victim = terms_by_df[2][0]       # df > 1 term to delete by
+    probe = terms_by_df[0][0]        # unrelated query term
+    pre_victim = s0.search([victim], k=s0.N)
+    pre_probe = s0.search([probe], k=s0.N)
+    pre_n = s0.count()
+
+    out = delete_by_query(idx, {"match": victim})
+    assert out["deleted"] == len(pre_victim) > 0
+
+    s = Searcher(idx)
+    gone = {h["doc_id"] for h in pre_victim}
+    # search: deleted docs vanish; survivors keep exact scores (stats kept)
+    assert s.search([victim], k=s.N) == []
+    want_probe = [(h["doc_id"], h["score"]) for h in pre_probe
+                  if h["doc_id"] not in gone]
+    for strategy in ("taat", "wand"):
+        got = [(h["doc_id"], h["score"])
+               for h in s.search([probe], k=s.N, strategy=strategy)]
+        assert got == want_probe
+    # stats intentionally unchanged (ES between merges)
+    assert s.N == s0.N and s.avgdl == s0.avgdl and s.df == s0.df
+    # count/field_lookup/aggs/sort/composite all respect tombstones
+    assert s.count() == pre_n - len(gone)
+    assert not gone & {h["doc_id"] for h in s.field_lookup({"exists": "repo"})}
+    assert sum(c for _, c in s.agg_terms("lang", k=100)) == s.count()
+    assert not gone & {h["doc_id"] for h in s.sort_by_attr("dl", k=s.N)}
+    comp = s.agg_composite(["lang"], size=100)
+    assert sum(c for _, c in comp["buckets"]) == s.count()
+    # phrase/collapse/top_hits paths
+    assert not gone & {h["doc_id"]
+                       for h in s.search_collapse([probe], "lang", k=100)}
+    assert not gone & {r["doc_id"]
+                       for r in s.search_top_hits([probe], "lang",
+                                                  n_hits=100, k_groups=100)}
+    # idempotent
+    assert delete_by_query(idx, {"match": victim})["deleted"] == 0
+    # doc-range shards: per-shard counts sum to the full count
+    n_chunks = (s.N >> int(s.meta.get("chunk_bits", 20))) + 1
+    mid = max(1, n_chunks // 2)
+    parts = [Searcher(idx, chunk_range=(0, mid)),
+             Searcher(idx, chunk_range=(mid, n_chunks))]
+    assert sum(p.count() for p in parts) == s.count()
+    # full rebuild clears tombstones
+    build_index(small_corpus_dir, idx, partition_rows=64, n_shards=4,
+                chunk_bits=6, resume=False)
+    s2 = Searcher(idx)
+    assert s2.deleted is None and s2.count() == pre_n
