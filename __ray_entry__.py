@@ -748,6 +748,24 @@ def ann_ivf_embeddings(sf_dir: str):
     return out
 
 
+def ann_pq_embeddings(sf_dir: str):
+    """Product-quantization ADC top-k with exact re-rank (rows-only;
+    recall vs brute is pytest-asserted). The code pass reads m uint8
+    codes per vector instead of 4d bytes — the memory-scale path for a
+    10^9-vector index."""
+    rd = _rd()
+    from astrologer_ray.pipelines.ann import ann_pq_topk, pq_encode, pq_train
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    Q = np.stack(head["embedding"].to_numpy())
+    books = pq_train(ds, n_subvectors=8, n_codes=32)
+    codes = pq_encode(ds, books)
+    out = ann_pq_topk(codes, ds, Q, books, k=10, refine=4).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out
+
+
 def documents_sample(sf_dir: str):
     """Deterministic 10% hash sample (O4): identical row set in both
     engines because the sampling hash is plain integer arithmetic."""
@@ -2359,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentile_ranks": events_percentile_ranks,
         "events_weighted_avg": events_weighted_avg,
         "ann_ivf_embeddings": ann_ivf_embeddings,
+        "ann_pq_embeddings": ann_pq_embeddings,
         "events_range_listing": events_range_listing,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,

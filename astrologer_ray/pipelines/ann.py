@@ -311,3 +311,216 @@ def ann_ivf_topk(
         cand["cosine"].to_numpy(np.float64), len(Q), k,
         np.arange(len(Q), dtype=np.int64), id_col,
     )
+
+
+class PQCodebooks:
+    """Product-quantization codebooks: ``m`` subspaces x ``n_codes``
+    centroids each (L2 k-means per subspace, seeded/deterministic).
+    Trained driver-side on a small sample; broadcast to encode/query
+    stages. The memory story: a d-dim float32 vector becomes ``m`` uint8
+    codes (d*4 -> m bytes; 64-dim -> 32x) — the path to holding a
+    10^9-vector index in cluster RAM."""
+
+    def __init__(self, C: np.ndarray):
+        self.C = C  # (m, n_codes, dsub)
+        self.m, self.n_codes, self.dsub = C.shape
+
+    @property
+    def dim(self) -> int:
+        return self.m * self.dsub
+
+    def split(self, X: np.ndarray) -> np.ndarray:
+        return X.reshape(len(X), self.m, self.dsub)
+
+    def encode(self, X: np.ndarray) -> np.ndarray:
+        """(n, d) normalized vectors -> (n, m) uint8 codes (nearest
+        centroid per subspace; L2 argmin via the dot/norm identity)."""
+        S = self.split(X)
+        codes = np.empty((len(X), self.m), dtype=np.uint8)
+        for mi in range(self.m):
+            Cm = self.C[mi]
+            d2 = -2.0 * (S[:, mi, :] @ Cm.T) + (Cm * Cm).sum(axis=1)
+            codes[:, mi] = np.argmin(d2, axis=1)
+        return codes
+
+    def lut(self, Q: np.ndarray) -> np.ndarray:
+        """(nq, d) queries -> (nq, m, n_codes) inner-product lookup
+        tables: approx dot(q, x) = sum_m LUT[q, m, code[x, m]]."""
+        Sq = self.split(Q)
+        return np.einsum("qmd,mcd->qmc", Sq, self.C)
+
+
+def pq_train(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+    n_subvectors: int = 8,
+    n_codes: int = 64,
+    train_rows: int = 4096,
+    seed: int = 23,
+    iters: int = 10,
+) -> PQCodebooks:
+    """Train PQ codebooks on a seeded driver-side sample (same shape as
+    IVF training: the sample is small; everything downstream streams)."""
+    sample = ds.select_columns([vec_col]).limit(train_rows).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    # canonicalize sample order (block arrival order is not guaranteed)
+    # so training is deterministic for a given corpus + seed
+    X = X[np.lexsort(X.T[::-1])]
+    d = X.shape[1]
+    if d % n_subvectors:
+        raise ValueError(f"dim {d} not divisible by m={n_subvectors}")
+    dsub = d // n_subvectors
+    rng = np.random.default_rng(seed)
+    S = X.reshape(len(X), n_subvectors, dsub)
+    C = np.empty((n_subvectors, n_codes, dsub))
+    for mi in range(n_subvectors):
+        Xm = S[:, mi, :]
+        Cm = Xm[rng.choice(len(Xm), size=min(n_codes, len(Xm)),
+                           replace=False)].copy()
+        for _ in range(iters):
+            d2 = -2.0 * (Xm @ Cm.T) + (Cm * Cm).sum(axis=1)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(len(Cm)):
+                members = Xm[assign == ci]
+                if len(members):
+                    Cm[ci] = members.mean(axis=0)
+        C[mi, : len(Cm)] = Cm
+        if len(Cm) < n_codes:  # tiny sample: repeat last centroid
+            C[mi, len(Cm):] = Cm[-1]
+    return PQCodebooks(C)
+
+
+def pq_encode(
+    ds: Dataset,
+    books: PQCodebooks,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Encode the corpus to the materialized PQ code index: one row per
+    vector, ``codes`` = fixed-size-list<uint8>[m]. Write with
+    ``write_parquet`` and serve queries from THIS dataset — the query
+    pass reads m bytes/vector instead of 4d."""
+    import ray
+
+    ref = ray.put(books)
+
+    class Encode:
+        def __init__(self):
+            self.books = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            M = _normalize(np.stack(
+                t[vec_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64))
+            codes = self.books.encode(M)
+            return pa.table({
+                id_col: t[id_col],
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), pa.uint8()), self.books.m
+                ),
+            })
+
+    return ds.map_batches(Encode, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def ann_pq_topk(
+    codes_ds: Dataset,
+    full_ds: Dataset,
+    queries: np.ndarray,
+    books: PQCodebooks,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: int = 4,
+) -> pa.Table:
+    """PQ asymmetric-distance top-k with exact re-rank.
+
+    Pass 1 streams ONLY the code index: per batch, approx scores are m
+    table lookups + a sum (``LUT[q, m, code]``), keeping per-query
+    top-``refine*k`` candidates. Pass 2 re-ranks the merged candidate
+    union (O(nq*refine*k) ids, broadcast as a set) against the true
+    vectors with exact cosine — a selective scan, not a shuffle. Exact
+    scores, approximate CANDIDATES: recall is measured in tests, k and
+    refine trade recall for I/O."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    lut = books.lut(Q)  # (nq, m, n_codes)
+    ref = ray.put(lut)
+    keep = refine * k
+
+    class ADC:
+        def __init__(self):
+            self.lut = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            codes = np.asarray(
+                t["codes"].combine_chunks().values
+            ).reshape(len(ids), -1)
+            marange = np.arange(codes.shape[1])
+            out_q, out_i = [], []
+            for qi in range(len(self.lut)):
+                approx = self.lut[qi][marange[None, :], codes].sum(axis=1)
+                order = _topk_ids(approx, ids, keep)
+                out_q.append(np.full(len(order), qi, dtype=np.int64))
+                out_i.append(ids[order])
+            return pa.table({
+                "q": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+            })
+
+    cand = codes_ds.map_batches(ADC, batch_format="pyarrow",
+                                concurrency=(1, 8)).to_pandas()
+    # per-query merge of candidate ids (approx scores differ per batch
+    # only via the candidate CUT, so the union is the candidate set)
+    cand_ids = [
+        np.unique(cand[cand["q"] == qi][id_col].to_numpy(np.int64))
+        for qi in range(len(Q))
+    ]
+    union = np.unique(np.concatenate(cand_ids)) if len(cand) else np.empty(0, np.int64)
+    uref = ray.put((Q, set(union.tolist()), {qi: set(c.tolist()) for qi, c in enumerate(cand_ids)}))
+
+    class Rerank:
+        def __init__(self):
+            self.Q, self.union, self.per_q = ray.get(uref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col]).astype(np.int64)
+            m = np.fromiter((int(i) in self.union for i in ids), bool,
+                            count=len(ids))
+            ids = ids[m]
+            if not len(ids):
+                return pa.table({"q": pa.array([], pa.int64()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            M = _normalize(np.stack(
+                t[vec_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)[m])
+            sims = self.Q @ M.T
+            out_q, out_i, out_s = [], [], []
+            for qi in range(len(self.Q)):
+                qm = np.fromiter((int(i) in self.per_q[qi] for i in ids),
+                                 bool, count=len(ids))
+                out_q.append(np.full(int(qm.sum()), qi, dtype=np.int64))
+                out_i.append(ids[qm])
+                out_s.append(sims[qi][qm])
+            return pa.table({
+                "q": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+            })
+
+    exact = full_ds.map_batches(Rerank, batch_format="pyarrow",
+                                concurrency=(1, 8)).to_pandas()
+    if len(exact) == 0:
+        exact = pd.DataFrame({"q": [], id_col: [], "cosine": []})
+    return _merge_query_topk(
+        exact["q"].to_numpy(np.int64), exact[id_col].to_numpy(np.int64),
+        exact["cosine"].to_numpy(np.float64), len(Q), k,
+        np.arange(len(Q), dtype=np.int64), id_col,
+    )

@@ -638,3 +638,41 @@ def test_percentile_ranks_and_weighted_avg(ray_session):
     for gname, mask in (("a", i % 2 == 1), ("b", i % 2 == 0)):
         want = float((i[mask] * w[mask]).sum()) / float(w[mask].sum())
         assert wa[gname] == pytest.approx(want, rel=1e-12)
+
+
+def test_ann_pq_recall_and_exact_rerank(ray_session, sf_dir):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.ann import (
+        ann_brute_topk,
+        ann_pq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    Q = M[:5]
+    books = pq_train(ds, n_subvectors=8, n_codes=32)
+    # codebook shapes + deterministic retrain
+    assert books.C.shape == (8, 32, M.shape[1] // 8)
+    books2 = pq_train(ds, n_subvectors=8, n_codes=32)
+    assert np.array_equal(books.C, books2.C)
+    codes = pq_encode(ds, books)
+    ct = codes.to_pandas()
+    assert len(ct) == len(full)
+    assert all(len(c) == 8 for c in ct["codes"])
+
+    brute = ann_brute_topk(ds, Q, k=10).to_pandas()
+    pq = ann_pq_topk(codes, ds, Q, books, k=10, refine=4).to_pandas()
+    recalls = []
+    for qi in range(5):
+        want = set(brute[brute["qid"] == qi]["vec_id"])
+        got = set(pq[pq["qid"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) > 0.6, recalls
+    assert all(r > 0 for r in recalls)
+    # reported cosines are EXACT (re-ranked against true vectors)
+    m = brute.merge(pq, on=["qid", "vec_id"], suffixes=("_b", "_p"))
+    assert np.allclose(m["cosine_b"], m["cosine_p"], atol=1e-12)
