@@ -141,6 +141,21 @@ def cmd_ingest(args) -> int:
                                  partition_rows=args.partition_rows,
                                  retries=args.retries)
             out.pop("segment_meta", None)
+            if args.auto_compact:
+                # ES merge-policy analog: fold segments back into the base
+                # once their count reaches the threshold, bounding the
+                # per-query generation fan-in (stage 1 is never repeated —
+                # compaction reuses the checkpointed partials)
+                from astrologer_ray.pipelines.segments import (
+                    compact_index,
+                    segment_dirs,
+                )
+
+                if len(segment_dirs(args.index)) >= args.auto_compact:
+                    compact_index(args.corpus, args.index,
+                                  partition_rows=args.partition_rows,
+                                  retries=args.retries)
+                    out["auto_compacted"] = True
             return out
         meta = build_index(
             args.corpus, args.index, mode=args.mode, resume=True,
@@ -292,6 +307,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="ingest only: add new partitions as a delta "
                             "segment instead of re-running the global "
                             "post-tokenize stages (requires monotone keys)")
+        b.add_argument("--auto-compact", type=int, default=0, metavar="N",
+                       help="with --append: fold segments into the base "
+                            "once N delta segments exist (ES merge-policy "
+                            "analog; 0 = never)")
         b.add_argument("--poll-seconds", type=float, default=10.0)
         b.add_argument("--max-polls", type=int, default=0,
                        help="stop --follow after N polls (0 = forever)")

@@ -260,3 +260,43 @@ def test_plain_rebuild_folds_segments(ray_session, tmp_path):
                 resume=True)
     assert segment_dirs(idx) == []
     assert Searcher(idx).N == 300
+
+
+def test_cli_ingest_auto_compact(ray_session, tmp_path, capsys):
+    """--append --auto-compact N folds segments once N exist; search
+    results stay identical to a single-shot full build."""
+    import json
+
+    from astrologer_ray.cli import main
+    from astrologer_ray.pipelines.segments import segment_dirs
+    from astrologer_ray.state.searcher import Searcher
+
+    d = tmp_path
+    f0, f1, f2 = (str(d / f"part-{i:03d}.parquet") for i in range(3))
+    _write_part(f0, 0, 300)
+    idx = str(d / "idx")
+    assert main(["build", f0, idx, "--partition-rows", "100"]) == 0
+    capsys.readouterr()
+
+    _write_part(f1, 300, 450)
+    assert main(["ingest", d.as_posix(), idx, "--partition-rows", "100",
+                 "--append", "--auto-compact", "2"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["appended"] == 150 and "auto_compacted" not in out1
+    assert len(segment_dirs(idx)) == 1
+
+    _write_part(f2, 450, 600)
+    assert main(["ingest", d.as_posix(), idx, "--partition-rows", "100",
+                 "--append", "--auto-compact", "2"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["appended"] == 150 and out2.get("auto_compacted") is True
+    assert segment_dirs(idx) == []
+
+    idx_full = str(d / "idx_full")
+    assert main(["build", d.as_posix(), idx_full,
+                 "--partition-rows", "100"]) == 0
+    capsys.readouterr()
+    a, b = Searcher(idx), Searcher(idx_full)
+    assert a.N == b.N == 600
+    for q in QUERIES:
+        assert _hits(a, q) == _hits(b, q)
