@@ -1314,6 +1314,61 @@ def bm25_topk_deleted(sf_dir: str):
     })
 
 
+def bm25_gauss_documents(sf_dir: str):
+    """ES ``function_score`` gauss decay: BM25 multiplied by
+    exp(-(|dl-40|^2)/(2*sigma^2)) with sigma^2 from (scale=20,
+    decay=0.5) — relevance damped by distance from the preferred doc
+    length, exact rerank of all candidates."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    qid, terms, _k = BM25_DOC_QUERIES[1]
+    rows = [
+        (h["doc_id"], round(h["score"], 4))
+        for h in s.function_score(terms, k=10, decay_attr="dl",
+                                  origin=40.0, scale=20.0, decay=0.5)
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_gauss_sql() -> str:
+    import math
+
+    sigma2 = (20.0 ** 2) / (2.0 * math.log(1.0 / 0.5))
+    _qid, terms, _k = BM25_DOC_QUERIES[1]
+    values = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1),
+final AS (
+  SELECT sc.doc_id,
+         sc.score * exp(-pow(abs(dl.dl - 40.0), 2) / (2.0 * {sigma2!r})) AS score
+  FROM scores sc JOIN dl ON dl.doc_id = sc.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def bm25_explain_documents(sf_dir: str):
     """ES ``_explain`` analog: per-(hit, term) BM25 contribution rows for
     two queries' top-5 hits — tf, df and the weight from the scorer's own
@@ -2394,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
+        "bm25_gauss_documents": bm25_gauss_documents,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_rescore_documents": bm25_rescore_documents,
         "mlt_documents": mlt_documents,
@@ -2469,6 +2525,7 @@ def oracle_sql() -> dict[str, str]:
             f"len(list_filter({_SPLIT_SQL.replace('lower(text)', 'lower(fd.text)')},"
             " x -> x = 'slow')) = 0"
         ),
+        "bm25_gauss_documents": _bm25_gauss_sql(),
         "bm25_explain_documents": _bm25_explain_sql(),
         "bm25_rescore_documents": _bm25_rescore_sql(),
         "mlt_documents": _mlt_documents_sql(),

@@ -1021,6 +1021,47 @@ class Searcher:
         )[:k]
         return self._format(rescored, decorate)
 
+    def function_score(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        decay_attr: str,
+        origin: float,
+        scale: float,
+        decay: float = 0.5,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``function_score`` with a gauss decay multiplier:
+        ``final = bm25 * exp(-(|attr - origin|^2) / (2*sigma^2))`` with
+        ``sigma^2 = scale^2 / (2*ln(1/decay))`` (the ES parameterization —
+        a doc at distance ``scale`` from ``origin`` scores ``decay`` of
+        its BM25). Exact: every candidate is TAAT-scored, then decayed and
+        reranked (combined desc, doc_id asc); decay can promote low-BM25
+        docs, so the full candidate set is enumerated — at 10^9 docs use
+        the multiply-mode WAND bound instead (decay <= 1 keeps the BM25
+        upper bound valid). Requires ``load_docs=True``."""
+        import math
+
+        if k <= 0:
+            return []
+        sigma2 = (float(scale) ** 2) / (2.0 * math.log(1.0 / float(decay)))
+        v = np.asarray(self._attr(decay_attr), dtype=np.float64)
+        all_hits = self.search(terms, k=self.n_local, filter=filter,
+                               strategy="taat")
+        if not all_hits:
+            return []
+        ids = np.array([h["doc_id"] for h in all_hits], dtype=np.int64)
+        s = np.array([h["score"] for h in all_hits], dtype=np.float64)
+        dv = v[ids - self.doc_lo]
+        factor = np.exp(-(np.abs(dv - float(origin)) ** 2) / (2.0 * sigma2))
+        final = s * factor
+        order = np.lexsort((ids, -final))[: min(k, len(ids))]
+        return self._format(
+            [(int(ids[i]), float(final[i])) for i in order], decorate
+        )
+
     def search_collapse(
         self,
         terms: list[str],

@@ -956,3 +956,33 @@ def test_delete_by_query_tombstones(ray_session, small_corpus_dir, tmp_path):
                 chunk_bits=6, resume=False)
     s2 = Searcher(idx)
     assert s2.deleted is None and s2.count() == pre_n
+
+
+def test_function_score_gauss_matches_brute(index_and_oracle):
+    """function_score == brute bm25 * gauss(attr); a doc exactly `scale`
+    from origin is damped by exactly `decay`."""
+    import math
+
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    dl = s.doc_attrs["dl"].astype(np.float64)
+    terms, _k = _queries(s)[1]
+    origin, scale, decay = 30.0, 15.0, 0.5
+    sigma2 = scale ** 2 / (2.0 * math.log(1.0 / decay))
+    base = {h["doc_id"]: h["score"]
+            for h in s.search(terms, k=len(contents), strategy="taat")}
+    want = sorted(
+        ((d, sc * math.exp(-abs(dl[d] - origin) ** 2 / (2.0 * sigma2)))
+         for d, sc in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [(h["doc_id"], h["score"])
+           for h in s.function_score(terms, k=10, decay_attr="dl",
+                                     origin=origin, scale=scale,
+                                     decay=decay)]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-12)
+    # the ES decay contract at distance == scale
+    probe = float(np.exp(-(scale ** 2) / (2.0 * sigma2)))
+    assert probe == pytest.approx(decay, rel=1e-12)
