@@ -177,6 +177,13 @@ def _assign_doc_ids(partials_dir: str, docs_dir: str, parallelism: int,
             if int(os.path.basename(p).split("-")[1].split(".")[0]) in pids
         ]
     total_rows = sum(pq.read_metadata(p).num_rows for p in partial_docs)
+    # env override for measurement: the driver fast path is a CONSTANT
+    # cost at every parallelism level (it slightly depresses measured
+    # scaling efficiency); GRAFT_DOCID_DRIVER_MAX=0 forces the
+    # distributed sort path for an A/B without a code change
+    env_thr = os.environ.get("GRAFT_DOCID_DRIVER_MAX")
+    if env_thr is not None:
+        driver_sort_threshold = int(env_thr)
     if total_rows <= driver_sort_threshold:
         return _assign_doc_ids_driver(partial_docs, docs_dir, keymap_dir,
                                       id_base=id_base)
