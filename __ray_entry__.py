@@ -677,6 +677,59 @@ FROM h ORDER BY bucket
 """
 
 
+def events_dense_histogram(sf_dir: str):
+    """ES date_histogram with ``min_doc_count: 0`` + ``extended_bounds``:
+    hourly counts of (signup, value > 100) events over the FULL corpus
+    hour range — absent hours appear as 0-count buckets (the grid is
+    materialized driver-side over the reduced histogram)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Max, Min
+
+    from astrologer_ray.pipelines.aggs import densify_buckets
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "events"), columns=["ts", "event_type", "value"]
+    )
+    bounds = ds.map_batches(
+        lambda t: pa.table({
+            "h": pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                         pa.timestamp("us")),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(Min("h", alias_name="lo"), Max("h", alias_name="hi"))
+    hist = (
+        ds.filter(expr="event_type == 'signup' and value > 100")
+        .map_batches(
+            lambda t: pa.table({
+                "bucket": pc.cast(pc.floor_temporal(t["ts"], unit="hour"),
+                                  pa.timestamp("us")),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+    ht = pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+    return densify_buckets(ht, "bucket", 3_600_000_000,
+                           bounds["lo"], bounds["hi"], ["n"])
+
+
+EVENTS_DENSE_HIST_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds),
+h AS (
+  SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events WHERE event_type = 'signup' AND value > 100 GROUP BY 1)
+SELECT g.bucket, coalesce(h.n, 0) AS n
+FROM grid g LEFT JOIN h ON h.bucket = g.bucket
+ORDER BY g.bucket
+"""
+
+
 def events_percentile_ranks(sf_dir: str):
     """ES ``percentile_ranks``: exact percentage of events with value <=
     each threshold — one distributed partial-count pass."""
@@ -1822,6 +1875,33 @@ ORDER BY distance, df DESC, term LIMIT 5
 """
 
 
+def top_terms_by_df(sf_dir: str):
+    """Corpus-wide top analyzed terms by document frequency, served from
+    the term DICTIONARY alone (no postings decode, no corpus scan) — the
+    df sidecar is the aggregation the reference's engine keeps implicitly
+    (SURVEY A8). Ties break term-ascending."""
+    from astrologer_ray.stages.spimi import FIELD_SEP
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = sorted(
+        ((t, int(d)) for t, d in s.df.items() if FIELD_SEP not in t),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:15]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "df": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 15
+"""
+
+
 def docs_sort_by_dl(sf_dir: str):
     """ES sort-by-field with ``search_after`` paging: two stitched pages of
     the 5 longest lang='en' docs by dl (token count), tiebreak doc_id asc —
@@ -2429,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_extended_stats": events_extended_stats,
         "events_props_sum": events_props_sum,
         "events_pipeline_aggs": events_pipeline_aggs,
+        "events_dense_histogram": events_dense_histogram,
         "events_percentile_ranks": events_percentile_ranks,
         "events_weighted_avg": events_weighted_avg,
         "ann_ivf_embeddings": ann_ivf_embeddings,
@@ -2462,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fuzzy_lookup": docs_fuzzy_lookup,
         "docs_wildcard_lookup": docs_wildcard_lookup,
         "term_suggest": term_suggest,
+        "top_terms_by_df": top_terms_by_df,
         "docs_sort_by_dl": docs_sort_by_dl,
         "docs_composite_pages": docs_composite_pages,
         "bm25_top_hits_by_lang": bm25_top_hits_by_lang,
@@ -2500,6 +2582,7 @@ def oracle_sql() -> dict[str, str]:
         "events_extended_stats": EVENTS_EXTENDED_STATS_SQL,
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
+        "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,
         "events_weighted_avg": EVENTS_WAVG_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,
@@ -2538,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,
         "term_suggest": TERM_SUGGEST_SQL,
+        "top_terms_by_df": TOP_TERMS_SQL,
         "docs_sort_by_dl": SORT_BY_DL_SQL,
         "docs_composite_pages": COMPOSITE_SQL,
         "bm25_top_hits_by_lang": _bm25_top_hits_sql(),

@@ -545,3 +545,37 @@ def weighted_avg(
         })
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def densify_buckets(
+    hist: pa.Table,
+    bucket_col: str,
+    step_us: int,
+    lo,
+    hi,
+    count_cols: list[str],
+) -> pa.Table:
+    """ES ``min_doc_count: 0`` + ``extended_bounds``: materialize EVERY
+    bucket of the fixed grid [lo, hi] (step ``step_us`` microseconds),
+    filling absent buckets' ``count_cols`` with 0. Post-processes the
+    already-reduced histogram driver-side, O(#grid) — same execution model
+    as :func:`pipeline_aggs`."""
+    def _us(v) -> int:
+        if isinstance(v, pa.Scalar):
+            v = v.as_py()
+        return int(np.datetime64(v, "us").astype(np.int64))
+
+    lo_us, hi_us = _us(lo), _us(hi)
+    grid = np.arange(lo_us, hi_us + 1, step_us, dtype=np.int64)
+    have = pc.cast(hist[bucket_col], pa.timestamp("us")).cast(pa.int64())
+    have_np = np.asarray(have, dtype=np.int64)
+    order = np.argsort(have_np)
+    pos = np.searchsorted(have_np[order], grid)
+    hit = (pos < len(have_np)) & (have_np[order][np.minimum(pos, max(len(have_np) - 1, 0))] == grid) if len(have_np) else np.zeros(len(grid), bool)
+    out = {bucket_col: pa.array(grid, pa.int64()).cast(pa.timestamp("us"))}
+    for c in count_cols:
+        src = np.asarray(hist[c], dtype=np.int64)[order]
+        vals = np.zeros(len(grid), dtype=np.int64)
+        vals[hit] = src[pos[hit]]
+        out[c] = pa.array(vals, pa.int64())
+    return pa.table(out)

@@ -676,3 +676,25 @@ def test_ann_pq_recall_and_exact_rerank(ray_session, sf_dir):
     # reported cosines are EXACT (re-ranked against true vectors)
     m = brute.merge(pq, on=["qid", "vec_id"], suffixes=("_b", "_p"))
     assert np.allclose(m["cosine_b"], m["cosine_p"], atol=1e-12)
+
+
+def test_densify_buckets_grid():
+    from astrologer_ray.pipelines.aggs import densify_buckets
+
+    import pandas as pd
+
+    hour = 3_600_000_000
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t2 = np.datetime64("2024-01-01T02:00:00", "us")
+    t5 = np.datetime64("2024-01-01T05:00:00", "us")
+    hist = pa.table({
+        "bucket": pa.array([t2, t0], pa.timestamp("us")),  # unsorted input
+        "n": pa.array([7, 3], pa.int64()),
+    })
+    out = densify_buckets(hist, "bucket", hour, t0, t5, ["n"])
+    assert len(out) == 6
+    assert out["n"].to_pylist() == [3, 0, 7, 0, 0, 0]
+    # empty histogram -> all-zero grid
+    empty = hist.slice(0, 0)
+    out2 = densify_buckets(empty, "bucket", hour, t0, t5, ["n"])
+    assert out2["n"].to_pylist() == [0] * 6
