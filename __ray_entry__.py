@@ -1902,6 +1902,48 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 15
 """
 
 
+def docs_multi_terms(sf_dir: str):
+    """ES ``multi_terms`` aggregation: top (lang, source) tuple buckets by
+    (count desc, key asc) over the docs sidecar."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    rows = [(k[0], k[1], c) for k, c in s.agg_multi_terms(["lang", "repo"], k=8)]
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "cnt": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+MULTI_TERMS_SQL = """
+SELECT lang, source, count(*) AS cnt FROM documents
+GROUP BY lang, source ORDER BY cnt DESC, lang, source LIMIT 8
+"""
+
+
+def docs_rare_terms(sf_dir: str):
+    """ES ``rare_terms``: long-tail lang values (<= 4 docs) among docs
+    containing the analyzed term 'dup' — filter served from postings,
+    counts from the sidecar, ordered (count asc, value asc)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    rows = s.agg_rare_terms("lang", max_doc_count=4,
+                            filter={"match": "dup"})
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "cnt": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+RARE_TERMS_SQL = f"""
+SELECT lang, count(*) AS cnt FROM documents
+WHERE len(list_filter({_SPLIT_SQL}, x -> x = 'dup')) > 0
+GROUP BY lang HAVING count(*) <= 4 ORDER BY cnt, lang
+"""
+
+
 def docs_sort_by_dl(sf_dir: str):
     """ES sort-by-field with ``search_after`` paging: two stitched pages of
     the 5 longest lang='en' docs by dl (token count), tiebreak doc_id asc —
@@ -2544,6 +2586,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_wildcard_lookup": docs_wildcard_lookup,
         "term_suggest": term_suggest,
         "top_terms_by_df": top_terms_by_df,
+        "docs_multi_terms": docs_multi_terms,
+        "docs_rare_terms": docs_rare_terms,
         "docs_sort_by_dl": docs_sort_by_dl,
         "docs_composite_pages": docs_composite_pages,
         "bm25_top_hits_by_lang": bm25_top_hits_by_lang,
@@ -2622,6 +2666,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,
         "term_suggest": TERM_SUGGEST_SQL,
         "top_terms_by_df": TOP_TERMS_SQL,
+        "docs_multi_terms": MULTI_TERMS_SQL,
+        "docs_rare_terms": RARE_TERMS_SQL,
         "docs_sort_by_dl": SORT_BY_DL_SQL,
         "docs_composite_pages": COMPOSITE_SQL,
         "bm25_top_hits_by_lang": _bm25_top_hits_sql(),

@@ -1021,6 +1021,45 @@ class Searcher:
         )[:k]
         return self._format(rescored, decorate)
 
+    def agg_multi_terms(self, attrs: list[str], k: int = 10,
+                        filter=None) -> list[tuple]:
+        """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of doc
+        attributes, top-k by (count desc, key asc). Same candidate rules
+        as every agg (filter DSL + tombstones)."""
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        ids = np.flatnonzero(m) if m is not None else np.arange(self.n_local)
+        cols = [self._attr(a)[ids].astype(str) for a in attrs]
+        order = np.lexsort(tuple(reversed(cols)))
+        cols = [c[order] for c in cols]
+        change = np.zeros(len(order), dtype=bool)
+        if len(order):
+            change[0] = True
+        for c in cols:
+            change[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(order)))
+        keys = list(zip(*(c[starts] for c in cols))) if len(starts) else []
+        ranked = sorted(zip(keys, counts), key=lambda t: (-t[1], t[0]))[:k]
+        return [(tuple(str(x) for x in key), int(c)) for key, c in ranked]
+
+    def agg_rare_terms(self, attr: str, max_doc_count: int = 1,
+                       filter=None) -> list[tuple]:
+        """ES ``rare_terms``: attribute values appearing in at most
+        ``max_doc_count`` (candidate) docs, ordered (count asc, value
+        asc) — the long-tail complement of the terms aggregation."""
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        col = self._attr(attr)
+        if m is not None:
+            col = col[m]
+        vals, counts = np.unique(col.astype(str), return_counts=True)
+        keep = counts <= max_doc_count
+        order = np.lexsort((vals[keep], counts[keep]))
+        return [(str(vals[keep][i]), int(counts[keep][i])) for i in order]
+
     def function_score(
         self,
         terms: list[str],
