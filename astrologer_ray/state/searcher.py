@@ -208,7 +208,24 @@ class Searcher:
             # are disjoint ascending, but a boundary chunk can be split
             # across two generations (same chunk_id twice per term)
             order = [("term", "ascending"), ("last_doc_id", "ascending")]
-            for row in post.sort_by(order).to_pylist():
+            post = post.sort_by(order).combine_chunks()
+            # blob columns attach as zero-copy memoryview slices over the
+            # Arrow data buffer — to_pylist would copy every varbyte
+            # stream (~the whole postings file) into Python bytes, which
+            # dominated actor cold-start; the light columns convert as
+            # before (decode paths only need len() + slicing, which
+            # memoryview provides)
+            blob_cols = [c for c in post.column_names if c.endswith("_bytes")]
+            rows = post.drop_columns(blob_cols).to_pylist()
+            for bname in blob_cols:
+                arr = post[bname].combine_chunks()
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+                o = arr.offset
+                offs = offs[o: o + len(arr) + 1]
+                data = memoryview(arr.buffers()[2])
+                for i, r in enumerate(rows):
+                    r[bname] = data[offs[i]:offs[i + 1]]
+            for row in rows:
                 self.postings.setdefault(row["term"], []).append(row)
 
         dt = pa.concat_tables([
