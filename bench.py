@@ -378,10 +378,18 @@ def scaling() -> None:
     def t(r):
         return r["queries"]["build_code_index"]
 
-    best_lo, best_hi = min(pairs, key=lambda p_: t(p_[0]) + t(p_[1]))
+    pair_effs = [round((t(a) / t(b)) / (hi / lo), 3) for a, b in pairs]
+    # headline = MEDIAN pair efficiency. The previous fastest-combined-wall
+    # pick was biased LOW: the combined wall is dominated by the lo run, so
+    # it selects pairs whose lo hit a lucky bandwidth window — which
+    # lowers the ratio — while a lucky hi (which raises it) barely moves
+    # the sum. The median is symmetric under window drift; the best pair
+    # (least within-pair drift observed) is reported alongside.
+    order = sorted(range(len(pairs)), key=lambda i: pair_effs[i])
+    med_i = order[len(order) // 2]
+    best_lo, best_hi = pairs[med_i]
     t_lo, t_hi = t(best_lo), t(best_hi)
     eff = (t_lo / t_hi) / (hi / lo)
-    pair_effs = [round((t(a) / t(b)) / (hi / lo), 3) for a, b in pairs]
     # parallel-stage efficiency: tokenize + merge are the stages whose work
     # grows with corpus size (the O(1)/driver-side steps vanish at scale)
     st_lo = best_lo["build_stage_timings"]
@@ -402,6 +410,7 @@ def scaling() -> None:
                 "postings_per_s_lo": best_lo["build_postings_per_s"],
                 "postings_per_s_hi": best_hi["build_postings_per_s"],
                 "scaling_efficiency": round(eff, 3),
+                "best_pair_efficiency": max(pair_effs),
                 "pair_efficiencies": pair_effs,
                 "parallel_stage_sec_lo": round(par_lo, 2),
                 "parallel_stage_sec_hi": round(par_hi, 2),
