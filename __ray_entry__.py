@@ -1902,6 +1902,87 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT 15
 """
 
 
+def significant_text_documents(sf_dir: str):
+    """ES ``significant_text``: terms over-represented in the docs
+    matching 'data' vs the whole corpus, JLH-scored. Foreground doc ids
+    come from the index (postings), foreground df from ONE distributed
+    pass over only those docs (Arrow split/flatten kernels, unique
+    (doc, term) pairs), background df straight from the term DICTIONARY —
+    no background corpus scan."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    from astrologer_ray.stages.spimi import FIELD_SEP
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    fg_ids = {h["doc_id"] for h in s.field_lookup({"match": "data"})}
+    fg_total, bg_total = len(fg_ids), s.N
+    ids_arr = pa.array(sorted(fg_ids), pa.int64())
+
+    def fg_tokens(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["doc_id"], value_set=ids_arr)
+        t = t.filter(keep)
+        toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        doc = pc.take(t["doc_id"].combine_chunks(),
+                      pc.list_parent_indices(toks))
+        pairs = pa.table({"doc_id": doc, "term": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        return pairs.group_by(["doc_id", "term"]).aggregate([])
+
+    fg = (
+        rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(fg_tokens, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="fg_n"))
+        .to_pandas()
+    )
+    rows = []
+    for term, fg_n in zip(fg["term"], fg["fg_n"]):
+        bg_n = s.df.get(term)
+        if bg_n is None or FIELD_SEP in term:
+            continue
+        fg_pct = fg_n / fg_total
+        bg_pct = bg_n / bg_total
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        # sort on the ROUNDED score: the oracle's ORDER BY resolves to the
+        # rounded output alias, so the tie-break domain must match
+        rows.append((str(term), int(fg_n), int(bg_n), round(score, 6)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:10]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "fg_n": pa.array([r[1] for r in rows], pa.int64()),
+        "bg_n": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+SIGNIFICANT_TEXT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+fg_docs AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term = 'data'),
+fg AS (
+  SELECT t.term, count(DISTINCT t.doc_id) AS fg_n
+  FROM toks t JOIN fg_docs f ON f.doc_id = t.doc_id GROUP BY 1),
+bg AS (
+  SELECT term, count(DISTINCT doc_id) AS bg_n FROM toks GROUP BY 1),
+tot AS (
+  SELECT (SELECT count(*) FROM fg_docs) AS fg_total,
+         (SELECT count(*) FROM documents) AS bg_total),
+scored AS (
+  SELECT fg.term, fg.fg_n, bg.bg_n,
+         ((fg.fg_n * 1.0 / t.fg_total) - (bg.bg_n * 1.0 / t.bg_total))
+         * ((fg.fg_n * 1.0 / t.fg_total) / (bg.bg_n * 1.0 / t.bg_total)) AS score
+  FROM fg JOIN bg ON bg.term = fg.term CROSS JOIN tot t)
+SELECT term, fg_n, bg_n, round(score, 6) AS score
+FROM scored ORDER BY score DESC, term LIMIT 10
+"""
+
+
 def docs_multi_terms(sf_dir: str):
     """ES ``multi_terms`` aggregation: top (lang, source) tuple buckets by
     (count desc, key asc) over the docs sidecar."""
@@ -2586,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_wildcard_lookup": docs_wildcard_lookup,
         "term_suggest": term_suggest,
         "top_terms_by_df": top_terms_by_df,
+        "significant_text_documents": significant_text_documents,
         "docs_multi_terms": docs_multi_terms,
         "docs_rare_terms": docs_rare_terms,
         "docs_sort_by_dl": docs_sort_by_dl,
@@ -2666,6 +2748,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,
         "term_suggest": TERM_SUGGEST_SQL,
         "top_terms_by_df": TOP_TERMS_SQL,
+        "significant_text_documents": SIGNIFICANT_TEXT_SQL,
         "docs_multi_terms": MULTI_TERMS_SQL,
         "docs_rare_terms": RARE_TERMS_SQL,
         "docs_sort_by_dl": SORT_BY_DL_SQL,
