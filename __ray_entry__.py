@@ -730,6 +730,49 @@ ORDER BY g.bucket
 """
 
 
+def events_bucket_script(sf_dir: str):
+    """ES ``bucket_script`` + ``bucket_selector``: day histogram with a
+    computed avg-dollars column, keeping only days with above-average
+    event counts — the aggregation DSL's computed-column + HAVING pair,
+    post-processing the reduced buckets driver-side."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    from astrologer_ray.pipelines.aggs import bucket_script, bucket_selector
+
+    hist = (
+        rd.read_parquet(_tbl(sf_dir, "events"), columns=["ts", "value"])
+        .map_batches(
+            lambda t: pa.table({
+                "bucket": pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                                  pa.timestamp("us")),
+                "cents": _cents(t["value"]),
+            }),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+    )
+    t = pa.Table.from_pandas(hist.to_pandas(), preserve_index=False)
+    t = bucket_script(
+        t, "avg_dollars",
+        lambda c: c["sum_cents"].astype(np.float64) / (100.0 * c["n"]),
+    )
+    t = bucket_selector(t, lambda c: c["n"] >= c["n"].mean())
+    return t.sort_by("bucket")
+
+
+EVENTS_BUCKET_SCRIPT_SQL = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n,
+         CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1)
+SELECT bucket, n, sum_cents,
+       CAST(sum_cents AS DOUBLE) / (100.0 * n) AS avg_dollars
+FROM h WHERE n >= (SELECT avg(n) FROM h) ORDER BY bucket
+"""
+
+
 def events_percentile_ranks(sf_dir: str):
     """ES ``percentile_ranks``: exact percentage of events with value <=
     each threshold — one distributed partial-count pass."""
@@ -2633,6 +2676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": events_props_sum,
         "events_pipeline_aggs": events_pipeline_aggs,
         "events_dense_histogram": events_dense_histogram,
+        "events_bucket_script": events_bucket_script,
         "events_percentile_ranks": events_percentile_ranks,
         "events_weighted_avg": events_weighted_avg,
         "ann_ivf_embeddings": ann_ivf_embeddings,
@@ -2709,6 +2753,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
+        "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,
         "events_weighted_avg": EVENTS_WAVG_SQL,
         "events_range_listing": EVENTS_RANGE_LISTING_SQL,

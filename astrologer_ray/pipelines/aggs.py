@@ -579,3 +579,23 @@ def densify_buckets(
         vals[hit] = src[pos[hit]]
         out[c] = pa.array(vals, pa.int64())
     return pa.table(out)
+
+
+def bucket_script(buckets: pa.Table, out_col: str, fn) -> pa.Table:
+    """ES ``bucket_script`` pipeline agg: a computed column over the
+    already-reduced parent buckets — ``fn`` receives a dict of numpy
+    column arrays and returns the new column (vectorized, driver-side
+    O(#buckets), same execution model as :func:`pipeline_aggs`)."""
+    cols = {c: np.asarray(buckets[c]) for c in buckets.column_names
+            if not pa.types.is_timestamp(buckets.schema.field(c).type)}
+    return buckets.append_column(out_col, pa.array(fn(cols)))
+
+
+def bucket_selector(buckets: pa.Table, pred) -> pa.Table:
+    """ES ``bucket_selector``: drop parent buckets failing ``pred`` (a
+    vectorized predicate over a dict of numpy column arrays) — the
+    HAVING clause of the aggregation DSL."""
+    cols = {c: np.asarray(buckets[c]) for c in buckets.column_names
+            if not pa.types.is_timestamp(buckets.schema.field(c).type)}
+    mask = np.asarray(pred(cols), dtype=bool)
+    return buckets.filter(pa.array(mask))
