@@ -238,13 +238,19 @@ def cmd_search(args) -> int:
                            max_edits=args.max_edits):
             print(json.dumps(r))
         return 0
+    def _with_filt(clause):
+        # compose with --filter like every other query path
+        return {"bool": {"must": [clause, filt]}} if filt else clause
+
     if args.fuzzy:
         hits = s.field_lookup(
-            {"fuzzy": {"value": args.query, "max_edits": args.max_edits}},
+            _with_filt({"fuzzy": {"value": args.query,
+                                  "max_edits": args.max_edits}}),
             decorate=True,
         )[: args.k]
     elif args.wildcard:
-        hits = s.field_lookup({"wildcard": args.query}, decorate=True)[: args.k]
+        hits = s.field_lookup(_with_filt({"wildcard": args.query}),
+                              decorate=True)[: args.k]
     elif args.sort_by:
         hits = s.sort_by_attr(args.sort_by, k=args.k,
                               descending=not args.asc, filter=filt)

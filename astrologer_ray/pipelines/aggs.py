@@ -464,9 +464,10 @@ def pipeline_aggs(
         v = np.asarray(t[c], dtype=np.int64)
         d = np.empty(len(v), dtype=np.int64)
         d[1:] = v[1:] - v[:-1]
-        out[f"diff_{c}"] = pa.array(
-            d, pa.int64(), mask=np.r_[True, np.zeros(len(v) - 1, bool)]
-        )
+        mask = np.zeros(len(v), dtype=bool)  # True = null (first bucket)
+        if len(v):
+            mask[0] = True
+        out[f"diff_{c}"] = pa.array(d, pa.int64(), mask=mask)
     for c in mavg_cols:
         v = np.asarray(t[c], dtype=np.float64)
         cs = np.r_[0.0, np.cumsum(v)]
@@ -500,7 +501,11 @@ def percentile_ranks(ds: Dataset, col: str, thresholds: list[float]) -> pa.Table
         Sum("total", alias_name="total"),
         *[Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(th))],
     )
-    total = int(sums["total"])
+    total = int(sums["total"] or 0)
+    if total == 0:
+        # SQL's GROUP BY over zero rows yields zero rows — mirror that
+        return pa.table({"threshold": pa.array([], pa.float64()),
+                         "pct": pa.array([], pa.float64())})
     return pa.table({
         "threshold": pa.array(th, pa.float64()),
         "pct": pa.array(

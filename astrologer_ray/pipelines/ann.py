@@ -483,16 +483,17 @@ def ann_pq_topk(
         for qi in range(len(Q))
     ]
     union = np.unique(np.concatenate(cand_ids)) if len(cand) else np.empty(0, np.int64)
-    uref = ray.put((Q, set(union.tolist()), {qi: set(c.tolist()) for qi, c in enumerate(cand_ids)}))
+    uref = ray.put((Q, union, cand_ids))
 
     class Rerank:
         def __init__(self):
+            # sorted id arrays: membership is a vectorized np.isin
+            # (assume_unique — np.unique above), not per-row Python sets
             self.Q, self.union, self.per_q = ray.get(uref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = np.asarray(t[id_col]).astype(np.int64)
-            m = np.fromiter((int(i) in self.union for i in ids), bool,
-                            count=len(ids))
+            m = np.isin(ids, self.union, assume_unique=False)
             ids = ids[m]
             if not len(ids):
                 return pa.table({"q": pa.array([], pa.int64()),
@@ -504,8 +505,7 @@ def ann_pq_topk(
             sims = self.Q @ M.T
             out_q, out_i, out_s = [], [], []
             for qi in range(len(self.Q)):
-                qm = np.fromiter((int(i) in self.per_q[qi] for i in ids),
-                                 bool, count=len(ids))
+                qm = np.isin(ids, self.per_q[qi])
                 out_q.append(np.full(int(qm.sum()), qi, dtype=np.int64))
                 out_i.append(ids[qm])
                 out_s.append(sims[qi][qm])

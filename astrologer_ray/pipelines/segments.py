@@ -365,10 +365,21 @@ def compact_index(corpus, index_dir: str, *,
     merge). Stage 1 is never repeated — ``build_index(resume=True)`` finds
     every partial manifest complete and re-runs only the post-tokenize
     stages (doc ids, merge+encode, dictionary) over the FULL partition set.
-    Appends were monotone, so the reassigned doc_ids are identical."""
+    Appends were monotone, so the reassigned doc_ids are identical —
+    which is also why ``deletes/`` tombstones SURVIVE compaction (stashed
+    around the rebuild, whose generic wipe would drop them): an ES merge
+    never resurrects deleted docs. Only a plain ``build_index`` call on a
+    changed corpus — where ids really can move — clears tombstones."""
+    import tempfile
+
     from astrologer_ray.pipelines.build import build_index, load_meta
 
     meta0 = load_meta(index_dir)
+    deletes_dir = os.path.join(index_dir, "deletes")
+    stash = None
+    if os.path.isdir(deletes_dir):
+        stash = tempfile.mkdtemp(prefix="deletes-stash-")
+        shutil.move(deletes_dir, os.path.join(stash, "deletes"))
     meta = build_index(
         corpus, index_dir,
         mode=meta0["mode"],
@@ -387,6 +398,9 @@ def compact_index(corpus, index_dir: str, *,
     root = _segments_root(index_dir)
     if os.path.isdir(root):
         shutil.rmtree(root)
+    if stash is not None:
+        shutil.move(os.path.join(stash, "deletes"), deletes_dir)
+        os.rmdir(stash)
     return meta
 
 
@@ -396,10 +410,12 @@ def delete_by_query(index_dir: str, filter) -> dict:
     index and append the matching doc ids to ``deletes/``. Every Searcher
     masks tombstoned docs out of every result path; index statistics
     (N, avgdl, df) intentionally keep counting them — exactly ES semantics
-    between segment merges. A full rebuild from the corpus clears the
-    tombstones (docs reappear unless removed from the corpus; the
-    reference has no delete either — its model is reindexing,
-    /root/reference/commands/export.go re-export).
+    between segment merges. :func:`compact_index` PRESERVES tombstones
+    (monotone appends keep doc_ids stable); only a plain full rebuild
+    from the corpus clears them, since its doc_ids may reassign (docs
+    reappear unless removed from the corpus; the reference has no delete
+    either — its model is reindexing, /root/reference/commands/export.go
+    re-export).
 
     Idempotent: already-tombstoned docs are not re-written. Returns
     ``{"deleted": newly, "total_deleted": all}``.

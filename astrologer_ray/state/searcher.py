@@ -219,6 +219,11 @@ class Searcher:
             rows = post.drop_columns(blob_cols).to_pylist()
             for bname in blob_cols:
                 arr = post[bname].combine_chunks()
+                if arr.null_count:
+                    # a null blob must stay a loud error (the old
+                    # to_pylist path yielded None and decode raised) —
+                    # an empty memoryview would silently decode as empty
+                    raise ValueError(f"null {bname} in postings table")
                 offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
                 o = arr.offset
                 offs = offs[o: o + len(arr) + 1]
@@ -356,6 +361,51 @@ class Searcher:
                 self._taat_cache_vals += len(ids)
         return ids, w
 
+    @staticmethod
+    def _check_boosts(boosts) -> None:
+        """ES rejects non-positive boosts; so do we — a negative boost
+        would turn the WAND upper bound into a lower bound and break the
+        TAAT==WAND contract."""
+        if boosts:
+            for t, b in boosts.items():
+                if not float(b) > 0.0:
+                    raise ValueError(f"boost for {t!r} must be > 0, got {b}")
+
+    def _ensure_score_bufs(self):
+        if getattr(self, "_score_buf", None) is None:
+            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
+            self._match_buf = np.zeros(self.n_local, dtype=bool)
+        return self._score_buf, self._match_buf
+
+    def _taat_accumulate(self, qterms, boosts=None):
+        """Accumulate BM25 contributions into the shared dense buffers —
+        the ONE copy of the TAAT hot loop (search/collapse/top_hits all
+        call it). Returns (scores, matched, touched); callers MUST reset
+        with :meth:`_taat_reset` in a ``finally``. A boost multiplies the
+        cached weight array (weight * boost — the association the WAND
+        cursor mirrors); the LRU'd array itself is never mutated."""
+        scores, matched = self._ensure_score_bufs()
+        touched = []
+        for t in qterms:
+            if t not in self.postings:
+                continue
+            ids, w = self._term_contribution(t)
+            if boosts and t in boosts:
+                scores[ids] += w * float(boosts[t])
+            else:
+                scores[ids] += w
+            matched[ids] = True
+            touched.append(ids)
+        return scores, matched, touched
+
+    def _taat_reset(self, touched, should_count=None) -> None:
+        scores, matched = self._score_buf, self._match_buf
+        for ids in touched:
+            scores[ids] = 0.0
+            matched[ids] = False
+            if should_count is not None:
+                should_count[ids] = 0
+
     def _search_taat(self, qterms, k, allowed, should_terms=None,
                      min_should_match=0, after=None, boosts=None):
         """Exact term-at-a-time scoring: one numpy pass per query term.
@@ -369,24 +419,7 @@ class Searcher:
         ids — per-query memory traffic is bounded by the posting lists
         actually visited, not by N.
         """
-        if getattr(self, "_score_buf", None) is None:
-            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
-            self._match_buf = np.zeros(self.n_local, dtype=bool)
-        scores, matched = self._score_buf, self._match_buf
-        touched = []
-        for t in qterms:
-            if t not in self.postings:
-                continue
-            ids, w = self._term_contribution(t)
-            # boost multiplies the cached weight array (weight * boost —
-            # the association the WAND cursor mirrors); the LRU'd w itself
-            # is never mutated
-            if boosts and t in boosts:
-                scores[ids] += w * float(boosts[t])
-            else:
-                scores[ids] += w
-            matched[ids] = True
-            touched.append(ids)
+        scores, matched, touched = self._taat_accumulate(qterms, boosts)
         should_count = None
         if should_terms:
             # should clauses add score and a per-doc match count; they never
@@ -433,11 +466,7 @@ class Searcher:
             lo = self.doc_lo
             return [(int(cand[i]) + lo, float(scores[cand[i]])) for i in order]
         finally:
-            for ids in touched:
-                scores[ids] = 0.0
-                matched[ids] = False
-                if should_count is not None:
-                    should_count[ids] = 0
+            self._taat_reset(touched, should_count)
 
     def _attr(self, name: str) -> np.ndarray:
         if name not in self.doc_attrs:
@@ -793,6 +822,7 @@ class Searcher:
         score-identical."""
         if k <= 0:
             return []
+        self._check_boosts(boosts)
         qterms = sorted({t for t in terms if self.owns_term(t)})
         allowed = None
         if lang is not None:
@@ -1038,6 +1068,23 @@ class Searcher:
         )[:k]
         return self._format(rescored, decorate)
 
+    @staticmethod
+    def _group_counts(cols: list[np.ndarray]):
+        """Shared multi-column group-count kernel: lexsort ascending by
+        the column tuple, boundary diff, per-group counts. Returns
+        (key_cols_at_starts, counts) — both in ascending key order."""
+        if not len(cols) or not len(cols[0]):
+            return [np.empty(0, dtype=object) for _ in cols], np.empty(0, np.int64)
+        order = np.lexsort(tuple(reversed(cols)))
+        cols = [c[order] for c in cols]
+        change = np.zeros(len(order), dtype=bool)
+        change[0] = True
+        for c in cols:
+            change[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(order)))
+        return [c[starts] for c in cols], counts
+
     def agg_multi_terms(self, attrs: list[str], k: int = 10,
                         filter=None) -> list[tuple]:
         """ES ``multi_terms`` aggregation: buckets keyed by a TUPLE of doc
@@ -1048,16 +1095,8 @@ class Searcher:
         )
         ids = np.flatnonzero(m) if m is not None else np.arange(self.n_local)
         cols = [self._attr(a)[ids].astype(str) for a in attrs]
-        order = np.lexsort(tuple(reversed(cols)))
-        cols = [c[order] for c in cols]
-        change = np.zeros(len(order), dtype=bool)
-        if len(order):
-            change[0] = True
-        for c in cols:
-            change[1:] |= c[1:] != c[:-1]
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(order)))
-        keys = list(zip(*(c[starts] for c in cols))) if len(starts) else []
+        key_cols, counts = self._group_counts(cols)
+        keys = list(zip(*key_cols)) if len(counts) else []
         ranked = sorted(zip(keys, counts), key=lambda t: (-t[1], t[0]))[:k]
         return [(tuple(str(x) for x in key), int(c)) for key, c in ranked]
 
@@ -1102,6 +1141,10 @@ class Searcher:
 
         if k <= 0:
             return []
+        if not (0.0 < float(decay) < 1.0):
+            raise ValueError(f"decay must be in (0, 1), got {decay}")
+        if not float(scale) > 0.0:
+            raise ValueError(f"scale must be > 0, got {scale}")
         sigma2 = (float(scale) ** 2) / (2.0 * math.log(1.0 / float(decay)))
         v = np.asarray(self._attr(decay_attr), dtype=np.float64)
         all_hits = self.search(terms, k=self.n_local, filter=filter,
@@ -1143,24 +1186,8 @@ class Searcher:
         allowed = self._apply_deletes(
             self.filter_mask(filter) if filter is not None else None
         )
-        if getattr(self, "_score_buf", None) is None:
-            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
-            self._match_buf = np.zeros(self.n_local, dtype=bool)
-        scores, matched = self._score_buf, self._match_buf
-        touched = []
-        for t in qterms:
-            if t not in self.postings:
-                continue
-            ids, w = self._term_contribution(t)
-            # boost multiplies the cached weight array (weight * boost —
-            # the association the WAND cursor mirrors); the LRU'd w itself
-            # is never mutated
-            if boosts and t in boosts:
-                scores[ids] += w * float(boosts[t])
-            else:
-                scores[ids] += w
-            matched[ids] = True
-            touched.append(ids)
+        self._check_boosts(boosts)
+        scores, matched, touched = self._taat_accumulate(qterms, boosts)
         try:
             cand = np.flatnonzero(matched)
             if allowed is not None:
@@ -1252,25 +1279,18 @@ class Searcher:
         cols = [self._attr(a)[ids] for a in sources]
         if len(ids) == 0:
             return {"buckets": [], "after_key": None}
-        order = np.lexsort(tuple(reversed(cols)))
-        cols = [c[order] for c in cols]
-        change = np.zeros(len(order), dtype=bool)
-        change[0] = True
-        for c in cols:
-            change[1:] |= c[1:] != c[:-1]
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(order)))
-        key_cols = [c[starts] for c in cols]
+        key_cols, counts = self._group_counts(cols)
+        n_keys = len(counts)
         if after is not None:
             # keep keys strictly greater than the cursor, lexicographically
-            gt = np.zeros(len(starts), dtype=bool)
-            eq = np.ones(len(starts), dtype=bool)
+            gt = np.zeros(n_keys, dtype=bool)
+            eq = np.ones(n_keys, dtype=bool)
             for kc, av in zip(key_cols, after):
                 gt |= eq & (kc > av)
                 eq &= kc == av
             sel = np.flatnonzero(gt)[:size]
         else:
-            sel = np.arange(min(size, len(starts)))
+            sel = np.arange(min(size, n_keys))
         buckets = [
             (
                 tuple(kc[i].item() if hasattr(kc[i], "item") else kc[i]
@@ -1289,6 +1309,7 @@ class Searcher:
         n_hits: int = 3,
         k_groups: int = 10,
         filter=None,
+        boosts: dict[str, float] | None = None,
     ) -> list[dict]:
         """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation:
         buckets of ``group_attr`` over the query's matches, ordered
@@ -1304,18 +1325,8 @@ class Searcher:
         allowed = self._apply_deletes(
             self.filter_mask(filter) if filter is not None else None
         )
-        if getattr(self, "_score_buf", None) is None:
-            self._score_buf = np.zeros(self.n_local, dtype=np.float64)
-            self._match_buf = np.zeros(self.n_local, dtype=bool)
-        scores, matched = self._score_buf, self._match_buf
-        touched = []
-        for t in qterms:
-            if t not in self.postings:
-                continue
-            tids, w = self._term_contribution(t)
-            scores[tids] += w
-            matched[tids] = True
-            touched.append(tids)
+        self._check_boosts(boosts)
+        scores, matched, touched = self._taat_accumulate(qterms, boosts)
         try:
             cand = np.flatnonzero(matched)
             if allowed is not None:
@@ -1350,9 +1361,7 @@ class Searcher:
                     })
             return out
         finally:
-            for tids in touched:
-                scores[tids] = 0.0
-                matched[tids] = False
+            self._taat_reset(touched)
 
     def more_like_this(
         self,

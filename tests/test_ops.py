@@ -698,3 +698,22 @@ def test_densify_buckets_grid():
     empty = hist.slice(0, 0)
     out2 = densify_buckets(empty, "bucket", hour, t0, t5, ["n"])
     assert out2["n"].to_pylist() == [0] * 6
+
+
+def test_pipeline_aggs_and_percentile_ranks_empty(ray_session):
+    """Review findings: empty bucket tables / empty datasets must not
+    crash the pipeline aggregations."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import percentile_ranks, pipeline_aggs
+
+    empty = pa.table({"b": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.int64())})
+    out = pipeline_aggs(empty, "b", cum_cols=["n"], diff_cols=["s"],
+                        mavg_cols=["n"])
+    assert len(out) == 0
+    assert {"cum_n", "diff_s", "mavg_n"} <= set(out.column_names)
+    ds = rd.from_items([{"v": 1.0}]).filter(expr="v > 5")
+    pr = percentile_ranks(ds, "v", [1.0, 2.0])
+    assert len(pr) == 0

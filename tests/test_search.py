@@ -986,3 +986,32 @@ def test_function_score_gauss_matches_brute(index_and_oracle):
     # the ES decay contract at distance == scale
     probe = float(np.exp(-(scale ** 2) / (2.0 * sigma2)))
     assert probe == pytest.approx(decay, rel=1e-12)
+
+
+def test_boost_and_decay_validation(index_and_oracle):
+    """Review findings: non-positive boosts rejected (negative would
+    invert the WAND bound); function_score guards decay/scale."""
+    index_dir, _c, _l = index_and_oracle
+    s = Searcher(index_dir)
+    terms, _k = _queries(s)[0]
+    for bad in (-2.0, 0.0):
+        with pytest.raises(ValueError):
+            s.search(terms, k=5, boosts={terms[0]: bad})
+        with pytest.raises(ValueError):
+            s.search_collapse(terms, "lang", k=5, boosts={terms[0]: bad})
+        with pytest.raises(ValueError):
+            s.search_top_hits(terms, "lang", boosts={terms[0]: bad})
+    for kw in ({"decay": 1.0}, {"decay": 0.0}, {"decay": 1.5},
+               {"scale": 0.0}, {"scale": -3.0}):
+        args = {"decay_attr": "dl", "origin": 10.0, "scale": 5.0,
+                "decay": 0.5, **kw}
+        with pytest.raises(ValueError):
+            s.function_score(terms, k=5, **args)
+    # top_hits with a boost matches collapse winners under the same boost
+    boosts = {terms[0]: 2.5}
+    top1 = {r["group"]: r["doc_id"] for r in
+            s.search_top_hits(terms, "lang", n_hits=1, k_groups=100,
+                              boosts=boosts)}
+    for h in s.search_collapse(terms, "lang", k=100, boosts=boosts):
+        lang = s.doc_attrs["lang"][h["doc_id"]]
+        assert top1[str(lang)] == h["doc_id"]

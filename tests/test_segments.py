@@ -300,3 +300,41 @@ def test_cli_ingest_auto_compact(ray_session, tmp_path, capsys):
     assert a.N == b.N == 600
     for q in QUERIES:
         assert _hits(a, q) == _hits(b, q)
+
+
+def test_compact_preserves_tombstones(ray_session, tmp_path):
+    """delete_by_query then append + compact: monotone appends keep
+    doc_ids stable, so tombstones must SURVIVE compaction (an ES merge
+    never resurrects deleted docs)."""
+    from astrologer_ray.pipelines.build import build_index
+    from astrologer_ray.pipelines.segments import (
+        append_segment,
+        compact_index,
+        delete_by_query,
+        segment_dirs,
+    )
+    from astrologer_ray.state.searcher import Searcher
+
+    d = tmp_path
+    f0, f1 = str(d / "part-000.parquet"), str(d / "part-001.parquet")
+    _write_part(f0, 0, 300)
+    idx = str(d / "idx")
+    build_index([f0], idx, mode="code", partition_rows=100)
+    s0 = Searcher(idx)
+    victim = sorted(s0.df.items(), key=lambda kv: -kv[1])[1][0]
+    out = delete_by_query(idx, {"match": victim})
+    assert out["deleted"] > 0
+
+    _write_part(f1, 300, 450)
+    append_segment([f0, f1], idx, partition_rows=100)
+    s1 = Searcher(idx)
+    # deletes still masked after append (doc ids of base unchanged)
+    base_victims = {h["doc_id"] for h in s0.search([victim], k=300)}
+    assert not base_victims & {h["doc_id"] for h in s1.search([victim], k=450)}
+
+    compact_index([f0, f1], idx, partition_rows=100)
+    assert segment_dirs(idx) == []
+    s2 = Searcher(idx)
+    assert s2.deleted is not None
+    assert not base_victims & {h["doc_id"] for h in s2.search([victim], k=450)}
+    assert s2.count() == s2.N - len(s2.deleted)
