@@ -2026,6 +2026,41 @@ FROM scored ORDER BY score DESC, term LIMIT 10
 """
 
 
+def docs_adjacency_matrix(sf_dir: str):
+    """ES ``adjacency_matrix``: doc counts for three named filters (an
+    index-served term filter, a sidecar range, a keyword term) and every
+    pairwise intersection — mask algebra over the loaded searcher."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    rows = s.agg_adjacency_matrix({
+        "data": {"match": "data"},
+        "en": {"term": {"lang": "en"}},
+        "long": {"range": {"dl": {"gte": 40}}},
+    })
+    return pa.table({
+        "key": pa.array([r[0] for r in rows], pa.string()),
+        "cnt": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+ADJACENCY_SQL = f"""
+WITH flags AS (
+  SELECT (lang = 'en') AS f_en,
+         (len({_SPLIT_SQL}) >= 40) AS f_long,
+         (len(list_filter({_SPLIT_SQL}, x -> x = 'data')) > 0) AS f_data
+  FROM documents),
+cells AS (
+  SELECT 'data' AS key, count(*) FILTER (WHERE f_data) AS cnt FROM flags
+  UNION ALL SELECT 'data&en', count(*) FILTER (WHERE f_data AND f_en) FROM flags
+  UNION ALL SELECT 'data&long', count(*) FILTER (WHERE f_data AND f_long) FROM flags
+  UNION ALL SELECT 'en', count(*) FILTER (WHERE f_en) FROM flags
+  UNION ALL SELECT 'en&long', count(*) FILTER (WHERE f_en AND f_long) FROM flags
+  UNION ALL SELECT 'long', count(*) FILTER (WHERE f_long) FROM flags)
+SELECT key, cnt FROM cells WHERE cnt > 0 ORDER BY key
+"""
+
+
 def docs_multi_terms(sf_dir: str):
     """ES ``multi_terms`` aggregation: top (lang, source) tuple buckets by
     (count desc, key asc) over the docs sidecar."""
@@ -2712,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_suggest": term_suggest,
         "top_terms_by_df": top_terms_by_df,
         "significant_text_documents": significant_text_documents,
+        "docs_adjacency_matrix": docs_adjacency_matrix,
         "docs_multi_terms": docs_multi_terms,
         "docs_rare_terms": docs_rare_terms,
         "docs_sort_by_dl": docs_sort_by_dl,
@@ -2794,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": TERM_SUGGEST_SQL,
         "top_terms_by_df": TOP_TERMS_SQL,
         "significant_text_documents": SIGNIFICANT_TEXT_SQL,
+        "docs_adjacency_matrix": ADJACENCY_SQL,
         "docs_multi_terms": MULTI_TERMS_SQL,
         "docs_rare_terms": RARE_TERMS_SQL,
         "docs_sort_by_dl": SORT_BY_DL_SQL,

@@ -1116,6 +1116,28 @@ class Searcher:
         order = np.lexsort((vals[keep], counts[keep]))
         return [(str(vals[keep][i]), int(counts[keep][i])) for i in order]
 
+    def agg_adjacency_matrix(self, filters: dict) -> list[tuple]:
+        """ES ``adjacency_matrix``: doc counts for every named filter and
+        every pairwise intersection (keys joined ``a&b`` in sorted order,
+        the ES key format). Masks compose from the filter DSL and respect
+        tombstones; empty intersections are omitted (ES behavior)."""
+        names = sorted(filters)
+        masks = {
+            n: self._apply_deletes(self.filter_mask(filters[n]))
+            for n in names
+        }
+        out = []
+        for i, a in enumerate(names):
+            c = int(masks[a].sum())
+            if c:
+                out.append((a, c))
+            for b in names[i + 1:]:
+                c2 = int((masks[a] & masks[b]).sum())
+                if c2:
+                    out.append((f"{a}&{b}", c2))
+        out.sort()
+        return out
+
     def function_score(
         self,
         terms: list[str],
