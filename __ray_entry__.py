@@ -862,6 +862,31 @@ def ann_pq_embeddings(sf_dir: str):
     return out
 
 
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding corpus (rows-only:
+    iterative, not SQL-expressible; determinism + parallelism invariance
+    are pytest-asserted). Per-iteration cost is one map_batches pass of
+    per-batch partial sums — the driver reduce is O(blocks*k), never
+    O(N) — so clustering 10^9 vectors streams."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    from astrologer_ray.pipelines.ann import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    C = kmeans_fit(ds, k=6, iters=4)
+    out = (
+        kmeans_assign(ds, C)
+        .groupby("cid")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("cid")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def documents_sample(sf_dir: str):
     """Deterministic 10% hash sample (O4): identical row set in both
     engines because the sampling hash is plain integer arithmetic."""
@@ -2716,6 +2741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_avg": events_weighted_avg,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "ann_pq_embeddings": ann_pq_embeddings,
+        "embeddings_kmeans": embeddings_kmeans,
         "events_range_listing": events_range_listing,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,

@@ -524,3 +524,124 @@ def ann_pq_topk(
         exact["cosine"].to_numpy(np.float64), len(Q), k,
         np.arange(len(Q), dtype=np.int64), id_col,
     )
+
+
+def kmeans_fit(
+    ds: Dataset,
+    k: int = 8,
+    iters: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 29,
+    init_rows: int = 4096,
+) -> np.ndarray:
+    """DISTRIBUTED Lloyd's k-means over the full corpus (unlike the
+    IVF/PQ trainers, which fit on a driver-side sample): each iteration is
+    one ``map_batches`` pass emitting per-batch partial sums
+    ``(cid, count, sum_vec)`` — k rows per batch, so the driver reduce is
+    O(#blocks * k), never O(N). Deterministic under parallelism: partials
+    carry the batch's min id as a content-derived key and the driver sums
+    them in (cid, key) order, so float accumulation order is fixed
+    regardless of which worker produced which block.
+    """
+    import ray
+
+    sample = ds.select_columns([vec_col]).limit(init_rows).to_pandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X = X[np.lexsort(X.T[::-1])]  # canonical order -> deterministic init
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    d = C.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        class Partials:
+            def __init__(self):
+                self.C = ray.get(ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                ids = np.asarray(t[id_col]).astype(np.int64)
+                M = np.stack(
+                    t[vec_col].to_numpy(zero_copy_only=False)
+                ).astype(np.float64)
+                d2 = (
+                    (M * M).sum(axis=1)[:, None]
+                    - 2.0 * (M @ self.C.T)
+                    + (self.C * self.C).sum(axis=1)
+                )
+                assign = np.argmin(d2, axis=1)
+                bkey = int(ids.min()) if len(ids) else 0
+                rows_cid, rows_cnt, rows_sum = [], [], []
+                for ci in np.unique(assign):
+                    m = assign == ci
+                    rows_cid.append(int(ci))
+                    rows_cnt.append(int(m.sum()))
+                    rows_sum.append(M[m].sum(axis=0))
+                return pa.table({
+                    "bkey": pa.array([bkey] * len(rows_cid), pa.int64()),
+                    "cid": pa.array(rows_cid, pa.int64()),
+                    "cnt": pa.array(rows_cnt, pa.int64()),
+                    "ssum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(np.concatenate(rows_sum)
+                                 if rows_sum else np.empty(0),
+                                 pa.float64()),
+                        self.C.shape[1],
+                    ),
+                })
+
+        pdf = (
+            ds.map_batches(Partials, batch_format="pyarrow",
+                           concurrency=(1, 8))
+            .to_pandas()
+            .sort_values(["cid", "bkey"], kind="mergesort")
+        )
+        newC = C.copy()
+        for ci in range(k):
+            sub = pdf[pdf["cid"] == ci]
+            if len(sub):
+                total = np.zeros(d)
+                for v in sub["ssum"]:  # fixed (cid, bkey) order
+                    total += np.asarray(v, dtype=np.float64)
+                newC[ci] = total / sub["cnt"].sum()
+        C = newC
+    return C
+
+
+def kmeans_assign(
+    ds: Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Label every vector with its nearest centroid (one stateless
+    ``map_batches`` pass; centroids broadcast once)."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            M = np.stack(
+                t[vec_col].to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            d2 = (
+                (M * M).sum(axis=1)[:, None]
+                - 2.0 * (M @ self.C.T)
+                + (self.C * self.C).sum(axis=1)
+            )
+            assign = np.argmin(d2, axis=1)
+            return pa.table({
+                id_col: t[id_col],
+                "cid": pa.array(assign.astype(np.int64)),
+                "dist2": pa.array(d2[np.arange(len(assign)), assign],
+                                  pa.float64()),
+            })
+
+    return ds.map_batches(Assign, batch_format="pyarrow",
+                          concurrency=(1, 8))

@@ -717,3 +717,33 @@ def test_pipeline_aggs_and_percentile_ranks_empty(ray_session):
     ds = rd.from_items([{"v": 1.0}]).filter(expr="v > 5")
     pr = percentile_ranks(ds, "v", [1.0, 2.0])
     assert len(pr) == 0
+
+
+def test_kmeans_distributed_deterministic(ray_session, sf_dir):
+    """Distributed Lloyd's: parallelism-invariant centroids (fixed
+    partial-sum order), assignment == brute nearest centroid, inertia
+    non-increasing across iterations."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.ann import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    C1 = kmeans_fit(ds, k=5, iters=3)
+    C2 = kmeans_fit(ds.repartition(7), k=5, iters=3)
+    assert np.array_equal(C1, C2)
+
+    full = ds.to_pandas()
+    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    ids = full["vec_id"].to_numpy()
+    out = kmeans_assign(ds, C1).to_pandas().sort_values("vec_id")
+    d2 = ((M[:, None, :] - C1[None, :, :]) ** 2).sum(axis=2)
+    want = np.argmin(d2, axis=1)
+    got = out.set_index("vec_id")["cid"]
+    assert np.array_equal(got.loc[ids].to_numpy(), want)
+    # more iterations cannot increase inertia
+    inert = []
+    for it in (1, 3, 6):
+        C = kmeans_fit(ds, k=5, iters=it)
+        a = kmeans_assign(ds, C).to_pandas()
+        inert.append(a["dist2"].sum())
+    assert inert[0] >= inert[1] >= inert[2] - 1e-9
