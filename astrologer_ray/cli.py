@@ -216,6 +216,41 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """ES ``_stats`` analog: index metadata, combined generation stats,
+    segment/tombstone counts and on-disk sizes — no Ray session needed."""
+    import glob as _glob
+    import os
+
+    from astrologer_ray.pipelines.build import load_meta
+    from astrologer_ray.pipelines.segments import combined_stats, segment_dirs
+
+    meta = load_meta(args.index)
+    out = {
+        "index": args.index,
+        "meta": meta,
+        "combined": combined_stats(args.index),
+        "segments": len(segment_dirs(args.index)),
+    }
+    ddir = os.path.join(args.index, "deletes")
+    n_del = 0
+    for p in _glob.glob(os.path.join(ddir, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        n_del += pq.read_metadata(p).num_rows
+    out["tombstones"] = n_del
+    sizes = {}
+    for sub in ("postings", "dict", "docs", "partials", "segments"):
+        d = os.path.join(args.index, sub)
+        sizes[sub] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _dirs, files in os.walk(d) for f in files
+        ) if os.path.isdir(d) else 0
+    out["bytes"] = sizes
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """ES _delete_by_query: tombstone docs matching the filter DSL."""
     from astrologer_ray.pipelines.segments import delete_by_query
@@ -344,6 +379,11 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--partition-rows", type=int, default=50_000)
     co.add_argument("--retries", type=int, default=3)
     co.set_defaults(fn=cmd_compact)
+
+    inf = sub.add_parser("info", help="index metadata, stats, segment/"
+                                      "tombstone counts, on-disk sizes")
+    inf.add_argument("index")
+    inf.set_defaults(fn=cmd_info)
 
     de = sub.add_parser("delete",
                         help="tombstone docs matching a filter "

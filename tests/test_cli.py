@@ -170,3 +170,17 @@ def test_cli_delete_by_query(ray_session, small_corpus_dir, tmp_path, capsys):
     assert out["deleted"] == pre > 0
     assert main(["search", idx, "index", "-k", "2000"]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_info(ray_session, small_corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "cliidx6")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64"]) == 0
+    capsys.readouterr()
+    assert main(["delete", idx, "--filter", json.dumps({"exists": "repo"})]) == 0
+    n_del = json.loads(capsys.readouterr().out)["deleted"]
+    assert main(["info", idx]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["combined"]["n_docs"] > 0
+    assert info["tombstones"] == n_del == info["combined"]["n_docs"]
+    assert info["segments"] == 0
+    assert info["bytes"]["postings"] > 0 and info["bytes"]["dict"] > 0
