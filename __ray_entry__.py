@@ -730,6 +730,35 @@ ORDER BY g.bucket
 """
 
 
+def events_percentiles_sampled(sf_dir: str):
+    """Approximate percentiles at scale: exact quantiles over the
+    DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
+    parallelism-invariant, so even the approximation is hash-checkable
+    against SQL). The sketch path for 100 TB: the sample streams, the
+    quantile runs on 1/5th the data."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import percentiles, sample_hash
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return percentiles(
+        sample_hash(ds, "event_id", 0.2), "event_type", "value"
+    ).to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_PCT_SAMPLED_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+WHERE (CAST(event_id & 4294967295 AS HUGEINT) * 2654435761) % 4294967296
+      < CAST(0.2 * 4294967296 AS HUGEINT)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_bucket_script(sf_dir: str):
     """ES ``bucket_script`` + ``bucket_selector``: day histogram with a
     computed avg-dollars column, keeping only days with above-average
@@ -2736,6 +2765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": events_props_sum,
         "events_pipeline_aggs": events_pipeline_aggs,
         "events_dense_histogram": events_dense_histogram,
+        "events_percentiles_sampled": events_percentiles_sampled,
         "events_bucket_script": events_bucket_script,
         "events_percentile_ranks": events_percentile_ranks,
         "events_weighted_avg": events_weighted_avg,
@@ -2815,6 +2845,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
+        "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,
         "events_weighted_avg": EVENTS_WAVG_SQL,
