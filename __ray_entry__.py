@@ -2080,6 +2080,33 @@ FROM scored ORDER BY score DESC, term LIMIT 10
 """
 
 
+def docs_runtime_field_agg(sf_dir: str):
+    """ES *runtime field*: a query-time computed attribute (``dl_bucket =
+    dl // 10``) cached on the searcher and aggregated like any stored
+    field — terms agg + range filter over it, no reindex."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    s.add_runtime_field(
+        "dl_bucket", lambda attrs: (attrs["dl"] // 10).astype(np.int64)
+    )
+    rows = s.agg_terms("dl_bucket", k=20,
+                       filter={"range": {"dl_bucket": {"gte": 2}}})
+    return pa.table({
+        "dl_bucket": pa.array([int(v) for v, _ in rows], pa.int64()),
+        "cnt": pa.array([c for _, c in rows], pa.int64()),
+    })
+
+
+RUNTIME_FIELD_SQL = f"""
+WITH b AS (
+  SELECT len({_SPLIT_SQL}) // 10 AS dl_bucket FROM documents)
+SELECT dl_bucket, count(*) AS cnt FROM b
+WHERE dl_bucket >= 2
+GROUP BY 1 ORDER BY cnt DESC, CAST(dl_bucket AS VARCHAR) LIMIT 20
+"""
+
+
 def docs_adjacency_matrix(sf_dir: str):
     """ES ``adjacency_matrix``: doc counts for three named filters (an
     index-served term filter, a sidecar range, a keyword term) and every
@@ -2803,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_suggest": term_suggest,
         "top_terms_by_df": top_terms_by_df,
         "significant_text_documents": significant_text_documents,
+        "docs_runtime_field_agg": docs_runtime_field_agg,
         "docs_adjacency_matrix": docs_adjacency_matrix,
         "docs_multi_terms": docs_multi_terms,
         "docs_rare_terms": docs_rare_terms,
@@ -2887,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "term_suggest": TERM_SUGGEST_SQL,
         "top_terms_by_df": TOP_TERMS_SQL,
         "significant_text_documents": SIGNIFICANT_TEXT_SQL,
+        "docs_runtime_field_agg": RUNTIME_FIELD_SQL,
         "docs_adjacency_matrix": ADJACENCY_SQL,
         "docs_multi_terms": MULTI_TERMS_SQL,
         "docs_rare_terms": RARE_TERMS_SQL,

@@ -468,6 +468,23 @@ class Searcher:
         finally:
             self._taat_reset(touched, should_count)
 
+    def add_runtime_field(self, name: str, fn) -> None:
+        """ES *runtime field*: a doc attribute computed at query time from
+        the loaded sidecar columns — ``fn`` receives the ``doc_attrs``
+        dict (numpy arrays, local doc order) and returns the new array.
+        Computed ONCE per searcher/actor and cached; afterwards it
+        composes with every filter/agg/sort exactly like a stored
+        attribute. Requires ``load_docs=True``."""
+        if not self.doc_attrs:
+            raise ValueError("runtime fields require load_docs=True")
+        arr = np.asarray(fn(self.doc_attrs))
+        if len(arr) != self.n_local:
+            raise ValueError(
+                f"runtime field {name!r} produced {len(arr)} values "
+                f"for {self.n_local} docs"
+            )
+        self.doc_attrs[name] = arr
+
     def _attr(self, name: str) -> np.ndarray:
         if name not in self.doc_attrs:
             raise ValueError(

@@ -1015,3 +1015,26 @@ def test_boost_and_decay_validation(index_and_oracle):
     for h in s.search_collapse(terms, "lang", k=100, boosts=boosts):
         lang = s.doc_attrs["lang"][h["doc_id"]]
         assert top1[str(lang)] == h["doc_id"]
+
+
+def test_runtime_field_composes_everywhere(kw_index):
+    """Runtime field == stored attribute once registered: filters, sort,
+    composite, multi_terms all see it; wrong length rejected."""
+    index_dir, rows = kw_index
+    s = Searcher(index_dir)
+    s.add_runtime_field(
+        "dl_even", lambda a: (a["dl"] % 2 == 0).astype(object)
+    )
+    dl = s.doc_attrs["dl"]
+    want_even = int((dl % 2 == 0).sum())
+    assert s.count({"term": {"dl_even": True}}) == want_even
+    top = s.sort_by_attr("dl_even", k=len(rows), descending=True)
+    assert sum(1 for h in top if h["value"]) == want_even
+    comp = s.agg_composite(["dl_even"], size=10)
+    assert sum(c for _, c in comp["buckets"]) == len(rows)
+    with pytest.raises(ValueError):
+        s.add_runtime_field("bad", lambda a: np.arange(3))
+    with pytest.raises(ValueError):
+        Searcher(index_dir, load_docs=False).add_runtime_field(
+            "x", lambda a: None
+        )
