@@ -1519,6 +1519,125 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def bm25_boosting_documents(sf_dir: str):
+    """ES ``boosting`` query: positive BM25 with lang='de' docs demoted by
+    negative_boost=0.5 — demoted docs stay, ranked down (exact full-
+    candidate rescoring)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    _qid, terms, _k = BM25_DOC_QUERIES[1]
+    rows = [
+        (h["doc_id"], round(h["score"], 4))
+        for h in s.search_boosting(terms, {"term": {"lang": "de"}},
+                                   negative_boost=0.5, k=10)
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_boosting_sql() -> str:
+    _qid, terms, _k = BM25_DOC_QUERIES[1]
+    values = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1),
+final AS (
+  SELECT sc.doc_id,
+         sc.score * (CASE WHEN d.lang = 'de' THEN 0.5 ELSE 1.0 END) AS score
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+PINNED_IDS = [7, 3, 9_999_999, 5]
+
+
+def bm25_pinned_documents(sf_dir: str):
+    """ES ``pinned`` query: docs 7, 3, 5 promoted first in that order
+    (a non-existent id is skipped), each with its organic score (0.0 when
+    not matching), then organic hits excluding them — 8 total."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    _qid, terms, _k = BM25_DOC_QUERIES[0]
+    rows = [
+        (i + 1, h["doc_id"], round(h["score"], 4))
+        for i, h in enumerate(s.search_pinned(terms, PINNED_IDS, k=8))
+    ]
+    return pa.table({
+        "seq": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_pinned_sql() -> str:
+    _qid, terms, _k = BM25_DOC_QUERIES[0]
+    values = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    pins = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(PINNED_IDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1),
+pins(ord, doc_id) AS (VALUES {pins}),
+valid_pins AS (
+  SELECT p.ord, p.doc_id, coalesce(sc.score, 0.0) AS score,
+         row_number() OVER (ORDER BY p.ord) AS seq
+  FROM pins p LEFT JOIN scores sc ON sc.doc_id = p.doc_id
+  WHERE p.doc_id IN (SELECT doc_id FROM documents)),
+organic AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scores WHERE doc_id NOT IN (SELECT doc_id FROM valid_pins)),
+unioned AS (
+  SELECT seq, doc_id, score FROM valid_pins
+  UNION ALL
+  SELECT (SELECT count(*) FROM valid_pins) + rn, doc_id, score FROM organic)
+SELECT row_number() OVER (ORDER BY seq) AS seq, doc_id,
+       round(score, 4) AS score
+FROM unioned ORDER BY seq LIMIT 8
+"""
+
+
 def bm25_explain_documents(sf_dir: str):
     """ES ``_explain`` analog: per-(hit, term) BM25 contribution rows for
     two queries' top-5 hits — tf, df and the weight from the scorer's own
@@ -2816,6 +2935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_gauss_documents": bm25_gauss_documents,
+        "bm25_boosting_documents": bm25_boosting_documents,
+        "bm25_pinned_documents": bm25_pinned_documents,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_rescore_documents": bm25_rescore_documents,
         "mlt_documents": mlt_documents,
@@ -2901,6 +3022,8 @@ def oracle_sql() -> dict[str, str]:
             " x -> x = 'slow')) = 0"
         ),
         "bm25_gauss_documents": _bm25_gauss_sql(),
+        "bm25_boosting_documents": _bm25_boosting_sql(),
+        "bm25_pinned_documents": _bm25_pinned_sql(),
         "bm25_explain_documents": _bm25_explain_sql(),
         "bm25_rescore_documents": _bm25_rescore_sql(),
         "mlt_documents": _mlt_documents_sql(),

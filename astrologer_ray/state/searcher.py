@@ -1133,6 +1133,84 @@ class Searcher:
         order = np.lexsort((vals[keep], counts[keep]))
         return [(str(vals[keep][i]), int(counts[keep][i])) for i in order]
 
+    def search_boosting(
+        self,
+        terms: list[str],
+        negative,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``boosting`` query: positive BM25 hits whose docs also match
+        the ``negative`` filter-DSL clause are demoted by
+        ``negative_boost`` (0 < nb < 1) — they stay in the result set,
+        just ranked down. Exact: full TAAT candidate scoring, then the
+        demotion factor, then (score desc, doc_id asc) top-k."""
+        if not (0.0 < float(negative_boost) < 1.0):
+            raise ValueError(
+                f"negative_boost must be in (0, 1), got {negative_boost}"
+            )
+        if k <= 0:
+            return []
+        all_hits = self.search(terms, k=self.n_local, filter=filter,
+                               strategy="taat")
+        if not all_hits:
+            return []
+        neg = self.filter_mask(negative)
+        ids = np.array([h["doc_id"] for h in all_hits], dtype=np.int64)
+        s = np.array([h["score"] for h in all_hits], dtype=np.float64)
+        demote = neg[ids - self.doc_lo]
+        s = np.where(demote, s * float(negative_boost), s)
+        order = np.lexsort((ids, -s))[: min(k, len(ids))]
+        return self._format(
+            [(int(ids[i]), float(s[i])) for i in order], decorate
+        )
+
+    def search_pinned(
+        self,
+        terms: list[str],
+        pinned: list[int],
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``pinned`` query: the given doc ids come first IN THE GIVEN
+        ORDER (existing, tombstone-free docs only, each carrying its
+        organic BM25 score — 0.0 when it doesn't match the query), then
+        organic hits excluding the pinned ids, k total."""
+        if k <= 0:
+            return []
+        organic = self.search(terms, k=k + len(pinned), filter=filter)
+        qterms = sorted({t for t in terms if self.owns_term(t)})
+        pin_set = set()
+        out: list[tuple[int, float]] = []
+        for d in pinned:
+            local = int(d) - self.doc_lo
+            if not (0 <= local < self.n_local) or d in pin_set:
+                continue
+            if self.deleted is not None and int(d) in self.deleted:
+                continue
+            pin_set.add(d)
+            # the pinned doc's ORGANIC score, computed directly (it may
+            # rank far below the organic top-k): per-term contribution
+            # lookups in sorted-term order — float-identical to search
+            s = 0.0
+            for t in qterms:
+                if t not in self.postings:
+                    continue
+                tids, w = self._term_contribution(t)
+                pos = int(np.searchsorted(tids, local))
+                if pos < len(tids) and tids[pos] == local:
+                    s += float(w[pos])
+            out.append((int(d), s))
+        for h in organic:
+            if len(out) >= k:
+                break
+            if h["doc_id"] not in pin_set:
+                out.append((h["doc_id"], h["score"]))
+        return self._format(out[:k], decorate)
+
     def agg_adjacency_matrix(self, filters: dict) -> list[tuple]:
         """ES ``adjacency_matrix``: doc counts for every named filter and
         every pairwise intersection (keys joined ``a&b`` in sorted order,

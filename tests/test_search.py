@@ -1038,3 +1038,35 @@ def test_runtime_field_composes_everywhere(kw_index):
         Searcher(index_dir, load_docs=False).add_runtime_field(
             "x", lambda a: None
         )
+
+
+def test_boosting_and_pinned_queries(index_and_oracle):
+    """boosting: negative-clause docs demoted by exactly nb, never
+    dropped; pinned: given order first with exact organic scores, then
+    organic minus pinned."""
+    index_dir, contents, langs = index_and_oracle
+    s = Searcher(index_dir)
+    terms, _k = _queries(s)[1]
+    base = {h["doc_id"]: h["score"] for h in s.search(terms, k=s.N)}
+    neg = {"term": {"lang": sorted(set(langs))[0]}}
+    nb = 0.25
+    got = s.search_boosting(terms, neg, negative_boost=nb, k=s.N)
+    negmask = s.filter_mask(neg)
+    want = sorted(
+        ((d, sc * nb if negmask[d] else sc) for d, sc in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(h["doc_id"], h["score"]) for h in got] == \
+        [(d, float(sc)) for d, sc in want]
+    with pytest.raises(ValueError):
+        s.search_boosting(terms, neg, negative_boost=1.5)
+
+    # pinned: take two low-ranked matching docs + one absent id
+    ranked = [d for d, _ in sorted(base.items(), key=lambda t: (-t[1], t[0]))]
+    pins = [ranked[-1], 10**9, ranked[-2]]
+    hits = s.search_pinned(terms, pins, k=6)
+    assert [h["doc_id"] for h in hits[:2]] == [ranked[-1], ranked[-2]]
+    assert hits[0]["score"] == base[ranked[-1]]
+    assert hits[1]["score"] == base[ranked[-2]]
+    organic_rest = [d for d in ranked if d not in {ranked[-1], ranked[-2]}]
+    assert [h["doc_id"] for h in hits[2:]] == organic_rest[:4]
