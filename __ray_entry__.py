@@ -2802,6 +2802,81 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+SPAN_QUERIES: list[tuple[int, list[str], int, int]] = [
+    (0, ["data", "stream"], 3, 10),   # within-3 gap, in order
+    (1, ["slow", "batch"], 2, 10),
+]
+
+
+def span_near_documents(sf_dir: str):
+    """ES ``span_near`` (in-order, slop>0): docs where the terms appear in
+    order within the gap budget — a positional-index query strictly wider
+    than the exact phrase. Score = BM25 sum of the unique span terms."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = []
+    for qid, terms, slop, k in SPAN_QUERIES:
+        for h in s.span_near(terms, slop=slop, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _span_near_sql() -> str:
+    uq = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _s, _k in SPAN_QUERIES
+        for t in sorted(set(terms))
+    )
+    ks = ", ".join(f"({qid}, {k})" for qid, _t, _s, k in SPAN_QUERIES)
+    pm_parts = []
+    for qid, (a, b), slop, _k in [
+        (q, tuple(t), s_, k_) for q, t, s_, k_ in SPAN_QUERIES
+    ]:
+        pm_parts.append(f"""
+  SELECT DISTINCT {qid} AS qid, t1.doc_id
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.term = '{b}' AND t2.pos > t1.pos
+  WHERE t1.term = '{a}' AND (t2.pos - t1.pos - 1) <= {slop}""")
+    pm = " UNION ALL ".join(pm_parts)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+uq(qid, term) AS (VALUES {uq}),
+ks(qid, k) AS (VALUES {ks}),
+pm AS ({pm}),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+scores AS (
+  SELECT pm.qid, pm.doc_id, sum(w.w) AS score
+  FROM pm JOIN uq ON uq.qid = pm.qid
+  JOIN w ON w.doc_id = pm.doc_id AND w.term = uq.term
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
 def _phrase_documents_sql() -> str:
     """Phrase-match oracle: token positions via zipped unnest, consecutive
     match by grouping candidate (doc, start = pos - i) pairs and requiring
@@ -2944,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_paged_documents": bm25_paged_documents,
         "highlight_documents": highlight_documents,
         "phrase_topk_documents": phrase_topk_documents,
+        "span_near_documents": span_near_documents,
         "field_scoped_lookup": field_scoped_lookup,
         "docs_prefix_lookup": docs_prefix_lookup,
         "docs_fuzzy_lookup": docs_fuzzy_lookup,
@@ -3031,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_paged_documents": _bm25_paged_sql(),
         "highlight_documents": _highlight_documents_sql(),
         "phrase_topk_documents": _phrase_documents_sql(),
+        "span_near_documents": _span_near_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,

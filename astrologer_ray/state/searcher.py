@@ -1278,6 +1278,84 @@ class Searcher:
             [(int(ids[i]), float(final[i])) for i in order], decorate
         )
 
+    def span_near(
+        self,
+        terms: list[str],
+        slop: int = 0,
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``span_near`` (in-order): docs containing the terms at
+        ascending positions ``p1 < p2 < ... < pm`` with total gap
+        ``pm - p1 - (m-1) <= slop`` (slop=0 == exact phrase). Served from
+        the positional index: candidate docs are the posting-list
+        intersection; within each candidate a greedy searchsorted chain
+        finds the minimal window per start occurrence (existence-exact).
+        Score: BM25 sum of the unique span terms on matching docs —
+        :meth:`phrase_search`'s documented contract."""
+        terms = list(terms)
+        if not terms:
+            return []
+        if any(t not in self.postings or not self.owns_term(t)
+               for t in terms):
+            return []
+        occ = {t: self._phrase_occurrences(t) for t in set(terms)}
+        # candidate docs: intersection of the terms' doc sets
+        cand = None
+        for t in set(terms):
+            d = np.unique(occ[t][0])
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True
+            )
+        if cand is None or len(cand) == 0:
+            return []
+        m = len(terms)
+        match = []
+        for doc in cand:
+            # per-term ascending position lists for this doc
+            plists = []
+            for t in terms:
+                d, p = occ[t]
+                lo = int(np.searchsorted(d, doc, "left"))
+                hi = int(np.searchsorted(d, doc, "right"))
+                plists.append(p[lo:hi])
+            ok = False
+            for p1 in plists[0]:
+                prev = p1
+                feasible = True
+                for pl in plists[1:]:
+                    j = int(np.searchsorted(pl, prev, "right"))
+                    if j >= len(pl):
+                        feasible = False
+                        break
+                    prev = int(pl[j])  # greedy: minimal next position
+                if feasible and (prev - int(p1) - (m - 1)) <= slop:
+                    ok = True
+                    break
+            if ok:
+                match.append(int(doc))
+        if not match:
+            return []
+        match = np.asarray(match, dtype=np.int64)
+        scores = np.zeros(len(match), dtype=np.float64)
+        for t in sorted(set(terms)):
+            ids, w = self._term_contribution(t)
+            loc = np.searchsorted(ids, match)
+            okm = (loc < len(ids)) & (ids[np.minimum(loc, len(ids) - 1)] == match)
+            scores[okm] += w[loc[okm]]
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if fm is not None:
+            keep = fm[match]
+            match, scores = match[keep], scores[keep]
+        order = np.lexsort((match, -scores))[: min(k, len(match))]
+        return self._format(
+            [(int(match[i]) + self.doc_lo, float(scores[i]))
+             for i in order], decorate
+        )
+
     def search_collapse(
         self,
         terms: list[str],

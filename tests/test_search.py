@@ -1070,3 +1070,46 @@ def test_boosting_and_pinned_queries(index_and_oracle):
     assert hits[1]["score"] == base[ranked[-2]]
     organic_rest = [d for d in ranked if d not in {ranked[-1], ranked[-2]}]
     assert [h["doc_id"] for h in hits[2:]] == organic_rest[:4]
+
+
+def test_span_near_matches_brute(pos_index, index_and_oracle):
+    """span_near == brute in-order minimal-window scan over tokenized
+    contents (incl. a 3-term span and repeated terms); slop=0 == phrase."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    _plain, contents, _langs = index_and_oracle
+    s = Searcher(pos_index)
+    toks = [tokenize(c, mode="code") for c in contents]
+
+    def brute(span, slop):
+        out = set()
+        for d, tl in enumerate(toks):
+            pos = {t: [i for i, x in enumerate(tl) if x == t]
+                   for t in set(span)}
+            if any(not pos[t] for t in set(span)):
+                continue
+            hit = False
+            for p1 in pos[span[0]]:
+                prev, okc = p1, True
+                for t in span[1:]:
+                    nxt = [p for p in pos[t] if p > prev]
+                    if not nxt:
+                        okc = False
+                        break
+                    prev = nxt[0]
+                if okc and prev - p1 - (len(span) - 1) <= slop:
+                    hit = True
+                    break
+            if hit:
+                out.add(d)
+        return out
+
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    a, b, c = (t for t, _ in terms_by_df[:3])
+    for span, slop in (([a, b], 0), ([a, b], 3), ([a, b, c], 5),
+                       ([a, a], 2)):
+        got = {h["doc_id"] for h in s.span_near(span, slop=slop, k=10**6)}
+        assert got == brute(span, slop), (span, slop)
+    # slop=0 two-term span == exact phrase search
+    ph = {h["doc_id"] for h in s.phrase_search([a, b], k=10**6)}
+    assert {h["doc_id"] for h in s.span_near([a, b], slop=0, k=10**6)} == ph
