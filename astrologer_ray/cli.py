@@ -301,10 +301,12 @@ def cmd_search(args) -> int:
             k=args.k, window=args.rescore_window, filter=filt, decorate=True,
         )
     elif args.phrase:
-        hits = s.phrase_search(
-            tokenize(args.query, mode=s.mode), k=args.k, filter=filt,
-            decorate=True,
-        )
+        ph = tokenize(args.query, mode=s.mode)
+        if args.slop > 0:
+            hits = s.span_near(ph, slop=args.slop, k=args.k, filter=filt,
+                               decorate=True)
+        else:
+            hits = s.phrase_search(ph, k=args.k, filter=filt, decorate=True)
     else:
         hits = s.search(
             tokenize(args.query, mode=s.mode),
@@ -409,6 +411,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="should-clause text: adds BM25 score to matching "
                          "candidates (ES bool.should in query context)")
     se.add_argument("--min-should-match", type=int, default=0)
+    se.add_argument("--slop", type=int, default=0,
+                    help="with --phrase: allow this many in-order gaps "
+                         "(ES span_near; 0 = exact phrase)")
     se.add_argument("--phrase", action="store_true",
                     help="treat the query as a consecutive phrase "
                          "(requires an index built with --positions)")

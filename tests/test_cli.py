@@ -184,3 +184,19 @@ def test_cli_info(ray_session, small_corpus_dir, tmp_path, capsys):
     assert info["tombstones"] == n_del == info["combined"]["n_docs"]
     assert info["segments"] == 0
     assert info["bytes"]["postings"] > 0 and info["bytes"]["dict"] > 0
+
+
+def test_cli_phrase_slop(ray_session, small_corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "cliidx7")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64",
+                 "--positions"]) == 0
+    capsys.readouterr()
+    assert main(["search", idx, "merge sort", "--phrase", "-k", "50"]) == 0
+    exact = capsys.readouterr().out.strip().splitlines()
+    assert main(["search", idx, "merge sort", "--phrase", "--slop", "4",
+                 "-k", "50"]) == 0
+    sloppy = capsys.readouterr().out.strip().splitlines()
+    # sloppy span is a superset of the exact phrase
+    eids = {json.loads(x)["doc_id"] for x in exact}
+    sids = {json.loads(x)["doc_id"] for x in sloppy}
+    assert eids <= sids
