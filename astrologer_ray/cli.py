@@ -72,7 +72,7 @@ def cmd_build(args) -> int:
     _ray_session(args.num_cpus)
     kw = dict(kv.split("=", 1) for kv in (args.keyword_field or []))
     meta = build_index(
-        args.corpus, args.index, mode=args.mode, force=args.force,
+        args.corpus, args.index, mode=args.mode or "code", force=args.force,
         partition_rows=args.partition_rows, resume=not args.no_resume,
         retries=args.retries, keyword_fields=kw or None,
         positions=args.positions,
@@ -120,8 +120,14 @@ def cmd_ingest(args) -> int:
             kw = meta0.get("keyword_fields") or None
         if not positions:
             positions = bool(meta0.get("positions", False))
+        if args.mode is None:
+            # mode must inherit too: a cfg with the wrong analyzer matches
+            # no manifest and silently retokenizes/replaces the whole index
+            args.mode = meta0.get("mode", "code")
     except (FileNotFoundError, KeyError, OSError):
         pass  # first build of this index: flags as given
+    if args.mode is None:
+        args.mode = "code"
     n_buckets = existing_bucket_count(partials) or DEFAULT_N_SHARDS
     cfg = effective_config(mode=args.mode, n_buckets=n_buckets,
                            keyword_fields=kw, positions=positions)
@@ -339,7 +345,9 @@ def main(argv: list[str] | None = None) -> int:
         b = sub.add_parser(name)
         b.add_argument("corpus")
         b.add_argument("index")
-        b.add_argument("--mode", default="code", choices=["code", "simple"])
+        # default=None so ingest can tell "flag not given" apart from an
+        # explicit --mode code and inherit the index's analyzer (below)
+        b.add_argument("--mode", default=None, choices=["code", "simple"])
         b.add_argument("--partition-rows", type=int, default=50_000)
         b.add_argument("--force", action="store_true")
         b.add_argument("--no-resume", action="store_true")

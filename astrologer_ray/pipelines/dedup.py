@@ -1027,13 +1027,14 @@ def ngram_jaccard_pairs(
 
     ensure_hash_shuffle()
 
-    sh_schema = pa.schema([("h", pa.int64()), (id_col, pa.int64())])
+    sh_schema = pa.schema([("h", pa.int64()), (id_col, pa.int64()),
+                           ("nsh", pa.int64())])
     size_schema = pa.schema([(id_col, pa.int64()), ("nsh", pa.int64())])
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col]).astype(np.int64)
         texts = t[text_col].to_pylist()
-        hs_all, id_all = [], []
+        hs_all, id_all, nsh_all = [], [], []
         for d, tx in zip(ids, texts):
             toks = _SIMPLE_RE.findall((tx or "").lower())
             if len(toks) < n:
@@ -1047,10 +1048,15 @@ def ngram_jaccard_pairs(
             )
             hs_all.append(hs)
             id_all.append(np.full(len(hs), d, dtype=np.int64))
+            # |A| computed HERE, per doc, where all of a doc's rows are in
+            # hand by construction — never re-derived from per-block row
+            # counts downstream, which dynamic block splitting can shear
+            nsh_all.append(np.full(len(hs), len(uniq), dtype=np.int64))
         if not hs_all:
             return sh_schema.empty_table()
         return pa.table({"h": np.concatenate(hs_all),
-                         id_col: np.concatenate(id_all)}, schema=sh_schema)
+                         id_col: np.concatenate(id_all),
+                         "nsh": np.concatenate(nsh_all)}, schema=sh_schema)
 
     shingles = ds.select_columns([id_col, text_col]).map_batches(
         shingle_rows, batch_format="pyarrow"
@@ -1059,49 +1065,52 @@ def ngram_jaccard_pairs(
     def block_sizes(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or id_col not in t.column_names:
             return size_schema.empty_table()
-        # a doc's shingle rows never span blocks (emitted together above)
         ids = np.asarray(t[id_col])
-        uniq, counts = np.unique(ids, return_counts=True)
-        return pa.table({id_col: uniq, "nsh": counts.astype(np.int64)},
+        first = np.unique(ids, return_index=True)[1]
+        return pa.table({id_col: ids[first],
+                         "nsh": np.asarray(t["nsh"])[first].astype(np.int64)},
                         schema=size_schema)
 
-    # per-doc sizes: ids never span blocks, so per-block counts are exact.
-    # They broadcast (12 B/doc) — at 10^9 docs that is ~12 GB plasma, the
-    # documented ceiling; shard the corpus above it.
+    # per-doc sizes broadcast (16 B/doc) — at 10^9 docs that is ~16 GB
+    # plasma, the documented ceiling; shard the corpus above it. A doc whose
+    # rows span a block boundary yields duplicate (id, nsh) rows that AGREE
+    # (nsh is carried on the row), so the unique-by-id below is exact.
     import ray
 
-    sref = shingles.map_batches(block_sizes, batch_format="pyarrow").to_arrow_refs()
+    sref = shingles.select_columns([id_col, "nsh"]).map_batches(
+        block_sizes, batch_format="pyarrow").to_arrow_refs()
     st = pa.concat_tables([b for b in ray.get(sref) if b.num_columns])
     sid = np.asarray(st[id_col]).astype(np.int64)
     scount = np.asarray(st["nsh"]).astype(np.int64)
     o = np.argsort(sid)
-    sizes_ref = ray.put((sid[o], scount[o]))
+    sid, scount = sid[o], scount[o]
+    first = np.unique(sid, return_index=True)[1]
+    sizes_ref = ray.put((sid[first], scount[first]))
 
     _CT = {"id_a": pa.int64(), "id_b": pa.int64()}
     ct_schema = pa.schema(list(_CT.items()))
 
-    def block_co_pairs(t: pa.Table) -> pa.Table:
-        """All co-shingle id pairs within one hash-partitioned block.
+    # hash-partition by h; materialize so the interior and boundary passes
+    # below observe the SAME block boundaries
+    part = (
+        shingles.select_columns(["h", id_col])
+        .repartition(8, keys=["h"], sort=True)
+        .materialize()
+    )
 
-        After ``repartition(keys=["h"], sort=True)`` every shingle's rows
-        are contiguous in exactly one block; vectorized run detection +
-        per-run triu pairing touch only the rare shingles with >= 2 docs —
-        no per-group Python dispatch for the unique-majority."""
-        if t.num_rows == 0 or "h" not in t.column_names:
-            return ct_schema.empty_table()
+    def _runs(t: pa.Table):
         h = np.asarray(t["h"]).astype(np.int64)
         ids = np.asarray(t[id_col]).astype(np.int64)
         o2 = np.lexsort((ids, h))
         h, ids = h[o2], ids[o2]
         starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1,
                                  [len(h)]))
-        lens = np.diff(starts)
-        multi = np.flatnonzero(lens >= 2)
-        if len(multi) == 0:
-            return ct_schema.empty_table()
+        return h, ids, starts
+
+    def _triu_pairs(run_starts, run_ids):
         aa, bb = [], []
-        for ri in multi:
-            grp = np.unique(ids[starts[ri]:starts[ri + 1]])
+        for s, e in run_starts:
+            grp = np.unique(run_ids[s:e])
             if len(grp) < 2:
                 continue
             ii, jj = np.triu_indices(len(grp), k=1)
@@ -1112,12 +1121,52 @@ def ngram_jaccard_pairs(
         return pa.table({"id_a": np.concatenate(aa), "id_b": np.concatenate(bb)},
                         schema=ct_schema)
 
-    inter = (
-        shingles.repartition(8, keys=["h"], sort=True)
-        .map_batches(block_co_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="c"))
-    )
+    def interior_pairs(t: pa.Table) -> pa.Table:
+        """Co-shingle id pairs for runs that are provably whole: dynamic
+        block splitting can shear a reduce task's sorted output mid-run,
+        but only at block edges — every h except a block's min and max h
+        has ALL its rows in this block. Vectorized run detection + per-run
+        triu touch only shingles with >= 2 docs."""
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return ct_schema.empty_table()
+        h, ids, starts = _runs(t)
+        spans = [(starts[i], starts[i + 1])
+                 for i in range(1, len(starts) - 2)
+                 if starts[i + 1] - starts[i] >= 2]
+        return _triu_pairs(spans, ids)
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        """The possibly-split runs: each block's first and last h. Tiny
+        (<= 2 runs per block); merged globally on the driver."""
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.schema([("h", pa.int64()), (id_col, pa.int64())]
+                             ).empty_table()
+        h, ids, starts = _runs(t)
+        lo = slice(starts[0], starts[1])
+        hi = slice(starts[-2], starts[-1])
+        keep_h = np.concatenate([h[lo], h[hi]] if len(starts) > 2 else [h[lo]])
+        keep_i = np.concatenate([ids[lo], ids[hi]] if len(starts) > 2
+                                else [ids[lo]])
+        return pa.table({"h": keep_h, id_col: keep_i})
+
+    eref = part.map_batches(edge_rows, batch_format="pyarrow",
+                            batch_size=None).to_arrow_refs()
+    et = pa.concat_tables([b for b in ray.get(eref) if b.num_columns])
+    if et.num_rows:
+        eh, eids, estarts = _runs(et)
+        spans = [(estarts[i], estarts[i + 1]) for i in range(len(estarts) - 1)
+                 if estarts[i + 1] - estarts[i] >= 2]
+        edge_pairs = _triu_pairs(spans, eids)
+    else:
+        edge_pairs = ct_schema.empty_table()
+
+    import ray.data as _rd
+
+    pair_ds = part.map_batches(interior_pairs, batch_format="pyarrow",
+                               batch_size=None)
+    if edge_pairs.num_rows:
+        pair_ds = pair_ds.union(_rd.from_arrow(edge_pairs))
+    inter = pair_ds.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="c"))
 
     def score(t: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),

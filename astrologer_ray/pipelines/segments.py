@@ -117,6 +117,24 @@ def _write_claims(index_dir: str, claims: dict) -> None:
     os.replace(p + ".tmp", p)
 
 
+def _reconcile_claims(index_dir: str, claims: dict) -> dict:
+    """Re-adopt live segments missing from the ledger. Commit order is
+    ``_SUCCESS`` then claims, so a crash between the two leaves a completed
+    segment whose pids look unclaimed; without repair the next append would
+    adopt those pids into a NEW segment and wedge on the monotone-key gate.
+    Each segment's ``stats/meta.json`` stores its ``pids`` — the claims row
+    is re-derivable, so derive it."""
+    changed = False
+    for d in segment_dirs(index_dir):
+        name = os.path.basename(d)
+        if name not in claims["segments"]:
+            claims["segments"][name] = list(load_segment_meta(d)["pids"])
+            changed = True
+    if changed:
+        _write_claims(index_dir, claims)
+    return claims
+
+
 def _max_doc_key(index_dir: str) -> str | None:
     """Largest doc_key across base + segments. Metas record it; for a base
     index built before the field existed, fall back to the docs sidecar
@@ -216,6 +234,7 @@ def append_segment(
     if claims is None:
         claims = {"base": sorted(done), "segments": {}}
         _write_claims(index_dir, claims)
+    claims = _reconcile_claims(index_dir, claims)
     claimed: set[int] = set(claims["base"])
     for seg_pids in claims["segments"].values():
         claimed |= set(seg_pids)
@@ -346,7 +365,8 @@ def append_segment(
         json.dump(seg_meta, f, indent=1)
     # commit order: _SUCCESS marks the segment live, THEN claims record its
     # pids (a crash between the two leaves a live segment whose pids look
-    # unclaimed — the claims update below is re-derived idempotently)
+    # unclaimed — _reconcile_claims re-derives the row from the segment's
+    # own meta on the next load)
     with open(os.path.join(seg_dir, "_SUCCESS"), "w") as f:
         json.dump({"n_docs": new_n_docs, "n_postings": new_n_postings}, f)
     claims["segments"][seg_name] = new_pids
@@ -371,13 +391,20 @@ def compact_index(corpus, index_dir: str, *,
     never resurrects deleted docs. Only a plain ``build_index`` call on a
     changed corpus — where ids really can move — clears tombstones."""
     import tempfile
+    import warnings
 
     from astrologer_ray.pipelines.build import build_index, load_meta
 
     meta0 = load_meta(index_dir)
     deletes_dir = os.path.join(index_dir, "deletes")
     stash = None
+    prior = None
     if os.path.isdir(deletes_dir):
+        # tombstones reference doc_ids; they survive compaction ONLY if the
+        # rebuild reassigns identical ids. Capture the pre-compact identity
+        # (doc count + key extremes across base+segments) to verify after.
+        prior = combined_stats(index_dir)
+        prior["max_doc_key"] = _max_doc_key(index_dir)
         stash = tempfile.mkdtemp(prefix="deletes-stash-")
         shutil.move(deletes_dir, os.path.join(stash, "deletes"))
     meta = build_index(
@@ -399,8 +426,33 @@ def compact_index(corpus, index_dir: str, *,
     if os.path.isdir(root):
         shutil.rmtree(root)
     if stash is not None:
-        shutil.move(os.path.join(stash, "deletes"), deletes_dir)
-        os.rmdir(stash)
+        # id-stability gate: restore tombstones only when the rebuild
+        # provably kept every doc_id. doc_id = rank in the global doc_key
+        # sort, so equal doc counts + equal max key (appends were monotone,
+        # so no new key can hide inside the old range without changing the
+        # count) ⇒ identical assignment. A corpus that gained out-of-order
+        # docs since the tombstones were written fails this and the stash
+        # is dropped — stale ids silently masking the WRONG documents is
+        # strictly worse than resurrecting deleted ones.
+        stable = (
+            prior is not None
+            and int(meta["n_docs"]) == int(prior["n_docs"])
+            and meta.get("max_doc_key") == prior.get("max_doc_key")
+        )
+        if stable:
+            shutil.move(os.path.join(stash, "deletes"), deletes_dir)
+            os.rmdir(stash)
+        else:
+            warnings.warn(
+                "compact_index: corpus changed since tombstones were "
+                f"written (docs {prior and prior['n_docs']} -> "
+                f"{meta['n_docs']}, max_doc_key "
+                f"{prior and prior.get('max_doc_key')!r} -> "
+                f"{meta.get('max_doc_key')!r}); doc_ids may have shifted — "
+                "dropping stale deletes instead of masking wrong documents",
+                stacklevel=2,
+            )
+            shutil.rmtree(stash)
     return meta
 
 

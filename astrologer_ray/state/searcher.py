@@ -853,8 +853,11 @@ class Searcher:
 
         if strategy not in ("auto", "taat", "wand"):
             raise ValueError(f"unknown strategy {strategy!r}: auto|taat|wand")
+        # gate on the LOCAL doc count: a doc-range shard of a huge index
+        # sizes its dense accumulators n_local, so TAAT stays cheap there
+        # even when the global N is large
         use_taat = strategy == "taat" or (
-            strategy == "auto" and self.N <= self.TAAT_MAX_DOCS
+            strategy == "auto" and self.n_local <= self.TAAT_MAX_DOCS
         )
         if use_taat:
             hits = self._search_taat(qterms, k, allowed,

@@ -302,6 +302,96 @@ def test_cli_ingest_auto_compact(ray_session, tmp_path, capsys):
         assert _hits(a, q) == _hits(b, q)
 
 
+def test_crash_between_success_and_claims_recovers(ray_session, tmp_path):
+    """A crash AFTER a segment's _SUCCESS but BEFORE its claims row leaves
+    a live segment whose pids look unclaimed. The next append must
+    re-derive the row from the segment's own meta (``pids``) instead of
+    re-adopting the pids into a new segment and wedging on the monotone
+    gate."""
+    from astrologer_ray.pipelines.build import build_index
+    from astrologer_ray.pipelines.segments import (
+        _claims_path,
+        append_segment,
+        segment_dirs,
+    )
+    from astrologer_ray.state.searcher import Searcher
+
+    f0, f1, f2 = (str(tmp_path / f"part-{i:03d}.parquet") for i in range(3))
+    _write_part(f0, 0, 200)
+    _write_part(f1, 200, 300)
+    idx = str(tmp_path / "idx")
+    build_index([f0], idx, mode="code", chunk_bits=8, partition_rows=100)
+    append_segment([f0, f1], idx, partition_rows=100)
+
+    # simulate the crash window: drop the segment's claims row
+    cp = _claims_path(idx)
+    claims = json.load(open(cp))
+    assert claims["segments"].pop("seg-000001") is not None
+    json.dump(claims, open(cp, "w"))
+
+    # next append (with genuinely new data) must reconcile and proceed
+    _write_part(f2, 300, 400)
+    out = append_segment([f0, f1, f2], idx, partition_rows=100)
+    assert out["appended"] == 100
+    assert len(segment_dirs(idx)) == 2
+    claims = json.load(open(cp))
+    assert set(claims["segments"]) == {"seg-000001", "seg-000002"}
+    assert Searcher(idx).N == 400
+
+
+def test_cli_ingest_inherits_mode(ray_session, tmp_path, capsys):
+    """`ingest` without --mode on a --mode simple index must inherit
+    'simple' from meta.json — not silently rebuild with the default code
+    analyzer."""
+    from astrologer_ray.cli import main
+    from astrologer_ray.pipelines.build import load_meta
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    _write_part(os.path.join(d, "part-000.parquet"), 0, 200)
+    idx = str(tmp_path / "idx")
+    assert main(["build", d, idx, "--mode", "simple",
+                 "--partition-rows", "100"]) == 0
+    assert load_meta(idx)["mode"] == "simple"
+    _write_part(os.path.join(d, "part-001.parquet"), 200, 300)
+    assert main(["ingest", d, idx, "--partition-rows", "100"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # only the new partition was rebuilt — a mode mismatch would have
+    # invalidated every manifest and re-run all of them
+    assert out["n_docs"] == 300
+    assert len(out["rebuilt_partitions"]) == 1
+    assert load_meta(idx)["mode"] == "simple"
+
+
+def test_compact_drops_tombstones_when_ids_shift(ray_session, tmp_path):
+    """If the corpus gained OUT-OF-ORDER docs since tombstones were written
+    (append would reject them; compact rebuilds over everything), doc_ids
+    reassign — compact must detect the shift and DROP the stash rather than
+    mask the wrong documents."""
+    from astrologer_ray.pipelines.build import build_index
+    from astrologer_ray.pipelines.segments import (
+        compact_index,
+        delete_by_query,
+    )
+    from astrologer_ray.state.searcher import Searcher
+
+    hi = str(tmp_path / "part-000.parquet")
+    lo = str(tmp_path / "part-001.parquet")
+    _write_part(hi, 300, 500)
+    idx = str(tmp_path / "idx")
+    build_index([hi], idx, mode="code", partition_rows=100)
+    s0 = Searcher(idx)
+    victim = sorted(s0.df.items(), key=lambda kv: -kv[1])[1][0]
+    assert delete_by_query(idx, {"match": victim})["deleted"] > 0
+
+    _write_part(lo, 0, 100)  # keys sort BEFORE the indexed range
+    with pytest.warns(UserWarning, match="doc_ids may have shifted"):
+        compact_index([hi, lo], idx, partition_rows=100)
+    s1 = Searcher(idx)
+    assert s1.N == 300
+    assert s1.deleted is None  # stale tombstones dropped, none mis-applied
+
+
 def test_compact_preserves_tombstones(ray_session, tmp_path):
     """delete_by_query then append + compact: monotone appends keep
     doc_ids stable, so tombstones must SURVIVE compaction (an ES merge
