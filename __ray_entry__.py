@@ -2014,6 +2014,107 @@ SELECT doc_id FROM documents WHERE source = 'src3' AND lang = 'en' ORDER BY doc_
 """
 
 
+def _nested_documents_index(sf_dir: str) -> str:
+    """Documents corpus with DERIVED nested columns (the testdata tables are
+    flat) + index over its multi-valued / nested keyword fields:
+
+      tags  : list<string>   = [source, lang, lang]   (duplicate on purpose)
+      attrs : struct<src>    = {src: source}
+      links : list<struct>   = [{kind: lang}, {kind: source}]
+
+    The derivation is deterministic and mirrored verbatim by the SQL
+    oracle, so the index-served field counts are externally checkable.
+    Exercises the reference's array/nested keyword mappings
+    (/root/reference/es/indices.go:63-69,126-135,149-155)."""
+    from astrologer_ray.pipelines.build import build_index
+
+    rd = _rd()
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    corpus_dir = os.path.join(_CACHE, f"nestdocs-{tag}")
+    index_dir = os.path.join(_CACHE, f"nestidx-{tag}")
+    if not glob.glob(os.path.join(corpus_dir, "*.parquet")):
+        def add_nested(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            src = t["source"].combine_chunks().cast(pa.string())
+            lang = t["lang"].combine_chunks().cast(pa.string())
+            s_np = src.to_numpy(zero_copy_only=False)
+            l_np = lang.to_numpy(zero_copy_only=False)
+            flat_tags = np.empty(3 * n, dtype=object)
+            flat_tags[0::3], flat_tags[1::3], flat_tags[2::3] = s_np, l_np, l_np
+            tags = pa.ListArray.from_arrays(
+                np.arange(n + 1, dtype=np.int32) * 3,
+                pa.array(flat_tags, pa.string()))
+            attrs = pa.StructArray.from_arrays([src], ["src"])
+            flat_kind = np.empty(2 * n, dtype=object)
+            flat_kind[0::2], flat_kind[1::2] = l_np, s_np
+            links = pa.ListArray.from_arrays(
+                np.arange(n + 1, dtype=np.int32) * 2,
+                pa.StructArray.from_arrays(
+                    [pa.array(flat_kind, pa.string())], ["kind"]))
+            return t.append_column("tags", tags).append_column(
+                "attrs", attrs).append_column("links", links)
+
+        tmp = corpus_dir + ".tmp"
+        rd.read_parquet(_tbl(sf_dir, "documents")).map_batches(
+            add_nested, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.replace(tmp, corpus_dir)
+    if not os.path.exists(os.path.join(index_dir, "_SUCCESS")):
+        build_index(
+            sorted(glob.glob(os.path.join(corpus_dir, "*.parquet"))),
+            index_dir,
+            mode="simple",
+            column_map={"repo": "source", "path": None, "commit": None,
+                        "lang": "lang", "content": "text"},
+            key_cols=("doc_id",),
+            keyword_fields={"tag": "tags", "src": "attrs.src",
+                            "lk": "links.kind"},
+            chunk_bits=8,
+            partition_rows=20_000,
+        )
+    return index_dir
+
+
+def docs_nested_keyword_counts(sf_dir: str):
+    """Per-(field, value) doc counts served from multi-valued / nested
+    keyword-field postings — list<string>, struct path, and list<struct>
+    path each resolve through TokenizePartials._kw_values. Duplicate values
+    within a doc must collapse to one posting (set semantics), which the
+    oracle checks via plain OR predicates."""
+    from astrologer_ray.state.searcher import Searcher
+
+    rd = _rd()
+    s = Searcher(_nested_documents_index(sf_dir), load_docs=False)
+    docs = rd.read_parquet(_tbl(sf_dir, "documents"),
+                           columns=["lang", "source"])
+    vals = sorted(set(docs.unique("lang")) | set(docs.unique("source")))
+    rows = []
+    for field in ("lk", "src", "tag"):
+        for v in vals:
+            rows.append({"field": field, "value": v,
+                         "n_docs": s.count({"field_term": {field: v}})})
+    return pd.DataFrame(rows)
+
+
+NESTED_KEYWORD_SQL = """
+WITH vals AS (
+  SELECT DISTINCT lang AS v FROM documents
+  UNION
+  SELECT DISTINCT source FROM documents)
+SELECT 'tag' AS field, v AS value,
+       (SELECT count(*) FROM documents d WHERE d.source = v OR d.lang = v) AS n_docs
+FROM vals
+UNION ALL
+SELECT 'src', v, (SELECT count(*) FROM documents d WHERE d.source = v)
+FROM vals
+UNION ALL
+SELECT 'lk', v,
+       (SELECT count(*) FROM documents d WHERE d.lang = v OR d.source = v)
+FROM vals
+ORDER BY field, value
+"""
+
+
 def docs_prefix_lookup(sf_dir: str):
     """Exact doc listing via PREFIX expansion over the term dictionary
     (ES ``prefix`` query): docs with any analyzed token starting with
@@ -3014,7 +3115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": fingerprint_documents,
         "media_features_stub": media_features_stub,
         "bm25_topk_code": bm25_topk_code,
-        # -- (2) implementation changed this round -------------------------
+        # -- (2) new or implementation changed this round -------------------
+        "docs_nested_keyword_counts": docs_nested_keyword_counts,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3130,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_topk_documents": _phrase_documents_sql(),
         "span_near_documents": _span_near_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
+        "docs_nested_keyword_counts": NESTED_KEYWORD_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,

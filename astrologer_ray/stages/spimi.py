@@ -315,6 +315,57 @@ class TokenizePartials:
             )
         return pc.fill_null(out, "None")  # str(None) parity for null keys
 
+    def _kw_values(self, t: pa.Table, src: str, n: int):
+        """Resolve a keyword-field source spec to ``(row_idx, values)``.
+
+        ``src`` is a dotted path into the partition table: each ``.`` part
+        descends a struct field, and any list layer met along the way is
+        flattened with parent-row tracking — so ``tags`` (list<string>),
+        ``attrs.source`` (struct<...>), and ``links.kind`` (list<struct>)
+        all resolve to a flat scalar array plus the doc row each element
+        belongs to (ES array/nested-object keyword semantics; the reference
+        maps exactly such shapes, /root/reference/es/indices.go:63-69,
+        126-135, 149-155). Repeated values within one doc collapse to ONE
+        posting (keyword terms are set-valued; tf carries no signal).
+        Null scalars format as "None" (parity with flat keyword fields);
+        null/empty LISTS simply contribute no elements."""
+        parts = src.split(".")
+        col = t.column(parts[0])
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        row_idx = np.arange(n, dtype=np.int64)
+        parts = parts[1:]
+        while True:
+            if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+                parents = pc.list_parent_indices(arr).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                row_idx = row_idx[parents]
+                arr = pc.list_flatten(arr)
+                continue
+            if parts and pa.types.is_struct(arr.type):
+                arr = pc.struct_field(arr, parts[0])
+                parts = parts[1:]
+                continue
+            break
+        if parts:
+            raise ValueError(
+                f"keyword field path {src!r}: cannot descend into "
+                f"{arr.type} at {'.'.join(parts)!r}"
+            )
+        vals = self._fmt_key_arr(arr)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if len(row_idx) == 0:
+            return row_idx, vals
+        # collapse duplicate (doc, value) pairs to one posting
+        import pandas as pd
+
+        codes, _ = pd.factorize(vals.to_numpy(zero_copy_only=False))
+        pair = row_idx * (int(codes.max()) + 1 if len(codes) else 1) + codes
+        keep = np.sort(np.unique(pair, return_index=True)[1])
+        if len(keep) != len(row_idx):
+            return row_idx[keep], vals.take(pa.array(keep))
+        return row_idx, vals
+
     def _col(self, t: pa.Table, canonical: str, n: int):
         """Canonical column as an Arrow string array (``content`` is the
         raw source column so the tokenizer reads Arrow buffers directly)."""
@@ -380,33 +431,44 @@ class TokenizePartials:
             pos_flat = None
 
         if self.keyword_fields and n:
-            # append exact keyword-field terms: one posting per (doc, field),
-            # tf=1, excluded from dl (BM25 text scoring is unaffected)
+            # append exact keyword-field terms: one posting per (doc, field,
+            # DISTINCT value), tf=1, excluded from dl (BM25 text scoring is
+            # unaffected). The source spec may address nested data — see
+            # _kw_values — giving ES array/object keyword semantics
+            # (the reference maps list and nested object fields as keyword:
+            # /root/reference/es/indices.go:63-69,126-135,149-155).
             import pandas as pd
 
             kw_doc, kw_arrs = [], []
             for fname, src in sorted(self.keyword_fields.items()):
+                ridx, vals = self._kw_values(t, src, n)
+                if len(ridx) == 0:
+                    continue
                 kw_arrs.append(
-                    pc.binary_join_element_wise(
-                        fname + FIELD_SEP, self._fmt_key_arr(t.column(src)), ""
+                    pc.binary_join_element_wise(fname + FIELD_SEP, vals, "")
+                )
+                kw_doc.append(ridx)
+            if kw_doc:
+                kw_doc = np.concatenate(kw_doc)
+                kw_codes, kw_uniq = pd.factorize(
+                    np.concatenate(
+                        [a.to_numpy(zero_copy_only=False) for a in kw_arrs]
                     )
                 )
-                kw_doc.append(np.arange(n, dtype=doc_idx.dtype if len(doc_idx) else np.int32))
-            kw_doc = np.concatenate(kw_doc)
-            kw_codes, kw_uniq = pd.factorize(
-                pa.concat_arrays(kw_arrs).to_numpy(zero_copy_only=False)
-            )
-            base = len(uniq_terms)
-            doc_idx = np.concatenate([doc_idx, kw_doc])
-            term_codes = np.concatenate([term_codes, kw_codes.astype(np.int64) + base])
-            uniq_terms = np.concatenate([uniq_terms, kw_uniq.astype(object)])
-            tfs = np.concatenate([tfs, np.ones(len(kw_doc), dtype=tfs.dtype if len(tfs) else np.int32)])
-            if pos_flat is not None:
-                # keyword postings carry a placeholder position 0 (tf=1 each)
-                # so the positions-count == tf codec invariant holds
-                pos_flat = np.concatenate(
-                    [pos_flat, np.zeros(len(kw_doc), dtype=np.int32)]
-                )
+                base = len(uniq_terms)
+                doc_idx = np.concatenate([doc_idx, kw_doc])
+                term_codes = np.concatenate(
+                    [term_codes, kw_codes.astype(np.int64) + base])
+                uniq_terms = np.concatenate([uniq_terms, kw_uniq.astype(object)])
+                tfs = np.concatenate(
+                    [tfs, np.ones(len(kw_doc),
+                                  dtype=tfs.dtype if len(tfs) else np.int32)])
+                if pos_flat is not None:
+                    # keyword postings carry a placeholder position 0 (tf=1
+                    # each) so the positions-count == tf codec invariant holds
+                    pos_flat = np.concatenate(
+                        [pos_flat, np.zeros(len(kw_doc), dtype=np.int32)]
+                    )
 
         # SPIMI partial index, PACKED per term (SURVEY §2.3 ST1): one row per
         # (term) with the partition's posting sublists, hash-bucketed for the
