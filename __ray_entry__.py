@@ -498,13 +498,15 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def events_sessionize(sf_dir: str):
-    """Session windows (gap > 30 min) per user; ordering assumption: one
-    user's events fit one group and are processed in ts order."""
+    """Session windows (gap > 30 min) per user — skew-safe layout: groups
+    are (user, day), sessions chain across day edges via the session-row
+    boundary merge (pipelines/windows.sessionize two-phase shape)."""
     rd = _rd()
     from astrologer_ray.pipelines.windows import sessionize
 
     ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["user_id", "ts"])
-    out = sessionize(ds, "user_id", "ts", gap_minutes=30.0).to_pandas()
+    out = sessionize(ds, "user_id", "ts", gap_minutes=30.0,
+                     bucket_span=pd.Timedelta(days=1)).to_pandas()
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
@@ -2583,6 +2585,9 @@ def events_asof_orders(sf_dir: str):
         left_cols={"event_id": pa.int64()},
         right_cols={"cents": pa.int64(), "o_orderkey": pa.int64()},
         right_key="o_custkey", right_on="o_orderdate",
+        # skew-safe layout: groups are (user, quarter), not whole users —
+        # matches that look back across quarters ride the sentinel carry
+        bucket_span=pd.Timedelta(days=90),
     )
     return out.select_columns(
         ["event_id", "r_o_orderdate", "r_cents", "r_o_orderkey"]

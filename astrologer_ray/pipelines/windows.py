@@ -52,36 +52,81 @@ def sessionize(
     key: str,
     ts_col: str,
     gap_minutes: float = 30.0,
+    bucket_span=None,
 ) -> Dataset:
     """Session windows: a new session starts when the key's inter-event gap
     exceeds ``gap_minutes``. Returns one row per session:
     (key, session_id [1-based per key in ts order], n_events,
     session_start, session_end).
 
-    ``groupby(key).map_groups`` with a pandas body — the guide's session
-    windowing shape; state stays inside the sorted group.
+    Two phases, both Arrow-native ``map_groups`` bodies:
+
+    1. **local sessions** per ``(key, floor(ts / bucket_span))`` group —
+       with ``bucket_span`` set (e.g. ``pd.Timedelta(days=1)``), a hot
+       key's EVENTS split across bounded groups instead of one straggler
+       task; ``bucket_span=None`` keeps one group per key.
+    2. **boundary merge** per key over SESSION rows only: sessions from
+       adjacent buckets whose inter-session gap is ``<= gap`` fuse (a
+       session may chain through many buckets), then 1-based renumbering.
+       Phase-2 state is one row per local session — bounded by activity
+       density, not event count; it is the same reduction an exact
+       streaming sessionizer performs at window close.
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap = pd.Timedelta(minutes=gap_minutes).to_timedelta64()
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        new_session = (g[ts_col].diff() > gap) | g[ts_col].diff().isna()
-        sess = new_session.cumsum()
-        out = (
-            g.assign(session_id=sess.astype(np.int64))
-            .groupby("session_id", as_index=False)
-            .agg(
-                n_events=(ts_col, "size"),
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
-            )
-        )
-        out.insert(0, key, g[key].iloc[0])
-        out["n_events"] = out["n_events"].astype(np.int64)
-        return out
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return (
+        ts = t[ts_col].combine_chunks()
+        if bucket_span is None:
+            b = pa.array(np.zeros(len(ts), dtype=np.int64))
+        else:
+            from astrologer_ray.pipelines.joins import _span_in_column_units
+
+            span = _span_in_column_units(bucket_span, ts.type)
+            iv = pc.cast(ts, pa.int64())
+            q = pc.divide(iv, span)
+            r = pc.subtract(iv, pc.multiply(q, span))
+            b = pc.subtract(q, pc.cast(pc.less(r, 0), pa.int64()))
+        return pa.table({key: t[key], "b": b, ts_col: ts})
+
+    def local_sessions(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(ts_col, "ascending")])
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        brk = np.concatenate(([0], np.flatnonzero(np.diff(ts) > gap) + 1))
+        ends = np.concatenate((brk[1:], [len(ts)]))
+        kv = g[key].take(pa.array(np.zeros(len(brk), dtype=np.int64)))
+        return pa.table({
+            key: kv,
+            "n_events": pa.array((ends - brk).astype(np.int64)),
+            "session_start": pa.array(ts[brk]),
+            "session_end": pa.array(ts[ends - 1]),
+        })
+
+    def merge_key(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("session_start", "ascending"),
+                       ("session_end", "ascending")])
+        start = g["session_start"].to_numpy(zero_copy_only=False)
+        end = g["session_end"].to_numpy(zero_copy_only=False)
+        n = g["n_events"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bucket-boundary fuse: next session joins the chain when its first
+        # event is within gap of the previous chain's last event
+        new = np.concatenate(([True], (start[1:] - end[:-1]) > gap))
+        brk = np.flatnonzero(new)
+        seg_end = np.concatenate((brk[1:], [len(start)]))
+        kv = g[key].take(pa.array(np.zeros(len(brk), dtype=np.int64)))
+        return pa.table({
+            key: kv,
+            "session_id": pa.array(np.arange(1, len(brk) + 1, dtype=np.int64)),
+            "n_events": pa.array(np.add.reduceat(n, brk)),
+            "session_start": pa.array(start[brk]),
+            "session_end": pa.array(end[seg_end - 1]),
+        })
+
+    local = (
         ds.select_columns([key, ts_col])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby([key, "b"])
+        .map_groups(local_sessions, batch_format="pyarrow")
     )
+    return local.groupby(key).map_groups(merge_key, batch_format="pyarrow")

@@ -241,6 +241,45 @@ def test_sessionize_exact(ray_session):
     )
     got = list(zip(out["user_id"], out["session_id"], out["n_events"]))
     assert got == [(1, 1, 2), (1, 2, 1), (2, 1, 1), (3, 1, 2)]
+    # skew-safe layout: (key, time-bucket) groups + boundary merge must be
+    # result-identical, including a session CHAINING through bucket edges
+    # (user 1's first session spans a 10-minute bucket boundary)
+    import pandas as pd
+
+    for span in (pd.Timedelta(minutes=10), pd.Timedelta(hours=6)):
+        got_b = (
+            sessionize(rd.from_items(rows), "user_id", "ts", gap_minutes=30,
+                       bucket_span=span)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        assert list(zip(got_b["user_id"], got_b["session_id"],
+                        got_b["n_events"])) == got, span
+
+
+def test_sessionize_bucketed_matches_single_group(ray_session, sf_dir):
+    """Real events table: bucketed sessionize == one-group-per-key
+    sessionize, bit-exact (starts, ends, counts, ids)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.windows import sessionize
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def run(span):
+        return (
+            sessionize(ds, "user_id", "ts", gap_minutes=45, bucket_span=span)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+
+    single = run(None)
+    assert len(single) > 0
+    bucketed = run(pd.Timedelta(hours=2))
+    assert bucketed.equals(single)
 
 
 def test_tumbling_window_counts(ray_session, sf_dir):
@@ -578,7 +617,7 @@ def test_asof_join_semantics(ray_session):
         {"k": 4, "rt": ts("2024-01-01"), "v": 6, "rid": 5},  # right-only key
     ]
 
-    def run(nblocks, tolerance=None):
+    def run(nblocks, tolerance=None, bucket_span=None):
         l = rd.from_pandas(pd.DataFrame(left_rows)).repartition(nblocks)
         r = rd.from_pandas(pd.DataFrame(right_rows)).repartition(nblocks)
         out = asof_join(
@@ -586,6 +625,7 @@ def test_asof_join_semantics(ray_session):
             left_cols={"lid": pa.int64()},
             right_cols={"v": pa.int64(), "rid": pa.int64()},
             right_key="k", right_on="rt", tolerance=tolerance,
+            bucket_span=bucket_span,
         ).to_pandas()
         return out.sort_values("lid").reset_index(drop=True)
 
@@ -601,6 +641,53 @@ def test_asof_join_semantics(ray_session):
     # tolerance: lid=103 is 14 days after its match -> dropped at 7 days
     tol = run(2, tolerance=pd.Timedelta(days=7))
     assert list(tol["lid"]) == [100, 101]
+    # skew-safe bucketing must be invisible to the result: lid=103's match
+    # (01-01 -> 01-15) crosses several 2-day buckets, so it exercises the
+    # sentinel carry-in; bucket+tolerance compose (lid=100's carry match is
+    # 5 days back: inside tol=7d, outside its own 2-day bucket)
+    for spb in (pd.Timedelta(days=7), pd.Timedelta(days=2)):
+        assert run(3, bucket_span=spb).equals(out), spb
+    tolb = run(2, tolerance=pd.Timedelta(days=7),
+               bucket_span=pd.Timedelta(days=2))
+    assert tolb.equals(tol)
+
+
+def test_asof_join_bucketed_hot_key(ray_session):
+    """One hot key, many rows: bucketed groups must reproduce the single-
+    group result exactly (the 100-TB layout where one key cannot be one
+    task), including buckets whose right side is empty (multi-bucket
+    carry lookback)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.joins import asof_join
+
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    lts = np.sort(rng.integers(0, 200 * 86_400_000_000, size=600)) + base
+    # right rows only in the first 40 days: later left rows look back far
+    rts = np.sort(rng.integers(0, 40 * 86_400_000_000, size=80)) + base
+    left = pd.DataFrame({"k": 1, "t": pd.to_datetime(lts, unit="us"),
+                         "lid": np.arange(600, dtype=np.int64)})
+    right = pd.DataFrame({"k": 1, "rt": pd.to_datetime(rts, unit="us"),
+                          "v": rng.integers(0, 1000, size=80).astype(np.int64),
+                          "rid": np.arange(80, dtype=np.int64)})
+
+    def run(bucket_span):
+        out = asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(3),
+            key="k", on="t",
+            left_cols={"lid": pa.int64()},
+            right_cols={"v": pa.int64(), "rid": pa.int64()},
+            right_key="k", right_on="rt", bucket_span=bucket_span,
+        ).to_pandas()
+        return out.sort_values("lid").reset_index(drop=True)
+
+    single = run(None)
+    assert len(single) > 500  # most left rows match something
+    bucketed = run(pd.Timedelta(days=3))
+    assert bucketed.equals(single)
 
 
 def test_pipeline_aggs_window_math():
