@@ -129,6 +129,101 @@ class _Cursor:
         self.doc = int(self.ids[self.pos])
 
 
+class _ChunkStore:
+    """Columnar chunk-metadata store with lazy per-term row views.
+
+    The postings table (sorted by ``(term, last_doc_id)``) stays as flat
+    numpy arrays plus one ``term -> (start, stop)`` row-range index; the
+    per-chunk dicts the cursors/decoders consume are materialized only for
+    terms a query actually touches (and cached). Eagerly exploding every
+    row into a Python dict was O(vocab × chunks) objects per actor and
+    dominated actor cold-start and RSS on large shards. Blob columns attach
+    as zero-copy memoryview slices over the Arrow data buffer; list columns
+    as numpy views over the flattened child — no copies either way.
+    """
+
+    _SCALARS = ("chunk_id", "shard", "n", "first_doc_id", "last_doc_id",
+                "sum_tf")
+    _LISTS = ("block_last", "block_ids_off", "block_tf_off", "block_dl_off",
+              "block_max_tfn")
+
+    def __init__(self, post: pa.Table | None):
+        self._ranges: dict[str, tuple[int, int]] = {}
+        self._cache: dict[str, list[dict]] = {}
+        self._scalar: dict[str, np.ndarray] = {}
+        self._list: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._blob: dict[str, tuple[np.ndarray, memoryview]] = {}
+        if post is None or post.num_rows == 0:
+            return
+        enc = post.column("term").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy()
+        # the table is term-sorted, so first-appearance dictionary codes
+        # are nondecreasing and every term is one contiguous row run
+        starts = np.flatnonzero(np.diff(codes, prepend=-1))
+        stops = np.append(starts[1:], len(codes))
+        self._ranges = {
+            t: (int(s), int(e))
+            for t, s, e in zip(enc.dictionary.to_pylist(), starts, stops)
+        }
+        names = set(post.column_names)
+        for c in self._SCALARS:
+            if c in names:
+                self._scalar[c] = post.column(c).combine_chunks().to_numpy()
+        for c in self._LISTS:
+            if c in names:
+                arr = post.column(c).combine_chunks()
+                # raw offsets index the raw (unsliced) child, so pairing
+                # buffers()[1] with .values is offset-consistent
+                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+                offs = offs[arr.offset: arr.offset + len(arr) + 1]
+                self._list[c] = (offs, arr.values.to_numpy())
+        for c in (n for n in post.column_names if n.endswith("_bytes")):
+            arr = post.column(c).combine_chunks()
+            if arr.null_count:
+                # a null blob must stay a loud error (decode raises on a
+                # missing stream) — an empty memoryview would silently
+                # decode as an empty posting run
+                raise ValueError(f"null {c} in postings table")
+            offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+            offs = offs[arr.offset: arr.offset + len(arr) + 1]
+            self._blob[c] = (offs, memoryview(arr.buffers()[2]))
+
+    def __contains__(self, term) -> bool:
+        return term in self._ranges
+
+    def __len__(self) -> int:
+        return len(self._ranges)
+
+    def __iter__(self):
+        return iter(self._ranges)
+
+    def keys(self):
+        return self._ranges.keys()
+
+    def get(self, term, default=None):
+        if term not in self._ranges:
+            return default
+        return self[term]
+
+    def __getitem__(self, term) -> list[dict]:
+        rows = self._cache.get(term)
+        if rows is not None:
+            return rows
+        s, e = self._ranges[term]  # KeyError on a miss, like a plain dict
+        rows = []
+        for i in range(s, e):
+            r = {"term": term}
+            for c, col in self._scalar.items():
+                r[c] = int(col[i])
+            for c, (offs, vals) in self._list.items():
+                r[c] = vals[offs[i]:offs[i + 1]]
+            for c, (offs, data) in self._blob.items():
+                r[c] = data[offs[i]:offs[i + 1]]
+            rows.append(r)
+        self._cache[term] = rows
+        return rows
+
+
 class Searcher:
     """Holds dictionary + posting chunks (+ doc attributes) for serving.
 
@@ -202,36 +297,15 @@ class Searcher:
             tables.append(t)
         post = pa.concat_tables(tables) if tables else None
 
-        self.postings: dict[str, list[dict]] = {}
         if post is not None and post.num_rows:
             # (term, last_doc_id) — NOT chunk_id: generations' doc-id ranges
             # are disjoint ascending, but a boundary chunk can be split
             # across two generations (same chunk_id twice per term)
             order = [("term", "ascending"), ("last_doc_id", "ascending")]
             post = post.sort_by(order).combine_chunks()
-            # blob columns attach as zero-copy memoryview slices over the
-            # Arrow data buffer — to_pylist would copy every varbyte
-            # stream (~the whole postings file) into Python bytes, which
-            # dominated actor cold-start; the light columns convert as
-            # before (decode paths only need len() + slicing, which
-            # memoryview provides)
-            blob_cols = [c for c in post.column_names if c.endswith("_bytes")]
-            rows = post.drop_columns(blob_cols).to_pylist()
-            for bname in blob_cols:
-                arr = post[bname].combine_chunks()
-                if arr.null_count:
-                    # a null blob must stay a loud error (the old
-                    # to_pylist path yielded None and decode raised) —
-                    # an empty memoryview would silently decode as empty
-                    raise ValueError(f"null {bname} in postings table")
-                offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
-                o = arr.offset
-                offs = offs[o: o + len(arr) + 1]
-                data = memoryview(arr.buffers()[2])
-                for i, r in enumerate(rows):
-                    r[bname] = data[offs[i]:offs[i + 1]]
-            for row in rows:
-                self.postings.setdefault(row["term"], []).append(row)
+        # columnar chunk metadata + lazy per-term dict views: actor
+        # cold-start no longer pays O(vocab × chunks) Python objects
+        self.postings = _ChunkStore(post)
 
         dt = pa.concat_tables([
             pq.read_table(p, columns=["term", "df", "cf"])
