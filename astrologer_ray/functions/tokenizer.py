@@ -50,11 +50,47 @@ _PART_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+")
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 # NUL + C0 control chars except \t \n \r  (reference utf8 scrub analog)
 _SCRUB_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# leading digit run followed by an identifier: the two raw tokens
+# _TOKEN_RE yields for one [A-Za-z0-9_]+ run ("123abc" -> "123","abc")
+_DIGIT_PREFIX_RE = re.compile(r"([0-9]+)([A-Za-z_][A-Za-z0-9_]*)")
 
 
 def scrub_text(s: str) -> str:
     """Strip NUL/control chars (reference: db/main.go:14-37 utf8 scrub)."""
     return _SCRUB_RE.sub("", s)
+
+
+# byte -> is-token-char ([A-Za-z0-9_]) lookup table; bytes >= 0x80 are
+# False, so multi-byte UTF-8 codepoints act as separators (matching the
+# regex token class, which is ASCII-only)
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _c in range(256):
+    _ch = chr(_c)
+    _WORD_LUT[_c] = (
+        "a" <= _ch <= "z" or "A" <= _ch <= "Z" or "0" <= _ch <= "9" or _ch == "_"
+    )
+del _c, _ch
+
+
+def _has_ctrl_chars(arr: pa.Array) -> bool:
+    """True iff any string in ``arr`` contains a scrub-target control char.
+
+    One bincount pass over the raw utf-8 data buffer (control bytes are
+    ASCII, so they can't appear inside multi-byte codepoints). Used to skip
+    the scrub's full read+write copy in the overwhelmingly common
+    no-control-chars case."""
+    if len(arr) == 0:
+        return False
+    if not pa.types.is_string(arr.type):  # large_string etc.: conservative
+        return True
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    lo = int(offs[arr.offset])
+    hi = int(offs[arr.offset + len(arr)])
+    if hi <= lo:
+        return False
+    b = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[lo:hi]
+    cnt = np.bincount(b, minlength=256)
+    return bool(cnt[:32].sum() - cnt[9] - cnt[10] - cnt[13] > 0)
 
 
 def split_token(token: str) -> tuple[str, ...]:
@@ -125,7 +161,17 @@ class CodeTokenizer:
             if self.mode == "simple":
                 emitted = (raw,)  # uncapped: SQL oracle keeps long tokens
             else:
-                emitted = split_token(raw)
+                # Arrow-path raw runs may carry a leading digit prefix that
+                # _TOKEN_RE would have split into its own raw token
+                # ("123abc" -> "123", "abc"); the split is context-free per
+                # run (a \b can only occur at the run start), so it lives
+                # here in the per-unique cache instead of as a full-text
+                # regex replace pass over every batch's content
+                m = _DIGIT_PREFIX_RE.fullmatch(raw)
+                if m is not None:
+                    emitted = split_token(m.group(1)) + split_token(m.group(2))
+                else:
+                    emitted = split_token(raw)
             ids = np.array([self._term_id(t) for t in emitted], dtype=np.int64)
             self._tok2ids[raw] = ids
         return ids
@@ -222,26 +268,71 @@ class CodeTokenizer:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         ndocs = len(col)
-        s = pc.fill_null(col, "")
-        s = pc.replace_substring_regex(
-            s, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
-        )
-        s = pc.replace_substring_regex(
-            s, pattern=r"\b([0-9]+)([A-Za-z_])", replacement="\\1\x01\\2"
-        )
-        toks = pc.split_pattern_regex(s, pattern="[^A-Za-z0-9_]+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens_all = pc.list_value_length(toks).to_numpy()
-        flat = toks.flatten()
-        if len(flat) == 0:
-            return self._empty_counts(ndocs)
-        doc_all = np.repeat(np.arange(ndocs, dtype=np.int64), lens_all)
-        nonempty = pc.not_equal(pc.binary_length(flat), 0)
-        flat = flat.filter(nonempty)
-        if len(flat) == 0:
-            return self._empty_counts(ndocs)
-        doc_of_tok = doc_all[nonempty.to_numpy(zero_copy_only=False)]
+        s = col if col.null_count == 0 else pc.fill_null(col, "")
+        # scrub only when control chars actually exist: the detection is a
+        # single numpy pass over the raw utf-8 buffer (vs an RE2
+        # read+write copy of the whole batch every time); the digit-prefix
+        # rewrite pass is gone entirely — folded into _ids_for_raw
+        if _has_ctrl_chars(s):
+            s = pc.replace_substring_regex(
+                s, pattern=r"[\x00-\x08\x0b\x0c\x0e-\x1f]", replacement=""
+            )
+        if not pa.types.is_string(s.type):  # large_string: regex fallback
+            toks = pc.split_pattern_regex(s, pattern="[^A-Za-z0-9_]+")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            lens_all = pc.list_value_length(toks).to_numpy()
+            flat = toks.flatten()
+            if len(flat) == 0:
+                return self._empty_counts(ndocs)
+            doc_all = np.repeat(np.arange(ndocs, dtype=np.int64), lens_all)
+            nonempty = pc.not_equal(pc.binary_length(flat), 0)
+            flat = flat.filter(nonempty)
+            if len(flat) == 0:
+                return self._empty_counts(ndocs)
+            doc_of_tok = doc_all[nonempty.to_numpy(zero_copy_only=False)]
+        else:
+            # numpy run-splitter (the hot path): token runs are detected
+            # with a byte-class LUT + one diff, word bytes compact into a
+            # contiguous values buffer (boolean gather), and the token
+            # array is built zero-copy via from_buffers. ~3 linear passes
+            # over the batch, no RE2, no list array, no empty-token
+            # filter (runs are non-empty by construction) — the regex
+            # split alone cost ~2x this whole block.
+            offs = np.frombuffer(s.buffers()[1], dtype=np.int32)
+            offs = offs[s.offset: s.offset + ndocs + 1]
+            lo, hi = int(offs[0]), int(offs[-1])
+            if hi <= lo:
+                return self._empty_counts(ndocs)
+            b = np.frombuffer(s.buffers()[2], dtype=np.uint8)[lo:hi]
+            offs_rel = (offs - lo).astype(np.int64)
+            is_w = _WORD_LUT[b]
+            d = np.diff(is_w.view(np.int8), prepend=np.int8(0),
+                        append=np.int8(0))
+            starts = np.flatnonzero(d == 1)
+            ends = np.flatnonzero(d == -1)
+            # a run may straddle a document boundary (doc ends with a word
+            # byte, next begins with one): cut it at the boundary so
+            # tokens never span documents
+            bpos = offs_rel[1:-1]
+            inner = bpos[(bpos > 0) & (bpos < len(b))]
+            # unique: an empty doc repeats its neighbours' boundary
+            # position — cutting twice would mint a zero-length token
+            span = np.unique(inner[is_w[inner] & is_w[inner - 1]])
+            if len(span):
+                starts = np.sort(np.concatenate([starts, span]))
+                ends = np.sort(np.concatenate([ends, span]))
+            if len(starts) == 0:
+                return self._empty_counts(ndocs)
+            lens = ends - starts
+            data = b[is_w]  # concatenated token bytes, in order
+            tok_offs = np.concatenate(
+                ([0], np.cumsum(lens))
+            ).astype(np.int32)
+            flat = pa.StringArray.from_buffers(
+                len(lens), pa.py_buffer(tok_offs), pa.py_buffer(data)
+            )
+            doc_of_tok = np.searchsorted(offs_rel, starts, side="right") - 1
         enc = pc.dictionary_encode(flat)
         inv = enc.indices.to_numpy().astype(np.int64)
         uniq = enc.dictionary.to_pylist()
@@ -272,15 +363,31 @@ class CodeTokenizer:
         m = int(tok_cnt.sum())
         if m == 0:
             return self._empty_counts(ndocs)
-        csum = np.cumsum(tok_cnt) - tok_cnt
-        within = np.arange(m, dtype=np.int64) - np.repeat(csum, tok_cnt)
-        emitted_ids = flat[np.repeat(tok_start, tok_cnt) + within]
-        doc_of_emit = np.repeat(doc_of_tok, tok_cnt)
+        if not tok_cnt.all():
+            # zero-emit occurrences (over-long tokens) would collide in the
+            # boundary scatter below — drop them up front (rare path)
+            nz = tok_cnt > 0
+            tok_cnt, tok_start = tok_cnt[nz], tok_start[nz]
+            doc_of_tok = doc_of_tok[nz]
+        # gather-index via one scatter + cumsum (replaces the arange + two
+        # np.repeat formulation: ~5 full passes over the emitted stream
+        # become 2 — this stage is memory-bandwidth-bound)
+        pos0 = np.cumsum(tok_cnt) - tok_cnt  # first emit slot per occurrence
+        step = np.ones(m, dtype=np.int64)
+        step[0] = tok_start[0]
+        if len(tok_cnt) > 1:
+            step[pos0[1:]] = tok_start[1:] - tok_start[:-1] - tok_cnt[:-1] + 1
+        gidx = np.cumsum(step)
+        emitted_ids = flat[gidx]
 
-        dls = np.bincount(doc_of_emit, minlength=ndocs).astype(np.int64)
+        # dls at the (smaller) occurrence level: emitted terms per doc
+        dls = np.bincount(
+            doc_of_tok, weights=tok_cnt, minlength=ndocs
+        ).astype(np.int64)
 
         V = len(self._vocab)
-        keys = doc_of_emit * V + emitted_ids
+        keys = np.repeat(doc_of_tok * V, tok_cnt)  # doc base, then += term
+        keys += emitted_ids
         # hash-based (doc, term) count: O(m) factorize + bincount instead
         # of np.unique's O(m log m) sort over every emitted occurrence
         inv2, ukeys = pd.factorize(keys)
@@ -291,6 +398,7 @@ class CodeTokenizer:
             return doc_idx, term_ids, tfs.astype(np.int32), dls
         # occurrence position within its doc's emitted stream (emission
         # order == token order), then grouped by posting via a stable sort
+        doc_of_emit = np.repeat(doc_of_tok, tok_cnt)
         dl_cum = np.cumsum(dls) - dls
         occ_pos = np.arange(m, dtype=np.int64) - dl_cum[doc_of_emit]
         pos_flat = occ_pos[np.argsort(inv2, kind="stable")].astype(np.int32)

@@ -9,18 +9,34 @@ libraries that are not in this container, so the decode step is STUBBED:
 - ``decode="strict"`` raises ``NotImplementedError`` (the honest default),
 - ``decode="fake"`` produces a deterministic pseudo-decode (blake2b-seeded
   feature vector + byte-length metadata) so the full Ray plumbing — schema,
-  batch sizing, actor signature, output layout — is real and tested.
+  batch sizing, actor signature, output layout — is real and tested,
+- ``decode="auto"`` probes for a real decoder (PIL) once per actor at
+  construction and uses it when present; payloads PIL cannot open (or a
+  container without PIL at all) fall back to the deterministic fake, so the
+  same pipeline runs everywhere and upgrades itself where codecs exist.
 
-Swap ``_fake_features`` for a real decoder (PIL/librosa/torchvision) by
+Swap ``_fake_features`` for a heavier decoder (librosa/torchvision) by
 subclassing and overriding ``decode_one``; the pipeline shape is unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 
 import numpy as np
 import pyarrow as pa
+
+
+def _try_pil():
+    """Probe for PIL once (per actor, from ``__init__``) — the engine runs
+    in containers with and without media libraries; ``auto`` stages adapt
+    instead of failing."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -51,17 +67,36 @@ class MediaFeatureStage:
     """
 
     def __init__(self, decode: str = "strict", feature_dim: int = FEATURE_DIM):
-        assert decode in ("strict", "fake")
+        assert decode in ("strict", "fake", "auto")
         self.decode = decode
         self.feature_dim = feature_dim
+        self._pil = _try_pil() if decode == "auto" else None
+
+    def _pil_features(self, payload: bytes) -> np.ndarray | None:
+        """Real decode: grayscale + resize to ``feature_dim`` pixels, unit
+        norm — None when the payload isn't a decodable image."""
+        try:
+            img = self._pil.open(io.BytesIO(payload))
+            px = np.asarray(
+                img.convert("L").resize((self.feature_dim, 1)), dtype=np.float32
+            ).ravel()
+        except Exception:
+            return None
+        n = float(np.linalg.norm(px))
+        return (px / n) if n else px
 
     def decode_one(self, payload: bytes) -> np.ndarray:
         if self.decode == "strict":
             raise NotImplementedError(
                 "media decode requires image/audio libraries not present in "
                 "this environment; construct with decode='fake' for the "
-                "deterministic stub, or override decode_one()"
+                "deterministic stub, decode='auto' to use PIL when present, "
+                "or override decode_one()"
             )
+        if self.decode == "auto" and self._pil is not None:
+            f = self._pil_features(payload)
+            if f is not None:
+                return f
         return _fake_features(payload, self.feature_dim)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -97,16 +132,26 @@ class MediaResizeStage:
     """
 
     def __init__(self, decode: str = "strict", target_w: int = 64, target_h: int = 64):
-        assert decode in ("strict", "fake")
+        assert decode in ("strict", "fake", "auto")
         self.decode = decode
         self.target_w, self.target_h = target_w, target_h
+        self._pil = _try_pil() if decode == "auto" else None
 
     def resize_one(self, payload: bytes) -> bytes:
         if self.decode == "strict":
             raise NotImplementedError(
                 "image resize requires codec libraries not present here; "
-                "construct with decode='fake' or override resize_one()"
+                "construct with decode='fake', decode='auto' to use PIL "
+                "when present, or override resize_one()"
             )
+        if self.decode == "auto" and self._pil is not None:
+            try:
+                img = self._pil.open(io.BytesIO(payload))
+                out = io.BytesIO()
+                img.resize((self.target_w, self.target_h)).save(out, format="PNG")
+                return out.getvalue()
+            except Exception:
+                pass  # undecodable payload: deterministic fake below
         seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "big")
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, size=self.target_w * self.target_h,
@@ -140,7 +185,9 @@ class FrameSampleStage:
     """
 
     def __init__(self, decode: str = "strict", frame_bytes: int = 256, every: int = 4):
-        assert decode in ("strict", "fake")
+        # "auto" degrades to the fake splitter: no video codec is probed
+        # for yet (PIL has no video support; ffmpeg bindings are heavier)
+        assert decode in ("strict", "fake", "auto")
         self.decode = decode
         self.frame_bytes = frame_bytes
         self.every = every

@@ -303,19 +303,26 @@ def main() -> None:
     results: dict[str, dict] = {}
     t_all = time.time()
 
-    results["build_code_index"] = bench_build()
+    def _stage(name, fn, *args):
+        # stage markers on stderr: lets a log reader attribute any Ray
+        # warning in the tail to the stage that emitted it
+        print(f"[bench] {time.strftime('%H:%M:%S')} {name} start",
+              file=sys.stderr, flush=True)
+        results[name] = fn(*args)
+
+    _stage("build_code_index", bench_build)
     if only != "build":
-        results["query_qps"] = bench_query_qps()
-        results["query_qps_sharded"] = bench_query_qps_sharded()
-        results["query_qps_replicated"] = bench_query_qps_replicated()
-        results["q1_pricing_summary"] = _timed(E.q1_pricing_summary, SF_DIR)
-        results["top_orders_by_revenue"] = _timed(E.top_orders_by_revenue, SF_DIR)
-        results["events_date_histogram"] = _timed(E.events_date_histogram, SF_DIR)
-        results["minhash_dedup"] = _timed(E.minhash_dedup_documents, SF_DIR)
-        results["ann_topk"] = _timed(E.ann_topk_embeddings, SF_DIR)
+        _stage("query_qps", bench_query_qps)
+        _stage("query_qps_sharded", bench_query_qps_sharded)
+        _stage("query_qps_replicated", bench_query_qps_replicated)
+        _stage("q1_pricing_summary", _timed, E.q1_pricing_summary, SF_DIR)
+        _stage("top_orders_by_revenue", _timed, E.top_orders_by_revenue, SF_DIR)
+        _stage("events_date_histogram", _timed, E.events_date_histogram, SF_DIR)
+        _stage("minhash_dedup", _timed, E.minhash_dedup_documents, SF_DIR)
+        _stage("ann_topk", _timed, E.ann_topk_embeddings, SF_DIR)
         # last: mutates BENCH_INDEX (adds a delta segment)
-        results["append_delta"] = bench_append(
-            results["build_code_index"]["sec"])
+        _stage("append_delta", bench_append,
+               results["build_code_index"]["sec"])
     total = time.time() - t_all
 
     out = {
@@ -334,6 +341,12 @@ def main() -> None:
         out["query_qps"] = round(results["query_qps"]["qps"], 1)
         out["query_qps_sharded"] = round(results["query_qps_sharded"]["qps"], 1)
         out["query_qps_replicated"] = round(results["query_qps_replicated"]["qps"], 1)
+        # serving headline = the WARM replicated pool (steady-state QPS);
+        # the Ray-Data `query_qps` figure deliberately includes per-run
+        # actor spin-up + index load — the cold batch-scoring-job regime,
+        # reported separately, not the serving number
+        out["query_qps_serving"] = out["query_qps_replicated"]
+        out["query_qps_cold_job"] = out["query_qps"]
         out["query_single_lat_ms_p50"] = results["query_qps"]["single_lat_ms_p50"]
         out["query_single_lat_ms_p95"] = results["query_qps"]["single_lat_ms_p95"]
         out["append_docs_per_s"] = round(results["append_delta"]["docs_per_s"], 1)

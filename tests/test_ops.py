@@ -204,6 +204,48 @@ def test_media_stub_strict_raises_and_fake_works(ray_session):
     np.testing.assert_array_equal(feats, np.stack(out2["feature"].to_numpy()))
 
 
+def test_media_auto_decode_falls_back_without_pil():
+    """``decode='auto'`` must behave exactly like the deterministic fake
+    when no codec library is importable (this container has none) or when
+    a payload is not a decodable image."""
+    from astrologer_ray.stages.multimodal import (
+        MediaFeatureStage,
+        MediaResizeStage,
+        _fake_features,
+    )
+
+    st = MediaFeatureStage(decode="auto")
+    st._pil = None  # force the no-PIL branch regardless of environment
+    np.testing.assert_array_equal(st.decode_one(b"abc"), _fake_features(b"abc"))
+    rz = MediaResizeStage(decode="auto", target_w=4, target_h=4)
+    rz._pil = None
+    fake = MediaResizeStage(decode="fake", target_w=4, target_h=4)
+    assert rz.resize_one(b"abc") == fake.resize_one(b"abc")
+
+
+def test_media_auto_decode_uses_pil_when_present():
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from astrologer_ray.stages.multimodal import (
+        FEATURE_DIM,
+        MediaFeatureStage,
+        MediaResizeStage,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (32, 16), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    st = MediaFeatureStage(decode="auto")
+    f = st.decode_one(png)
+    assert f.shape == (FEATURE_DIM,) and abs(np.linalg.norm(f) - 1.0) < 1e-5
+    rz = MediaResizeStage(decode="auto", target_w=8, target_h=8)
+    out = PIL_Image.open(io.BytesIO(rz.resize_one(png)))
+    assert out.size == (8, 8)
+    # a non-image payload still flows (fake fallback), never raises
+    assert len(st.decode_one(b"not an image")) == FEATURE_DIM
+
+
 def test_terms_topk_and_buckets(ray_session, docs_ds):
     from astrologer_ray.pipelines.aggs import range_buckets, terms_topk
 
