@@ -106,11 +106,35 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
 
     from astrologer_ray.stages.spimi import LROW_BITS
 
-    # parquet read/encode release the GIL: thread-pool the per-file I/O so
-    # this driver-side stage is not a serial tail on the critical path
-    with ThreadPoolExecutor(max_workers=8) as ex:
-        t = pa.concat_tables(ex.map(pq.read_table, partial_docs))
-    t = t.sort_by("doc_key")
+    # parquet read/encode and the Arrow sort kernels release the GIL:
+    # thread-pool the per-file read+sort so this driver-side stage shrinks
+    # with core count instead of being a constant serial tail (the global
+    # single-threaded sort was ~half the stage). When the per-file key
+    # ranges are pairwise disjoint (the common case: the corpus ledger is
+    # key-ordered), concatenating the per-file sorted tables in range
+    # order IS the global order; otherwise fall back to one global sort.
+    nworkers = min(24, os.cpu_count() or 8)
+
+    def _read_sorted(p: str) -> pa.Table:
+        return pq.read_table(p).sort_by("doc_key")
+
+    with ThreadPoolExecutor(max_workers=nworkers) as ex:
+        parts = [p for p in ex.map(_read_sorted, partial_docs) if p.num_rows]
+    if parts:
+        bounds = [
+            (p.column("doc_key")[0].as_py(), p.column("doc_key")[-1].as_py())
+            for p in parts
+        ]
+        order = sorted(range(len(parts)), key=lambda i: bounds[i][0])
+        disjoint = all(
+            bounds[order[i]][1] < bounds[order[i + 1]][0]
+            for i in range(len(order) - 1)
+        )
+        t = pa.concat_tables([parts[i] for i in order])
+        if not disjoint:
+            t = t.sort_by("doc_key")
+    else:
+        t = pa.concat_tables([pq.read_table(p) for p in partial_docs])
     keys = t.column("doc_key").combine_chunks()
     n = len(keys)
     if n > 1 and pc.any(pc.equal(keys.slice(0, n - 1), keys.slice(1, n))).as_py():
@@ -129,7 +153,7 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
             compression="zstd",
         )
 
-    with ThreadPoolExecutor(max_workers=8) as ex:
+    with ThreadPoolExecutor(max_workers=nworkers) as ex:
         list(ex.map(_write_docs_slice, range(0, max(out.num_rows, 1), rows_per_file)))
     if keymap_dir is not None:
         os.makedirs(keymap_dir, exist_ok=True)
@@ -148,7 +172,7 @@ def _assign_doc_ids_driver(partial_docs: list[str], docs_dir: str,
                 os.path.join(keymap_dir, f"keymap-{int(pid[s]):06d}.parquet"),
             )
 
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        with ThreadPoolExecutor(max_workers=nworkers) as ex:
             list(ex.map(_write_km, zip(starts[:-1], starts[1:])))
     return {"n_docs": out.num_rows, "n_blocks": 1,
             "min_doc_key": keys[0].as_py() if n else None,

@@ -479,3 +479,45 @@ def test_multi_index_asymmetric_resume(ray_session, small_corpus_dir, tmp_path):
         t1 = pq.read_table(sorted(glob.glob(f"{root}/simple/{sub}/*.parquet")))
         t2 = pq.read_table(sorted(glob.glob(f"{sep}/{sub}/*.parquet")))
         assert t1.equals(t2), f"simple/{sub} differs after asymmetric resume"
+
+
+def test_assign_doc_ids_driver_overlapping_partials(tmp_path):
+    """The disjoint-range concat shortcut must fall back to a global sort
+    when partial files' key ranges interleave — the assignment (doc_id =
+    rank of doc_key) is identical either way."""
+    import pyarrow as pa
+
+    from astrologer_ray.pipelines.build import _assign_doc_ids_driver
+
+    pdir = tmp_path / "partials"
+    pdir.mkdir()
+
+    def _mk(name, keys, lrow0):
+        t = pa.table({
+            "doc_key": keys,
+            "repo": ["r"] * len(keys),
+            "path": keys,
+            "commit": ["c"] * len(keys),
+            "lang": ["py"] * len(keys),
+            "dl": pa.array([1] * len(keys), pa.int64()),
+            "sha256": ["x"] * len(keys),
+            "lrow": pa.array(range(lrow0, lrow0 + len(keys)), pa.int64()),
+        })
+        pq.write_table(t, str(pdir / name))
+
+    # interleaved ranges: a holds b,d,f — b holds a,c,e
+    _mk("docs-000000.parquet", ["b", "d", "f"], 0)
+    _mk("docs-000001.parquet", ["a", "c", "e"], 100)
+    out_dir = tmp_path / "docs"
+    st = _assign_doc_ids_driver(
+        sorted(str(p) for p in pdir.iterdir()), str(out_dir))
+    assert st["n_docs"] == 6
+    t = pq.read_table(sorted(glob.glob(str(out_dir / "*.parquet"))))
+    assert t.column("doc_key").to_pylist() == ["a", "b", "c", "d", "e", "f"]
+    assert t.column("doc_id").to_pylist() == [0, 1, 2, 3, 4, 5]
+
+    # duplicate keys across files must still raise through the fallback
+    _mk("docs-000002.parquet", ["c"], 200)
+    with pytest.raises(ValueError, match="duplicate doc_key"):
+        _assign_doc_ids_driver(
+            sorted(str(p) for p in pdir.iterdir()), str(tmp_path / "docs2"))
