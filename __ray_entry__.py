@@ -1997,6 +1997,93 @@ WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
 """
 
 
+def docs_filters_agg(sf_dir: str):
+    """ES ``filters`` aggregation: named filter -> matching doc count in
+    one request (index/sidecar-served, no table scan) — mixes a
+    keyword-field posting, an analyzed-text posting and a doc-attribute
+    range, the three filter families the engine serves."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    rows = s.agg_filters({
+        "en": {"field_term": {"lang": "en"}},
+        "has_data": {"match": "data"},
+        "long": {"range": {"dl": {"gte": 60}}},
+    })
+    return pa.table({
+        "name": pa.array([r[0] for r in rows], pa.string()),
+        "doc_count": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
+FILTERS_AGG_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_SPLIT_SQL}) AS dl, lang, text FROM documents)
+SELECT 'en' AS name, count(*)::BIGINT AS doc_count FROM dl WHERE lang = 'en'
+UNION ALL
+SELECT 'has_data', count(*)::BIGINT FROM dl
+WHERE len(list_filter({_SPLIT_SQL.replace('text', 'dl.text')},
+          x -> x = 'data')) > 0
+UNION ALL
+SELECT 'long', count(*)::BIGINT FROM dl WHERE dl >= 60
+ORDER BY name
+"""
+
+
+TERMS_SET = ["spark", "stream", "window", "dup"]
+TERMS_SET_MSM = 2
+TERMS_SET_K = 10
+
+
+def terms_set_documents(sf_dir: str):
+    """ES ``terms_set`` query: docs matching at least
+    ``minimum_should_match_field``-many of the given terms, scored by the
+    BM25 sum of the matched terms — expressed through the engine's
+    should-clause machinery (no must terms, min_should_match=N), identical
+    TAAT/WAND."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = [
+        (h["doc_id"], round(h["score"], 4))
+        for h in s.search([], k=TERMS_SET_K, should_terms=TERMS_SET,
+                          min_should_match=TERMS_SET_MSM)
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def _terms_set_sql() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(TERMS_SET)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
+         count(*) AS nmatch
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+  HAVING count(*) >= {TERMS_SET_MSM})
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT {TERMS_SET_K}
+"""
+
+
 def field_scoped_lookup(sf_dir: str):
     """Exact doc listing via keyword-field postings (no table scan): the
     reference's '~40 exact keyword fields per doc' surface
@@ -2173,6 +2260,29 @@ def docs_wildcard_lookup(sf_dir: str):
 WILDCARD_LOOKUP_SQL = f"""
 SELECT doc_id FROM documents
 WHERE len(list_filter({_SPLIT_SQL}, x -> x LIKE 'd%ta')) > 0
+ORDER BY doc_id
+"""
+
+
+REGEXP_PATTERN = "[a-z]*ta[a-z]*"
+
+
+def docs_regexp_lookup(sf_dir: str):
+    """Exact doc listing via REGEXP expansion (ES ``regexp`` query): docs
+    with any analyzed token fully matching the anchored pattern — one
+    Arrow RE2 kernel over the term dictionary (expands to e.g. data,
+    table), postings-served, no table scan."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.field_lookup({"regexp": REGEXP_PATTERN})
+    return pa.table({"doc_id": pa.array([h["doc_id"] for h in hits], pa.int64())})
+
+
+REGEXP_LOOKUP_SQL = f"""
+SELECT doc_id FROM documents
+WHERE len(list_filter({_SPLIT_SQL},
+          x -> regexp_full_match(x, '{REGEXP_PATTERN}'))) > 0
 ORDER BY doc_id
 """
 
@@ -2853,6 +2963,79 @@ def phrase_topk_documents(sf_dir: str):
     )
 
 
+PHRASE_PREFIX_FIXED = ["merge", "group"]
+PHRASE_PREFIX = "c"
+PHRASE_PREFIX_K = 10
+
+
+def phrase_prefix_documents(sf_dir: str):
+    """ES ``match_phrase_prefix``: docs where the fixed phrase
+    'merge group' is immediately followed by any token starting with
+    'c' (dictionary prefix expansion over the positional index, e.g.
+    customer/column). Score = BM25 sum of the unique FIXED terms on
+    matching docs (the prefix slot gates matching, adds no score) —
+    Searcher.match_phrase_prefix's documented contract."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = [
+        (h["doc_id"], round(h["score"], 4))
+        for h in s.match_phrase_prefix(
+            PHRASE_PREFIX_FIXED + [PHRASE_PREFIX], k=PHRASE_PREFIX_K,
+            max_expansions=None)
+    ]
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "score": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def _phrase_prefix_sql() -> str:
+    ph = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(PHRASE_PREFIX_FIXED)
+    )
+    uq = ", ".join(f"('{t}')" for t in sorted(set(PHRASE_PREFIX_FIXED)))
+    m = len(PHRASE_PREFIX_FIXED)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ph(i, term) AS (VALUES {ph}),
+uq(term) AS (VALUES {uq}),
+cand AS (
+  SELECT t.doc_id, t.pos - ph.i AS start, ph.i
+  FROM ph JOIN toks t ON t.term = ph.term),
+starts AS (
+  SELECT doc_id, start FROM cand
+  GROUP BY doc_id, start HAVING count(DISTINCT i) = {m}),
+pm AS (
+  SELECT DISTINCT s.doc_id
+  FROM starts s JOIN toks t
+    ON t.doc_id = s.doc_id AND t.pos = s.start + {m}
+  WHERE starts_with(t.term, '{PHRASE_PREFIX}')),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+scores AS (
+  SELECT pm.doc_id, sum(w.w) AS score
+  FROM pm JOIN uq ON TRUE
+  JOIN w ON w.doc_id = pm.doc_id AND w.term = uq.term
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score FROM scores
+ORDER BY score DESC, doc_id LIMIT {PHRASE_PREFIX_K}
+"""
+
+
 RESCORE_TERMS = ["merge", "sort", "window"]
 RESCORE_PHRASE = ["merge", "sort"]
 
@@ -3122,6 +3305,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_code": bm25_topk_code,
         # -- (2) new or implementation changed this round -------------------
         "docs_nested_keyword_counts": docs_nested_keyword_counts,
+        "docs_regexp_lookup": docs_regexp_lookup,
+        "terms_set_documents": terms_set_documents,
+        "phrase_prefix_documents": phrase_prefix_documents,
+        "docs_filters_agg": docs_filters_agg,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3133,9 +3320,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
-        "bm25_gauss_documents": bm25_gauss_documents,
-        "bm25_boosting_documents": bm25_boosting_documents,
-        "bm25_pinned_documents": bm25_pinned_documents,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_rescore_documents": bm25_rescore_documents,
         "mlt_documents": mlt_documents,
@@ -3146,6 +3330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_gauss_documents": bm25_gauss_documents,
+        "bm25_boosting_documents": bm25_boosting_documents,
+        "bm25_pinned_documents": bm25_pinned_documents,
         "customer_order_stats": customer_order_stats,
         "customers_without_orders": customers_without_orders,
         "lineitem_range_count": lineitem_range_count,
@@ -3238,6 +3425,10 @@ def oracle_sql() -> dict[str, str]:
         "span_near_documents": _span_near_sql(),
         "field_scoped_lookup": FIELD_LOOKUP_SQL,
         "docs_nested_keyword_counts": NESTED_KEYWORD_SQL,
+        "docs_regexp_lookup": REGEXP_LOOKUP_SQL,
+        "terms_set_documents": _terms_set_sql(),
+        "phrase_prefix_documents": _phrase_prefix_sql(),
+        "docs_filters_agg": FILTERS_AGG_SQL,
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,

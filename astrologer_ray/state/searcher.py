@@ -712,6 +712,23 @@ class Searcher:
             out = sorted(out, key=lambda t: (-self.df.get(t, 0), t))[:max_terms]
         return out
 
+    def expand_regexp(self, pattern: str,
+                      max_terms: int | None = None) -> list[str]:
+        """Analyzed-text index terms fully matching ``pattern`` (ES
+        ``regexp`` query expansion: ANCHORED, the whole term must match).
+        One Arrow RE2 kernel over the dictionary — the same dialect and
+        anchoring DuckDB's ``regexp_full_match`` oracle applies."""
+        if not pattern:
+            raise ValueError("empty regexp pattern")
+        terms, _lens = self._text_term_table()
+        hit = np.asarray(pc.match_substring_regex(
+            pa.array(terms, type=pa.string()), f"^(?:{pattern})$"
+        ))
+        out = [str(t) for t in terms[hit]]
+        if max_terms is not None and len(out) > max_terms:
+            out = sorted(out, key=lambda t: (-self.df.get(t, 0), t))[:max_terms]
+        return out
+
     def suggest(self, term: str, k: int = 5, max_edits: int = 2,
                 prefix_length: int = 0) -> list[dict]:
         """Term suggester (ES ``suggest``): dictionary corrections for a
@@ -762,6 +779,8 @@ class Searcher:
                                            Levenshtein d of t (ES fuzzy)
           {"wildcard": "pat*ern"}          any analyzed-text term matching
                                            the ES wildcard pattern
+          {"regexp": "pat+ern"}            any analyzed-text term fully
+                                           matching the regex (ES regexp)
           {"field_prefix": {field: "pre"}} keyword-field value prefix
           {"attr_prefix": {attr: "pre"}}   sidecar attribute starts-with
           {"bool": {"must": [...], "must_not": [...], "should": [...]}}
@@ -819,6 +838,11 @@ class Searcher:
         if kind == "wildcard":
             m = np.zeros(self.n_local, dtype=bool)
             for t in self.expand_wildcard(str(arg)):
+                m |= self._postings_ids_mask(t)
+            return m
+        if kind == "regexp":
+            m = np.zeros(self.n_local, dtype=bool)
+            for t in self.expand_regexp(str(arg)):
                 m |= self._postings_ids_mask(t)
             return m
         if kind == "field_prefix":
@@ -1106,6 +1130,72 @@ class Searcher:
         order = np.lexsort((match, -scores))[: min(k, len(match))]
         hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
         return self._format(hits, decorate)
+
+    def match_phrase_prefix(
+        self, terms: list[str], k: int = 10, max_expansions: int | None = 50,
+        filter=None, decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``match_phrase_prefix``: the fixed ``terms[:-1]`` must occur
+        as a consecutive phrase immediately followed by ANY analyzed-text
+        term starting with ``terms[-1]`` (dictionary prefix expansion,
+        capped at ``max_expansions`` highest-df terms; None = exact).
+
+        Score semantics (documented, SQL-checkable): the BM25 sum of the
+        UNIQUE fixed terms' contributions on matching docs — the prefix
+        slot gates matching but adds no score — ranked (score desc,
+        doc_id asc), same weight expression as :meth:`search`.
+        """
+        terms = list(terms)
+        if len(terms) < 2:
+            raise ValueError("match_phrase_prefix needs >= 2 terms "
+                             "(use a prefix query for a single term)")
+        fixed = terms[:-1]
+        keys = self._phrase_match_keys(fixed)
+        if keys is None or len(keys) == 0:
+            return []
+        exp = [t for t in self.expand_prefix(terms[-1],
+                                             max_terms=max_expansions)
+               if FIELD_SEP not in t and self.owns_term(t)
+               and t in self.postings]
+        if not exp:
+            return []
+        stride, m = self.PHRASE_POS_STRIDE, len(fixed)
+        off = m  # MUST mirror _phrase_match_keys' shift for the same keys
+        comp = []
+        for e in exp:
+            d, p = self._phrase_occurrences(e)
+            if len(p) and int(p.max()) >= stride - off:
+                raise ValueError("token position exceeds PHRASE_POS_STRIDE")
+            comp.append(d * stride + (p - m + off))
+        keys = np.intersect1d(
+            keys, np.unique(np.concatenate(comp)), assume_unique=True
+        )
+        if len(keys) == 0:
+            return []
+        match = np.unique(keys // stride)  # local ids, ascending
+        scores = np.zeros(len(match), dtype=np.float64)
+        for t in sorted(set(fixed)):
+            ids, w = self._term_contribution(t)
+            loc = np.searchsorted(ids, match)
+            ok = (loc < len(ids)) & (ids[np.minimum(loc, len(ids) - 1)] == match)
+            scores[ok] += w[loc[ok]]
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if fm is not None:
+            keep = fm[match]
+            match, scores = match[keep], scores[keep]
+        if len(match) == 0:
+            return []
+        order = np.lexsort((match, -scores))[: min(k, len(match))]
+        hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
+        return self._format(hits, decorate)
+
+    def agg_filters(self, filters: dict) -> list[tuple[str, int]]:
+        """ES ``filters`` aggregation: named filter -> matching doc count
+        (tombstones applied), name-ascending. Index/sidecar-served."""
+        return [(str(name), self.count(f))
+                for name, f in sorted(filters.items())]
 
     def _phrase_match_keys(self, terms: list[str]) -> np.ndarray | None:
         """Composite ``doc * STRIDE + start`` keys of every position where

@@ -1113,3 +1113,79 @@ def test_span_near_matches_brute(pos_index, index_and_oracle):
     # slop=0 two-term span == exact phrase search
     ph = {h["doc_id"] for h in s.phrase_search([a, b], k=10**6)}
     assert {h["doc_id"] for h in s.span_near([a, b], slop=0, k=10**6)} == ph
+
+
+def test_regexp_expansion_and_filter_match_brute_force(index_and_oracle):
+    import re
+
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    toks = [set(tokenize(c or "")) for c in contents]
+    vocab = sorted(set().union(*toks))
+    for pat in (r"de[a-z]+", r"[a-z]{3}", r"zz.*", r"x[0-9]+y?"):
+        want_terms = sorted(t for t in vocab if re.fullmatch(pat, t))
+        assert sorted(s.expand_regexp(pat)) == want_terms, pat
+        want_docs = [i for i, tk in enumerate(toks)
+                     if any(re.fullmatch(pat, t) for t in tk)]
+        got = [h["doc_id"] for h in s.field_lookup({"regexp": pat})]
+        assert got == want_docs, pat
+    # max_terms keeps highest-df expansions
+    full = s.expand_regexp(r"[a-z]+")
+    capped = s.expand_regexp(r"[a-z]+", max_terms=3)
+    assert len(capped) == min(3, len(full))
+    assert set(capped) <= set(full)
+    with pytest.raises(ValueError):
+        s.expand_regexp("")
+
+
+def test_match_phrase_prefix_matches_brute_force(pos_index, index_and_oracle):
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    _, contents, _ = index_and_oracle
+    s = Searcher(pos_index)
+    toks = [tokenize(c or "") for c in contents]
+    # real (bigram + prefix) cases drawn from the corpus + adversarial
+    qs = []
+    for tk in toks:
+        if len(tk) >= 3:
+            qs.append([tk[0], tk[1], tk[2][:2]])  # completes in-corpus
+            break
+    qs.append([toks[0][0], "zz_absent_prefix"][:2] + ["q"])
+    if toks and len(toks[0]) >= 2:
+        qs.append([toks[0][0], toks[0][1][:1]])  # 2-term: fixed + prefix
+    for terms in qs:
+        fixed, pre = terms[:-1], terms[-1]
+        m = len(fixed)
+        match_docs = []
+        for i, tk in enumerate(toks):
+            ok = any(
+                tk[j:j + m] == fixed and tk[j + m].startswith(pre)
+                for j in range(len(tk) - m)
+            )
+            if ok:
+                match_docs.append(i)
+        mask = np.zeros(len(toks), dtype=bool)
+        mask[match_docs] = True
+        want = (oracle_topk(contents, fixed, k=10, allowed=mask)
+                if mask.any() else [])
+        got = [(h["doc_id"], h["score"])
+               for h in s.match_phrase_prefix(terms, k=10,
+                                              max_expansions=None)]
+        assert got == want, f"phrase_prefix {terms}"
+    with pytest.raises(ValueError):
+        s.match_phrase_prefix(["only"])
+
+
+def test_agg_filters_counts(index_and_oracle):
+    index_dir, contents, langs = index_and_oracle
+    s = Searcher(index_dir)
+    out = dict(s.agg_filters({
+        "py": {"term": {"lang": "py"}},
+        "go": {"term": {"lang": "go"}},
+        "all": {"bool": {}},
+    }))
+    assert out["all"] == len(contents)
+    assert out["py"] == int((langs == "py").sum())
+    assert out["go"] == int((langs == "go").sum())
