@@ -1123,6 +1123,87 @@ FROM documents ORDER BY doc_id
 """
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (the standard
+    LLM training-data boilerplate filter): duplicate-token fraction and
+    top-bigram fraction — fully vectorized factorize+bincount per batch."""
+    rd = _rd()
+    from astrologer_ray.pipelines.textstats import RepetitionStats
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(RepetitionStats, batch_format="pyarrow",
+                          concurrency=(1, 4)).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SPLIT_SQL} AS ts FROM documents),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tc AS (SELECT doc_id, count(*) AS n, count(DISTINCT term) AS u
+       FROM flat GROUP BY 1),
+big AS (
+  SELECT doc_id, ts[i+1] || ' ' || ts[i+2] AS g
+  FROM toks, unnest(range(len(ts) - 1)) AS t(i) WHERE len(ts) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bt AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(tc.n, 0) AS n_tokens,
+       CASE WHEN coalesce(tc.n, 0) = 0 THEN 0.0
+            ELSE 1 - tc.u / tc.n END AS dup_token_frac,
+       CASE WHEN coalesce(bt.tot, 0) = 0 THEN 0.0
+            ELSE bt.mx / bt.tot END AS top_bigram_frac
+FROM documents d
+LEFT JOIN tc ON tc.doc_id = d.doc_id
+LEFT JOIN bt ON bt.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+DECONTAM_BENCH_IDS = [3, 77, 201]
+DECONTAM_N = 4
+
+
+def decontaminate_documents(sf_dir: str):
+    """Test-set decontamination (LLM training-data hygiene): documents
+    containing any token 4-gram of a benchmark set — here the texts of
+    three fixed doc_ids, so positives are guaranteed — with per-doc hit
+    counts. The benchmark n-gram set broadcasts once via ray.put; the
+    batch scan is anchor-vectorized (isin on first tokens) with exact
+    tuple verification on the rare candidates."""
+    rd = _rd()
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from astrologer_ray.pipelines.textstats import decontaminate
+
+    bench = _pq.read_table(
+        _tbl(sf_dir, "documents"), columns=["doc_id", "text"],
+        filters=_pc.field("doc_id").isin(DECONTAM_BENCH_IDS),
+    )
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = decontaminate(ds, bench.column("text").to_pylist(), n=DECONTAM_N)
+    df = out.to_pandas()
+    df = df[df["contaminated_ngrams"] > 0].sort_values("doc_id")
+    return df.reset_index(drop=True)
+
+
+def _decontam_sql() -> str:
+    ids = ", ".join(str(i) for i in DECONTAM_BENCH_IDS)
+    n = DECONTAM_N
+    return f"""
+WITH toks AS (SELECT doc_id, {_SPLIT_SQL} AS ts FROM documents),
+ng AS (
+  SELECT doc_id, array_to_string(ts[i+1:i+{n}], ' ') AS g
+  FROM toks, unnest(range(len(ts) - {n - 1})) AS t(i)
+  WHERE len(ts) >= {n}),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id IN ({ids}))
+SELECT ng.doc_id, count(*)::BIGINT AS contaminated_ngrams
+FROM ng JOIN bench USING (g)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def bm25_topk_documents(sf_dir: str):
     from astrologer_ray.state.searcher import Searcher
 
@@ -3309,6 +3390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_set_documents": terms_set_documents,
         "phrase_prefix_documents": phrase_prefix_documents,
         "docs_filters_agg": docs_filters_agg,
+        "doc_repetition": doc_repetition,
+        "decontaminate_documents": decontaminate_documents,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3321,8 +3404,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_explain_documents": bm25_explain_documents,
-        "bm25_rescore_documents": bm25_rescore_documents,
-        "mlt_documents": mlt_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
         "q1_pricing_summary": q1_pricing_summary,
@@ -3333,6 +3414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_gauss_documents": bm25_gauss_documents,
         "bm25_boosting_documents": bm25_boosting_documents,
         "bm25_pinned_documents": bm25_pinned_documents,
+        "bm25_rescore_documents": bm25_rescore_documents,
+        "mlt_documents": mlt_documents,
         "customer_order_stats": customer_order_stats,
         "customers_without_orders": customers_without_orders,
         "lineitem_range_count": lineitem_range_count,
@@ -3429,6 +3512,8 @@ def oracle_sql() -> dict[str, str]:
         "terms_set_documents": _terms_set_sql(),
         "phrase_prefix_documents": _phrase_prefix_sql(),
         "docs_filters_agg": FILTERS_AGG_SQL,
+        "doc_repetition": DOC_REPETITION_SQL,
+        "decontaminate_documents": _decontam_sql(),
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,

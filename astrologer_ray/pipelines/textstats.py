@@ -148,6 +148,142 @@ class QualityScore:
         return pa.table(out)
 
 
+def _doc_tokens(arr: pa.Array, split_pattern: str = "[^a-z0-9]+"):
+    """(doc_idx int64, flat tokens object ndarray) for non-empty lowered
+    tokens — the shared vectorized front-end for the repetition and
+    decontamination ops (one Arrow split, no per-row Python)."""
+    lower = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(lower, split_pattern)
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return doc_idx[keep], np.asarray(flat, dtype=object)[keep]
+
+
+class RepetitionStats:
+    """Gopher-style repetition signals per document (training-data quality
+    filtering): ``dup_token_frac`` = 1 - unique_tokens/tokens and
+    ``top_bigram_frac`` = occurrences of the most frequent token bigram /
+    total bigrams. High values flag boilerplate/spam docs that LLM data
+    pipelines drop. Fully vectorized (factorize + bincount + maximum.at);
+    both components SQL-expressible for the oracle gate."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        col = t[self.text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ndocs = len(arr)
+        doc_idx, toks = _doc_tokens(arr)
+        n_tok = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+        dup_frac = np.zeros(ndocs, dtype=np.float64)
+        top_big = np.zeros(ndocs, dtype=np.float64)
+        if len(toks):
+            codes, uniq = pd.factorize(toks)
+            V = len(uniq)
+            # unique tokens per doc: factorize (doc, code) composite
+            _, udt = pd.factorize(doc_idx * V + codes)
+            u_per_doc = np.bincount((udt // V).astype(np.int64),
+                                    minlength=ndocs)
+            nz = n_tok > 0
+            dup_frac[nz] = 1.0 - u_per_doc[nz] / n_tok[nz]
+            # bigrams: consecutive tokens within one doc
+            same = doc_idx[1:] == doc_idx[:-1]
+            if same.any():
+                bd = doc_idx[:-1][same]
+                # pair codes first (V^2 keys), then doc x pair — two small
+                # factorizes sidestep a doc*V*V int64 overflow
+                pcodes, _ = pd.factorize(codes[:-1][same] * V + codes[1:][same])
+                P = int(pcodes.max()) + 1
+                inv, uk = pd.factorize(bd * P + pcodes)
+                cnt = np.bincount(inv)
+                mx = np.zeros(ndocs, dtype=np.int64)
+                np.maximum.at(mx, (uk // P).astype(np.int64), cnt)
+                tot = np.bincount(bd, minlength=ndocs).astype(np.int64)
+                bz = tot > 0
+                top_big[bz] = mx[bz] / tot[bz]
+        out = {n: t[n] for n in t.column_names if n != self.text_col}
+        out["n_tokens"] = pa.array(n_tok)
+        out["dup_token_frac"] = pa.array(dup_frac, pa.float64())
+        out["top_bigram_frac"] = pa.array(top_big, pa.float64())
+        return pa.table(out)
+
+
+class DecontaminateStage:
+    """Test-set decontamination (training-data hygiene): flag documents
+    containing any token ``n``-gram from a benchmark set — the standard
+    guard against evaluation contamination in LLM training corpora.
+
+    The benchmark n-gram set is built ONCE (driver), shipped via
+    ``ray.put`` and read by every actor from the object store (broadcast
+    small side — never re-shipped per batch). The per-batch scan is
+    anchor-vectorized: only positions whose FIRST token appears in the
+    benchmark vocabulary (rare, one ``isin`` pass) are verified exactly
+    against the n-gram set in Python — exact semantics, vectorized
+    common path.
+    """
+
+    def __init__(self, bench_ref, n: int = 8, text_col: str = "text"):
+        import ray
+
+        obj = ray.get(bench_ref) if not isinstance(bench_ref, tuple) else bench_ref
+        self.ngrams, self.anchors = obj  # set[tuple[str]], set[str]
+        self.n = int(n)
+        self.text_col = text_col
+        self._anchor_arr = pa.array(sorted(self.anchors), pa.string())
+
+    @staticmethod
+    def build_benchmark(texts: list[str], n: int = 8):
+        """(ngram set, anchor-token set) for ``ray.put`` broadcast."""
+        ngrams: set[tuple] = set()
+        for s in texts:
+            tk = _SIMPLE_RE.findall((s or "").lower())
+            ngrams.update(
+                tuple(tk[i:i + n]) for i in range(len(tk) - n + 1)
+            )
+        return ngrams, {g[0] for g in ngrams}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t[self.text_col]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        ndocs = len(arr)
+        doc_idx, toks = _doc_tokens(arr)
+        hits = np.zeros(ndocs, dtype=np.int64)
+        n = self.n
+        if len(toks) >= n and self.ngrams:
+            anchor = pc.is_in(
+                pa.array(toks, pa.string()), value_set=self._anchor_arr
+            ).to_numpy(zero_copy_only=False)
+            # candidate window starts: anchor token, full window in-doc
+            cand = np.flatnonzero(anchor[: len(toks) - n + 1])
+            cand = cand[doc_idx[cand] == doc_idx[cand + n - 1]]
+            for i in cand:  # rare by construction
+                if tuple(toks[i:i + n]) in self.ngrams:
+                    hits[doc_idx[i]] += 1
+        out = {c: t[c] for c in t.column_names if c != self.text_col}
+        out["contaminated_ngrams"] = pa.array(hits, pa.int64())
+        return pa.table(out)
+
+
+def decontaminate(ds: Dataset, benchmark_texts: list[str], n: int = 8,
+                  text_col: str = "text") -> Dataset:
+    """Per-doc benchmark n-gram hit counts over a Dataset; filter
+    ``contaminated_ngrams == 0`` downstream to drop contaminated docs."""
+    import ray
+
+    ref = ray.put(DecontaminateStage.build_benchmark(benchmark_texts, n))
+    return ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs={"bench_ref": ref, "n": n, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def fingerprint64(text: str) -> int:
     """Deterministic 63-bit fingerprint of the simple-token stream.
 

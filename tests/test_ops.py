@@ -876,3 +876,68 @@ def test_kmeans_distributed_deterministic(ray_session, sf_dir):
         a = kmeans_assign(ds, C).to_pandas()
         inert.append(a["dist2"].sum())
     assert inert[0] >= inert[1] >= inert[2] - 1e-9
+
+
+def test_repetition_stats_brute_force(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.functions.tokenizer import _SIMPLE_RE
+    from astrologer_ray.pipelines.textstats import RepetitionStats
+
+    docs = [
+        "spam spam spam spam",           # all-dup tokens, one bigram
+        "a b c d e",                     # all unique
+        "x y x y x y z",                 # dominant bigram
+        "", "solo",
+        "Mixed CASE mixed case tokens",  # lowering folds dups
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": s} for i, s in enumerate(docs)])
+    out = ds.map_batches(RepetitionStats, batch_format="pyarrow",
+                         batch_size=3, concurrency=1
+                         ).to_pandas().sort_values("doc_id")
+    from collections import Counter
+    for i, s in enumerate(docs):
+        tk = _SIMPLE_RE.findall(s.lower())
+        r = out[out.doc_id == i].iloc[0]
+        assert r["n_tokens"] == len(tk)
+        want_dup = 1 - len(set(tk)) / len(tk) if tk else 0.0
+        assert abs(r["dup_token_frac"] - want_dup) < 1e-12, (i, s)
+        bigs = Counter(zip(tk, tk[1:]))
+        want_top = max(bigs.values()) / sum(bigs.values()) if bigs else 0.0
+        assert abs(r["top_bigram_frac"] - want_top) < 1e-12, (i, s)
+
+
+def test_decontaminate_exact_ngram_hits(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.textstats import decontaminate
+
+    bench = ["the quick brown fox jumps"]
+    docs = [
+        {"doc_id": 0, "text": "x the quick brown fox jumps y"},   # 1 hit (n=4: 2 windows)
+        {"doc_id": 1, "text": "the quick brown dog"},             # no full 4-gram
+        {"doc_id": 2, "text": "quick brown fox jumps extra"},     # suffix 4-gram
+        {"doc_id": 3, "text": "unrelated tokens only here"},
+        {"doc_id": 4, "text": "THE QUICK BROWN FOX"},             # case-folded hit
+    ]
+    out = decontaminate(
+        rd.from_items(docs), bench, n=4
+    ).to_pandas().sort_values("doc_id")
+    got = dict(zip(out.doc_id, out.contaminated_ngrams))
+    # bench 4-grams: (the quick brown fox), (quick brown fox jumps)
+    assert got == {0: 2, 1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_decontaminate_never_matches_across_doc_boundary(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.textstats import decontaminate
+
+    # adjacent docs whose concatenation contains the benchmark 4-gram,
+    # but neither doc alone does
+    docs = [{"doc_id": 0, "text": "alpha beta"},
+            {"doc_id": 1, "text": "gamma delta"}]
+    out = decontaminate(
+        rd.from_items(docs), ["alpha beta gamma delta"], n=4
+    ).to_pandas()
+    assert (out["contaminated_ngrams"] == 0).all()
