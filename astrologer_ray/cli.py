@@ -292,6 +292,14 @@ def cmd_search(args) -> int:
     elif args.wildcard:
         hits = s.field_lookup(_with_filt({"wildcard": args.query}),
                               decorate=True)[: args.k]
+    elif args.regexp:
+        hits = s.field_lookup(_with_filt({"regexp": args.query}),
+                              decorate=True)[: args.k]
+    elif args.phrase_prefix:
+        hits = s.match_phrase_prefix(
+            tokenize(args.query, mode=s.mode), k=args.k, filter=filt,
+            decorate=True,
+        )
     elif args.sort_by:
         hits = s.sort_by_attr(args.sort_by, k=args.k,
                               descending=not args.asc, filter=filt)
@@ -430,6 +438,12 @@ def main(argv: list[str] | None = None) -> int:
                          "term within --max-edits (ES fuzzy query)")
     se.add_argument("--wildcard", action="store_true",
                     help="treat QUERY as an ES wildcard pattern (*/?)")
+    se.add_argument("--regexp", action="store_true",
+                    help="treat QUERY as an anchored regex over dictionary "
+                         "terms (ES regexp query)")
+    se.add_argument("--phrase-prefix", action="store_true",
+                    help="match_phrase_prefix: QUERY's last token is a "
+                         "prefix (needs an index built with --positions)")
     se.add_argument("--suggest", action="store_true",
                     help="print dictionary corrections for QUERY "
                          "(distance asc, df desc)")

@@ -157,6 +157,40 @@ def test_cli_query_surface_flags(ray_session, small_corpus_dir, tmp_path, capsys
     rlines = capsys.readouterr().out.strip().splitlines()
     assert rlines and json.loads(rlines[0])["score"] > 0
 
+    assert main(["search", idx, "ind[a-z]+", "--regexp", "-k", "5"]) == 0
+    xlines = capsys.readouterr().out.strip().splitlines()
+    assert xlines and all("doc_id" in json.loads(x) for x in xlines)
+    # regexp is anchored: same docs as the wildcard 'ind*' listing prefix
+    assert {json.loads(x)["doc_id"] for x in xlines} <= {
+        json.loads(x)["doc_id"] for x in wlines}
+
+    # phrase-prefix query drawn from a real document's emitted stream
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    src = pq.read_table(sorted(glob.glob(small_corpus_dir + "/*.parquet"))[0])
+
+    def _simple_bigram():
+        # adjacent emitted tokens whose raws do not decompose, so the CLI's
+        # re-tokenization of the query reproduces the same stream slice
+        for c in src.column("content").to_pylist():
+            tk = tokenize(c or "")
+            for i in range(len(tk) - 1):
+                if (tokenize(tk[i]) == [tk[i]]
+                        and tokenize(tk[i + 1]) == [tk[i + 1]]
+                        and tokenize(tk[i + 1][:2]) == [tk[i + 1][:2]]):
+                    return tk[i], tk[i + 1]
+        raise AssertionError("no simple bigram in corpus")
+
+    w1, w2 = _simple_bigram()
+    q = f"{w1} {w2[:2]}"
+    assert main(["search", idx, q, "--phrase-prefix", "-k", "5"]) == 0
+    plines = capsys.readouterr().out.strip().splitlines()
+    assert plines and json.loads(plines[0])["score"] > 0
+
 
 def test_cli_delete_by_query(ray_session, small_corpus_dir, tmp_path, capsys):
     idx = str(tmp_path / "cliidx5")
