@@ -1160,6 +1160,47 @@ ORDER BY d.doc_id
 """
 
 
+PACK_BIN_TOKENS = 128
+PACK_ROWS_PER_PART = 100
+
+
+def pack_documents(sf_dir: str):
+    """Greedy sequence packing (LLM training-data assembly): documents
+    fill 128-token bins in doc_id order, co-partitioned by
+    doc_id // 100 so the sequential fold distributes (bounded groups,
+    parallelism-invariant bin ids — pipelines/packing.py)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.packing import pack_sequences
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = pack_sequences(ds, bin_tokens=PACK_BIN_TOKENS,
+                         rows_per_part=PACK_ROWS_PER_PART)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _pack_documents_sql() -> str:
+    b, p = PACK_BIN_TOKENS, PACK_ROWS_PER_PART
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id // {p} AS pid, len({_SPLIT_SQL}) AS n
+  FROM documents),
+ordered AS (
+  SELECT doc_id, pid, n,
+         row_number() OVER (PARTITION BY pid ORDER BY doc_id) AS rn
+  FROM toks),
+pack AS (
+  SELECT doc_id, pid, n, rn, 0 AS bin, n AS cum
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.pid, o.n, o.rn,
+         CASE WHEN p.cum + o.n > {b} THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.cum + o.n > {b} THEN o.n ELSE p.cum + o.n END
+  FROM pack p JOIN ordered o ON o.pid = p.pid AND o.rn = p.rn + 1)
+SELECT doc_id, n::BIGINT AS n_tokens, (pid * {p} + bin)::BIGINT AS bin_id
+FROM pack ORDER BY doc_id
+"""
+
+
 DECONTAM_BENCH_IDS = [3, 77, 201]
 DECONTAM_N = 4
 
@@ -3392,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filters_agg": docs_filters_agg,
         "doc_repetition": doc_repetition,
         "decontaminate_documents": decontaminate_documents,
+        "pack_documents": pack_documents,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3403,7 +3445,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
-        "bm25_explain_documents": bm25_explain_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
         "q1_pricing_summary": q1_pricing_summary,
@@ -3411,6 +3452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_explain_documents": bm25_explain_documents,
         "bm25_gauss_documents": bm25_gauss_documents,
         "bm25_boosting_documents": bm25_boosting_documents,
         "bm25_pinned_documents": bm25_pinned_documents,
@@ -3514,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_filters_agg": FILTERS_AGG_SQL,
         "doc_repetition": DOC_REPETITION_SQL,
         "decontaminate_documents": _decontam_sql(),
+        "pack_documents": _pack_documents_sql(),
         "docs_prefix_lookup": PREFIX_LOOKUP_SQL,
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,

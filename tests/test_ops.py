@@ -941,3 +941,41 @@ def test_decontaminate_never_matches_across_doc_boundary(ray_session):
         rd.from_items(docs), ["alpha beta gamma delta"], n=4
     ).to_pandas()
     assert (out["contaminated_ngrams"] == 0).all()
+
+
+def test_pack_sequences_matches_greedy_and_is_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.functions.tokenizer import _SIMPLE_RE
+    from astrologer_ray.pipelines.packing import pack_sequences
+
+    rng = np.random.default_rng(3)
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{j}" for j in range(int(rng.integers(0, 30))))}
+            for i in range(57)]
+    B, P = 40, 10
+
+    def brute():
+        out = {}
+        for pid in range(6):
+            part = [d for d in docs if d["doc_id"] // P == pid]
+            b, cum = 0, None
+            for d in part:
+                n = len(_SIMPLE_RE.findall(d["text"].lower()))
+                if cum is None:
+                    cum = n
+                elif cum + n > B:
+                    b, cum = b + 1, n
+                else:
+                    cum += n
+                out[d["doc_id"]] = (n, pid * P + b)
+        return out
+
+    want = brute()
+    for parts in (1, 7):
+        got = pack_sequences(
+            rd.from_items(docs).repartition(parts), bin_tokens=B,
+            rows_per_part=P,
+        ).to_pandas().sort_values("doc_id")
+        assert {int(r.doc_id): (int(r.n_tokens), int(r.bin_id))
+                for r in got.itertuples()} == want, parts
