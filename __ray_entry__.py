@@ -530,6 +530,23 @@ FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_user_cardinality_hll(sf_dir: str):
+    """Approximate per-type distinct-user count via HyperLogLog sketches
+    (ES ``cardinality`` agg's real implementation): per-batch registers
+    merge with elementwise max, so the exchange carries 2^12 bytes per
+    (batch, group) regardless of group size — the 100-TB path where the
+    exact distinct shuffle stops being affordable. Deterministic
+    (fixed-key vectorized hash) but approximate: no SQL oracle;
+    accuracy vs exact is pytest-asserted (err < 1.04/sqrt(2^p))."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import hll_distinct
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id").to_pandas().sort_values(
+        "event_type"
+    ).reset_index(drop=True)
+
+
 def events_user_cardinality(sf_dir: str):
     """Exact per-type distinct-user count (ES cardinality agg, exact
     flavor; batch-level pre-dedup shrinks the shuffle)."""
@@ -3434,6 +3451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "decontaminate_documents": decontaminate_documents,
         "pack_documents": pack_documents,
+        "events_user_cardinality_hll": events_user_cardinality_hll,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3445,13 +3463,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
-        "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_paged_documents": bm25_paged_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_gauss_documents": bm25_gauss_documents,
         "bm25_boosting_documents": bm25_boosting_documents,

@@ -260,28 +260,46 @@ def percentiles(
     return ds.groupby(group_col).map_groups(group_q, batch_format="pyarrow")
 
 
+def _bit_length_u64(v: "np.ndarray") -> "np.ndarray":
+    """Exact vectorized bit_length for uint64 (shift cascade — float log2
+    is imprecise past 2^53)."""
+    import numpy as np
+
+    v = v.copy()
+    bl = np.zeros(v.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        v[big] >>= np.uint64(s)
+    bl[v > 0] += 1
+    return bl
+
+
 class _HLL:
-    """Minimal HyperLogLog register logic (blake2b-hashed, 2^p registers)."""
+    """Minimal HyperLogLog register logic (2^p registers).
+
+    Values hash through ``pandas.util.hash_array`` (vectorized 64-bit C
+    hashing, deterministic fixed key) — the register update is pure numpy
+    (index shift, clz cascade, ``maximum.at`` scatter), no per-value
+    Python in the hot path."""
 
     def __init__(self, p: int = 12):
         self.p = p
         self.m = 1 << p
 
     def registers(self, values) -> "np.ndarray":
-        import hashlib
-
         import numpy as np
+        import pandas as pd
 
         regs = np.zeros(self.m, dtype=np.uint8)
-        for v in values:
-            h = int.from_bytes(
-                hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
-            )
-            idx = h >> (64 - self.p)
-            rest = h & ((1 << (64 - self.p)) - 1)
-            rank = (64 - self.p) - rest.bit_length() + 1
-            if rank > regs[idx]:
-                regs[idx] = rank
+        arr = np.asarray(values)
+        if arr.size == 0:
+            return regs
+        h = pd.util.hash_array(arr)  # uint64, deterministic
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h & np.uint64((1 << (64 - self.p)) - 1)
+        rank = ((64 - self.p) - _bit_length_u64(rest) + 1).astype(np.uint8)
+        np.maximum.at(regs, idx, rank)
         return regs
 
     def estimate(self, regs) -> float:
