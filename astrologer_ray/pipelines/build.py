@@ -676,6 +676,13 @@ def _encode_postings(
             )
             if out.num_rows == 0:
                 continue
+            # write the bucket (term, last_doc_id)-sorted: terms are
+            # hash-partitioned so each lives in exactly ONE bucket, which
+            # makes per-term chunk runs contiguous in the concatenation of
+            # sorted buckets — Searcher's load-time global sort (paid by
+            # EVERY serving actor at cold start) becomes skippable for a
+            # single-generation index (meta flag postings_term_sorted)
+            out = out.sort_by([("term", "ascending"), ("last_doc_id", "ascending")])
             out_path = os.path.join(
                 postings_dir, f"post-bucket-{bucket:05d}.parquet"
             )
@@ -997,6 +1004,9 @@ def build_index(
         "encode_avgdl": avgdl,
         "min_doc_key": id_stats.get("min_doc_key"),
         "max_doc_key": id_stats.get("max_doc_key"),
+        # bucket files are written (term, last_doc_id)-sorted; a
+        # single-generation Searcher load skips its global sort on this
+        "postings_term_sorted": True,
     }
     with open(os.path.join(stats_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -157,10 +157,21 @@ class _ChunkStore:
             return
         enc = post.column("term").combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy()
-        # the table is term-sorted, so first-appearance dictionary codes
-        # are nondecreasing and every term is one contiguous row run
+        # invariant: every term's chunk rows form ONE contiguous row run
+        # (global term sort, or per-term-sorted hash buckets concatenated —
+        # a term lives in exactly one bucket). First-appearance dictionary
+        # codes then enumerate runs in row order, so run k belongs to
+        # dictionary[k].
         starts = np.flatnonzero(np.diff(codes, prepend=-1))
         stops = np.append(starts[1:], len(codes))
+        if len(starts) != len(enc.dictionary):
+            # a term split across runs would silently mis-range EVERY term
+            # after it — refuse loudly instead (stale postings_term_sorted
+            # flag / corrupted postings)
+            raise ValueError(
+                "postings table is not term-contiguous: "
+                f"{len(starts)} runs for {len(enc.dictionary)} terms"
+            )
         self._ranges = {
             t: (int(s), int(e))
             for t, s, e in zip(enc.dictionary.to_pylist(), starts, stops)
@@ -298,11 +309,19 @@ class Searcher:
         post = pa.concat_tables(tables) if tables else None
 
         if post is not None and post.num_rows:
-            # (term, last_doc_id) — NOT chunk_id: generations' doc-id ranges
-            # are disjoint ascending, but a boundary chunk can be split
-            # across two generations (same chunk_id twice per term)
-            order = [("term", "ascending"), ("last_doc_id", "ascending")]
-            post = post.sort_by(order).combine_chunks()
+            # a single generation whose buckets were written
+            # (term, last_doc_id)-sorted needs NO load-time sort: terms are
+            # hash-partitioned (one bucket each), so per-term chunk runs
+            # are already contiguous and doc-ordered in the bucket concat —
+            # skipping the sort is the largest cold-start saving per actor.
+            # Multi-generation concat breaks contiguity (the same term
+            # appears once per generation), so it still sorts.
+            if len(gens) > 1 or not gens[0][1].get("postings_term_sorted"):
+                # (term, last_doc_id) — NOT chunk_id: generations' doc-id
+                # ranges are disjoint ascending, but a boundary chunk can be
+                # split across two generations (same chunk_id twice per term)
+                order = [("term", "ascending"), ("last_doc_id", "ascending")]
+                post = post.sort_by(order).combine_chunks()
         # columnar chunk metadata + lazy per-term dict views: actor
         # cold-start no longer pays O(vocab × chunks) Python objects
         self.postings = _ChunkStore(post)

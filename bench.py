@@ -28,8 +28,8 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-BENCH_CORPUS = "/tmp/bench_corpus_v1"
-BENCH_INDEX = "/tmp/bench_index"
+BENCH_CORPUS = os.environ.get("GRAFT_BENCH_CORPUS", "/tmp/bench_corpus_v1")
+BENCH_INDEX = os.environ.get("GRAFT_BENCH_INDEX", "/tmp/bench_index")
 N_FILES = int(os.environ.get("GRAFT_BENCH_FILES", "1000000"))
 
 
@@ -51,7 +51,7 @@ def _probe_stream(_):
     return 15_000_000 * 8 * 2 * 4 / (time.time() - t0) / 1e9
 
 
-def host_probes(full: bool = False) -> dict:
+def host_probes(full: bool | None = False) -> dict:
     """Tiny host-state probes embedded in every bench record: the sandbox
     VM is timeshared and its MEMORY bandwidth (not CPU) varies minute to
     minute with neighbors — throughput numbers are only interpretable next
@@ -63,6 +63,10 @@ def host_probes(full: bool = False) -> dict:
     8→32 CPUs on this host (real N→4N *nodes* bring 4× the bandwidth)."""
     import multiprocessing as mp
 
+    if full is None:  # quick mode: the 8-proc aggregate only (~3-10 s);
+        with mp.Pool(8) as pool:  # it is the window-match signal
+            bw8 = sum(pool.map(_probe_stream, range(8)))
+        return {"membw_8proc_GBps": round(bw8, 2)}
     cpu1 = _probe_burn(10_000_000) / 1e6
     bw1 = _probe_stream(None)
     with mp.Pool(8) as pool:
@@ -366,12 +370,20 @@ def scaling() -> None:
     window is not comparable to a hi-CPU run from another. Runs are
     interleaved in adjacent (lo, hi) PAIRS — the two runs of a pair share
     (approximately) one host window, so the pair's efficiency is
-    drift-cancelled — with a cheap bandwidth probe before each run embedded
-    in the record. The headline efficiency comes from the fastest pair
-    (lowest combined wall time == the least-contended window observed)."""
+    drift-cancelled — with cheap bandwidth probes bracketing each run
+    embedded in the record, leg order alternating between pairs, and a
+    small re-run budget for pairs whose probes show the window flipped
+    mid-pair. The headline efficiency is the median over window-matched
+    pairs."""
     lo, hi = 8, NUM_CPUS if NUM_CPUS > 8 else 32
 
     def run(ncpu: int) -> dict:
+        # settle: let the host recover from OUR previous run's teardown
+        # (raylet/plasma exit + page reclaim depress the probe for ~10 s,
+        # which round-4 run w1 showed can mislabel a stable window as
+        # mismatched — every probe taken right after a leg read 4-11 GB/s
+        # while probes after a cold gap read 39-47 GB/s in the same window)
+        time.sleep(10)
         probe = host_probes()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         p = subprocess.run(
@@ -381,24 +393,61 @@ def scaling() -> None:
         )
         r = json.loads(p.stdout.strip().splitlines()[-1])
         r["probe_before"] = probe
+        time.sleep(5)
+        r["probe_after"] = host_probes(full=None)  # quick: membw_8proc only
         return r
 
+    def matched(a: dict, b: dict) -> bool:
+        # a pair is window-matched when the bandwidth probes bracketing
+        # both legs sit within a 2.5x band — beyond that the host moved
+        # mid-pair and the ratio measures the window, not the engine
+        bws = [a["probe_before"]["membw_8proc_GBps"], a["probe_after"]["membw_8proc_GBps"],
+               b["probe_before"]["membw_8proc_GBps"], b["probe_after"]["membw_8proc_GBps"]]
+        return max(bws) <= 2.5 * max(min(bws), 0.01)
+
+    # full probe (incl. 32-proc aggregate) at suite START: if the 8-proc
+    # and 32-proc aggregates match, this host's memory bus saturates below
+    # 32 workers and a bandwidth-bound stage CANNOT show 4x speedup here
+    # (real N->4N nodes bring 4x the bus); capturing it in the same window
+    # the pairs run in makes the ceiling argument per-run, not anecdotal
+    host_start = host_probes(full=True)
     _ = run(lo)  # warm OS page cache + corpus generation, untimed
     pairs = []
-    for _ in range(4):
-        pairs.append((run(lo), run(hi)))
+    retries = 2  # re-run budget for mid-pair window flips
+    for k in range(4):
+        # alternate leg order (lo,hi / hi,lo): round-4 run w1 showed an
+        # order-correlated probe artifact (every probe following a hi leg
+        # read ~40 GB/s, every probe following a lo leg ~4-11 GB/s in one
+        # window); alternating makes any leg-order aftereffect hit both
+        # levels symmetrically so it cancels in the median
+        if k % 2 == 0:
+            a, b = run(lo), run(hi)
+        else:
+            b, a = run(hi), run(lo)
+        while not matched(a, b) and retries > 0:
+            retries -= 1
+            if k % 2 == 0:
+                a, b = run(lo), run(hi)
+            else:
+                b, a = run(hi), run(lo)
+        pairs.append((a, b))
 
     def t(r):
         return r["queries"]["build_code_index"]
 
     pair_effs = [round((t(a) / t(b)) / (hi / lo), 3) for a, b in pairs]
-    # headline = MEDIAN pair efficiency. The previous fastest-combined-wall
+    pair_matched = [matched(a, b) for a, b in pairs]
+    # headline = MEDIAN pair efficiency over window-MATCHED pairs (all
+    # pairs if fewer than two matched). The old fastest-combined-wall
     # pick was biased LOW: the combined wall is dominated by the lo run, so
     # it selects pairs whose lo hit a lucky bandwidth window — which
     # lowers the ratio — while a lucky hi (which raises it) barely moves
     # the sum. The median is symmetric under window drift; the best pair
     # (least within-pair drift observed) is reported alongside.
-    order = sorted(range(len(pairs)), key=lambda i: pair_effs[i])
+    eligible = [i for i in range(len(pairs)) if pair_matched[i]]
+    if len(eligible) < 2:
+        eligible = list(range(len(pairs)))
+    order = sorted(eligible, key=lambda i: pair_effs[i])
     med_i = order[len(order) // 2]
     best_lo, best_hi = pairs[med_i]
     t_lo, t_hi = t(best_lo), t(best_hi)
@@ -410,6 +459,11 @@ def scaling() -> None:
     par_lo = st_lo["tokenize_partials"] + st_lo["postings_encode"]
     par_hi = st_hi["tokenize_partials"] + st_hi["postings_encode"]
     par_eff = (par_lo / par_hi) / (hi / lo)
+    stage_effs = {
+        k: round((st_lo[k] / st_hi[k]) / (hi / lo), 3)
+        for k in st_lo
+        if st_hi.get(k, 0) > 0
+    }
     print(
         json.dumps(
             {
@@ -425,22 +479,46 @@ def scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "best_pair_efficiency": max(pair_effs),
                 "pair_efficiencies": pair_effs,
+                "pair_window_matched": pair_matched,
+                "matched_pair_count": sum(pair_matched),
                 "parallel_stage_sec_lo": round(par_lo, 2),
                 "parallel_stage_sec_hi": round(par_hi, 2),
                 "parallel_stage_efficiency": round(par_eff, 3),
+                "stage_efficiencies": stage_effs,
                 "stage_timings_lo": st_lo,
                 "stage_timings_hi": st_hi,
                 "all_sec_lo": [round(t(a), 3) for a, _ in pairs],
                 "all_sec_hi": [round(t(b), 3) for _, b in pairs],
                 "probes_lo": [a["probe_before"] for a, _ in pairs],
                 "probes_hi": [b["probe_before"] for _, b in pairs],
+                "probes_lo_after": [a["probe_after"] for a, _ in pairs],
+                "probes_hi_after": [b["probe_after"] for _, b in pairs],
+                "host_start": host_start,
                 "host": host_probes(full=True),
             }
         )
     )
 
 
+def _exclusive_lock():
+    """One bench at a time per (corpus, index) path set: two concurrent
+    bench processes share BENCH_INDEX and force=True-wipe each other's
+    partials mid-merge (observed when a good-window watcher fired while a
+    manual run was active). The inner --only=build children of scaling()
+    inherit the parent's lock via GRAFT_BENCH_LOCK_HELD."""
+    if os.environ.get("GRAFT_BENCH_LOCK_HELD"):
+        return None
+    import fcntl
+
+    lockpath = f"/tmp/graft_bench{BENCH_INDEX.replace('/', '_')}.lock"
+    fd = open(lockpath, "w")
+    fcntl.flock(fd, fcntl.LOCK_EX)  # blocks until the other bench finishes
+    os.environ["GRAFT_BENCH_LOCK_HELD"] = "1"  # children skip re-locking
+    return fd
+
+
 if __name__ == "__main__":
+    _lock = _exclusive_lock()
     if "--scaling" in sys.argv:
         scaling()
     else:

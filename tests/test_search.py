@@ -1189,3 +1189,41 @@ def test_agg_filters_counts(index_and_oracle):
     assert out["all"] == len(contents)
     assert out["py"] == int((langs == "py").sum())
     assert out["go"] == int((langs == "go").sum())
+
+
+def test_postings_buckets_term_sorted_and_load_skips_sort(index_and_oracle):
+    """Bucket files are written (term, last_doc_id)-sorted and flagged in
+    meta, so a single-generation Searcher load takes the no-sort path; the
+    concatenation of hash-partitioned sorted buckets must be term-contiguous
+    (each term lives in exactly one bucket)."""
+    import json
+    import os
+
+    index_dir, _, _ = index_and_oracle
+    with open(os.path.join(index_dir, "stats", "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["postings_term_sorted"] is True
+    for p in sorted(glob.glob(os.path.join(index_dir, "postings", "*.parquet"))):
+        t = pq.read_table(p, columns=["term", "last_doc_id"])
+        keys = list(zip(t.column("term").to_pylist(),
+                        t.column("last_doc_id").to_pylist()))
+        assert keys == sorted(keys), f"bucket not sorted: {p}"
+    # the loaded store must expose one contiguous range per dictionary term
+    s = Searcher(index_dir, load_docs=False)
+    assert set(s.postings.keys()) == set(s.df.keys())
+
+
+def test_chunkstore_rejects_noncontiguous_terms():
+    """A term split across two row runs would silently mis-range every
+    term after it — the store must refuse loudly instead."""
+    import pyarrow as pa
+
+    from astrologer_ray.state.searcher import _ChunkStore
+
+    bad = pa.table({"term": ["a", "b", "a"], "n": [1, 1, 1]})
+    with pytest.raises(ValueError, match="not term-contiguous"):
+        _ChunkStore(bad)
+    ok = pa.table({"term": ["a", "a", "b"], "n": [1, 2, 3]})
+    store = _ChunkStore(ok)
+    assert [r["n"] for r in store["a"]] == [1, 2]
+    assert [r["n"] for r in store["b"]] == [3]
