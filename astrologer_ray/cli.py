@@ -257,6 +257,18 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Index integrity verification (pipelines/integrity.py): the ops
+    check behind crash-resume — consistency of docs/dict/postings/meta
+    across the base index and every delta segment."""
+    from astrologer_ray.pipelines.integrity import check_index
+
+    _ray_session(args.num_cpus)
+    out = check_index(args.index, sample_chunks=args.sample_chunks)
+    print(json.dumps(out, indent=1))
+    return 0 if out["ok"] else 1
+
+
 def cmd_delete(args) -> int:
     """ES _delete_by_query: tombstone docs matching the filter DSL."""
     from astrologer_ray.pipelines.segments import delete_by_query
@@ -402,6 +414,17 @@ def main(argv: list[str] | None = None) -> int:
                                       "tombstone counts, on-disk sizes")
     inf.add_argument("index")
     inf.set_defaults(fn=cmd_info)
+
+    ck = sub.add_parser("check",
+                        help="verify index integrity across generations "
+                             "(dense ids, monotone keys, dictionary<->"
+                             "postings counts, sampled chunk decode); "
+                             "exit 1 on any violation")
+    ck.add_argument("index")
+    ck.add_argument("--sample-chunks", type=int, default=8,
+                    help="chunks decode-verified per bucket file")
+    ck.add_argument("--num-cpus", type=int, default=None)
+    ck.set_defaults(fn=cmd_check)
 
     de = sub.add_parser("delete",
                         help="tombstone docs matching a filter "

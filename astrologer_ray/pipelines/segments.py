@@ -360,6 +360,9 @@ def append_segment(
         "chunk_bits": chunk_bits,
         "n_shards": n_shards,
         "n_buckets": n_buckets,
+        # same merge path as the base build: buckets are written
+        # (term, last_doc_id)-sorted
+        "postings_term_sorted": True,
     }
     with open(os.path.join(seg_dir, "stats", "meta.json"), "w") as f:
         json.dump(seg_meta, f, indent=1)
