@@ -261,10 +261,14 @@ def cmd_check(args) -> int:
     """Index integrity verification (pipelines/integrity.py): the ops
     check behind crash-resume — consistency of docs/dict/postings/meta
     across the base index and every delta segment."""
-    from astrologer_ray.pipelines.integrity import check_index
+    from astrologer_ray.pipelines.integrity import check_corpus, check_index
 
     _ray_session(args.num_cpus)
     out = check_index(args.index, sample_chunks=args.sample_chunks)
+    if args.corpus:
+        out["corpus"] = check_corpus(args.index, args.corpus,
+                                     sample=args.corpus_sample)
+        out["ok"] = out["ok"] and out["corpus"]["ok"]
     print(json.dumps(out, indent=1))
     return 0 if out["ok"] else 1
 
@@ -423,6 +427,11 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("index")
     ck.add_argument("--sample-chunks", type=int, default=8,
                     help="chunks decode-verified per bucket file")
+    ck.add_argument("--corpus", default=None,
+                    help="also reconcile a doc sample against this source "
+                         "corpus: recompute sha256(content) per sampled row "
+                         "and compare to the stored invariant column")
+    ck.add_argument("--corpus-sample", type=int, default=1024)
     ck.add_argument("--num-cpus", type=int, default=None)
     ck.set_defaults(fn=cmd_check)
 

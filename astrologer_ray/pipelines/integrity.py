@@ -38,6 +38,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
@@ -236,4 +237,131 @@ def check_index(index_dir: str, sample_chunks: int = 8,
         "generations": len(gens),
         "n_docs": n_docs_total,
         "n_postings": n_postings_total,
+    }
+
+
+def check_corpus(index_dir: str, corpus, sample: int = 1024,
+                 parallelism: int | None = None) -> dict:
+    """Reconcile the index against its SOURCE: a deterministic hash-sample
+    of indexed docs is re-looked-up in the corpus and the stored per-row
+    ``sha256(content)`` (the BASELINE.json invariant column, stages/
+    spimi.py) recomputed from the source rows and compared.
+
+    Distributed end to end: the docs sidecar is hash-filtered in Ray tasks
+    (only ~``sample`` rows reach the driver), the expected (key, sha) map is
+    ``ray.put``-broadcast once, and one task per corpus file verifies its
+    rows — content never leaves a task. Catches silent source drift (a file
+    rewritten after indexing), key-construction skew, and corpus rows the
+    index believes exist but don't."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.build import _corpus_paths
+    from astrologer_ray.pipelines.segments import index_generations
+    from astrologer_ray.stages.spimi import KEY_SEP, _sha256_per_row, fmt_key_arr
+
+    gens = index_generations(index_dir)
+    meta0 = gens[0][1]
+    key_cols = tuple(meta0.get("key_cols") or ("repo", "path", "commit"))
+    column_map = meta0.get("column_map") or {
+        "repo": "repo", "path": "path", "commit": "commit",
+        "lang": "lang", "content": "content",
+    }
+    content_src = column_map.get("content")
+    n_total = sum(int(m["n_docs"]) for _, m in gens)
+    if n_total == 0:
+        return {"ok": True, "errors": [], "sampled": 0, "found": 0}
+    # deterministic hash sample: key selection is a pure function of the
+    # doc_key, so reruns check the same docs and failures reproduce
+    prob = min(1.0, sample / n_total)
+    threshold = (
+        np.uint64(2**64 - 1) if prob >= 1.0 else np.uint64(prob * 2**64)
+    )
+
+    def _sample_docs(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(batch.column("doc_key").to_pylist(), dtype=object)
+        )
+        return batch.filter(pa.array(h < threshold))
+
+    doc_files = [
+        p for gdir, _ in gens
+        for p in sorted(glob.glob(os.path.join(gdir, "docs", "*.parquet")))
+    ]
+    picked = rd.read_parquet(
+        doc_files, columns=["doc_key", "sha256"]
+    ).map_batches(_sample_docs, batch_format="pyarrow").take_all()
+    expected = {r["doc_key"]: r["sha256"] for r in picked}
+    exp_ref = ray.put(expected)
+
+    def _verify_file(batch: pa.Table) -> pa.Table:
+        exp = ray.get(exp_ref)
+        exp_keys = np.asarray(list(exp.keys()), dtype=object)
+        out = []
+        for row in batch.to_pylist():
+            cols = list(dict.fromkeys(
+                [*key_cols] + ([content_src] if content_src else [])
+            ))
+            t = pq.read_table(row["path"], columns=cols)
+            key_arr = (
+                fmt_key_arr(t.column(key_cols[0]))
+                if len(key_cols) == 1 else
+                pc.binary_join_element_wise(
+                    *[fmt_key_arr(t.column(c)) for c in key_cols], KEY_SEP
+                )
+            )
+            keys = np.asarray(key_arr.to_pylist(), dtype=object)
+            mask = np.isin(keys, exp_keys)
+            idx = np.flatnonzero(mask)
+            mism = []
+            if len(idx):
+                if content_src:
+                    sub = t.column(content_src).take(pa.array(idx))
+                    shas = _sha256_per_row(sub)
+                else:
+                    import hashlib
+
+                    shas = [hashlib.sha256(b"").hexdigest()] * len(idx)
+                for j, sha in zip(idx, shas):
+                    if exp[keys[j]] != sha:
+                        mism.append(str(keys[j]))
+            out.append({
+                "path": row["path"],
+                "found_keys": json.dumps([str(keys[j]) for j in idx]),
+                "mismatched": json.dumps(mism),
+            })
+        return pa.Table.from_pylist(out)
+
+    paths = _corpus_paths(corpus)
+    res = rd.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths)
+    ).map_batches(
+        _verify_file, batch_format="pyarrow", batch_size=1,
+        num_cpus=1, concurrency=parallelism,
+    ).take_all()
+
+    errors: list[str] = []
+    found: dict[str, int] = {}
+    for r in res:
+        for k in json.loads(r["found_keys"]):
+            found[k] = found.get(k, 0) + 1
+        for k in json.loads(r["mismatched"]):
+            errors.append(f"sha256 mismatch vs source for doc_key {k!r}")
+    missing = [k for k in expected if k not in found]
+    dupes = [k for k, c in found.items() if c > 1]
+    if missing:
+        errors.append(
+            f"{len(missing)} sampled docs not found in corpus "
+            f"(e.g. {sorted(map(str, missing))[:3]})"
+        )
+    if dupes:
+        errors.append(
+            f"{len(dupes)} sampled doc_keys appear multiple times in corpus"
+        )
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "sampled": len(expected),
+        "found": len(found),
     }

@@ -210,6 +210,37 @@ def completed_units(
     return done
 
 
+def _fmt_key_part(v) -> str:
+    if isinstance(v, (int, np.integer)):
+        return f"{int(v):012d}"
+    return str(v)
+
+
+def fmt_key_arr(col) -> pa.Array:
+    """Arrow-kernel twin of :func:`_fmt_key_part` (applied per column, not
+    per value): strings pass through, integers get the sign-aware 12-wide
+    zero pad so string order == numeric order. Falls back to the Python
+    formatter for exotic column types. Module-level so reconciliation
+    (pipelines/integrity.py) builds byte-identical doc_keys."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        out = col
+    elif pa.types.is_integer(col.type):
+        out = pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
+        if col.null_count < len(col) and pc.any(pc.less(col, 0)).as_py():
+            # f"{v:012d}" counts the sign in the width: '-' + 11 digits
+            negfmt = pc.binary_join_element_wise(
+                "-",
+                pc.utf8_lpad(pc.cast(pc.abs_checked(col), pa.string()), 11, "0"),
+                "",
+            )
+            out = pc.if_else(pc.less(col, 0), negfmt, out)
+    else:
+        return pa.array([_fmt_key_part(v) for v in col.to_pylist()], pa.string())
+    return pc.fill_null(out, "None")  # str(None) parity for null keys
+
+
 def _sha256_per_row(col) -> list[str]:
     """sha256 hex per row, hashing UTF-8 bytes directly from the Arrow
     string buffers (zero decode/encode copies). Nulls hash as empty."""
@@ -286,34 +317,10 @@ class TokenizePartials:
 
     @staticmethod
     def _fmt_key_part(v) -> str:
-        if isinstance(v, (int, np.integer)):
-            return f"{int(v):012d}"
-        return str(v)
+        return _fmt_key_part(v)
 
     def _fmt_key_arr(self, col) -> pa.Array:
-        """Arrow-kernel twin of :meth:`_fmt_key_part` (applied per column,
-        not per value): strings pass through, integers get the sign-aware
-        12-wide zero pad so string order == numeric order. Falls back to
-        the Python formatter for exotic column types."""
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            out = col
-        elif pa.types.is_integer(col.type):
-            out = pc.utf8_lpad(pc.cast(col, pa.string()), 12, "0")
-            if col.null_count < len(col) and pc.any(pc.less(col, 0)).as_py():
-                # f"{v:012d}" counts the sign in the width: '-' + 11 digits
-                negfmt = pc.binary_join_element_wise(
-                    "-",
-                    pc.utf8_lpad(pc.cast(pc.abs_checked(col), pa.string()), 11, "0"),
-                    "",
-                )
-                out = pc.if_else(pc.less(col, 0), negfmt, out)
-        else:
-            return pa.array(
-                [self._fmt_key_part(v) for v in col.to_pylist()], pa.string()
-            )
-        return pc.fill_null(out, "None")  # str(None) parity for null keys
+        return fmt_key_arr(col)
 
     def _kw_values(self, t: pa.Table, src: str, n: int):
         """Resolve a keyword-field source spec to ``(row_idx, values)``.

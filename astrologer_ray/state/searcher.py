@@ -289,12 +289,23 @@ class Searcher:
                 pc.field("chunk_id") < int(chunk_range[1])
             )
             filt = cr if filt is None else (filt & cr)
+        # thread-pool the per-file reads: zstd decode + IO release the GIL,
+        # and the serial file loop was the largest cold-start cost left
+        # (~2/3 of actor init on the 1M-doc bench index)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _read_many(paths, **kw):
+            if len(paths) <= 1:
+                return [pq.read_table(p, **kw) for p in paths]
+            with ThreadPoolExecutor(min(8, len(paths))) as ex:
+                return list(ex.map(lambda p: pq.read_table(p, **kw), paths))
+
         tables = []
         for gdir, gmeta in gens:
-            gt = [
-                pq.read_table(p, filters=filt)
-                for p in sorted(glob.glob(os.path.join(gdir, "postings", "*.parquet")))
-            ]
+            gt = _read_many(
+                sorted(glob.glob(os.path.join(gdir, "postings", "*.parquet"))),
+                filters=filt,
+            )
             if not gt:
                 continue
             t = pa.concat_tables(gt)
@@ -326,11 +337,11 @@ class Searcher:
         # cold-start no longer pays O(vocab × chunks) Python objects
         self.postings = _ChunkStore(post)
 
-        dt = pa.concat_tables([
-            pq.read_table(p, columns=["term", "df", "cf"])
-            for gdir, _ in gens
-            for p in sorted(glob.glob(os.path.join(gdir, "dict", "*.parquet")))
-        ])
+        dt = pa.concat_tables(_read_many(
+            [p for gdir, _ in gens
+             for p in sorted(glob.glob(os.path.join(gdir, "dict", "*.parquet")))],
+            columns=["term", "df", "cf"],
+        ))
         if len(gens) > 1:
             # per-generation dictionaries: global df/cf are the sums
             dt = dt.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
@@ -375,7 +386,7 @@ class Searcher:
                     pc.field("doc_id") < self.doc_hi
                 )
             docs = pa.concat_tables(
-                [pq.read_table(p, columns=cols, filters=dfilt) for p in dfiles]
+                _read_many(dfiles, columns=cols, filters=dfilt)
             ).sort_by("doc_id")
             if docs.num_rows:
                 did = docs.column("doc_id").to_numpy()

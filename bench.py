@@ -358,7 +358,12 @@ def main() -> None:
             "speedup_vs_full_rebuild"]
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]
     out["host"] = host_probes()
-    print(json.dumps(out))
+    # flush BEFORE ray.shutdown(): raylet teardown segfaults intermittently
+    # on this host (dmesg: _raylet.so SIGSEGV at exit), and a piped stdout
+    # is block-buffered — without the flush a teardown crash silently eats
+    # the result line (observed: scaling run w3 died on an inner build
+    # whose index had its _SUCCESS written)
+    print(json.dumps(out), flush=True)
     ray.shutdown()
 
 
@@ -386,12 +391,35 @@ def scaling() -> None:
         time.sleep(10)
         probe = host_probes()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        p = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
-             "--only=build"],
-            env=env, capture_output=True, text=True, check=True,
-        )
-        r = json.loads(p.stdout.strip().splitlines()[-1])
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+               "--only=build"]
+        def _result(p):
+            # a leg is good if it PRINTED its result — Ray teardown on this
+            # host intermittently segfaults after the work (and the flush)
+            # completed, so rc alone would discard a valid measurement
+            try:
+                return json.loads(p.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                return None
+
+        p = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        r = _result(p)
+        if r is None:
+            # surface the child's failure (a watcher-fired suite otherwise
+            # dies with an opaque CalledProcessError) and retry once — a
+            # transient host hiccup should not kill a 30-minute suite
+            sys.stderr.write(
+                f"--only=build (cpus={ncpu}) failed rc={p.returncode}:\n"
+                + p.stderr[-3000:] + "\n"
+            )
+            p = subprocess.run(cmd, env=env, capture_output=True, text=True)
+            r = _result(p)
+            if r is None:
+                sys.stderr.write(
+                    f"retry failed rc={p.returncode}:\n" + p.stderr[-3000:] + "\n"
+                )
+                raise RuntimeError(f"--only=build failed twice at cpus={ncpu}")
         r["probe_before"] = probe
         time.sleep(5)
         r["probe_after"] = host_probes(full=None)  # quick: membw_8proc only

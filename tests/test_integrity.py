@@ -102,3 +102,43 @@ def test_cli_check(built_index, capsys):
     assert main(["check", built_index, "--sample-chunks", "2"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["ok"] is True
+
+
+def test_corpus_reconciliation_ok_and_detects_drift(
+        ray_session, small_corpus_dir, tmp_path, capsys):
+    import shutil
+
+    from astrologer_ray.pipelines.integrity import check_corpus
+
+    # private corpus copy so the shared fixture is never mutated
+    corpus = str(tmp_path / "corpus")
+    shutil.copytree(small_corpus_dir, corpus)
+    idx = str(tmp_path / "ridx")
+    build_index(corpus, idx, partition_rows=64, n_shards=4, chunk_bits=6)
+
+    out = check_corpus(idx, corpus, sample=64)
+    assert out["ok"], out["errors"]
+    assert out["sampled"] > 0 and out["found"] == out["sampled"]
+
+    # CLI composition
+    assert main(["check", idx, "--corpus", corpus,
+                 "--corpus-sample", "64", "--sample-chunks", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["corpus"]["ok"] is True
+
+    # drift: rewrite every content in one source file AFTER indexing
+    f = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[0]
+    t = pq.read_table(f)
+    cols = {c: t.column(c) for c in t.column_names}
+    cols["content"] = pa.array(
+        ["drifted " + (v or "") for v in t.column("content").to_pylist()])
+    pq.write_table(pa.table(cols), f)
+    out = check_corpus(idx, corpus, sample=2048)  # sample all: hit the file
+    assert not out["ok"]
+    assert any("sha256 mismatch" in e for e in out["errors"])
+
+    # a deleted source file => sampled docs missing from the corpus
+    os.remove(f)
+    out = check_corpus(idx, corpus, sample=2048)
+    assert not out["ok"]
+    assert any("not found in corpus" in e for e in out["errors"])
