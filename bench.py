@@ -124,7 +124,57 @@ def bench_build() -> dict:
         "files_per_s": meta["n_docs"] / dt,
         "postings_per_s": meta["n_postings"] / dt,
         "stage_timings": meta["timings"],
+        "stage_work": _stage_work(meta["timings"]),
     }
+
+
+def _stage_work(stage_timings: dict) -> dict:
+    """Per-stage TASK-second sums from the build's own lineage records
+    (partition_metrics.parquet, merge manifests). Wall-clock stage ratios
+    are contaminated by host-window drift; task-second sums decompose a
+    scaling pair into work conservation (sum_lo / sum_hi, 1.0 = the same
+    parallel work at both levels) x scheduling utilization
+    (sum / (wall * cpus)) — each diagnosable on its own."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out: dict = {"cpus": NUM_CPUS}
+    try:
+        pm = pq.read_table(
+            os.path.join(BENCH_INDEX, "stats", "partition_metrics.parquet"),
+            columns=["task_sec"],
+        )
+        tok_sum = float(np.asarray(pm.column("task_sec"), dtype=float).sum())
+        wall = float(stage_timings.get("tokenize_partials") or 0.0)
+        out["tokenize"] = {
+            "task_sum_sec": round(tok_sum, 2),
+            "wall_sec": round(wall, 2),
+            "util": round(tok_sum / (wall * NUM_CPUS), 3) if wall else None,
+        }
+    except (OSError, KeyError):
+        pass
+    try:
+        import json as _json
+
+        ms = [
+            _json.load(open(p))["task_sec"]
+            for p in _glob.glob(
+                os.path.join(BENCH_INDEX, "postings", "merge-manifest-*.json")
+            )
+        ]
+        if ms:
+            merge_sum = float(sum(ms))
+            wall = float(stage_timings.get("postings_encode") or 0.0)
+            out["merge"] = {
+                "task_sum_sec": round(merge_sum, 2),
+                "wall_sec": round(wall, 2),
+                "util": round(merge_sum / (wall * NUM_CPUS), 3) if wall else None,
+            }
+    except (OSError, KeyError, ValueError):
+        pass
+    return out
 
 
 def bench_append(full_build_sec: float) -> dict:
@@ -362,6 +412,7 @@ def main() -> None:
         out["append_speedup_vs_full"] = results["append_delta"][
             "speedup_vs_full_rebuild"]
     out["build_stage_timings"] = results["build_code_index"]["stage_timings"]
+    out["build_stage_work"] = results["build_code_index"]["stage_work"]
     out["host"] = host_probes()
     # flush BEFORE ray.shutdown(): raylet teardown segfaults intermittently
     # on this host (dmesg: _raylet.so SIGSEGV at exit), and a piped stdout
@@ -497,6 +548,24 @@ def scaling() -> None:
         for k in st_lo
         if st_hi.get(k, 0) > 0
     }
+    # work conservation per stage (median pair): task-second sums should be
+    # LEVEL-INDEPENDENT if the engine scales — any inflation at hi is either
+    # contention (bandwidth ceiling) or a parallelism overhead, and is
+    # diagnosable separately from scheduling gaps (util)
+    work = {}
+    for stage in ("tokenize", "merge"):
+        wl = (best_lo.get("build_stage_work") or {}).get(stage)
+        wh = (best_hi.get("build_stage_work") or {}).get(stage)
+        if wl and wh and wh["task_sum_sec"]:
+            work[stage] = {
+                "task_sum_lo": wl["task_sum_sec"],
+                "task_sum_hi": wh["task_sum_sec"],
+                "work_conservation": round(
+                    wl["task_sum_sec"] / wh["task_sum_sec"], 3
+                ),
+                "util_lo": wl["util"],
+                "util_hi": wh["util"],
+            }
     print(
         json.dumps(
             {
@@ -518,6 +587,7 @@ def scaling() -> None:
                 "parallel_stage_sec_hi": round(par_hi, 2),
                 "parallel_stage_efficiency": round(par_eff, 3),
                 "stage_efficiencies": stage_effs,
+                "stage_work": work,
                 "stage_timings_lo": st_lo,
                 "stage_timings_hi": st_hi,
                 "all_sec_lo": [round(t(a), 3) for a, _ in pairs],
