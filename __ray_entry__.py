@@ -760,6 +760,39 @@ ORDER BY g.bucket
 """
 
 
+def events_auto_histogram(sf_dir: str):
+    """ES ``auto_date_histogram``: the engine picks the smallest
+    fixed-width ladder interval keeping <= 12 buckets (min/max pass), then
+    histograms on it; the chosen width is returned as a column so the
+    oracle must agree on the interval choice, not just the counts."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.aggs import auto_date_histogram
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["ts"])
+    buckets, width = auto_date_histogram(ds, "ts", target_buckets=12)
+    return buckets.append_column(
+        "width_us", pa.array([width] * buckets.num_rows, pa.int64())
+    )
+
+
+EVENTS_AUTO_HIST_SQL = """
+WITH mm AS (
+  SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi FROM events),
+ladder(w) AS (VALUES
+  (1000000),(5000000),(10000000),(30000000),
+  (60000000),(300000000),(600000000),(1800000000),
+  (3600000000),(10800000000),(43200000000),
+  (86400000000),(604800000000),(2592000000000),(31536000000000)),
+pick AS (
+  SELECT coalesce(min(w), 31536000000000) AS w
+  FROM ladder, mm WHERE (hi // w) - (lo // w) + 1 <= 12)
+SELECT make_timestamp((epoch_us(ts) // p.w) * p.w) AS bucket,
+       count(*) AS n, p.w AS width_us
+FROM events, pick p GROUP BY 1, 3 ORDER BY 1
+"""
+
+
 def events_percentiles_sampled(sf_dir: str):
     """Approximate percentiles at scale: exact quantiles over the
     DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
@@ -3452,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": decontaminate_documents,
         "pack_documents": pack_documents,
         "events_user_cardinality_hll": events_user_cardinality_hll,
+        "events_auto_histogram": events_auto_histogram,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3463,12 +3497,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
-        "bm25_paged_documents": bm25_paged_documents,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_paged_documents": bm25_paged_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_gauss_documents": bm25_gauss_documents,
@@ -3528,6 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
+        "events_auto_histogram": EVENTS_AUTO_HIST_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

@@ -622,3 +622,51 @@ def bucket_selector(buckets: pa.Table, pred) -> pa.Table:
             if not pa.types.is_timestamp(buckets.schema.field(c).type)}
     mask = np.asarray(pred(cols), dtype=bool)
     return buckets.filter(pa.array(mask))
+
+
+# ES auto_date_histogram fixed-width interval ladder (seconds..days; the
+# calendar tail — months/years — needs calendar rounding that the fixed
+# ladder deliberately avoids, matching ES's fixed_interval semantics)
+AUTO_HIST_LADDER_US = [
+    1_000_000, 5_000_000, 10_000_000, 30_000_000,              # 1,5,10,30 s
+    60_000_000, 300_000_000, 600_000_000, 1_800_000_000,       # 1,5,10,30 m
+    3_600_000_000, 10_800_000_000, 43_200_000_000,             # 1,3,12 h
+    86_400_000_000, 604_800_000_000,                           # 1,7 d
+    2_592_000_000_000, 31_536_000_000_000,                     # 30,365 d
+]
+
+
+def auto_date_histogram(
+    ds: Dataset, ts_col: str, target_buckets: int = 10
+) -> tuple[pa.Table, int]:
+    """ES ``auto_date_histogram``: pick the smallest ladder interval whose
+    bucket count stays <= ``target_buckets``, then histogram on it.
+
+    Distributed in two passes over the SAME lazy dataset: one min/max
+    aggregate chooses the interval (driver-side O(1)), one groupby builds
+    the buckets — no materialization between. Returns (buckets, width_us)
+    so callers can report the chosen interval like ES does."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    mm = ds.aggregate(Min(ts_col, alias_name="lo"), Max(ts_col, alias_name="hi"))
+    lo = int(np.datetime64(mm["lo"], "us").astype(np.int64))
+    hi = int(np.datetime64(mm["hi"], "us").astype(np.int64))
+    width = next(
+        (w for w in AUTO_HIST_LADDER_US
+         if (hi // w) - (lo // w) + 1 <= target_buckets),
+        AUTO_HIST_LADDER_US[-1],
+    )
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        b = pc.multiply(pc.divide(us, width), width)  # int64 floor division
+        return pa.table({"bucket": pc.cast(b, pa.timestamp("us"))})
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .sort("bucket")
+        .take_all()
+    )
+    return pa.Table.from_pylist(out), width

@@ -979,3 +979,29 @@ def test_pack_sequences_matches_greedy_and_is_parallelism_invariant(ray_session)
         ).to_pandas().sort_values("doc_id")
         assert {int(r.doc_id): (int(r.n_tokens), int(r.bin_id))
                 for r in got.itertuples()} == want, parts
+
+
+def test_auto_date_histogram_ladder(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import auto_date_histogram
+
+    # 1000 events over ~100 minutes -> target 10 buckets picks 30 m
+    ts = pa.array(
+        np.arange(0, 6_000_000_000, 6_000_000).astype("datetime64[us]")
+    )
+    ds = rd.from_arrow(pa.table({"ts": ts}))
+    buckets, width = auto_date_histogram(ds, "ts", target_buckets=10)
+    assert width == 600_000_000  # 10 min: ceil grid of 99.9 min = 10 buckets
+    assert buckets.num_rows == 10
+    assert int(pa.compute.sum(buckets["n"]).as_py()) == 1000
+    # degenerate: a single distinct timestamp -> smallest ladder step
+    one = rd.from_arrow(pa.table({"ts": pa.array([ts[0]] * 5)}))
+    b1, w1 = auto_date_histogram(one, "ts", target_buckets=10)
+    assert w1 == 1_000_000 and b1.num_rows == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        auto_date_histogram(ds, "ts", target_buckets=0)
