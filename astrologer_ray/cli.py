@@ -22,12 +22,18 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    import os
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
+        # RAY_ADDRESS governs the target: "local" (the sandbox default)
+        # starts an in-process cluster; under `ray job submit` the job
+        # runtime sets RAY_ADDRESS to the cluster address and the same CLI
+        # commands drive the multi-node cluster unchanged
+        kwargs = {"address": os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False,
                   "ignore_reinit_error": True, "logging_level": "ERROR"}
-        if num_cpus:
+        if num_cpus and kwargs["address"] == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
