@@ -658,8 +658,13 @@ def auto_date_histogram(
     )
 
     def bucketize(t: pa.Table) -> pa.Table:
+        # int64 division; Arrow truncates toward zero, which equals floor
+        # only for ts >= epoch — pre-1970 timestamps would round the other
+        # way than DuckDB's floor `//`, so refuse them rather than drift
         us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
-        b = pc.multiply(pc.divide(us, width), width)  # int64 floor division
+        if len(us) and pc.min(us).as_py() < 0:
+            raise ValueError("auto_date_histogram requires ts >= 1970-01-01")
+        b = pc.multiply(pc.divide(us, width), width)
         return pa.table({"bucket": pc.cast(b, pa.timestamp("us"))})
 
     out = (
