@@ -495,10 +495,11 @@ def scaling() -> None:
     # (real N->4N nodes bring 4x the bus); capturing it in the same window
     # the pairs run in makes the ceiling argument per-run, not anecdotal
     host_start = host_probes(full=True)
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "4"))
     _ = run(lo)  # warm OS page cache + corpus generation, untimed
     pairs = []
     retries = 2  # re-run budget for mid-pair window flips
-    for k in range(4):
+    for k in range(n_pairs):
         # alternate leg order (lo,hi / hi,lo): round-4 run w1 showed an
         # order-correlated probe artifact (every probe following a hi leg
         # read ~40 GB/s, every probe following a lo leg ~4-11 GB/s in one
