@@ -279,6 +279,29 @@ def cmd_check(args) -> int:
     return 0 if out["ok"] else 1
 
 
+def cmd_terms(args) -> int:
+    """Dictionary introspection (ES `_cat`-style): top-k terms by df,
+    optionally restricted to a prefix or wildcard pattern. Serves from the
+    dictionary only — no postings load (load_docs=False, term stats are
+    already summed across generations)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(args.index, load_docs=False)
+    if args.wildcard:
+        terms = s.expand_wildcard(args.wildcard)
+    elif args.prefix:
+        terms = s.expand_prefix(args.prefix)
+    else:
+        terms = list(s.df.keys())
+    rows = sorted(
+        ((t, s.df[t], s.cf.get(t, 0)) for t in terms),
+        key=lambda r: (-r[1], r[0]),
+    )[: args.k]
+    for t, df, cf in rows:
+        print(json.dumps({"term": t, "df": int(df), "cf": int(cf)}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """ES _delete_by_query: tombstone docs matching the filter DSL."""
     from astrologer_ray.pipelines.segments import delete_by_query
@@ -440,6 +463,14 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--corpus-sample", type=int, default=1024)
     ck.add_argument("--num-cpus", type=int, default=None)
     ck.set_defaults(fn=cmd_check)
+
+    tm = sub.add_parser("terms", help="top-k dictionary terms by df "
+                                      "(--prefix / --wildcard restrict)")
+    tm.add_argument("index")
+    tm.add_argument("-k", type=int, default=20)
+    tm.add_argument("--prefix", default=None)
+    tm.add_argument("--wildcard", default=None)
+    tm.set_defaults(fn=cmd_terms)
 
     de = sub.add_parser("delete",
                         help="tombstone docs matching a filter "

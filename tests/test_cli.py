@@ -234,3 +234,28 @@ def test_cli_phrase_slop(ray_session, small_corpus_dir, tmp_path, capsys):
     eids = {json.loads(x)["doc_id"] for x in exact}
     sids = {json.loads(x)["doc_id"] for x in sloppy}
     assert eids <= sids
+
+
+def test_cli_terms(ray_session, small_corpus_dir, tmp_path, capsys):
+    idx = str(tmp_path / "tidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64"]) == 0
+    capsys.readouterr()
+
+    assert main(["terms", idx, "-k", "5"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5
+    rows = [json.loads(ln) for ln in lines]
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)  # df desc
+    assert all(r["cf"] >= r["df"] > 0 for r in rows)
+
+    prefix = rows[0]["term"][:2]
+    assert main(["terms", idx, "--prefix", prefix, "-k", "50"]) == 0
+    plines = capsys.readouterr().out.strip().splitlines()
+    assert plines and all(
+        json.loads(ln)["term"].startswith(prefix) for ln in plines)
+
+    assert main(["terms", idx, "--wildcard", f"{prefix}*", "-k", "50"]) == 0
+    wlines = capsys.readouterr().out.strip().splitlines()
+    assert {json.loads(ln)["term"] for ln in wlines} == {
+        json.loads(ln)["term"] for ln in plines}
