@@ -793,6 +793,37 @@ FROM events, pick p GROUP BY 1, 3 ORDER BY 1
 """
 
 
+def docs_chunked(sf_dir: str):
+    """Overlapping fixed-window chunking of documents (RAG/pretraining
+    prep): 48-token windows, 8-token overlap, whitespace tokens — the
+    vectorized 1→N explosion in pipelines/textstats.chunk_documents."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.textstats import chunk_documents
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=48, overlap=8)
+
+
+DOCS_CHUNKED_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN cast(ceil(greatest(len(toks) - 8, 1) / 40.0) AS bigint)
+              ELSE 0 END AS n_chunks
+  FROM t)
+SELECT doc_id, k AS chunk_id,
+       least(48, n - k*40) AS n_tokens,
+       array_to_string(toks[(k*40+1):(k*40+48)], ' ') AS chunk
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(k)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def events_percentiles_sampled(sf_dir: str):
     """Approximate percentiles at scale: exact quantiles over the
     DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
@@ -3486,6 +3517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": pack_documents,
         "events_user_cardinality_hll": events_user_cardinality_hll,
         "events_auto_histogram": events_auto_histogram,
+        "docs_chunked": docs_chunked,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3496,12 +3528,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
-        "bm25_topk_deleted": bm25_topk_deleted,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_paged_documents": bm25_paged_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_explain_documents": bm25_explain_documents,
@@ -3563,6 +3595,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
         "events_auto_histogram": EVENTS_AUTO_HIST_SQL,
+        "docs_chunked": DOCS_CHUNKED_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

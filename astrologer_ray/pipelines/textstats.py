@@ -308,3 +308,71 @@ def fingerprints(ds: Dataset, text_col: str = "text", keep: list[str] | None = N
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> Dataset:
+    """Overlapping fixed-window document chunking — the RAG/pretraining
+    prep step: each doc's whitespace tokens become ceil(max(n-overlap,1) /
+    (max_tokens-overlap)) windows of up to ``max_tokens`` tokens, adjacent
+    windows sharing ``overlap`` tokens. Empty docs produce no chunks.
+
+    Fully vectorized 1→N explosion inside one ``map_batches``: CSR window
+    arithmetic in numpy over the split-token list array, one gather, and
+    an Arrow ``binary_join`` to materialize chunk text — no Python loop
+    over rows, chunks, or tokens. Emits (id, chunk_id, n_tokens, chunk)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(t[text_col])
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # utf8_split_whitespace emits '' fragments for leading/trailing
+        # whitespace; drop them (CSR re-offset below) so token counts
+        # match the SQL oracle's non-empty filter
+        flat = toks.values
+        keep = pc.not_equal(flat, "")
+        # rebuild offsets over the filtered values
+        offs = np.frombuffer(toks.buffers()[1], dtype=np.int32)
+        offs = offs[toks.offset: toks.offset + len(toks) + 1].astype(np.int64)
+        keep_np = np.asarray(keep)
+        kept_cum = np.concatenate([[0], np.cumsum(keep_np)])
+        offs = kept_cum[offs - offs[0]]
+        vals = flat.filter(keep)
+
+        n_tok = np.diff(offs)
+        n_chunks = np.where(
+            n_tok > 0,
+            np.ceil(np.maximum(n_tok - overlap, 1) / stride).astype(np.int64),
+            0,
+        )
+        doc_rep = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_chunks)
+        chunk_base = np.concatenate([[0], np.cumsum(n_chunks)])
+        cidx = np.arange(int(n_chunks.sum()), dtype=np.int64) - np.repeat(
+            chunk_base[:-1], n_chunks
+        )
+        starts = cidx * stride
+        lens = np.minimum(max_tokens, n_tok[doc_rep] - starts)
+        new_offs = np.concatenate([[0], np.cumsum(lens)])
+        within = np.arange(int(new_offs[-1]), dtype=np.int64) - np.repeat(
+            new_offs[:-1], lens
+        )
+        idx = np.repeat(offs[:-1][doc_rep] + starts, lens) + within
+        chunk_lists = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), vals.take(pa.array(idx))
+        )
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_rep)),
+            "chunk_id": pa.array(cidx, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk": pc.binary_join(chunk_lists, " "),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -1005,3 +1005,39 @@ def test_auto_date_histogram_ladder(ray_session):
 
     with _pytest.raises(ValueError):
         auto_date_histogram(ds, "ts", target_buckets=0)
+
+
+def test_chunk_documents_brute_parity(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.textstats import chunk_documents
+
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(130))},
+        {"doc_id": 2, "text": "a b c"},
+        {"doc_id": 3, "text": "   "},        # whitespace-only: no chunks
+        {"doc_id": 4, "text": "  x   y  "},  # messy whitespace
+        {"doc_id": 5, "text": " ".join(f"u{i}" for i in range(64))},
+        {"doc_id": 6, "text": ""},
+    ]
+    out = chunk_documents(rd.from_items(rows), max_tokens=64,
+                          overlap=8).take_all()
+
+    def brute(text, mx=64, ov=8):
+        toks = text.split()
+        if not toks:
+            return []
+        stride = mx - ov
+        k = math.ceil(max(len(toks) - ov, 1) / stride)
+        return [(" ".join(toks[i*stride:i*stride+mx]),
+                 min(mx, len(toks) - i*stride)) for i in range(k)]
+
+    got = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        got.setdefault(r["doc_id"], []).append((r["chunk"], r["n_tokens"]))
+    for row in rows:
+        assert got.get(row["doc_id"], []) == brute(row["text"]), row["doc_id"]
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_items(rows), max_tokens=8, overlap=8)
