@@ -824,6 +824,33 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def docs_stratified_sample(sf_dir: str):
+    """Training-data mixing: per-source deterministic hash sampling —
+    keep 60% of src0, 25% of src1, 5% of everything else (the Knuth hash
+    of sample_hash per group, so the row set is engine-independent)."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.aggs import stratified_sample
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "documents"), columns=["doc_id", "source", "lang"]
+    )
+    out = stratified_sample(
+        ds, "doc_id", "source", {"src0": 0.6, "src1": 0.25},
+        default_rate=0.05,
+    )
+    return out.select_columns(["doc_id", "source", "lang"]).sort("doc_id")
+
+
+DOCS_STRATIFIED_SQL = """
+SELECT doc_id, source, lang FROM documents
+WHERE (CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761) % 4294967296
+      < (CASE source WHEN 'src0' THEN 0.6 WHEN 'src1' THEN 0.25
+         ELSE 0.05 END) * 4294967296
+ORDER BY doc_id
+"""
+
+
 def events_percentiles_sampled(sf_dir: str):
     """Approximate percentiles at scale: exact quantiles over the
     DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
@@ -3518,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cardinality_hll": events_user_cardinality_hll,
         "events_auto_histogram": events_auto_histogram,
         "docs_chunked": docs_chunked,
+        "docs_stratified_sample": docs_stratified_sample,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3527,12 +3555,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_topk_should": bm25_topk_should,
-        "bm25_topk_boosted": bm25_topk_boosted,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_paged_documents": bm25_paged_documents,
         "bm25_collapse_documents": bm25_collapse_documents,
@@ -3596,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
         "events_auto_histogram": EVENTS_AUTO_HIST_SQL,
         "docs_chunked": DOCS_CHUNKED_SQL,
+        "docs_stratified_sample": DOCS_STRATIFIED_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

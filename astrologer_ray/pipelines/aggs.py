@@ -430,6 +430,33 @@ def sample_hash(ds: Dataset, id_col: str, frac: float) -> Dataset:
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: Dataset, id_col: str, group_col: str, rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> Dataset:
+    """Per-group deterministic hash sampling — the data-MIXING op of a
+    training pipeline (keep 50% of source A, 10% of source B, drop the
+    rest). Same Knuth multiplicative hash as :func:`sample_hash`, so the
+    row set is engine- and parallelism-independent and exactly
+    SQL-expressible; the per-row rate lookup is one Arrow ``index_in``
+    against the configured group list (no Python loop)."""
+    groups = list(rates)
+    thresholds = np.array(
+        [int(rates[g] * 4294967296) for g in groups] +
+        [int(default_rate * 4294967296)],
+        dtype=np.uint64,
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        gi = pc.index_in(t[group_col], value_set=pa.array(groups))
+        gi = np.asarray(pc.fill_null(gi, len(groups)), dtype=np.int64)
+        return t.filter(pa.array(h < thresholds[gi]))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
 def top_n_per_group(
     ds: Dataset, group_col: str, order_col: str, n: int,
     descending: bool = True,
