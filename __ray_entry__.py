@@ -851,6 +851,31 @@ ORDER BY doc_id
 """
 
 
+def docs_redact_pii(sf_dir: str):
+    """Training-data PII scrub over documents: emails / IPv4s / phone-like
+    digit runs become typed placeholders (textstats.redact_pii). Both
+    engines run RE2, so redacted TEXT is hash-compared, not just counts
+    (dialect-parity verified on PII-bearing rows in tests/test_ops.py)."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.textstats import redact_pii
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return redact_pii(ds, keep=["doc_id"]).sort("doc_id")
+
+
+def _pii_sql() -> str:
+    from astrologer_ray.pipelines.textstats import PII_PATTERNS
+
+    # generated from the SAME pattern constants the engine applies, in the
+    # same order — the pipeline and its audit query cannot disagree
+    expr = "text"
+    for _k, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {expr} AS text_redacted "
+            "FROM documents ORDER BY doc_id")
+
+
 def events_percentiles_sampled(sf_dir: str):
     """Approximate percentiles at scale: exact quantiles over the
     DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
@@ -3546,6 +3571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auto_histogram": events_auto_histogram,
         "docs_chunked": docs_chunked,
         "docs_stratified_sample": docs_stratified_sample,
+        "docs_redact_pii": docs_redact_pii,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3554,12 +3580,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_appended": bm25_topk_appended,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
-        "bm25_topk_should": bm25_topk_should,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
+        "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_paged_documents": bm25_paged_documents,
@@ -3625,6 +3651,7 @@ def oracle_sql() -> dict[str, str]:
         "events_auto_histogram": EVENTS_AUTO_HIST_SQL,
         "docs_chunked": DOCS_CHUNKED_SQL,
         "docs_stratified_sample": DOCS_STRATIFIED_SQL,
+        "docs_redact_pii": _pii_sql(),
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

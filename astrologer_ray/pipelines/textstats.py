@@ -376,3 +376,44 @@ def chunk_documents(
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# PII patterns: RE2 syntax on BOTH sides of the gate (Arrow's
+# replace_substring_regex and DuckDB's regexp_replace are both RE2), so
+# the redaction is exactly oracle-checkable. Applied in list order —
+# email before phone so a phone-like digit run inside an address never
+# splits it.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{6,}[0-9]\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    ds: Dataset,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    keep: list[str] | None = None,
+) -> Dataset:
+    """Training-data PII scrub: replace emails / IPv4s / phone-like digit
+    runs with typed placeholder tokens. One vectorized Arrow regex kernel
+    per pattern per batch; patterns are module constants so a pipeline
+    and its audit query can never disagree on the rule set."""
+    pats = [(p, r) for k, p, r in PII_PATTERNS if k in kinds]
+    unknown = set(kinds) - {k for k, _, _ in PII_PATTERNS}
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+
+    def scrub(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        for pat, repl in pats:
+            col = pc.replace_substring_regex(
+                col, pattern=pat, replacement=repl
+            )
+        out = {n: t[n] for n in (keep or
+               [c for c in t.column_names if c != text_col])}
+        out[f"{text_col}_redacted"] = col
+        return pa.table(out)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

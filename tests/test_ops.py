@@ -1041,3 +1041,28 @@ def test_chunk_documents_brute_parity(ray_session):
         assert got.get(row["doc_id"], []) == brute(row["text"]), row["doc_id"]
     with pytest.raises(ValueError):
         chunk_documents(rd.from_items(rows), max_tokens=8, overlap=8)
+
+
+def test_redact_pii(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.textstats import redact_pii
+
+    rows = [
+        {"doc_id": 1, "text": "mail a.b+tag@ex-ample.co.uk or x@y.io now"},
+        {"doc_id": 2, "text": "host 192.168.001.12 port"},
+        {"doc_id": 3, "text": "call +1 (415) 555-0123 today"},
+        {"doc_id": 4, "text": "clean text with no pii at all"},
+        {"doc_id": 5, "text": "mixed bob@corp.com from 10.0.0.1 tel 04415550123"},
+    ]
+    out = {r["doc_id"]: r["text_redacted"]
+           for r in redact_pii(rd.from_items(rows)).take_all()}
+    assert out[1] == "mail <EMAIL> or <EMAIL> now"
+    assert out[2] == "host <IP> port"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text with no pii at all"
+    assert out[5] == "mixed <EMAIL> from <IP> tel <PHONE>"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        redact_pii(rd.from_items(rows), kinds=("ssn",))
