@@ -344,7 +344,9 @@ def chunk_documents(
         offs = offs[toks.offset: toks.offset + len(toks) + 1].astype(np.int64)
         keep_np = np.asarray(keep)
         kept_cum = np.concatenate([[0], np.cumsum(keep_np)])
-        offs = kept_cum[offs - offs[0]]
+        # raw offsets are ABSOLUTE child positions (valid for any array
+        # offset); kept_cum maps them into the filtered child's index space
+        offs = kept_cum[offs]
         vals = flat.filter(keep)
 
         n_tok = np.diff(offs)
