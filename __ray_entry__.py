@@ -876,6 +876,38 @@ def _pii_sql() -> str:
             "FROM documents ORDER BY doc_id")
 
 
+def docs_duplicate_spans(sf_dir: str):
+    """Exact cross-corpus duplicate-substring spans (Lee et al. 2021
+    substring dedup): every 6-token window occurring >= 2 times anywhere
+    in the corpus, merged per doc into maximal token ranges — the span
+    list a substring-removal dedup pass would cut. Fully distributed:
+    128-bit window hashes shuffle (24 B rows), text never does."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.dedup import duplicate_spans
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id", "text"])
+    return duplicate_spans(ds, window=6)
+
+
+DOCS_DUP_SPANS_SQL = f"""
+WITH tk AS (SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
+wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+5], ' ') AS w
+         FROM tk, unnest(range(1, len(t) - 4)) AS r(i) WHERE len(t) >= 6),
+dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+lagged AS (SELECT doc_id, pos,
+  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+       THEN 0 ELSE 1 END AS brk
+  FROM marked),
+isl AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM lagged)
+SELECT doc_id, min(pos) AS start_tok, max(pos) + 5 AS end_tok,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok
+"""
+
+
 def events_percentiles_sampled(sf_dir: str):
     """Approximate percentiles at scale: exact quantiles over the
     DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
@@ -3572,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunked": docs_chunked,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_redact_pii": docs_redact_pii,
+        "docs_duplicate_spans": docs_duplicate_spans,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
@@ -3579,7 +3612,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_appended": bm25_topk_appended,
         "bm25_topk_filtered": bm25_topk_filtered,
-        "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
@@ -3589,6 +3621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_paged_documents": bm25_paged_documents,
+        "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_explain_documents": bm25_explain_documents,
         "bm25_gauss_documents": bm25_gauss_documents,
@@ -3652,6 +3685,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_chunked": DOCS_CHUNKED_SQL,
         "docs_stratified_sample": DOCS_STRATIFIED_SQL,
         "docs_redact_pii": _pii_sql(),
+        "docs_duplicate_spans": DOCS_DUP_SPANS_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

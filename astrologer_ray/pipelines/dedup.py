@@ -1192,3 +1192,195 @@ def ngram_jaccard_pairs(
                          "jac": pa.array([], pa.float64())})
     out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["id_a", "id_b", "jac"]], preserve_index=False)
+
+
+# ------------------------------------------------------- duplicate substrings
+
+
+def duplicate_spans(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 6,
+    min_count: int = 2,
+    num_partitions: int = 8,
+    driver_span_budget: int = 50_000_000,
+) -> pa.Table:
+    """EXACT cross-corpus duplicate-substring spans (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"-style).
+
+    A ``window``-token sequence (simple ``[a-z0-9]+`` split — token-for-token
+    the SQL split the DuckDB oracle uses) is *duplicated* when the identical
+    sequence occurs at least ``min_count`` times anywhere in the corpus
+    (other docs or the same doc). Per document, duplicated window positions
+    are merged into maximal spans: windows at positions p, q (p < q) join one
+    span when ``q - p <= window`` (their token ranges overlap or touch).
+
+    Returns ``(doc_id, start_tok, end_tok, n_windows)`` — inclusive 0-based
+    token offsets of each span and the number of duplicated windows merged
+    into it — sorted by (doc_id, start_tok). Feed the spans to a cut stage to
+    reproduce the paper's substring-removal dedup.
+
+    Distributed shape (text never shuffles):
+      1. window rows  : ``(h, h2, doc_id, pos)`` per window — h/h2 are the
+                        two int64 halves of a 128-bit blake2b of the window
+                        string, so "equal hash" is exact for any real corpus.
+      2. duplicate    : hash-repartition by ``h`` sorted; vectorized run scan
+         marking         marks rows whose (h, h2) run length >= min_count.
+                        Each block's first and last h-run can be sheared by
+                        dynamic block splitting (the ADVICE r3 lesson), so
+                        edge runs are deferred and stitched on the driver —
+                        same discipline as :func:`ngram_jaccard_pairs`.
+      3. span merge   : marked rows are ~the duplicated fraction of the
+                        corpus (24 B each). Under ``driver_span_budget`` they
+                        collapse driver-side with one vectorized lexsort +
+                        island scan; above it the op falls back to a
+                        distributed ``groupby(doc_id).map_groups`` merge
+                        (a doc's marked windows always fit one task).
+
+    Docs with fewer than ``window`` tokens contribute no windows (matches
+    the SQL oracle).
+    """
+    import ray
+    import ray.data as _rd
+
+    from astrologer_ray import ensure_hash_shuffle
+
+    ensure_hash_shuffle()
+
+    win_schema = pa.schema([("h", pa.int64()), ("h2", pa.int64()),
+                            (id_col, pa.int64()), ("pos", pa.int64())])
+    marked_schema = pa.schema([(id_col, pa.int64()), ("pos", pa.int64())])
+    out_schema = pa.schema([(id_col, pa.int64()), ("start_tok", pa.int64()),
+                            ("end_tok", pa.int64()), ("n_windows", pa.int64())])
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        h1_all, h2_all, id_all, pos_all = [], [], [], []
+        for d, tx in zip(ids, texts):
+            toks = _SIMPLE_RE.findall((tx or "").lower())
+            nw = len(toks) - window + 1
+            if nw <= 0:
+                continue
+            h1 = np.empty(nw, dtype=np.int64)
+            h2 = np.empty(nw, dtype=np.int64)
+            for i in range(nw):
+                dg = hashlib.blake2b(
+                    " ".join(toks[i:i + window]).encode("utf-8"),
+                    digest_size=16).digest()
+                h1[i] = int.from_bytes(dg[:8], "big", signed=True)
+                h2[i] = int.from_bytes(dg[8:], "big", signed=True)
+            h1_all.append(h1)
+            h2_all.append(h2)
+            id_all.append(np.full(nw, d, dtype=np.int64))
+            pos_all.append(np.arange(nw, dtype=np.int64))
+        if not h1_all:
+            return win_schema.empty_table()
+        return pa.table({"h": np.concatenate(h1_all),
+                         "h2": np.concatenate(h2_all),
+                         id_col: np.concatenate(id_all),
+                         "pos": np.concatenate(pos_all)}, schema=win_schema)
+
+    # materialize BEFORE the keyed repartition: a Dataset captures its
+    # DataContext at creation, so the hash-shuffle strategy set above only
+    # reaches the repartition through a re-created (materialized) dataset
+    wins = ds.select_columns([id_col, text_col]).map_batches(
+        win_rows, batch_format="pyarrow").materialize()
+    part = wins.repartition(num_partitions, keys=["h"], sort=True).materialize()
+
+    def _sorted_cols(t: pa.Table):
+        h = np.asarray(t["h"]).astype(np.int64)
+        h2 = np.asarray(t["h2"]).astype(np.int64)
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        pos = np.asarray(t["pos"]).astype(np.int64)
+        o = np.lexsort((pos, ids, h2, h))
+        return h[o], h2[o], ids[o], pos[o]
+
+    def _h_run_starts(h: np.ndarray) -> np.ndarray:
+        return np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1,
+                               [len(h)]))
+
+    def _mark_pairs(h, h2, ids, pos, lo: int, hi: int) -> pa.Table:
+        """Rows in [lo, hi) whose exact (h, h2) run has >= min_count rows."""
+        if hi <= lo:
+            return marked_schema.empty_table()
+        hh, hh2 = h[lo:hi], h2[lo:hi]
+        brk = np.flatnonzero((hh[1:] != hh[:-1]) | (hh2[1:] != hh2[:-1])) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(hh)]))
+        lens = ends - starts
+        keep = np.repeat(lens >= min_count, lens)
+        if not keep.any():
+            return marked_schema.empty_table()
+        return pa.table({id_col: ids[lo:hi][keep], "pos": pos[lo:hi][keep]},
+                        schema=marked_schema)
+
+    def interior_marked(t: pa.Table) -> pa.Table:
+        # every h except the block's min and max has ALL its rows here;
+        # edge h-runs are deferred to the driver stitch below
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return marked_schema.empty_table()
+        h, h2, ids, pos = _sorted_cols(t)
+        s = _h_run_starts(h)
+        return _mark_pairs(h, h2, ids, pos, s[1], s[-2])
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return win_schema.empty_table()
+        h, h2, ids, pos = _sorted_cols(t)
+        s = _h_run_starts(h)
+        sel = np.zeros(len(h), dtype=bool)
+        sel[s[0]:s[1]] = True
+        sel[s[-2]:s[-1]] = True
+        return pa.table({"h": h[sel], "h2": h2[sel], id_col: ids[sel],
+                         "pos": pos[sel]}, schema=win_schema)
+
+    eref = part.map_batches(edge_rows, batch_format="pyarrow",
+                            batch_size=None).to_arrow_refs()
+    et = pa.concat_tables([b for b in ray.get(eref) if b.num_columns])
+    if et.num_rows:
+        h, h2, ids, pos = _sorted_cols(et)
+        edge_marked = _mark_pairs(h, h2, ids, pos, 0, len(h))
+    else:
+        edge_marked = marked_schema.empty_table()
+
+    marked = part.map_batches(interior_marked, batch_format="pyarrow",
+                              batch_size=None)
+    if edge_marked.num_rows:
+        marked = marked.union(_rd.from_arrow(edge_marked))
+
+    def _merge_islands(ids: np.ndarray, pos: np.ndarray) -> pa.Table:
+        """Vectorized island merge over (doc-major, pos-minor) sorted rows."""
+        if len(ids) == 0:
+            return out_schema.empty_table()
+        o = np.lexsort((pos, ids))
+        ids, pos = ids[o], pos[o]
+        brk = (ids[1:] != ids[:-1]) | (pos[1:] - pos[:-1] > window)
+        starts = np.concatenate(([0], np.flatnonzero(brk) + 1))
+        ends = np.concatenate((np.flatnonzero(brk) + 1, [len(ids)]))
+        return pa.table({id_col: ids[starts],
+                         "start_tok": pos[starts],
+                         "end_tok": pos[ends - 1] + window - 1,
+                         "n_windows": (ends - starts).astype(np.int64)},
+                        schema=out_schema)
+
+    mref = marked.to_arrow_refs()
+    mts = [b for b in ray.get(mref) if b.num_columns and b.num_rows]
+    n_marked = sum(b.num_rows for b in mts)
+    if n_marked <= driver_span_budget:
+        if not mts:
+            return out_schema.empty_table()
+        mt = pa.concat_tables(mts)
+        return _merge_islands(np.asarray(mt[id_col]).astype(np.int64),
+                              np.asarray(mt["pos"]).astype(np.int64))
+
+    def merge_doc(g: pa.Table) -> pa.Table:  # pragma: no cover - scale path
+        return _merge_islands(np.asarray(g[id_col]).astype(np.int64),
+                              np.asarray(g["pos"]).astype(np.int64))
+
+    out = (marked.groupby(id_col)
+           .map_groups(merge_doc, batch_format="pyarrow")
+           .to_pandas().sort_values([id_col, "start_tok"])
+           .reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema)

@@ -1066,3 +1066,82 @@ def test_redact_pii(ray_session):
 
     with _pytest.raises(ValueError):
         redact_pii(rd.from_items(rows), kinds=("ssn",))
+
+
+def test_duplicate_spans_matches_brute(ray_session):
+    """Distributed duplicate-window span detection == brute per-window
+    count + island merge, on both span-merge paths (driver and groupby)."""
+    import ray.data as rd
+
+    from astrologer_ray import ensure_hash_shuffle
+    from astrologer_ray.functions.tokenizer import _SIMPLE_RE
+    from astrologer_ray.pipelines.dedup import duplicate_spans
+
+    boiler = "subscribe to our newsletter for weekly updates today"
+    texts = [
+        f"alpha beta gamma delta {boiler} epsilon zeta eta theta",
+        f"one two three four five six {boiler} seven eight nine",
+        "completely unrelated text with no duplicated windows at all here",
+        # within-doc repeat: the same 6-gram twice in ONE doc counts
+        "red green blue cyan magenta yellow padpad red green blue cyan "
+        "magenta yellow",
+        "tiny doc",                       # < window tokens -> no windows
+        f"{boiler} leading occurrence with trailing filler words here now",
+    ]
+    W = 6
+
+    def brute(min_count):
+        from collections import Counter
+        per_doc, counts = {}, Counter()
+        for d, t in enumerate(texts):
+            toks = _SIMPLE_RE.findall(t.lower())
+            ws = [" ".join(toks[i:i + W]) for i in range(len(toks) - W + 1)]
+            per_doc[d] = ws
+            counts.update(ws)
+        rows = []
+        for d in sorted(per_doc):
+            cur = None
+            for p, w in enumerate(per_doc[d]):
+                if counts[w] < min_count:
+                    continue
+                if cur is not None and p - cur[1] <= W:
+                    cur = (cur[0], p, cur[2] + 1)
+                else:
+                    if cur is not None:
+                        rows.append((d, cur[0], cur[1] + W - 1, cur[2]))
+                    cur = (p, p, 1)
+            if cur is not None:
+                rows.append((d, cur[0], cur[1] + W - 1, cur[2]))
+        return rows
+
+    ensure_hash_shuffle()
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    got = duplicate_spans(rd.from_items(rows), window=W).to_pandas()
+    got_t = [tuple(int(x) for x in r)
+             for r in got.itertuples(index=False)]
+    want = brute(2)
+    assert got_t == want
+    assert any(r[0] == 3 for r in want)          # within-doc repeat detected
+    assert not any(r[0] in (2, 4) for r in want)  # clean + tiny docs absent
+
+    # distributed groupby(doc_id) span-merge path == driver path
+    forced = duplicate_spans(rd.from_items(rows), window=W,
+                             driver_span_budget=0).to_pandas()
+    assert [tuple(int(x) for x in r)
+            for r in forced.itertuples(index=False)] == want
+
+    # partitioning-invariant (edge-run stitch across block counts)
+    for nparts in (1, 3):
+        alt = duplicate_spans(rd.from_items(rows), window=W,
+                              num_partitions=nparts).to_pandas()
+        assert [tuple(int(x) for x in r)
+                for r in alt.itertuples(index=False)] == want
+
+    # min_count=3: boiler appears 3x (docs 0, 1, 5) and survives; the
+    # doc-3 within-doc pair (2 occurrences) does not
+    got3 = duplicate_spans(rd.from_items(rows), window=W,
+                           min_count=3).to_pandas()
+    got3_t = [tuple(int(x) for x in r) for r in got3.itertuples(index=False)]
+    assert got3_t == brute(3)
+    assert {r[0] for r in got3_t} == {0, 1, 5}
