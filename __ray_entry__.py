@@ -824,6 +824,27 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def corpus_ngram_topk(sf_dir: str):
+    """Corpus-wide top-20 word trigrams by count — vocabulary/boilerplate
+    analysis. Batch-level combiner rows (one per distinct trigram per
+    batch) feed one groupby-sum; ties break trigram-ascending."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.textstats import ngram_topk
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["text"])
+    return ngram_topk(ds, n=3, k=20)
+
+
+CORPUS_NGRAM_SQL = f"""
+WITH tk AS (SELECT {_SPLIT_SQL} AS t FROM documents),
+ng AS (SELECT array_to_string(t[i:i+2], ' ') AS ngram
+       FROM tk, unnest(range(1, len(t) - 1)) AS r(i) WHERE len(t) >= 3)
+SELECT ngram, count(*) AS n FROM ng GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
 def docs_stratified_sample(sf_dir: str):
     """Training-data mixing: per-source deterministic hash sampling —
     keep 60% of src0, 25% of src1, 5% of everything else (the Knuth hash
@@ -3605,13 +3626,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": docs_stratified_sample,
         "docs_redact_pii": docs_redact_pii,
         "docs_duplicate_spans": docs_duplicate_spans,
+        "corpus_ngram_topk": corpus_ngram_topk,
         "top_orders_by_revenue": top_orders_by_revenue,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "events_sessionize": events_sessionize,
         # -- (3) flagship BM25 surface --------------------------------------
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_appended": bm25_topk_appended,
-        "bm25_topk_filtered": bm25_topk_filtered,
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
@@ -3621,6 +3642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_paged_documents": bm25_paged_documents,
+        "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_explain_documents": bm25_explain_documents,
@@ -3686,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": DOCS_STRATIFIED_SQL,
         "docs_redact_pii": _pii_sql(),
         "docs_duplicate_spans": DOCS_DUP_SPANS_SQL,
+        "corpus_ngram_topk": CORPUS_NGRAM_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

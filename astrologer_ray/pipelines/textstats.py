@@ -419,3 +419,46 @@ def redact_pii(
         return pa.table(out)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def ngram_topk(
+    ds: Dataset,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 20,
+) -> Dataset:
+    """Corpus-wide top-k word ``n``-grams by occurrence count (vocabulary /
+    boilerplate / contamination analysis).
+
+    Shuffle shape: each batch pre-aggregates its n-gram counts into
+    ``(ngram, c)`` partial rows (a combiner — the exchange carries one row
+    per DISTINCT n-gram per batch, never one per occurrence), then one
+    ``groupby(ngram).sum`` reduces partials and a k-row sort serves the
+    head. Ties break ngram-ascending, deterministically. Tokens are the
+    simple ``[a-z0-9]+`` split — token-for-token the SQL oracle's split.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    part_schema = pa.schema([("ngram", pa.string()), ("c", pa.int64())])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for tx in t[text_col].to_pylist():
+            toks = _SIMPLE_RE.findall((tx or "").lower())
+            counts.update(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+            )
+        if not counts:
+            return part_schema.empty_table()
+        return pa.table({"ngram": list(counts.keys()),
+                         "c": list(counts.values())}, schema=part_schema)
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("ngram")
+        .aggregate(Sum("c", alias_name="n"))
+        .sort(["n", "ngram"], descending=[True, False])
+        .limit(k)
+    )

@@ -1145,3 +1145,34 @@ def test_duplicate_spans_matches_brute(ray_session):
     got3_t = [tuple(int(x) for x in r) for r in got3.itertuples(index=False)]
     assert got3_t == brute(3)
     assert {r[0] for r in got3_t} == {0, 1, 5}
+
+
+def test_ngram_topk_counts_and_ties(ray_session):
+    """Batch-combiner n-gram counting == brute Counter; ties break
+    ngram-ascending; result invariant to input block structure."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from astrologer_ray.functions.tokenizer import _SIMPLE_RE
+    from astrologer_ray.pipelines.textstats import ngram_topk
+
+    texts = [
+        "a b c a b c a b",        # 'a b c' x2, 'b c a' x2, 'c a b' x2, 'a b' tail
+        "a b c d e",
+        "x y z x y z",
+        "b c a b c a",
+        "one two",                 # < n tokens
+    ]
+    want = Counter()
+    for t in texts:
+        toks = _SIMPLE_RE.findall(t.lower())
+        want.update(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+    want_rows = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+
+    rows = [{"text": t} for t in texts]
+    for nblocks in (1, 4):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        got = ngram_topk(ds, n=3, k=5).to_pandas()
+        got_rows = [(r.ngram, int(r.n)) for r in got.itertuples()]
+        assert got_rows == want_rows, (nblocks, got_rows)
