@@ -1115,6 +1115,21 @@ def embeddings_kmeans(sf_dir: str):
     return out
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDedup (Abbas et al. 2023): k-means clusters the embedding corpus,
+    then cosine near-dup pruning runs WITHIN clusters only (greedy by id,
+    deterministic) — O(sum m_i^2), never O(N^2). Rows-only: the k-means
+    step is iterative, not SQL-expressible; determinism, brute parity and
+    parallelism invariance are pytest-asserted."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.dedup import semdedup
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return semdedup(ds, k=6, iters=4, threshold=0.4).to_pandas()
+
+
 def documents_sample(sf_dir: str):
     """Deterministic 10% hash sample (O4): identical row set in both
     engines because the sampling hash is plain integer arithmetic."""
@@ -3637,6 +3652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
+        "semdedup_embeddings": semdedup_embeddings,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,

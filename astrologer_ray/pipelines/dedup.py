@@ -1384,3 +1384,100 @@ def duplicate_spans(
            .to_pandas().sort_values([id_col, "start_tok"])
            .reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema)
+
+
+# ------------------------------------------------------------------ semdedup
+
+
+def semdedup(
+    ds: Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.9,
+    seed: int = 29,
+) -> pa.Table:
+    """SemDedup (Abbas et al. 2023): embedding-space semantic dedup that
+    scales by clustering first — k-means partitions the corpus, then
+    near-duplicate pruning runs only WITHIN each cluster, so the pairwise
+    work is O(sum m_i^2) instead of O(N^2).
+
+    Pruning rule (deterministic): within a cluster, visit vectors in
+    ascending id; drop a vector when its cosine similarity to an
+    already-KEPT earlier vector exceeds ``threshold`` (recording that
+    survivor as ``dup_of``), else keep it. Greedy-by-id makes the survivor
+    set independent of parallelism and of the visit order k-means produced.
+
+    Returns ``(vec_id, cid, keep, dup_of)`` sorted by id (``dup_of`` = -1
+    for survivors). Clustering is the deterministic distributed
+    :func:`~astrologer_ray.pipelines.ann.kmeans_fit` (per-batch partial
+    sums; driver reduce O(blocks*k)); assignment broadcasts the k
+    centroids once; pruning is ``groupby(cid).map_groups`` — one cluster
+    per task, so size ``k`` to the corpus (m_i ~ N/k rows and an m_i^2
+    float block must fit a worker). Cross-cluster near-dups are missed by
+    construction — the documented SemDedup recall trade-off.
+    """
+    import ray
+
+    from astrologer_ray.pipelines.ann import kmeans_fit
+
+    C = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+                   seed=seed)
+
+    # assignment is fused with the vector carry: one stateless pass tags
+    # each row with its nearest centroid so the groupby ships (id, vec,
+    # cid) straight to the per-cluster prune task
+    ref = ray.put(np.asarray(C, dtype=np.float64))
+
+    class Tag:
+        def __init__(self):
+            self.C = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            M = np.stack(t[vec_col].to_numpy(zero_copy_only=False)
+                         ).astype(np.float64)
+            d2 = ((M * M).sum(axis=1)[:, None] - 2.0 * (M @ self.C.T)
+                  + (self.C * self.C).sum(axis=1))
+            cid = np.argmin(d2, axis=1).astype(np.int64)
+            return pa.table({id_col: t[id_col], vec_col: t[vec_col],
+                             "cid": pa.array(cid)})
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("cid", pa.int64()),
+                            ("keep", pa.bool_()), ("dup_of", pa.int64())])
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col]).astype(np.int64)
+        M = np.stack(g[vec_col].to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        o = np.argsort(ids, kind="mergesort")
+        ids, M = ids[o], M[o]
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ M.T
+        m = len(ids)
+        keep = np.zeros(m, dtype=bool)
+        dup_of = np.full(m, -1, dtype=np.int64)
+        kept_idx: list[int] = []
+        for i in range(m):
+            if kept_idx:
+                s = sims[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] > threshold:
+                    dup_of[i] = ids[kept_idx[j]]
+                    continue
+            keep[i] = True
+            kept_idx.append(i)
+        cid = int(g["cid"][0].as_py())
+        return pa.table({id_col: ids, "cid": np.full(m, cid, np.int64),
+                         "keep": keep, "dup_of": dup_of}, schema=out_schema)
+
+    out = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(Tag, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("cid")
+        .map_groups(prune, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema)

@@ -1176,3 +1176,64 @@ def test_ngram_topk_counts_and_ties(ray_session):
         got = ngram_topk(ds, n=3, k=5).to_pandas()
         got_rows = [(r.ngram, int(r.n)) for r in got.itertuples()]
         assert got_rows == want_rows, (nblocks, got_rows)
+
+
+def test_semdedup_matches_brute_and_invariant(ray_session):
+    """Distributed SemDedup == single-process greedy over the same
+    (deterministic) k-means clustering; block-structure invariant."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.ann import kmeans_fit
+    from astrologer_ray.pipelines.dedup import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 16))
+    rows, vecs, ids = [], [], []
+    vid = 0
+    for b in base:
+        for _ in range(6):
+            v = b + rng.normal(scale=0.01, size=16)   # tight near-dups
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vecs.append(v)
+            ids.append(vid)
+            vid += 1
+    lone = rng.normal(size=16) * 5
+    rows.append({"vec_id": vid, "embedding": lone.tolist()})
+    vecs.append(lone)
+    ids.append(vid)
+
+    K, TH = 4, 0.95
+
+    def brute(ds):
+        C = kmeans_fit(ds, k=K, iters=3, seed=29)
+        X = np.asarray(vecs, dtype=np.float64)
+        d2 = ((X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1))
+        cid = np.argmin(d2, axis=1)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        out = {}
+        for c in np.unique(cid):
+            members = [i for i in ids if cid[i] == c]
+            kept = []
+            for i in members:
+                hit = next((j for j in kept
+                            if float(Xn[i] @ Xn[j]) > TH), None)
+                if hit is None:
+                    kept.append(i)
+                    out[i] = (int(c), True, -1)
+                else:
+                    out[i] = (int(c), False, hit)
+        return [(i,) + out[i] for i in sorted(out)]
+
+    ds1 = rd.from_items(rows, override_num_blocks=1)
+    want = brute(ds1)
+
+    for nblocks in (1, 5):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        got = semdedup(ds, k=K, iters=3, threshold=TH).to_pandas()
+        got_t = [(int(r.vec_id), int(r.cid), bool(r.keep), int(r.dup_of))
+                 for r in got.itertuples()]
+        assert got_t == want, nblocks
+
+    n_kept = sum(1 for _, _, kp, _ in want if kp)
+    assert n_kept < len(rows)            # tight groups actually pruned
+    assert any(i == vid and kp for i, _, kp, _ in want)   # loner survives
