@@ -845,6 +845,30 @@ ORDER BY n DESC, ngram LIMIT 20
 """
 
 
+def docs_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle-to-shards (training-data layout step):
+    shard + within-shard rank from the seeded Knuth hash of doc_id — no
+    random_shuffle, so the layout is engine-, run- and
+    parallelism-independent and exactly SQL-checkable."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.aggs import shuffle_shards
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"), columns=["doc_id"])
+    return (shuffle_shards(ds, "doc_id", n_shards=8, seed=7)
+            .sort("doc_id"))
+
+
+DOCS_SHUFFLE_SQL = """
+WITH h AS (SELECT doc_id,
+  ((CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761 + 7) % 4294967296) AS hv
+  FROM documents)
+SELECT doc_id, CAST(hv % 8 AS BIGINT) AS shard,
+       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS pos
+FROM h ORDER BY doc_id
+"""
+
+
 def docs_stratified_sample(sf_dir: str):
     """Training-data mixing: per-source deterministic hash sampling —
     keep 60% of src0, 25% of src1, 5% of everything else (the Knuth hash
@@ -3622,8 +3646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_exact": embedding_near_dup_exact,
         "simhash_documents": simhash_documents,
         "minhash_dedup_documents": minhash_dedup_documents,
-        "langid_documents": langid_documents,
-        "fingerprint_documents": fingerprint_documents,
+        "docs_shuffle_shards": docs_shuffle_shards,
+        "semdedup_embeddings": semdedup_embeddings,
         "media_features_stub": media_features_stub,
         "bm25_topk_code": bm25_topk_code,
         # -- (2) new or implementation changed this round -------------------
@@ -3652,13 +3676,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
-        "semdedup_embeddings": semdedup_embeddings,
         # -- (4) stable, driver-green in r2/r3 ------------------------------
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
         "bm25_paged_documents": bm25_paged_documents,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "langid_documents": langid_documents,
+        "fingerprint_documents": fingerprint_documents,
         "bm25_topk_range_filtered": bm25_topk_range_filtered,
         "bm25_collapse_documents": bm25_collapse_documents,
         "bm25_explain_documents": bm25_explain_documents,
@@ -3725,6 +3750,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_redact_pii": _pii_sql(),
         "docs_duplicate_spans": DOCS_DUP_SPANS_SQL,
         "corpus_ngram_topk": CORPUS_NGRAM_SQL,
+        "docs_shuffle_shards": DOCS_SHUFFLE_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,
         "events_bucket_script": EVENTS_BUCKET_SCRIPT_SQL,
         "events_percentile_ranks": EVENTS_PCT_RANKS_SQL,

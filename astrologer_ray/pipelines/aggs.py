@@ -702,3 +702,48 @@ def auto_date_histogram(
         .take_all()
     )
     return pa.Table.from_pylist(out), width
+
+
+def shuffle_shards(
+    ds: Dataset, id_col: str, n_shards: int, seed: int = 0
+) -> Dataset:
+    """Deterministic pseudo-random shard assignment + within-shard order —
+    the training-data "global shuffle then write N shards" step, without a
+    random_shuffle: the permutation is the Knuth multiplicative hash of
+    ``id_col`` (seed-offset), so the layout is engine-, run- and
+    parallelism-independent and exactly SQL-expressible.
+
+    Returns ``(id_col, shard, pos)``: ``shard = h % n_shards`` and ``pos``
+    the row's rank within its shard by ``(h, id)``. One ``groupby(shard)``
+    exchange of 24 B rows; a shard's rows rank inside one task — a shard
+    is the downstream write unit, so size ``n_shards`` to keep
+    corpus/n_shards in task memory (exactly the file-size knob)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h = (ids * np.uint64(2654435761) + np.uint64(seed)) \
+            % np.uint64(4294967296)
+        return pa.table({
+            id_col: t[id_col],
+            "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            "h": pa.array(h.astype(np.int64)),
+        })
+
+    def rank(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col]).astype(np.int64)
+        h = np.asarray(g["h"]).astype(np.int64)
+        o = np.lexsort((ids, h))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[o] = np.arange(len(ids), dtype=np.int64)
+        return pa.table({
+            id_col: g[id_col], "shard": g["shard"],
+            "pos": pa.array(pos),
+        })
+
+    return (
+        ds.map_batches(hashed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(rank, batch_format="pyarrow")
+    )

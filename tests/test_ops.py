@@ -1237,3 +1237,23 @@ def test_semdedup_matches_brute_and_invariant(ray_session):
     n_kept = sum(1 for _, _, kp, _ in want if kp)
     assert n_kept < len(rows)            # tight groups actually pruned
     assert any(i == vid and kp for i, _, kp, _ in want)   # loner survives
+
+
+def test_shuffle_shards_dense_and_invariant(ray_session):
+    """Shard ranks are dense 0..m-1 per shard and block-structure
+    invariant (the deterministic-layout contract)."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import shuffle_shards
+
+    rows = [{"doc_id": i} for i in range(257)]
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        df = (shuffle_shards(ds, "doc_id", n_shards=4, seed=3)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+        assert len(df) == 257 and set(df.shard.unique()) <= set(range(4))
+        for s, grp in df.groupby("shard"):
+            assert sorted(grp.pos) == list(range(len(grp)))
+    assert outs[0].equals(outs[1])
