@@ -53,6 +53,29 @@ def cmd_create_index(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    from astrologer_ray.sources.jsonl import convert_jsonl_corpus
+
+    cmap = {}
+    for kv in args.map or []:
+        dst, _, src = kv.partition("=")
+        if not src:
+            print(json.dumps({"error": f"--map wants dst=src, got {kv!r}"}))
+            return 2
+        cmap[dst] = src
+    manifest = convert_jsonl_corpus(args.jsonl, args.out,
+                                    column_map=cmap or None,
+                                    overwrite=args.overwrite)
+    print(json.dumps({
+        "shards": len(manifest),
+        "rows": int(sum(r["rows"] for r in manifest)),
+        "skipped_rows": int(sum(r["skipped_rows"] for r in manifest)),
+        "resumed_shards": int(sum(1 for r in manifest if r["resumed"])),
+        "out": args.out,
+    }))
+    return 0
+
+
 def cmd_build(args) -> int:
     from astrologer_ray.pipelines.build import build_index
 
@@ -393,6 +416,15 @@ def main(argv: list[str] | None = None) -> int:
     ci.add_argument("index")
     ci.add_argument("--force", action="store_true")
     ci.set_defaults(fn=cmd_create_index)
+
+    cv = sub.add_parser("convert", help="JSONL shards -> corpus parquet "
+                        "(one output per shard, skip-if-done resumable)")
+    cv.add_argument("jsonl", help=".jsonl file or directory of shards")
+    cv.add_argument("out", help="corpus parquet output directory")
+    cv.add_argument("--map", action="append", metavar="DST=SRC",
+                    help="corpus column -> source JSON key (repeatable)")
+    cv.add_argument("--overwrite", action="store_true")
+    cv.set_defaults(fn=cmd_convert)
 
     for name, fn in (("build", cmd_build), ("ingest", cmd_ingest)):
         b = sub.add_parser(name)

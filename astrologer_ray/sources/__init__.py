@@ -3,3 +3,4 @@ from astrologer_ray.sources.corpus import (  # noqa: F401
     generate_corpus,
     read_corpus,
 )
+from astrologer_ray.sources.jsonl import convert_jsonl_corpus  # noqa: F401

@@ -259,3 +259,53 @@ def test_cli_terms(ray_session, small_corpus_dir, tmp_path, capsys):
     wlines = capsys.readouterr().out.strip().splitlines()
     assert {json.loads(ln)["term"] for ln in wlines} == {
         json.loads(ln)["term"] for ln in plines}
+
+
+def test_cli_convert_jsonl_to_corpus_and_build(ray_session, tmp_path, capsys):
+    """JSONL shards -> corpus parquet -> index -> search, end to end;
+    conversion is resumable (skip-if-done) and column-mappable."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    shard0 = [
+        {"repository": "org/alpha", "file": "a.py", "language": "python",
+         "body": "merge sort routine for the index"},
+        {"repository": "org/alpha", "file": "b.py",
+         "body": "hash join probe build side"},       # no language -> default
+        {"file": "c.py", "body": "bloom filter bits"},  # no repo -> ""
+    ]
+    (src / "s0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in shard0) + "\nnot json at all\n")
+    (src / "s1.jsonl").write_text(json.dumps(
+        {"repository": "org/beta", "file": "d.py",
+         "body": "vectorized scan kernel"}) + "\n" +
+        json.dumps({"repository": "org/beta"}) + "\n")   # no content -> drop
+
+    out = str(tmp_path / "corpus")
+    mp = ["--map", "repo=repository", "--map", "path=file",
+          "--map", "lang=language", "--map", "content=body"]
+    assert main(["convert", str(src), out] + mp) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep == {"shards": 2, "rows": 4, "skipped_rows": 2,
+                   "resumed_shards": 0, "out": out}
+
+    t = pq.read_table(os.path.join(out, "s0.parquet"))
+    assert t.column_names == ["repo", "path", "commit", "lang", "content"]
+    assert t["lang"].to_pylist() == ["python", "unknown", "unknown"]
+    assert t["repo"].to_pylist() == ["org/alpha", "org/alpha", ""]
+    assert all(len(c) == 40 for c in t["commit"].to_pylist())
+
+    # resumable: second run converts nothing, reports same totals
+    assert main(["convert", str(src), out] + mp) == 0
+    rep2 = json.loads(capsys.readouterr().out)
+    assert rep2["resumed_shards"] == 2 and rep2["rows"] == 4
+
+    # the converted corpus is a first-class build input
+    idx = str(tmp_path / "jidx")
+    assert main(["build", out, idx, "--partition-rows", "8"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["n_docs"] == 4
+    assert main(["search", idx, "merge sort", "-k", "2"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(lines[0])["repo"] == "org/alpha"
