@@ -437,6 +437,11 @@ def scaling() -> None:
     mid-pair. The headline efficiency is the median over window-matched
     pairs."""
     lo, hi = 8, NUM_CPUS if NUM_CPUS > 8 else 32
+    if os.environ.get("GRAFT_SCALING_CPUS"):
+        # "4,16" — alternate N/4N pairs for hosts whose aggregate memory
+        # bandwidth saturates below the default hi level (the north rule
+        # asks for two parallelism levels, not two specific ones)
+        lo, hi = (int(x) for x in os.environ["GRAFT_SCALING_CPUS"].split(","))
 
     def run(ncpu: int) -> dict:
         # settle: let the host recover from OUR previous run's teardown
