@@ -1676,6 +1676,162 @@ def bm25_paged_documents(sf_dir: str):
     )
 
 
+DIS_MAX_QUERIES: list[list[str]] = [
+    ["data", "fast", "query"],
+    ["window", "merge"],
+    ["stream", "sort", "table"],
+]
+DIS_MAX_TIE = 0.3
+DIS_MAX_K = 12
+
+
+def bm25_dis_max_documents(sf_dir: str):
+    """ES ``dis_max`` (the scoring core of ``multi_match`` best_fields):
+    per-doc score = best sub-query BM25 score + tie_breaker x the sum of
+    the other matching sub-queries' scores (es query DSL parity)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.search_dis_max(DIS_MAX_QUERIES, tie_breaker=DIS_MAX_TIE,
+                            k=DIS_MAX_K)
+    return pa.table(
+        {
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score": pa.array(
+                [round(h["score"], 4) for h in hits], pa.float64()),
+        }
+    )
+
+
+def _bm25_dis_max_sql() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in enumerate(DIS_MAX_QUERIES)
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+comb AS (
+  SELECT doc_id,
+         max(score) + {DIS_MAX_TIE} * (sum(score) - max(score)) AS score
+  FROM scores GROUP BY 1),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM comb)
+SELECT doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {DIS_MAX_K} ORDER BY rn
+"""
+
+
+MIN_SCORE_TERMS = ["data", "fast", "query"]
+MIN_SCORE_K = 20
+MIN_SCORE_CUT = 1.2
+
+
+def bm25_min_score_documents(sf_dir: str):
+    """ES ``min_score``: the top-k BM25 hits scoring below the threshold
+    are dropped from the response (exact post-rank cut — any hit past rank
+    k scores no higher, so none could re-enter)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    hits = s.search(MIN_SCORE_TERMS, k=MIN_SCORE_K, min_score=MIN_SCORE_CUT)
+    return pa.table(
+        {
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score": pa.array(
+                [round(h["score"], 4) for h in hits], pa.float64()),
+        }
+    )
+
+
+def _bm25_min_score_sql() -> str:
+    values = ", ".join(f"('{t}')" for t in sorted(set(MIN_SCORE_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {values}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= {MIN_SCORE_K} AND score >= {MIN_SCORE_CUT}
+ORDER BY rn
+"""
+
+
+CONST_SCORE_BOOST = 1.5
+CONST_SCORE_K = 15
+
+
+def docs_constant_score(sf_dir: str):
+    """ES ``constant_score``: docs matching a filter clause (index-served
+    keyword term + sidecar dl range) all score exactly ``boost``; first k
+    live docs by id."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir))
+    filt = {"bool": {"must": [
+        {"field_term": {"lang": "en"}},
+        {"range": {"dl": {"gte": 30, "lt": 50}}},
+    ]}}
+    hits = s.search_constant_score(filt, boost=CONST_SCORE_BOOST,
+                                   k=CONST_SCORE_K)
+    return pa.table(
+        {
+            "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+            "score": pa.array([h["score"] for h in hits], pa.float64()),
+        }
+    )
+
+
+CONST_SCORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1)
+SELECT d.doc_id, CAST({CONST_SCORE_BOOST} AS DOUBLE) AS score
+FROM documents d JOIN dl ON dl.doc_id = d.doc_id
+WHERE d.lang = 'en' AND dl.dl >= 30 AND dl.dl < 50
+ORDER BY d.doc_id LIMIT {CONST_SCORE_K}
+"""
+
+
 def _bm25_paged_sql() -> str:
     values = ", ".join(
         f"({qid}, '{t}')" for qid, terms in PAGED_QUERIES for t in sorted(set(terms))
@@ -3673,6 +3829,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": bm25_topk_documents,
         "bm25_topk_appended": bm25_topk_appended,
         "q1_pricing_summary": q1_pricing_summary,
+        # -- new this session (first driver row available in r5) -----------
+        "bm25_dis_max_documents": bm25_dis_max_documents,
+        "bm25_min_score_documents": bm25_min_score_documents,
+        "docs_constant_score": docs_constant_score,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
@@ -3767,6 +3927,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_documents_sql(),
         # segmented serving is invisible to the scores: same full-corpus oracle
         "bm25_topk_appended": _bm25_documents_sql(),
+        "bm25_dis_max_documents": _bm25_dis_max_sql(),
+        "bm25_min_score_documents": _bm25_min_score_sql(),
+        "docs_constant_score": CONST_SCORE_SQL,
         "bm25_topk_filtered": _bm25_documents_sql("fd.lang = 'en'"),
         "bm25_topk_range_filtered": _bm25_documents_sql(
             "fd.lang = 'en' AND fd.doc_id IN "

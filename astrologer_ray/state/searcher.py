@@ -943,6 +943,7 @@ class Searcher:
         min_should_match: int = 0,
         after: tuple[float, int] | None = None,
         boosts: dict[str, float] | None = None,
+        min_score: float | None = None,
     ) -> list[dict]:
         """Exact top-k BM25. ``strategy``: "taat" (vectorized term-at-a-
         time), "wand" (block-max WAND), or "auto" (taat while the doc space
@@ -964,7 +965,12 @@ class Searcher:
         ``boosts`` maps term -> query-time boost (ES ``term^2.5``): the
         term's BM25 contribution is multiplied by the boost wherever the
         term appears (must or should clause); TAAT and WAND stay
-        score-identical."""
+        score-identical.
+
+        ``min_score`` (ES ``min_score``) drops hits scoring below the
+        threshold. Applying it AFTER top-k selection is exact: scores are
+        rank-ordered, so any excluded sub-threshold hit could not have been
+        displaced by a doc ranked past k (which scores no higher)."""
         if k <= 0:
             return []
         self._check_boosts(boosts)
@@ -991,7 +997,8 @@ class Searcher:
             hits = self._search_taat(qterms, k, allowed,
                                      should_terms, min_should_match, after,
                                      boosts)
-            return self._format(hits, decorate)
+            return self._format(self._min_score_cut(hits, min_score),
+                                decorate)
 
         sterms = sorted({t for t in (should_terms or []) if self.owns_term(t)}
                         - set(qterms))
@@ -1094,7 +1101,18 @@ class Searcher:
             cursors = [c for c in cursors if c.doc != _INF]
 
         out = sorted(heap, key=lambda t2: (-t2[0], -t2[1]))
-        return self._format([(-nd, s) for s, nd in out], decorate)
+        return self._format(
+            self._min_score_cut([(-nd, s) for s, nd in out], min_score),
+            decorate,
+        )
+
+    @staticmethod
+    def _min_score_cut(
+        hits: list[tuple[int, float]], min_score: float | None
+    ) -> list[tuple[int, float]]:
+        if min_score is None:
+            return hits
+        return [(d, s) for d, s in hits if s >= float(min_score)]
 
     # max token position per doc in the phrase composite key (doc, pos)
     # -> doc * STRIDE + pos fits int64 for doc_id < 2^39
@@ -1407,6 +1425,70 @@ class Searcher:
             if h["doc_id"] not in pin_set:
                 out.append((h["doc_id"], h["score"]))
         return self._format(out[:k], decorate)
+
+    def search_dis_max(
+        self,
+        queries: list[list[str]],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``dis_max`` (and the scoring core of ``multi_match``
+        best_fields): each sub-query is BM25-scored independently; a doc's
+        combined score is its BEST sub-query score plus ``tie_breaker``
+        times the sum of its other matching sub-queries' scores. Exact:
+        full TAAT candidate scoring per sub-query into dense local
+        accumulators (same per-shard cost envelope as ``search_boosting``),
+        then (score desc, doc_id asc) top-k."""
+        if not (0.0 <= float(tie_breaker) <= 1.0):
+            raise ValueError(
+                f"tie_breaker must be in [0, 1], got {tie_breaker}"
+            )
+        if k <= 0 or not queries:
+            return []
+        best = np.zeros(self.n_local, dtype=np.float64)
+        total = np.zeros(self.n_local, dtype=np.float64)
+        seen = np.zeros(self.n_local, dtype=bool)
+        for terms in queries:
+            hits = self.search(terms, k=self.n_local, filter=filter,
+                               strategy="taat")
+            if not hits:
+                continue
+            loc = np.fromiter(
+                (h["doc_id"] for h in hits), dtype=np.int64, count=len(hits)
+            ) - self.doc_lo
+            sc = np.fromiter(
+                (h["score"] for h in hits), dtype=np.float64, count=len(hits)
+            )
+            np.maximum.at(best, loc, sc)
+            total[loc] += sc
+            seen[loc] = True
+        cand = np.flatnonzero(seen)
+        if len(cand) == 0:
+            return []
+        score = best[cand] + float(tie_breaker) * (total[cand] - best[cand])
+        order = np.lexsort((cand, -score))[: min(k, len(cand))]
+        return self._format(
+            [(int(cand[i]) + self.doc_lo, float(score[i])) for i in order],
+            decorate,
+        )
+
+    def search_constant_score(
+        self, filter, boost: float = 1.0, k: int = 10, decorate: bool = False
+    ) -> list[dict]:
+        """ES ``constant_score``: every doc matching the filter-DSL clause
+        scores exactly ``boost`` (no BM25); ties break doc_id ascending, so
+        the result is the first k live matching docs by id."""
+        if k <= 0:
+            return []
+        mask = (np.ones(self.n_local, dtype=bool) if filter is None
+                else self.filter_mask(filter))  # None = ES match_all
+        mask = self._apply_deletes(mask)
+        loc = np.flatnonzero(mask)[: min(k, self.n_local)]
+        return self._format(
+            [(int(i) + self.doc_lo, float(boost)) for i in loc], decorate
+        )
 
     def agg_adjacency_matrix(self, filters: dict) -> list[tuple]:
         """ES ``adjacency_matrix``: doc counts for every named filter and

@@ -1227,3 +1227,70 @@ def test_chunkstore_rejects_noncontiguous_terms():
     store = _ChunkStore(ok)
     assert [r["n"] for r in store["a"]] == [1, 2]
     assert [r["n"] for r in store["b"]] == [3]
+
+
+def test_dis_max_matches_brute_force(index_and_oracle):
+    """dis_max combined score == max + tie_breaker*(sum-max) over the
+    per-sub-query exact BM25 score maps (ES dis_max semantics)."""
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    head = [t for t, _ in terms_by_df[:6]]
+    subqueries = [head[:2], head[2:4], head[4:6]]
+    tb = 0.35
+    # brute force: full score map per subquery via exhaustive search
+    maps = []
+    for q in subqueries:
+        maps.append({h["doc_id"]: h["score"]
+                     for h in s.search(q, k=s.n_local, strategy="taat")})
+    want = {}
+    for d in set().union(*maps):
+        ss = [m[d] for m in maps if d in m]
+        want[d] = max(ss) + tb * (sum(ss) - max(ss))
+    k = 12
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    got = [(h["doc_id"], h["score"])
+           for h in s.search_dis_max(subqueries, tie_breaker=tb, k=k)]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert np.allclose([x for _, x in got], [x for _, x in expect])
+    with pytest.raises(ValueError, match="tie_breaker"):
+        s.search_dis_max(subqueries, tie_breaker=1.5)
+    assert s.search_dis_max([], k=5) == []
+    assert s.search_dis_max([["zzz_no_such_term"]], k=5) == []
+
+
+def test_min_score_cut_is_exact(index_and_oracle):
+    index_dir, _, _ = index_and_oracle
+    s = Searcher(index_dir)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    terms = [t for t, _ in terms_by_df[:3]]
+    base = s.search(terms, k=20)
+    assert base, "fixture query must match"
+    cut = base[len(base) // 2]["score"]  # mid-pack threshold
+    got = s.search(terms, k=20, min_score=cut)
+    want = [h for h in base if h["score"] >= cut]
+    assert [(h["doc_id"], h["score"]) for h in got] == [
+        (h["doc_id"], h["score"]) for h in want]
+    assert 0 < len(got) < len(base)
+    # WAND path must agree
+    got_w = s.search(terms, k=20, min_score=cut, strategy="wand")
+    assert [(h["doc_id"], round(h["score"], 9)) for h in got_w] == [
+        (h["doc_id"], round(h["score"], 9)) for h in want]
+
+
+def test_constant_score_filter_and_deletes(index_and_oracle):
+    index_dir, _, langs = index_and_oracle
+    s = Searcher(index_dir)
+    lang = langs[0]
+    hits = s.search_constant_score({"term": {"lang": lang}}, boost=2.5, k=8)
+    want_ids = [int(i) for i in np.flatnonzero(langs == lang)[:8]]
+    assert [h["doc_id"] for h in hits] == want_ids
+    assert all(h["score"] == 2.5 for h in hits)
+    # match_all (filter=None) returns the first k live docs
+    allhits = s.search_constant_score(None, k=3)
+    assert [h["doc_id"] for h in allhits] == [0, 1, 2]
+    # tombstoned docs never surface
+    s2 = Searcher(index_dir)
+    s2.deleted = np.array([want_ids[0]], dtype=np.int64)
+    hits2 = s2.search_constant_score({"term": {"lang": lang}}, k=8)
+    assert want_ids[0] not in [h["doc_id"] for h in hits2]
