@@ -655,6 +655,56 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def events_matrix_stats(sf_dir: str):
+    """ES ``matrix_stats`` over (value, props.k): count, means, population
+    variances, covariance, Pearson correlation — exact scaled-integer
+    moments (order-independent partials, one tiny combine), raw moments
+    returned alongside the derived doubles as the bit-exact core."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import matrix_stats
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["value", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(
+            pc.fill_null(t["props"].combine_chunks(), ""), r'"k": (?P<k>[0-9]+)'
+        )
+        k = pc.cast(pc.struct_field(ks, "k"), pa.int64())
+        return pa.table({"value": t["value"], "k": pc.fill_null(k, 0)})
+
+    return matrix_stats(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        "value", "k", x_scale=100, y_scale=1,
+    )
+
+
+EVENTS_MATRIX_STATS_SQL = """
+WITH c AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(coalesce(regexp_extract(props, '"k": ([0-9]+)', 1), '0') AS BIGINT) AS y
+  FROM events),
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+         CAST(sum(x*y) AS BIGINT) AS sxy
+  FROM c)
+SELECT n, sx, sy, sxx, syy, sxy,
+  round(sx / n / 100.0, 6) AS mean_x,
+  round(sy / n / 1.0, 6) AS mean_y,
+  round((sxx - (sx*sx)/CAST(n AS DOUBLE))/n / 10000.0, 6) AS var_x,
+  round((syy - (sy*sy)/CAST(n AS DOUBLE))/n / 1.0, 6) AS var_y,
+  round((sxy - (sx*sy)/CAST(n AS DOUBLE))/n / 100.0, 6) AS covariance,
+  round(CASE WHEN (sxx - (sx*sx)/CAST(n AS DOUBLE))/n > 0
+              AND (syy - (sy*sy)/CAST(n AS DOUBLE))/n > 0
+        THEN ((sxy - (sx*sy)/CAST(n AS DOUBLE))/n)
+             / sqrt(((sxx - (sx*sx)/CAST(n AS DOUBLE))/n)
+                    * ((syy - (sy*sy)/CAST(n AS DOUBLE))/n))
+        ELSE 0.0 END, 6) AS correlation
+FROM agg
+"""
+
+
 def events_pipeline_aggs(sf_dir: str):
     """ES pipeline aggregations over a day histogram: cumulative_sum of
     the doc count, derivative of the day's cents sum, 3-bucket trailing
@@ -3833,6 +3883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dis_max_documents": bm25_dis_max_documents,
         "bm25_min_score_documents": bm25_min_score_documents,
         "docs_constant_score": docs_constant_score,
+        "events_matrix_stats": events_matrix_stats,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
@@ -3930,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dis_max_documents": _bm25_dis_max_sql(),
         "bm25_min_score_documents": _bm25_min_score_sql(),
         "docs_constant_score": CONST_SCORE_SQL,
+        "events_matrix_stats": EVENTS_MATRIX_STATS_SQL,
         "bm25_topk_filtered": _bm25_documents_sql("fd.lang = 'en'"),
         "bm25_topk_range_filtered": _bm25_documents_sql(
             "fd.lang = 'en' AND fd.doc_id IN "

@@ -411,6 +411,77 @@ def extended_stats(
     return pa.Table.from_pylist(rows)
 
 
+def matrix_stats(
+    ds: Dataset, x_col: str, y_col: str,
+    x_scale: int = 100, y_scale: int = 1, round_to: int = 6,
+) -> pa.Table:
+    """ES ``matrix_stats`` over a numeric field pair: count, per-field
+    mean/variance, covariance and Pearson correlation — EXACT via scaled
+    integer moments (the repo's money policy): each batch pre-aggregates
+    ``(n, Σx, Σy, Σx², Σy², Σxy)`` on int64 inside ``map_batches``, one
+    tiny global sum combines the partials, and the driver finalizes with
+    the same cast-then-divide float expressions as the SQL twin — the
+    moments are order-independent integers, so the result is
+    parallelism-invariant and SQL-hash-comparable.
+
+    The raw integer moments are returned alongside the derived doubles:
+    they are the bit-exact core of the contract. ES's skewness/kurtosis
+    are omitted — their 3rd/4th integer moments overflow int64 at corpus
+    scale (the same ``n·x² < 2^63`` bound as :func:`extended_stats`
+    applies here per second-order moment).
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t.column(x_col), pa.float64()), float(x_scale)), 0.5)),
+            pa.int64())
+        y = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(t.column(y_col), pa.float64()), float(y_scale)), 0.5)),
+            pa.int64())
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+            "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
+            "sxx": pa.array([pc.sum(pc.multiply(x, x)).as_py() or 0],
+                            pa.int64()),
+            "syy": pa.array([pc.sum(pc.multiply(y, y)).as_py() or 0],
+                            pa.int64()),
+            "sxy": pa.array([pc.sum(pc.multiply(x, y)).as_py() or 0],
+                            pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    r = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
+    if not r or not r.get("n"):  # empty input: aggregate() returns None
+        return pa.Table.from_pylist([])
+    n = int(r["n"])
+    sx, sy = int(r["sx"]), int(r["sy"])
+    sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+    # scaled-unit population moments, cast-then-divide exactly as the SQL
+    # twin writes them (s*s exact in int64 range, then float division)
+    var_x_c = (sxx - float(sx * sx) / n) / n
+    var_y_c = (syy - float(sy * sy) / n) / n
+    cov_c = (sxy - float(sx * sy) / n) / n
+    xs2, ys2 = float(x_scale * x_scale), float(y_scale * y_scale)
+    corr = (
+        cov_c / (var_x_c * var_y_c) ** 0.5
+        if var_x_c > 0 and var_y_c > 0 else 0.0
+    )
+    return pa.Table.from_pylist([{
+        "n": n, "sx": sx, "sy": sy, "sxx": sxx, "syy": syy, "sxy": sxy,
+        "mean_x": round(sx / n / float(x_scale), round_to),
+        "mean_y": round(sy / n / float(y_scale), round_to),
+        "var_x": round(var_x_c / xs2, round_to),
+        "var_y": round(var_y_c / ys2, round_to),
+        "covariance": round(cov_c / float(x_scale * y_scale), round_to),
+        "correlation": round(corr, round_to),
+    }])
+
+
 def sample_hash(ds: Dataset, id_col: str, frac: float) -> Dataset:
     """Deterministic hash sampling (§2.6 O4): keep rows whose Knuth
     multiplicative hash of ``id_col`` falls under ``frac``. Stable across

@@ -1257,3 +1257,36 @@ def test_shuffle_shards_dense_and_invariant(ray_session):
         for s, grp in df.groupby("shard"):
             assert sorted(grp.pos) == list(range(len(grp)))
     assert outs[0].equals(outs[1])
+
+
+def test_matrix_stats_exact_and_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import matrix_stats
+
+    rng = np.random.default_rng(7)
+    x = np.round(rng.normal(50, 10, 500), 2)
+    y = (x * 2 + rng.normal(0, 5, 500)).astype(np.int64)  # strong corr
+    rows = [{"v": float(a), "k": int(b)} for a, b in zip(x, y)]
+    outs = []
+    for nblocks in (1, 9):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        t = matrix_stats(ds, "v", "k", x_scale=100, y_scale=1)
+        outs.append(t.to_pandas())
+    assert outs[0].equals(outs[1])  # exact integer moments: block-invariant
+    got = outs[0].iloc[0]
+    xc = np.floor(x * 100.0 + 0.5).astype(np.int64)
+    assert got["n"] == 500
+    assert got["sx"] == int(xc.sum()) and got["sy"] == int(y.sum())
+    assert got["sxy"] == int((xc * y).sum())
+    # derived stats agree with numpy population moments
+    assert abs(got["var_x"] - np.var(xc / 100.0)) < 1e-3
+    assert abs(got["covariance"] - np.cov(xc / 100.0, y, bias=True)[0, 1]) < 1e-2
+    r = np.corrcoef(xc / 100.0, y)[0, 1]
+    assert abs(got["correlation"] - r) < 1e-3
+    assert got["correlation"] > 0.9
+    # empty input
+    empty = matrix_stats(
+        rd.from_items([], override_num_blocks=1)
+        if hasattr(rd, "from_items") else None, "v", "k")
+    assert empty.num_rows == 0
