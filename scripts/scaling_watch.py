@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Good-window watcher for the north_rule scaling criterion.
+
+The sandbox host is timeshared: its aggregate memory bandwidth swings
+10-20x minute-to-minute with neighbors, and `bench.py --scaling` pairs
+measured in a degraded window measure the window, not the engine (see
+BASELINE.md, runs w1/b/c). This watcher polls the cheap bandwidth probe
+and fires a full `bench.py --scaling` suite only when the window is good,
+writing each suite to the next free SCALING_r04<letter>.json.
+
+Policy:
+- membw_8proc >= GOOD_GBPS (default 15): fire the default 8->32 suite.
+- after MED_AFTER_S seconds without a good window, membw_8proc >=
+  MED_GBPS (default 8) fires a 4->16 suite (GRAFT_SCALING_CPUS=4,16) —
+  the north rule asks for two parallelism levels N and 4N, not two
+  specific ones, and 16 workers stay under this host's bus-saturation
+  knee in windows where 32 do not.
+- never fires while another bench.py / pytest is running (they'd share
+  the window and poison the pairs).
+
+Run: nohup python scripts/scaling_watch.py >> /tmp/scaling_watch.log 2>&1 &
+"""
+from __future__ import annotations
+
+import json
+import os
+import string
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+GOOD_GBPS = float(os.environ.get("GRAFT_WATCH_GOOD_GBPS", "15"))
+MED_GBPS = float(os.environ.get("GRAFT_WATCH_MED_GBPS", "8"))
+MED_AFTER_S = float(os.environ.get("GRAFT_WATCH_MED_AFTER_S", "5400"))
+POLL_S = float(os.environ.get("GRAFT_WATCH_POLL_S", "120"))
+MAX_SUITES = int(os.environ.get("GRAFT_WATCH_MAX_SUITES", "3"))
+
+
+def _busy() -> bool:
+    out = subprocess.run(
+        ["ps", "-eo", "args"], capture_output=True, text=True
+    ).stdout
+    for line in out.splitlines():
+        if "scaling_watch" in line or line.startswith("ps "):
+            continue
+        if ("bench.py" in line or "pytest" in line) and "python" in line:
+            return True
+    return False
+
+
+def _next_out() -> str:
+    for letter in string.ascii_lowercase[3:]:  # a/b/c are taken by round 4
+        p = os.path.join(REPO, f"SCALING_r04{letter}.json")
+        if not os.path.exists(p):
+            return p
+    raise RuntimeError("no free SCALING_r04 slot")
+
+
+def _fire(cpus_pair: str | None) -> bool:
+    out_path = _next_out()
+    env = dict(os.environ)
+    if cpus_pair:
+        env["GRAFT_SCALING_CPUS"] = cpus_pair
+    else:
+        env.pop("GRAFT_SCALING_CPUS", None)
+    print(f"[watch] firing --scaling pair={cpus_pair or '8,32'} -> {out_path}",
+          flush=True)
+    with open(out_path + ".tmp", "w") as f:
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
+            env=env, stdout=f, stderr=subprocess.PIPE, text=True,
+        )
+    if p.returncode != 0 or os.path.getsize(out_path + ".tmp") == 0:
+        print(f"[watch] suite failed rc={p.returncode}:\n{p.stderr[-2000:]}",
+              flush=True)
+        os.rename(out_path + ".tmp", out_path + ".failed")
+        return False
+    os.rename(out_path + ".tmp", out_path)
+    with open(out_path) as f:
+        rec = json.loads(f.read().strip().splitlines()[-1])
+    print(f"[watch] suite done: eff={rec.get('scaling_efficiency')} "
+          f"matched={rec.get('matched_pair_count')} -> {out_path}", flush=True)
+    return True
+
+
+def main() -> None:
+    from bench import host_probes  # noqa: deferred so REPO is on sys.path
+
+    t0 = time.time()
+    fired = 0
+    while fired < MAX_SUITES:
+        if _busy():
+            time.sleep(POLL_S)
+            continue
+        bw = host_probes()["membw_8proc_GBps"]
+        elapsed = time.time() - t0
+        print(f"[watch] t+{elapsed:.0f}s membw_8proc={bw}", flush=True)
+        if bw >= GOOD_GBPS:
+            if _fire(None):
+                fired += 1
+        elif bw >= MED_GBPS and elapsed >= MED_AFTER_S:
+            if _fire("4,16"):
+                fired += 1
+        time.sleep(POLL_S)
+    print("[watch] suite budget exhausted, exiting", flush=True)
+
+
+if __name__ == "__main__":
+    main()
