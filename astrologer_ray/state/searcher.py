@@ -1474,6 +1474,94 @@ class Searcher:
             decorate,
         )
 
+    def search_synonyms(
+        self,
+        groups: list[list[str]],
+        k: int = 10,
+        lang: str | None = None,
+        filter=None,
+        min_group_match: int = 1,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``match`` over a field analyzed with a ``synonym`` /
+        ``synonym_graph`` token filter — Lucene ``SynonymQuery``
+        semantics: a synonym set scores as ONE blended pseudo-term whose
+        term frequency in a doc is the SUM of the members' tfs and whose
+        docFreq is the MAX of the members' dfs, so a doc is not rewarded
+        for matching many spellings of the same concept and idf reflects
+        the set's most common member. Groups then combine like the terms
+        of an OR ``match``: a candidate matches at least
+        ``min_group_match`` groups and sums its group contributions;
+        ties break (score desc, doc_id asc).
+
+        Exact TAAT over dense local accumulators (tf must be blended
+        BEFORE the BM25 saturation, so the per-term cached weight arrays
+        cannot be reused — each member's postings are decoded raw).
+        Topology: exact on a single searcher or a doc-range shard pool
+        (tf sums are per-doc-local and df/N are global); a term-hash
+        shard pool would split a group's members across actors, so
+        callers there must route whole groups to the shard owning them.
+        """
+        if k <= 0 or not groups:
+            return []
+        if min_group_match < 1:
+            raise ValueError("min_group_match must be >= 1")
+        from astrologer_ray.functions.codec import decode_chunk
+
+        allowed = None
+        if lang is not None:
+            if self.doc_lang is None:
+                raise ValueError("lang filter requires load_docs=True")
+            allowed = self.doc_lang == lang
+        if filter is not None:
+            fm = self.filter_mask(filter)
+            allowed = fm if allowed is None else (allowed & fm)
+        allowed = self._apply_deletes(allowed)
+
+        tf_buf = np.zeros(self.n_local, dtype=np.float64)
+        dl_buf = np.zeros(self.n_local, dtype=np.float64)
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        nmatch = np.zeros(self.n_local, dtype=np.int32)
+        for group in groups:
+            members = sorted(
+                {t for t in group if self.owns_term(t) and t in self.postings}
+            )
+            # blended docFreq over ALL members in the dictionary (absent
+            # members contribute df=0, exactly like Lucene's per-segment
+            # SynonymQuery stats)
+            df_eff = max(
+                (int(self.df.get(t, 0)) for t in set(group)), default=0
+            )
+            if not members or df_eff <= 0:
+                continue
+            part_ids = []
+            for t in members:
+                for row in self.postings[t]:
+                    ids, tfs, dls = decode_chunk(row)
+                    if self.doc_lo:
+                        ids = ids - self.doc_lo
+                    tf_buf[ids] += tfs
+                    dl_buf[ids] = dls
+                    part_ids.append(ids)
+            uids = (np.unique(np.concatenate(part_ids))
+                    if len(part_ids) > 1 else part_ids[0])
+            w = bm25_term_weight(
+                idf(self.N, df_eff), tf_buf[uids], dl_buf[uids],
+                self.avgdl, self.k1, self.b,
+            )
+            scores[uids] += w
+            nmatch[uids] += 1
+            tf_buf[uids] = 0.0  # group-local; reset for the next group
+        cand = np.flatnonzero(nmatch >= min_group_match)
+        if allowed is not None:
+            cand = cand[allowed[cand]]
+        if len(cand) == 0:
+            return []
+        sc = scores[cand]
+        order = np.lexsort((cand, -sc))[: min(k, len(cand))]
+        hits = [(int(cand[i]) + self.doc_lo, float(sc[i])) for i in order]
+        return self._format(hits, decorate)
+
     def search_constant_score(
         self, filter, boost: float = 1.0, k: int = 10, decorate: bool = False
     ) -> list[dict]:

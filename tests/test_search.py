@@ -1294,3 +1294,76 @@ def test_constant_score_filter_and_deletes(index_and_oracle):
     s2.deleted = np.array([want_ids[0]], dtype=np.int64)
     hits2 = s2.search_constant_score({"term": {"lang": lang}}, k=8)
     assert want_ids[0] not in [h["doc_id"] for h in hits2]
+
+
+def test_synonym_query_matches_brute_force(index_and_oracle):
+    """Lucene SynonymQuery semantics: per group, tf is summed across the
+    members and docFreq blends to the max member df; groups combine like
+    an OR match. Brute force shares the bm25_term_weight expression tree,
+    so scores must be bit-identical."""
+    from collections import Counter
+
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.bm25 import bm25_term_weight, idf
+
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    head = [t for t, _ in terms_by_df[:4]]
+    mid = [t for t, _ in terms_by_df[len(terms_by_df) // 2:][:4]]
+
+    docs = [Counter(tokenize(t, mode=s.mode)) for t in contents]
+    dls = [float(sum(c.values())) for c in docs]
+
+    def brute(groups, k, min_group_match=1):
+        scores: dict[int, float] = {}
+        nmatch: dict[int, int] = {}
+        for group in groups:
+            df_eff = max((int(s.df.get(t, 0)) for t in set(group)), default=0)
+            if df_eff <= 0:
+                continue
+            idf_t = idf(s.N, df_eff)
+            for d, (c, dl) in enumerate(zip(docs, dls)):
+                tf = float(sum(c.get(t, 0) for t in set(group)))
+                if tf:
+                    w = bm25_term_weight(idf_t, tf, dl, s.avgdl, s.k1, s.b)
+                    scores[d] = scores.get(d, 0.0) + w
+                    nmatch[d] = nmatch.get(d, 0) + 1
+        cand = [d for d in scores if nmatch[d] >= min_group_match]
+        cand.sort(key=lambda d: (-scores[d], d))
+        return [(d, scores[d]) for d in cand[:k]]
+
+    cases = [
+        [[head[0], mid[0]], [head[1]]],          # blended df = df(head[0])
+        [[mid[0], mid[1]], [mid[2], head[2]]],
+        [[head[0]]],                             # singleton group
+        [[mid[0], "zzz_absent_member"], [head[3]]],  # absent member
+    ]
+    for groups in cases:
+        got = [(h["doc_id"], h["score"])
+               for h in s.search_synonyms(groups, k=15)]
+        assert got == brute(groups, 15), groups
+
+    # absent members leave both df and tf untouched
+    assert s.search_synonyms([[mid[0], "zzz_absent"], [head[0]]], k=10) == \
+        s.search_synonyms([[mid[0]], [head[0]]], k=10)
+
+    # a singleton group scores exactly like the plain term query
+    assert [(h["doc_id"], h["score"])
+            for h in s.search_synonyms([[head[1]]], k=10)] == \
+        [(h["doc_id"], h["score"]) for h in s.search(terms=[head[1]], k=10)]
+
+    # min_group_match=2 keeps only docs matching BOTH groups
+    groups = [[head[0], mid[0]], [head[1]]]
+    both = s.search_synonyms(groups, k=50, min_group_match=2)
+    assert [(h["doc_id"], h["score"]) for h in both] == \
+        brute(groups, 50, min_group_match=2)
+    # and every returned doc really matches both groups
+    for h in both:
+        c = docs[h["doc_id"]]
+        assert sum(c.get(t, 0) for t in groups[0]) > 0
+        assert sum(c.get(t, 0) for t in groups[1]) > 0
+
+    # all-out-of-vocabulary groups and k=0 return nothing
+    assert s.search_synonyms([["zzz_nope"]], k=10) == []
+    assert s.search_synonyms([[head[0]]], k=0) == []
