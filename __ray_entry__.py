@@ -3507,6 +3507,37 @@ def minhash_dedup_documents(sf_dir: str):
     return minhash_dedup(ds, threshold=0.6)
 
 
+def docs_tfidf_neighbors(sf_dir: str):
+    """Hashed TF-IDF vectorization composed with exact cosine top-k
+    (rows-only: feature hashing isn't SQL-expressible): documents are
+    embedded with the hashing-trick TF-IDF vectorizer, then the first
+    three docs' vectors query the corpus — each must rank itself first
+    with cosine 1."""
+    rd = _rd()
+    from astrologer_ray.pipelines.ann import ann_brute_topk
+    from astrologer_ray.pipelines.textstats import hashed_tfidf_vectors
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    vecs = hashed_tfidf_vectors(
+        ds.map_batches(lambda t: t.rename_columns(
+            ["vec_id" if c == "doc_id" else c for c in t.column_names]),
+            batch_format="pyarrow"),
+        dim=128,
+    ).materialize()
+    import numpy as np
+
+    q = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in vecs.filter(expr="vec_id < 3").take(3)
+    ])
+    t = ann_brute_topk(vecs, queries=q, k=5)
+    return t.set_column(
+        t.schema.get_field_index("cosine"), "cosine",
+        pa.array(np.round(t["cosine"].to_numpy(), 6), pa.float64()),
+    )
+
+
 def bpe_merges_documents(sf_dir: str):
     """Distributed BPE tokenizer training (rows-only: the merge loop is
     iterative, not SQL-expressible): word-count combiner shuffle over the
@@ -3974,6 +4005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- past the r3-sized window: rows-only heuristics (pytest-
         #    covered), then stable queries already driver-green in r2/r3
         "bpe_merges_documents": bpe_merges_documents,
+        "docs_tfidf_neighbors": docs_tfidf_neighbors,
         "simhash_documents": simhash_documents,
         "events_user_cardinality_hll": events_user_cardinality_hll,
         "langid_documents": langid_documents,

@@ -462,3 +462,135 @@ def ngram_topk(
         .sort(["n", "ngram"], descending=[True, False])
         .limit(k)
     )
+
+
+# --------------------------------------------- hashed TF-IDF doc vectors
+
+def _hash_bucket(word: str, dim: int) -> tuple[int, float]:
+    """Stable (bucket, sign) for a term — sign-hashing (Weinberger et al.
+    2009, "Feature Hashing for Large Scale Multitask Learning") keeps the
+    hashed inner product an unbiased estimate of the true one."""
+    from astrologer_ray.functions.codec import term_hash64
+
+    h = term_hash64(word)
+    return h % dim, (1.0 if (h >> 32) & 1 else -1.0)
+
+
+def bucket_df(
+    ds: Dataset, text_col: str = "text", dim: int = 128, mode: str = "simple"
+) -> tuple[np.ndarray, int]:
+    """Pass 1: per-bucket document frequency + corpus size. Each batch
+    pre-aggregates into a dense ``dim``-sized partial (the exchange is
+    O(dim) rows per batch — never vocabulary-sized), one tiny
+    ``groupby(bucket).sum`` reduces. Returns ``(df[dim], N)``."""
+    from ray.data.aggregate import Sum
+
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    schema = pa.schema([("bucket", pa.int64()), ("df", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = np.zeros(dim + 1, dtype=np.int64)
+        df[dim] = len(t)  # sentinel bucket carries the doc count
+        cache: dict[str, int] = {}
+        for tx in t[text_col].to_pylist():
+            bs = set()
+            for w in set(tokenize(tx or "", mode=mode)):
+                b = cache.get(w)
+                if b is None:
+                    b = _hash_bucket(w, dim)[0]
+                    cache[w] = b
+                bs.add(b)
+            for b in bs:
+                df[b] += 1
+        nz = np.flatnonzero(df)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()),
+             "df": pa.array(df[nz], pa.int64())}, schema=schema,
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()  # <= dim+1 rows — never corpus-sized
+    )
+    df = np.zeros(dim, dtype=np.int64)
+    n = 0
+    for r in rows:
+        if r["bucket"] == dim:
+            n = int(r["df"])
+        else:
+            df[int(r["bucket"])] = int(r["df"])
+    return df, n
+
+
+class TfidfVectorStage:
+    """Actor-pool vectorize stage: the idf vector (``dim`` float64s) is a
+    broadcast constructor arg built once from pass 1; a per-actor
+    term->(bucket, sign) cache collapses the Zipf head. Emits an
+    L2-normalized ``list<float32>`` column named like the ``embeddings``
+    table's, so the output composes directly with ``pipelines/ann`` and
+    ``pipelines/dedup`` (SemDedup, embedding near-dup)."""
+
+    def __init__(self, idf: np.ndarray, text_col: str = "text",
+                 mode: str = "simple", out_col: str = "embedding"):
+        self.idf = np.asarray(idf, dtype=np.float64)
+        self.dim = len(self.idf)
+        self.text_col = text_col
+        self.mode = mode
+        self.out_col = out_col
+        self.cache: dict[str, tuple[int, float]] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from astrologer_ray.functions.tokenizer import tokenize
+
+        vecs = np.zeros((len(t), self.dim), dtype=np.float64)
+        for i, tx in enumerate(t[self.text_col].to_pylist()):
+            for w, c in Counter(tokenize(tx or "", mode=self.mode)).items():
+                bs = self.cache.get(w)
+                if bs is None:
+                    bs = _hash_bucket(w, self.dim)
+                    self.cache[w] = bs
+                vecs[i, bs[0]] += bs[1] * c
+        vecs *= self.idf
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        np.divide(vecs, norms, out=vecs, where=norms > 0)
+        out = {n: t[n] for n in t.column_names if n != self.text_col}
+        out[self.out_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.astype(np.float32).ravel(), pa.float32()), self.dim
+        ).cast(pa.list_(pa.float32()))
+        return pa.table(out)
+
+
+def hashed_tfidf_vectors(
+    ds: Dataset,
+    text_col: str = "text",
+    dim: int = 128,
+    mode: str = "simple",
+    out_col: str = "embedding",
+    concurrency=(1, 8),
+    batch_size: int = 512,
+) -> Dataset:
+    """Feature-hashed TF-IDF document vectors (the classic hashing-trick
+    vectorizer): pass 1 aggregates per-bucket df (O(dim) exchange), pass
+    2 emits one L2-normalized ``list<float32>`` vector per doc. idf is
+    the engine's Lucene-form ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so
+    text and index agree on rarity. The output column is ANN-ready:
+    brute/LSH/IVF/PQ top-k, k-means and SemDedup consume it unchanged."""
+    from astrologer_ray.state.bm25 import idf as _idf
+
+    df, n = bucket_df(ds, text_col=text_col, dim=dim, mode=mode)
+    idf_vec = np.array([_idf(n, int(d)) for d in df], dtype=np.float64)
+    return ds.map_batches(
+        TfidfVectorStage,
+        fn_constructor_kwargs={
+            "idf": idf_vec, "text_col": text_col, "mode": mode,
+            "out_col": out_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
