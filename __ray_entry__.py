@@ -3507,6 +3507,62 @@ def minhash_dedup_documents(sf_dir: str):
     return minhash_dedup(ds, threshold=0.6)
 
 
+PERCOLATE_QUERIES: list[dict] = [
+    {"id": 0, "must": ["data", "fast"]},
+    {"id": 1, "must": ["query"], "must_not": ["slow"]},
+    {"id": 2, "should": ["merge", "join", "sort"], "min_should": 2},
+    {"id": 3, "must": ["customer"], "should": ["table", "batch"]},
+    {"id": 4, "must": ["dup"]},
+]
+
+
+def percolate_documents(sf_dir: str):
+    """ES percolator (reverse search): the stored query set broadcasts
+    once into every matcher actor; documents stream through map_batches
+    and never shuffle. Emits the (doc_id, query_id) match pairs."""
+    rd = _rd()
+    from astrologer_ray.pipelines.percolate import percolate
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return (
+        percolate(ds, PERCOLATE_QUERIES)
+        .sort(["query_id", "doc_id"])
+        .to_pandas()
+    )
+
+
+def _percolate_sql() -> str:
+    parts = []
+    for q in PERCOLATE_QUERIES:
+        must = sorted(set(q.get("must", ())))
+        mnot = sorted(set(q.get("must_not", ())))
+        should = sorted(set(q.get("should", ())))
+        ms = q.get("min_should", 1 if (should and not must) else 0)
+        conds = []
+        if must:
+            terms = ", ".join(f"'{t}'" for t in must)
+            conds.append(f"list_has_all(toks, [{terms}])")
+        if mnot:
+            terms = ", ".join(f"'{t}'" for t in mnot)
+            conds.append(f"NOT list_has_any(toks, [{terms}])")
+        if ms:
+            terms = ", ".join(f"'{t}'" for t in should)
+            conds.append(
+                f"len(list_intersect(list_distinct(toks), [{terms}])) >= {ms}"
+            )
+        parts.append(
+            f"SELECT doc_id, {q['id']}::BIGINT AS query_id FROM toks "
+            f"WHERE {' AND '.join(conds)}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH toks AS (SELECT doc_id, {_SPLIT_SQL} AS toks FROM documents)
+{union}
+ORDER BY query_id, doc_id
+"""
+
+
 def docs_tfidf_neighbors(sf_dir: str):
     """Hashed TF-IDF vectorization composed with exact cosine top-k
     (rows-only: feature hashing isn't SQL-expressible): documents are
@@ -3985,6 +4041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_constant_score": docs_constant_score,
         "events_matrix_stats": events_matrix_stats,
         "bm25_synonym_documents": bm25_synonym_documents,
+        "percolate_documents": percolate_documents,
         #    (B) SQL-oracle queries whose implementation changed in r4
         #    (prior green rows predate the change)
         "top_orders_by_revenue": top_orders_by_revenue,
@@ -4106,6 +4163,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_appended": _bm25_documents_sql(),
         "bm25_dis_max_documents": _bm25_dis_max_sql(),
         "bm25_synonym_documents": _bm25_synonym_sql(),
+        "percolate_documents": _percolate_sql(),
         "bm25_min_score_documents": _bm25_min_score_sql(),
         "docs_constant_score": CONST_SCORE_SQL,
         "events_matrix_stats": EVENTS_MATRIX_STATS_SQL,
