@@ -96,6 +96,19 @@ class ShardedSearchPool:
         futs = [a.phrase_search.remote(terms, k=k, **kw) for a in self.actors]
         return _merge_topk(ray.get(futs), k)
 
+    def search_synonyms(self, groups: list[list[str]], k: int = 10,
+                        **kw) -> list[dict]:
+        """Scatter a synonym-group query. Exact on this pool topology:
+        actors are doc-RANGE shards, so each owns every member's postings
+        for its docs and blends tf locally, while df/N come from the
+        global dictionary — per-doc scores are complete and the top-k
+        lists merge exactly."""
+        import ray
+
+        futs = [a.search_synonyms.remote(groups, k=k, **kw)
+                for a in self.actors]
+        return _merge_topk(ray.get(futs), k)
+
     def shutdown(self) -> None:
         import ray
 

@@ -1367,3 +1367,29 @@ def test_synonym_query_matches_brute_force(index_and_oracle):
     # all-out-of-vocabulary groups and k=0 return nothing
     assert s.search_synonyms([["zzz_nope"]], k=10) == []
     assert s.search_synonyms([[head[0]]], k=0) == []
+
+
+def test_synonym_sharded_pool_equals_full(index_and_oracle):
+    """Doc-range shard actors blend tf locally and share global df/N, so
+    the pool's synonym top-k must equal the single searcher's exactly."""
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    index_dir, _contents, _ = index_and_oracle
+    full = Searcher(index_dir, load_docs=False)
+    terms_by_df = sorted(full.df.items(), key=lambda kv: -kv[1])
+    head = [t for t, _ in terms_by_df[:4]]
+    mid = [t for t, _ in terms_by_df[len(terms_by_df) // 2:][:4]]
+    pool = ShardedSearchPool(index_dir, n_actors=4)
+    try:
+        for groups in (
+            [[head[0], mid[0]], [head[1]]],
+            [[mid[0], mid[1], "zzz_absent"], [head[2], head[3]]],
+            [[head[0]]],
+        ):
+            want = [(h["doc_id"], h["score"])
+                    for h in full.search_synonyms(groups, k=12)]
+            got = [(h["doc_id"], h["score"])
+                   for h in pool.search_synonyms(groups, k=12)]
+            assert got == want, groups
+    finally:
+        pool.shutdown()
