@@ -3507,6 +3507,91 @@ def minhash_dedup_documents(sf_dir: str):
     return minhash_dedup(ds, threshold=0.6)
 
 
+HYBRID_TERMS = ["data", "fast", "query"]
+HYBRID_QVEC = 0          # the vector leg queries with this vec's embedding
+HYBRID_WINDOW = 40       # per-leg rank window (ES rank_window_size)
+HYBRID_K = 15
+
+
+def hybrid_rrf_documents(sf_dir: str):
+    """Hybrid retrieval — ES ``rrf`` retriever: a BM25 ``match`` leg
+    (block-max WAND searcher) and a cosine ``knn`` leg (distributed
+    brute top-k) fused by Reciprocal Rank Fusion, rank-based so the
+    legs need no score calibration. Cosines rank on their 9-decimal
+    rounding so engine and SQL oracle share the exact rank key."""
+    import numpy as np
+
+    from astrologer_ray.pipelines.ann import ann_brute_topk
+    from astrologer_ray.pipelines.hybrid import rrf_fuse
+
+    from astrologer_ray.state.searcher import Searcher
+
+    rd = _rd()
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    bm_ids = [h["doc_id"] for h in s.search(HYBRID_TERMS, k=HYBRID_WINDOW)]
+    emb = rd.read_parquet(_tbl(sf_dir, "embeddings"),
+                          columns=["vec_id", "embedding"]).materialize()
+    qrow = emb.filter(expr=f"vec_id == {HYBRID_QVEC}").take(1)[0]
+    q = np.asarray(qrow["embedding"], dtype=np.float64)[None, :]
+    # fetch 2x the window unrounded, then cut the window on the rounded
+    # rank key — the boundary item is decided by the SAME key as the SQL
+    ann = ann_brute_topk(emb, queries=q, k=2 * HYBRID_WINDOW).to_pandas()
+    ann["cos9"] = ann["cosine"].round(9)
+    ann = ann.sort_values(["cos9", "vec_id"], ascending=[False, True])
+    vec_ids = [int(v) for v in ann["vec_id"].head(HYBRID_WINDOW)]
+    fused = rrf_fuse([bm_ids, vec_ids], k=HYBRID_K)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in fused], pa.int64()),
+            "rrf": pa.array([round(r, 6) for _, r in fused], pa.float64()),
+        }
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in sorted(set(HYBRID_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+bscores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1),
+bwin AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+    FROM bscores) WHERE rn <= {HYBRID_WINDOW}),
+vcos AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+           (SELECT embedding::DOUBLE[] FROM embeddings
+            WHERE vec_id = {HYBRID_QVEC})), 9) AS cos
+  FROM embeddings),
+vwin AS (
+  SELECT doc_id, rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rn
+    FROM vcos) WHERE rn <= {HYBRID_WINDOW}),
+fused AS (
+  SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         coalesce(1.0/(60 + b.rn), 0) + coalesce(1.0/(60 + v.rn), 0) AS rrf
+  FROM bwin b FULL OUTER JOIN vwin v ON v.doc_id = b.doc_id),
+ranked AS (
+  SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+  FROM fused)
+SELECT doc_id, round(rrf, 6) AS rrf FROM ranked
+WHERE rn <= {HYBRID_K} ORDER BY rn
+"""
+
+
 PERCOLATE_QUERIES: list[dict] = [
     {"id": 0, "must": ["data", "fast"]},
     {"id": 1, "must": ["query"], "must_not": ["slow"]},
@@ -4042,6 +4127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_matrix_stats": events_matrix_stats,
         "bm25_synonym_documents": bm25_synonym_documents,
         "percolate_documents": percolate_documents,
+        "hybrid_rrf_documents": hybrid_rrf_documents,
         #    (B) SQL-oracle queries whose implementation changed in r4
         #    (prior green rows predate the change)
         "top_orders_by_revenue": top_orders_by_revenue,
@@ -4164,6 +4250,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dis_max_documents": _bm25_dis_max_sql(),
         "bm25_synonym_documents": _bm25_synonym_sql(),
         "percolate_documents": _percolate_sql(),
+        "hybrid_rrf_documents": _hybrid_rrf_sql(),
         "bm25_min_score_documents": _bm25_min_score_sql(),
         "docs_constant_score": CONST_SCORE_SQL,
         "events_matrix_stats": EVENTS_MATRIX_STATS_SQL,
