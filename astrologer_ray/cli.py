@@ -335,6 +335,24 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """ES snapshot-repository parity: consistent, manifest-carrying,
+    atomic copy of one index (no Ray session — pure I/O fan-out)."""
+    from astrologer_ray.pipelines.snapshot import snapshot_index
+
+    print(json.dumps(snapshot_index(args.index, args.dest,
+                                    threads=args.threads)))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from astrologer_ray.pipelines.snapshot import restore_index
+
+    print(json.dumps(restore_index(args.snapshot, args.dest,
+                                   force=args.force, threads=args.threads)))
+    return 0
+
+
 def cmd_search(args) -> int:
     from astrologer_ray.functions.tokenizer import tokenize
     from astrologer_ray.state.searcher import Searcher
@@ -512,6 +530,25 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--filter", required=True, metavar="JSON",
                     help='Searcher filter DSL, e.g. {"match": "slow"}')
     de.set_defaults(fn=cmd_delete)
+
+    sn = sub.add_parser("snapshot",
+                        help="consistent copy of an index (base + "
+                             "segments + tombstones) with a size "
+                             "manifest; atomic tmp+rename")
+    sn.add_argument("index")
+    sn.add_argument("dest")
+    sn.add_argument("--threads", type=int, default=8)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore",
+                        help="restore a snapshot into an index dir "
+                             "(verifies the manifest first)")
+    rs.add_argument("snapshot")
+    rs.add_argument("dest")
+    rs.add_argument("--force", action="store_true",
+                    help="replace an existing index at dest")
+    rs.add_argument("--threads", type=int, default=8)
+    rs.set_defaults(fn=cmd_restore)
 
     se = sub.add_parser("search")
     se.add_argument("index")

@@ -309,3 +309,56 @@ def test_cli_convert_jsonl_to_corpus_and_build(ray_session, tmp_path, capsys):
     assert main(["search", idx, "merge sort", "-k", "2"]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert json.loads(lines[0])["repo"] == "org/alpha"
+
+
+def test_cli_snapshot_restore_round_trip(ray_session, small_corpus_dir,
+                                         tmp_path, capsys):
+    import json as _json
+    import os
+    import shutil
+
+    from astrologer_ray.cli import main
+    from astrologer_ray.pipelines.snapshot import verify_snapshot
+    from astrologer_ray.state.searcher import Searcher
+
+    idx = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    back = str(tmp_path / "restored")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows", "64"]) == 0
+    s = Searcher(idx)
+    terms = [max(s.df, key=lambda t: s.df[t])]
+    want = [(h["doc_id"], h["score"]) for h in s.search(terms, k=10)]
+
+    assert main(["snapshot", idx, snap]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_files"] > 0 and out["bytes"] > 0
+    assert verify_snapshot(snap)["ok"]
+
+    assert main(["restore", snap, back]) == 0
+    got = [(h["doc_id"], h["score"])
+           for h in Searcher(back).search(terms, k=10)]
+    assert got == want
+
+    # restore refuses to clobber without --force, replaces with it
+    assert os.path.exists(back)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="force"):
+        main(["restore", snap, back])
+    assert main(["restore", snap, back, "--force"]) == 0
+
+    # a truncated snapshot file fails verification and blocks restore
+    victim = next(
+        os.path.join(r, f) for r, _d, fs in os.walk(snap) for f in fs
+        if f.endswith(".parquet")
+    )
+    with open(victim, "ab") as fh:
+        fh.truncate(os.path.getsize(victim) - 1)
+    assert not verify_snapshot(snap)["ok"]
+    with _pytest.raises(RuntimeError, match="verification"):
+        main(["restore", snap, str(tmp_path / "x"), "--force"])
+
+    # snapshot refuses a mid-build (_SUCCESS-less) index
+    shutil.rmtree(snap)
+    os.remove(os.path.join(idx, "_SUCCESS"))
+    with _pytest.raises(RuntimeError, match="_SUCCESS"):
+        main(["snapshot", idx, snap])
