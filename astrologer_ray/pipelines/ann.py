@@ -51,10 +51,19 @@ def ann_brute_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qids: np.ndarray | None = None,
+    filter_expr: str | None = None,
 ) -> pa.Table:
-    """Exact cosine top-k: (qid, vec_id, cosine), ties (cosine desc, id asc)."""
+    """Exact cosine top-k: (qid, vec_id, cosine), ties (cosine desc, id asc).
+
+    ``filter_expr`` is ES ``knn.filter``: a Ray Data / Arrow dataset
+    expression (e.g. ``"label == 3"``) applied BEFORE scoring — a
+    pre-filter, so the top-k always holds k matching vectors (ES knn
+    semantics), never a post-filtered shortfall — and pushed into the
+    scan so non-matching blocks never reach the matmul."""
     import ray
 
+    if filter_expr is not None:
+        ds = ds.filter(expr=filter_expr)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     if qids is None:
         qids = np.arange(len(Q), dtype=np.int64)

@@ -96,3 +96,29 @@ def test_composes_with_ann_brute_topk(ray_session):
     top = res.iloc[0]
     assert int(top["vec_id"]) == 0
     assert abs(float(top["cosine"]) - 1.0) < 1e-6
+
+
+def test_ann_filter_expr_is_prefilter(ray_session):
+    """ES knn.filter semantics: the filter applies BEFORE scoring, so
+    top-k holds k matching vectors; every hit satisfies the predicate."""
+    import numpy as np
+    import ray as _ray
+
+    from astrologer_ray.pipelines.ann import ann_brute_topk
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(40, 8)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": V[i], "label": i % 3}
+             for i in range(40)]
+    ds = _ray.data.from_items(items)
+    q = V[0:1].astype(np.float64)
+    got = ann_brute_topk(ds, queries=q, k=5, filter_expr="label == 1")
+    ids = got["vec_id"].to_pylist()
+    assert len(ids) == 5 and all(i % 3 == 1 for i in ids)
+    # brute reference over the filtered subset
+    keep = np.array([i for i in range(40) if i % 3 == 1])
+    Vn = V[keep] / np.linalg.norm(V[keep], axis=1, keepdims=True)
+    qn = (q / np.linalg.norm(q))[0]
+    sims = Vn @ qn
+    order = sorted(range(len(keep)), key=lambda j: (-sims[j], keep[j]))[:5]
+    assert ids == [int(keep[j]) for j in order]
