@@ -3723,6 +3723,23 @@ def docs_tfidf_neighbors(sf_dir: str):
     )
 
 
+def doc_perplexity(sf_dir: str):
+    """CCNet-style quality filter signal (rows-only: backoff scoring is
+    iterative over token streams): train a bigram stupid-backoff LM on
+    the corpus (one combiner shuffle per order), score every doc's
+    per-token log-probability + perplexity under it."""
+    rd = _rd()
+    from astrologer_ray.pipelines.lm import perplexity_scores, train_ngram_lm
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).materialize()
+    model = train_ngram_lm(ds, n=2, min_count=2)
+    out = perplexity_scores(ds, model, n=2).to_pandas()
+    out["log10_prob_per_token"] = out["log10_prob_per_token"].round(6)
+    out["ppl"] = out["ppl"].round(4)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def bpe_merges_documents(sf_dir: str):
     """Distributed BPE tokenizer training (rows-only: the merge loop is
     iterative, not SQL-expressible): word-count combiner shuffle over the
@@ -4190,6 +4207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- past the r3-sized window: rows-only heuristics (pytest-
         #    covered), then stable queries already driver-green in r2/r3
         "bpe_merges_documents": bpe_merges_documents,
+        "doc_perplexity": doc_perplexity,
         "docs_tfidf_neighbors": docs_tfidf_neighbors,
         "embeddings_kmeans": embeddings_kmeans,
         "ann_pq_embeddings": ann_pq_embeddings,
