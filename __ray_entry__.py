@@ -1003,6 +1003,53 @@ FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_tok
 """
 
 
+def docs_dedup_cut(sf_dir: str):
+    """The substring-REMOVAL half of Lee et al. 2021: apply the
+    duplicate-span cut list to the corpus — spans drop, survivors
+    re-join with canonical single spaces (token-for-token the SQL
+    model), docs stream and never shuffle."""
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import duplicate_spans, remove_spans
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).materialize()
+    spans = duplicate_spans(ds, window=6)
+    return (
+        remove_spans(ds, spans)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+DOCS_DEDUP_CUT_SQL = f"""
+WITH tk AS (SELECT doc_id, {_SPLIT_SQL} AS t FROM documents),
+wins AS (SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+5], ' ') AS w
+         FROM tk, unnest(range(1, len(t) - 4)) AS r(i) WHERE len(t) >= 6),
+dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+marked AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+lagged AS (SELECT doc_id, pos,
+  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 6
+       THEN 0 ELSE 1 END AS brk
+  FROM marked),
+isl AS (SELECT doc_id, pos,
+        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM lagged),
+spans AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 5 AS end_tok
+          FROM isl GROUP BY doc_id, g),
+tok_rows AS (SELECT doc_id, unnest(t) AS tok,
+                    generate_subscripts(t, 1) - 1 AS pos FROM tk),
+cut AS (
+  SELECT r.doc_id, r.tok, r.pos,
+         EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = r.doc_id
+                 AND r.pos BETWEEN s.start_tok AND s.end_tok) AS dead
+  FROM tok_rows r)
+SELECT d.doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY pos)
+                FILTER (WHERE NOT dead), '') AS clean_text,
+       coalesce(count(*) FILTER (WHERE dead), 0)::BIGINT AS n_removed_tokens
+FROM documents d LEFT JOIN cut ON cut.doc_id = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 def events_percentiles_sampled(sf_dir: str):
     """Approximate percentiles at scale: exact quantiles over the
     DETERMINISTIC 20% hash sample (Knuth multiplicative — engine- and
@@ -4181,6 +4228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": docs_stratified_sample,
         "docs_redact_pii": docs_redact_pii,
         "docs_duplicate_spans": docs_duplicate_spans,
+        "docs_dedup_cut": docs_dedup_cut,
         "corpus_ngram_topk": corpus_ngram_topk,
         "bm25_dis_max_documents": bm25_dis_max_documents,
         "bm25_min_score_documents": bm25_min_score_documents,
@@ -4196,7 +4244,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": events_sessionize,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
         "dedup_exact_docs": dedup_exact_docs,
-        "events_tumbling_window": events_tumbling_window,
         #    (C) flagship sentinels, driver-green every round
         "q1_pricing_summary": q1_pricing_summary,
         "bm25_topk_documents": bm25_topk_documents,
@@ -4209,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_documents": bpe_merges_documents,
         "doc_perplexity": doc_perplexity,
         "docs_tfidf_neighbors": docs_tfidf_neighbors,
+        "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         "ann_pq_embeddings": ann_pq_embeddings,
         "ann_ivf_embeddings": ann_ivf_embeddings,
@@ -4292,6 +4340,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": DOCS_STRATIFIED_SQL,
         "docs_redact_pii": _pii_sql(),
         "docs_duplicate_spans": DOCS_DUP_SPANS_SQL,
+        "docs_dedup_cut": DOCS_DEDUP_CUT_SQL,
         "corpus_ngram_topk": CORPUS_NGRAM_SQL,
         "docs_shuffle_shards": DOCS_SHUFFLE_SQL,
         "events_percentiles_sampled": EVENTS_PCT_SAMPLED_SQL,

@@ -1481,3 +1481,83 @@ def semdedup(
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False, schema=out_schema)
+
+
+# ---------------------------------------------- substring-removal cut
+
+class SpanCutStage:
+    """Actor-pool cut stage for :func:`remove_spans`: the span table
+    compiles once per actor into ``doc_id -> (starts, ends)`` arrays
+    (object-store constructor arg — shipped once, not per batch)."""
+
+    def __init__(self, spans: pa.Table, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.by_doc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        ids = spans[id_col].to_numpy()
+        st = spans["start_tok"].to_numpy()
+        en = spans["end_tok"].to_numpy()
+        order = np.lexsort((st, ids))
+        ids, st, en = ids[order], st[order], en[order]
+        for lo in np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]):
+            hi = lo
+            while hi < len(ids) and ids[hi] == ids[lo]:
+                hi += 1
+            self.by_doc[int(ids[lo])] = (st[lo:hi], en[lo:hi])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts, removed = [], []
+        for did, tx in zip(t[self.id_col].to_pylist(),
+                           t[self.text_col].to_pylist()):
+            toks = _SIMPLE_RE.findall((tx or "").lower())
+            se = self.by_doc.get(int(did))
+            if se is None:
+                texts.append(" ".join(toks))
+                removed.append(0)
+                continue
+            keep = np.ones(len(toks), dtype=bool)
+            for s, e in zip(*se):
+                keep[s:e + 1] = False
+            texts.append(" ".join(tok for tok, k in zip(toks, keep) if k))
+            removed.append(int((~keep).sum()))
+        out = {c: t[c] for c in t.column_names if c != self.text_col}
+        out["clean_text"] = pa.array(texts, pa.string())
+        out["n_removed_tokens"] = pa.array(removed, pa.int64())
+        return pa.table(out)
+
+
+def remove_spans(
+    ds: Dataset,
+    spans: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_budget: int = 50_000_000,
+    concurrency=(1, 8),
+    batch_size: int = 512,
+) -> Dataset:
+    """Apply a :func:`duplicate_spans` cut list — the substring-REMOVAL
+    half of Lee et al. 2021: every token inside a span is dropped and
+    the survivors re-join with single spaces (canonical whitespace: the
+    output is the simple-split token stream minus the cuts, so the op
+    stays SQL-oracle-checkable token-for-token).
+
+    Scale shape: documents stream and never shuffle; the span table (two
+    int64s per span, only the duplicated fraction of the corpus) ships
+    once per actor, guarded by ``broadcast_budget`` — beyond it, cut
+    co-partitioned by doc_id instead of broadcasting (raise for now, the
+    explicit-budget contract of this module)."""
+    if spans.num_rows > broadcast_budget:
+        raise RuntimeError(
+            f"{spans.num_rows} spans > broadcast_budget={broadcast_budget}; "
+            "partition the cut by doc_id or raise the budget"
+        )
+    return ds.map_batches(
+        SpanCutStage,
+        fn_constructor_kwargs={
+            "spans": spans, "text_col": text_col, "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
