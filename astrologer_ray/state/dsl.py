@@ -347,9 +347,12 @@ def execute_dsl(s, body: dict) -> dict:
                      after, body.get("sort"))
     hits = hits[frm:]
     aggs = body.get("aggs") or body.get("aggregations")
+    # ES reports the true matched-doc count, not the page length; the
+    # agg-scope filter IS the match predicate (>=1 scoring term + filters)
+    total = s.count(_agg_scope_filter(s, t))
     resp = {
         "hits": {
-            "total": {"value": len(hits), "relation": "gte"},
+            "total": {"value": int(total), "relation": "eq"},
             "hits": [
                 {"_id": h["doc_id"], "_score": h.get("score"),
                  **{k: v for k, v in h.items()

@@ -183,3 +183,15 @@ def test_unsupported_clauses_raise(dsl_index):
     with pytest.raises(NotImplementedError):
         execute_dsl(s, {"query": {"bool": {"should": [
             {"term": {"lang": "go"}}]}}})
+
+
+def test_total_is_true_match_count(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    got = execute_dsl(s, {"query": {"match": {"content": w1}}, "size": 2})
+    assert len(got["hits"]["hits"]) == 2
+    assert got["hits"]["total"]["value"] == s.count(
+        {"bool": {"should": [{"match": w1}]}})
+    assert got["hits"]["total"]["value"] > 2
+    got = execute_dsl(s, {"query": {"match_all": {}}, "size": 1})
+    assert got["hits"]["total"]["value"] == s.N
