@@ -98,10 +98,25 @@ def main() -> None:
         bw = host_probes()["membw_8proc_GBps"]
         elapsed = time.time() - t0
         print(f"[watch] t+{elapsed:.0f}s membw_8proc={bw}", flush=True)
-        if bw >= GOOD_GBPS:
+
+        def _confirmed(level: float) -> bool:
+            # run d lesson: a single probe can be a transient spike that
+            # evaporates before the suite's first leg (trigger read 12.6,
+            # every leg then read 1-5). Require the window to HOLD across
+            # two more probes 45 s apart before burning a 50-minute suite.
+            for _ in range(2):
+                time.sleep(45)
+                b = host_probes()["membw_8proc_GBps"]
+                print(f"[watch]   confirm probe: {b}", flush=True)
+                if b < level:
+                    return False
+            return True
+
+        if bw >= GOOD_GBPS and _confirmed(GOOD_GBPS):
             if _fire(None):
                 fired += 1
-        elif bw >= MED_GBPS and elapsed >= MED_AFTER_S:
+        elif bw >= MED_GBPS and elapsed >= MED_AFTER_S and \
+                _confirmed(MED_GBPS):
             if _fire("4,16"):
                 fired += 1
         time.sleep(POLL_S)
