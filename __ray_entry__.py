@@ -3598,6 +3598,61 @@ WHERE rn <= {ANN_FILTER_K} ORDER BY rn
 """
 
 
+RANK_FEATURE_TERMS = ["data", "fast"]
+RANK_FEATURE_PIVOT = 40.0
+RANK_FEATURE_BOOST = 2.0
+RANK_FEATURE_K = 12
+
+
+def bm25_rank_feature_documents(sf_dir: str):
+    """ES ``rank_feature`` (saturation): BM25 plus an additive
+    ``boost * dl / (dl + pivot)`` clause — boost-by-document-length as
+    the stand-in for boost-by-pagerank/freshness."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    hits = s.search_rank_feature(
+        RANK_FEATURE_TERMS, k=RANK_FEATURE_K, feature_attr="dl",
+        pivot=RANK_FEATURE_PIVOT, boost=RANK_FEATURE_BOOST)
+    return pa.table({
+        "doc_id": pa.array([h["doc_id"] for h in hits], pa.int64()),
+        "score": pa.array([round(h["score"], 4) for h in hits],
+                          pa.float64()),
+    })
+
+
+def _rank_feature_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in sorted(set(RANK_FEATURE_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {terms}),
+bscores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY 1),
+final AS (
+  SELECT b.doc_id,
+         b.score + {RANK_FEATURE_BOOST} * dl.dl
+           / (dl.dl + {RANK_FEATURE_PIVOT}) AS score
+  FROM bscores b JOIN dl ON dl.doc_id = b.doc_id),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM final)
+SELECT doc_id, round(score, 4) AS score FROM ranked
+WHERE rn <= {RANK_FEATURE_K} ORDER BY rn
+"""
+
+
 HYBRID_TERMS = ["data", "fast", "query"]
 HYBRID_QVEC = 0          # the vector leg queries with this vec's embedding
 HYBRID_WINDOW = 40       # per-leg rank window (ES rank_window_size)
@@ -4235,6 +4290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_constant_score": docs_constant_score,
         "events_matrix_stats": events_matrix_stats,
         "bm25_synonym_documents": bm25_synonym_documents,
+        "bm25_rank_feature_documents": bm25_rank_feature_documents,
         "percolate_documents": percolate_documents,
         "hybrid_rrf_documents": hybrid_rrf_documents,
         "ann_filtered_embeddings": ann_filtered_embeddings,
@@ -4243,7 +4299,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": top_orders_by_revenue,
         "events_sessionize": events_sessionize,
         "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
-        "dedup_exact_docs": dedup_exact_docs,
         #    (C) flagship sentinels, driver-green every round
         "q1_pricing_summary": q1_pricing_summary,
         "bm25_topk_documents": bm25_topk_documents,
@@ -4256,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_documents": bpe_merges_documents,
         "doc_perplexity": doc_perplexity,
         "docs_tfidf_neighbors": docs_tfidf_neighbors,
+        "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
         "embeddings_kmeans": embeddings_kmeans,
         "ann_pq_embeddings": ann_pq_embeddings,
@@ -4361,6 +4417,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_appended": _bm25_documents_sql(),
         "bm25_dis_max_documents": _bm25_dis_max_sql(),
         "bm25_synonym_documents": _bm25_synonym_sql(),
+        "bm25_rank_feature_documents": _rank_feature_sql(),
         "percolate_documents": _percolate_sql(),
         "hybrid_rrf_documents": _hybrid_rrf_sql(),
         "ann_filtered_embeddings": ANN_FILTERED_SQL,

@@ -1645,6 +1645,48 @@ class Searcher:
             [(int(ids[i]), float(final[i])) for i in order], decorate
         )
 
+    def search_rank_feature(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        feature_attr: str,
+        pivot: float,
+        boost: float = 1.0,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``rank_feature`` query (saturation function, the default):
+        an ADDITIVE clause contributing ``boost * x / (x + pivot)`` per
+        candidate, where ``x`` is the doc's feature value — the
+        "boost-by-pagerank/freshness/length" pattern. Additive, unlike
+        :meth:`function_score`'s multiplier, exactly as ES composes a
+        rank_feature clause inside bool.should. Exact: the full BM25
+        candidate set is TAAT-scored then re-ranked (the additive bound
+        bm25_ub + boost keeps WAND viable at 10^9 docs; this
+        implementation enumerates candidates). Negative feature values
+        clamp to 0 (ES requires non-negative features). Requires
+        ``load_docs=True``."""
+        if k <= 0:
+            return []
+        if not float(pivot) > 0.0:
+            raise ValueError(f"pivot must be > 0, got {pivot}")
+        if not float(boost) > 0.0:
+            raise ValueError(f"boost must be > 0, got {boost}")
+        v = np.asarray(self._attr(feature_attr), dtype=np.float64)
+        all_hits = self.search(terms, k=self.n_local, filter=filter,
+                               strategy="taat")
+        if not all_hits:
+            return []
+        ids = np.array([h["doc_id"] for h in all_hits], dtype=np.int64)
+        s = np.array([h["score"] for h in all_hits], dtype=np.float64)
+        x = np.maximum(v[ids - self.doc_lo], 0.0)
+        final = s + float(boost) * x / (x + float(pivot))
+        order = np.lexsort((ids, -final))[: min(k, len(ids))]
+        return self._format(
+            [(int(ids[i]), float(final[i])) for i in order], decorate
+        )
+
     def span_near(
         self,
         terms: list[str],

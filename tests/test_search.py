@@ -1393,3 +1393,28 @@ def test_synonym_sharded_pool_equals_full(index_and_oracle):
             assert got == want, groups
     finally:
         pool.shutdown()
+
+
+def test_rank_feature_matches_brute(index_and_oracle):
+    """rank_feature saturation: final = bm25 + boost*x/(x+pivot), additive
+    (can promote low-BM25 docs), ties (score desc, doc_id asc)."""
+    index_dir, contents, _ = index_and_oracle
+    s = Searcher(index_dir, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    terms = [terms_by_df[0][0], terms_by_df[len(terms_by_df) // 2][0]]
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    base = s.search(terms, k=s.N)
+    want = sorted(
+        ((h["doc_id"],
+          h["score"] + 2.0 * max(dl[h["doc_id"]], 0.0)
+          / (max(dl[h["doc_id"]], 0.0) + 25.0)) for h in base),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [(h["doc_id"], h["score"]) for h in s.search_rank_feature(
+        terms, k=10, feature_attr="dl", pivot=25.0, boost=2.0)]
+    assert got == want
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pivot"):
+        s.search_rank_feature(terms, feature_attr="dl", pivot=0.0)
+    assert s.search_rank_feature(
+        ["zzz_nope"], feature_attr="dl", pivot=1.0) == []
