@@ -53,6 +53,7 @@ class _Translated:
         self.phrase: list[str] | None = None
         self.dis_max: dict | None = None
         self.const: dict | None = None      # {"filter":..., "boost":...}
+        self.rank_feature: dict | None = None  # {"field","pivot","boost"}
 
     @property
     def filter(self):
@@ -184,9 +185,20 @@ def _translate(s, q: dict) -> _Translated:
         should = should if isinstance(should, list) else [should]
         for c in should:
             ck, cv = next(iter(c.items()))
+            if ck == "rank_feature":
+                if t.rank_feature is not None:
+                    raise NotImplementedError("one rank_feature per bool")
+                t.rank_feature = {
+                    "field": cv["field"],
+                    "pivot": float(cv.get("saturation", {})
+                                   .get("pivot", 1.0)),
+                    "boost": float(cv.get("boost", 1.0)),
+                }
+                continue
             if ck != "match":
                 raise NotImplementedError(
-                    "only match clauses supported in scoring bool.should")
+                    "only match/rank_feature clauses supported in "
+                    "scoring bool.should")
             ((_f, v),) = cv.items()
             t.should_terms.extend(_tokens(s, _text_of(v)))
         t.msm = int(arg.get("minimum_should_match", 0))
@@ -210,6 +222,15 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
                                 k=size, filter=t.filter)
     if t.phrase is not None:
         return s.phrase_search(t.phrase, k=size, filter=t.filter)
+    if t.rank_feature is not None:
+        if t.should_terms or not t.terms:
+            raise NotImplementedError(
+                "rank_feature requires match must terms and no other "
+                "scoring should clauses")
+        return s.search_rank_feature(
+            t.terms, k=size, feature_attr=t.rank_feature["field"],
+            pivot=t.rank_feature["pivot"], boost=t.rank_feature["boost"],
+            filter=t.filter)
     if t.terms or t.should_terms:
         return s.search(t.terms, k=size, filter=t.filter,
                         should_terms=t.should_terms or None,

@@ -195,3 +195,17 @@ def test_total_is_true_match_count(dsl_index):
     assert got["hits"]["total"]["value"] > 2
     got = execute_dsl(s, {"query": {"match_all": {}}, "size": 1})
     assert got["hits"]["total"]["value"] == s.N
+
+
+def test_rank_feature_body(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "should": [{"rank_feature": {"field": "dl",
+                                     "saturation": {"pivot": 25},
+                                     "boost": 2.0}}],
+    }}, "size": 8}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.search_rank_feature(
+        [w1], k=8, feature_attr="dl", pivot=25.0, boost=2.0))
