@@ -60,6 +60,10 @@ def _next_out() -> str:
 
 
 def _fire(cpus_pair: str | None) -> bool:
+    if _busy():  # re-check: a driver bench may have started mid-confirm
+        print("[watch] host became busy during confirm — not firing",
+              flush=True)
+        return False
     out_path = _next_out()
     env = dict(os.environ)
     if cpus_pair:
