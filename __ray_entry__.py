@@ -204,14 +204,25 @@ def top_orders_by_revenue(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("rev_c", alias_name="rev_c"))
     )
-    # the top-10 is determined by the aggregate alone (tie-break on the key),
-    # so sort+limit BEFORE touching orders: 10 rows leave the cluster and the
-    # corpus-sized join disappears — the decorate step is a pruned, filtered
-    # read of exactly 10 rows' worth of row groups
+    # the top-10 is determined by the aggregate alone (tie-break on the key).
+    # The hash-shuffled groupby leaves each l_orderkey complete within one
+    # block, so a per-block top-10 + driver merge of the blocks' winners is
+    # exact — k x n_blocks rows reach the driver instead of a second
+    # all-to-all range sort of the #orders-sized aggregate (the r4 scale
+    # smell: at 10^9 orders that sort shuffles everything to keep 10 rows)
+    def block_top10(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rev_np = t["rev_c"].to_numpy(zero_copy_only=False)
+        key_np = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((key_np, -rev_np))[:10]
+        return t.take(sel)
+
     top = (
-        rev.sort(["rev_c", "l_orderkey"], descending=[True, False])
-        .limit(10)
+        rev.map_batches(block_top10, batch_format="pyarrow")
         .to_pandas()
+        .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
+        .head(10)
     )
     keys = top["l_orderkey"].tolist()
     dates = rd.read_parquet(

@@ -1500,6 +1500,8 @@ class SpanCutStage:
         en = spans["end_tok"].to_numpy()
         order = np.lexsort((st, ids))
         ids, st, en = ids[order], st[order], en[order]
+        if not len(ids):  # duplicate-free corpus: np.r_[True, empty]
+            return      # would fabricate boundary index 0 on empty ids
         for lo in np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]):
             hi = lo
             while hi < len(ids) and ids[hi] == ids[lo]:

@@ -108,7 +108,9 @@ def _clause_filter(s, kind: str, arg) -> dict:
         for key in ("must", "must_not", "should"):
             cl = arg.get(key, [])
             cl = cl if isinstance(cl, list) else [cl]
-            cl = cl + (arg.get("filter", []) if key == "must" else [])
+            if key == "must":
+                fl = arg.get("filter", [])
+                cl = cl + (fl if isinstance(fl, list) else [fl])
             if cl:
                 out[key] = [
                     _clause_filter(s, *next(iter(c.items()))) for c in cl
@@ -161,11 +163,14 @@ def _translate(s, q: dict) -> _Translated:
     if kind == "bool":
         must = arg.get("must", [])
         must = must if isinstance(must, list) else [must]
+        match_groups: list[list[str]] = []  # per-clause token groups
         for c in must:
             ck, cv = next(iter(c.items()))
             if ck == "match":
                 ((_f, v),) = cv.items()
-                t.terms.extend(_tokens(s, _text_of(v)))
+                toks = _tokens(s, _text_of(v))
+                match_groups.append(toks)
+                t.terms.extend(toks)
             elif ck == "match_phrase":
                 ((_f, v),) = cv.items()
                 if t.phrase is not None:
@@ -173,6 +178,14 @@ def _translate(s, q: dict) -> _Translated:
                 t.phrase = _tokens(s, _text_of(v))
             else:
                 t.filters.append(_clause_filter(s, ck, cv))
+        if len(match_groups) > 1:
+            # ES requires EVERY must clause to match; Searcher.search's
+            # candidate set is docs matching ANY scoring term, so add a
+            # >=1-term filter per clause to intersect them (scoring —
+            # the BM25 sum over all clause terms — is unchanged)
+            for toks in match_groups:
+                t.filters.append(
+                    {"bool": {"should": [{"match": w} for w in toks]}})
         for c in arg.get("filter", []) if isinstance(
                 arg.get("filter", []), list) else [arg["filter"]]:
             t.filters.append(_clause_filter(s, *next(iter(c.items()))))
@@ -244,7 +257,11 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
 
 def _agg_scope_filter(s, t: _Translated):
     """ES aggs scope to the query's matching docs: scoring terms become
-    a should-filter (>=1 term), composed with the filter clauses."""
+    a should-filter (>=1 term), composed with the filter clauses.
+
+    Documented approximation: for match_phrase the agg scope is docs
+    containing >=1 phrase WORD (a superset of phrase matches) — exact
+    phrase totals are handled separately in :func:`execute_dsl`."""
     parts = list(t.filters)
     sterms = t.terms + t.should_terms + (t.phrase or [])
     if t.dis_max is not None:
@@ -370,7 +387,12 @@ def execute_dsl(s, body: dict) -> dict:
     aggs = body.get("aggs") or body.get("aggregations")
     # ES reports the true matched-doc count, not the page length; the
     # agg-scope filter IS the match predicate (>=1 scoring term + filters)
-    total = s.count(_agg_scope_filter(s, t))
+    if t.phrase is not None:
+        # exact: a phrase's total counts PHRASE matches, not docs holding
+        # any phrase word — run the phrase predicate over all local docs
+        total = len(s.phrase_search(t.phrase, k=s.n_local, filter=t.filter))
+    else:
+        total = s.count(_agg_scope_filter(s, t))
     resp = {
         "hits": {
             "total": {"value": int(total), "relation": "eq"},

@@ -1680,7 +1680,9 @@ class Searcher:
             return []
         ids = np.array([h["doc_id"] for h in all_hits], dtype=np.int64)
         s = np.array([h["score"] for h in all_hits], dtype=np.float64)
-        x = np.maximum(v[ids - self.doc_lo], 0.0)
+        # a missing sidecar attr is NaN — ES treats missing rank_feature
+        # values as zero contribution, so clamp NaN to 0 before saturating
+        x = np.maximum(np.nan_to_num(v[ids - self.doc_lo]), 0.0)
         final = s + float(boost) * x / (x + float(pivot))
         order = np.lexsort((ids, -final))[: min(k, len(ids))]
         return self._format(

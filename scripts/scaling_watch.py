@@ -35,8 +35,12 @@ sys.path.insert(0, REPO)
 GOOD_GBPS = float(os.environ.get("GRAFT_WATCH_GOOD_GBPS", "15"))
 MED_GBPS = float(os.environ.get("GRAFT_WATCH_MED_GBPS", "8"))
 MED_AFTER_S = float(os.environ.get("GRAFT_WATCH_MED_AFTER_S", "5400"))
+# low tier: a 2->8 pair peaks at 8 workers, fully below the measured bus
+# knee (round-4 probes show aggregate throughput *falling* past ~16 procs),
+# so it is meaningful even in mid windows where 32-way collapses.
+LOW_GBPS = float(os.environ.get("GRAFT_WATCH_LOW_GBPS", "5"))
 POLL_S = float(os.environ.get("GRAFT_WATCH_POLL_S", "120"))
-MAX_SUITES = int(os.environ.get("GRAFT_WATCH_MAX_SUITES", "3"))
+MAX_SUITES = int(os.environ.get("GRAFT_WATCH_MAX_SUITES", "4"))
 
 
 def _busy() -> bool:
@@ -52,11 +56,11 @@ def _busy() -> bool:
 
 
 def _next_out() -> str:
-    for letter in string.ascii_lowercase[3:]:  # a/b/c are taken by round 4
-        p = os.path.join(REPO, f"SCALING_r04{letter}.json")
+    for letter in string.ascii_lowercase:
+        p = os.path.join(REPO, f"SCALING_r05{letter}.json")
         if not os.path.exists(p):
             return p
-    raise RuntimeError("no free SCALING_r04 slot")
+    raise RuntimeError("no free SCALING_r05 slot")
 
 
 def _fire(cpus_pair: str | None) -> bool:
@@ -95,6 +99,7 @@ def main() -> None:
 
     t0 = time.time()
     fired = 0
+    low_fired = 0  # at most one early below-knee 2,8 suite
     while fired < MAX_SUITES:
         if _busy():
             time.sleep(POLL_S)
@@ -123,6 +128,10 @@ def main() -> None:
                 _confirmed(MED_GBPS):
             if _fire("4,16"):
                 fired += 1
+        elif low_fired == 0 and bw >= LOW_GBPS and _confirmed(LOW_GBPS):
+            if _fire("2,8"):
+                fired += 1
+                low_fired += 1
         time.sleep(POLL_S)
     print("[watch] suite budget exhausted, exiting", flush=True)
 

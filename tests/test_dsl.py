@@ -209,3 +209,80 @@ def test_rank_feature_body(dsl_index):
     got = execute_dsl(s, body)
     assert _ids_scores(got) == _want(s.search_rank_feature(
         [w1], k=8, feature_attr="dl", pivot=25.0, boost=2.0))
+
+
+def test_multi_must_match_intersects(dsl_index):
+    """ADVICE r4: bool.must with N match clauses requires EVERY clause
+    to match (ES semantics), not any-term OR."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[5][0]
+    body = {"query": {"bool": {"must": [
+        {"match": {"content": w1}}, {"match": {"content": w2}},
+    ]}}, "size": 50}
+    got = execute_dsl(s, body)
+    both = {"bool": {"must": [
+        {"bool": {"should": [{"match": w1}]}},
+        {"bool": {"should": [{"match": w2}]}},
+    ]}}
+    n_both = s.count(both)
+    n_any = s.count({"bool": {"should": [{"match": w1}, {"match": w2}]}})
+    assert n_both < n_any  # the fixture corpus must discriminate
+    assert got["hits"]["total"]["value"] == n_both
+    # every returned hit really contains both terms; scores are the
+    # flattened BM25 sum restricted to the intersection
+    want = s.search([w1, w2], k=50, filter=both)
+    assert _ids_scores(got) == _want(want)
+
+
+def test_phrase_total_counts_phrase_matches(dsl_index):
+    """ADVICE r4: hits.total for match_phrase counts phrase matches,
+    not docs containing any phrase word."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    body = {"query": {"match_phrase": {"content": f"{w1} {w2}"}},
+            "size": 5}
+    got = execute_dsl(s, body)
+    exact = len(s.phrase_search([w1, w2], k=s.n_local))
+    assert got["hits"]["total"]["value"] == exact
+    any_word = s.count({"bool": {"should": [{"match": w1},
+                                            {"match": w2}]}})
+    assert exact < any_word  # the old approximation overcounted
+
+
+def test_nested_bool_filter_single_object(dsl_index):
+    """ADVICE r4: a nested bool whose `filter` is a single object (valid
+    ES) must not raise TypeError in _clause_filter."""
+    s = Searcher(dsl_index, load_docs=True)
+    lang = s.agg_terms("lang", k=1)[0][0]
+    body = {"query": {"constant_score": {"filter": {"bool": {
+        "filter": {"term": {"lang": lang}},  # dict, not list
+    }}, "boost": 3.0}}, "size": 5}
+    got = execute_dsl(s, body)
+    want = s.search_constant_score({"term": {"lang": lang}}, boost=3.0, k=5)
+    assert _ids_scores(got) == _want(want)
+
+
+def test_rank_feature_nan_is_zero_contribution(dsl_index, monkeypatch):
+    """ADVICE r4: a NaN feature value (missing sidecar attr) scores as
+    zero contribution, like ES, instead of propagating NaN."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    feat = np.full(s.n_local, np.nan)
+    feat[::2] = 10.0
+    orig = s._attr
+    monkeypatch.setattr(
+        s, "_attr",
+        lambda name: feat if name == "nanfeat" else orig(name))
+    hits = s.search_rank_feature([w1], k=20, feature_attr="nanfeat",
+                                 pivot=5.0, boost=2.0)
+    scores = np.array([h["score"] for h in hits])
+    assert np.isfinite(scores).all()
+    base = {h["doc_id"]: h["score"] for h in s.search([w1], k=s.n_local,
+                                                      strategy="taat")}
+    for h in hits:
+        local = h["doc_id"] - s.doc_lo
+        want = base[h["doc_id"]] + (
+            2.0 * 10.0 / 15.0 if local % 2 == 0 else 0.0)
+        assert abs(h["score"] - want) < 1e-9

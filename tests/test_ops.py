@@ -1290,3 +1290,32 @@ def test_matrix_stats_exact_and_parallelism_invariant(ray_session):
         rd.from_items([], override_num_blocks=1)
         if hasattr(rd, "from_items") else None, "v", "k")
     assert empty.num_rows == 0
+
+
+def test_remove_spans_empty_span_table(ray_session):
+    """ADVICE r4: a duplicate-free corpus (empty span table) must pass
+    through remove_spans unchanged instead of crashing SpanCutStage."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from astrologer_ray import ensure_hash_shuffle
+    from astrologer_ray.pipelines.dedup import duplicate_spans, remove_spans
+
+    ensure_hash_shuffle()
+    rows = [{"doc_id": i, "text": f"unique words only here {i} alpha beta"}
+            for i in range(6)]
+    ds = rd.from_items(rows)
+    spans = duplicate_spans(ds, window=6)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "start_tok": pa.array([], pa.int64()),
+        "end_tok": pa.array([], pa.int64()),
+        "n_windows": pa.array([], pa.int64()),
+    })
+    assert spans.num_rows == 0
+    out = remove_spans(rd.from_items(rows), empty).to_pandas()
+    assert len(out) == 6
+    assert (out["n_removed_tokens"] == 0).all()
+    # clean_text is the canonical simple-split join, untouched
+    assert out.sort_values("doc_id")["clean_text"].iloc[0] == \
+        "unique words only here 0 alpha beta"
