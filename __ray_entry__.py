@@ -4258,87 +4258,144 @@ def entry() -> Any:
     return t.to_pandas()
 
 
+# Last round each query was driver-verified green (rows+schema+hash for
+# SQL-oracle queries, rows-only otherwise), from CORRECTNESS_r0{1..4}.json.
+# Drives the registry rotation in queries(): stalest first, so the
+# driver's bounded window refreshes the oldest external evidence each
+# round. 0 = never driver-windowed (rows-only by design).
+_LAST_DRIVER_VERIFIED = {
+    "top_orders_by_revenue": 4,
+    "ann_topk_embeddings": 2,
+    "docs_exists_counts": 2,
+    "docs_terms_agg_filtered": 2,
+    "embedding_label_norms": 2,
+    "embedding_near_dup_exact": 2,
+    "field_scoped_lookup": 2,
+    "media_features_stub": 2,
+    "bm25_topk_should": 3,
+    "bm25_topk_boosted": 3,
+    "bm25_topk_deleted": 3,
+    "bm25_paged_documents": 3,
+    "bm25_topk_filtered": 3,
+    "bm25_topk_range_filtered": 3,
+    "bm25_collapse_documents": 3,
+    "bm25_explain_documents": 3,
+    "bm25_gauss_documents": 3,
+    "bm25_boosting_documents": 3,
+    "bm25_pinned_documents": 3,
+    "bm25_rescore_documents": 3,
+    "mlt_documents": 3,
+    "customer_order_stats": 3,
+    "customers_without_orders": 3,
+    "lineitem_range_count": 3,
+    "orders_price_buckets": 3,
+    "lineitem_shipdate_minmax": 3,
+    "events_date_histogram": 3,
+    "events_type_topk": 3,
+    "events_significant_types": 3,
+    "events_user_gaps": 3,
+    "events_user_cardinality": 3,
+    "documents_sample": 3,
+    "events_topn_per_user": 3,
+    "events_value_percentiles": 3,
+    "events_extended_stats": 3,
+    "events_props_sum": 3,
+    "events_pipeline_aggs": 3,
+    "events_dense_histogram": 3,
+    "events_percentiles_sampled": 3,
+    "events_bucket_script": 3,
+    "events_percentile_ranks": 3,
+    "events_weighted_avg": 3,
+    "events_range_listing": 3,
+    "union_all_keys": 3,
+    "doc_token_counts": 3,
+    "docs_containing_term": 3,
+    "doc_quality": 3,
+    "dedup_exact_docs": 3,
+    "events_tumbling_window": 3,
+    "bm25_topk_appended": 3,
+    "minhash_dedup_documents": 0,
+    "semdedup_embeddings": 0,
+    "bm25_topk_code": 0,
+    "bpe_merges_documents": 0,
+    "doc_perplexity": 0,
+    "docs_tfidf_neighbors": 0,
+    "embeddings_kmeans": 0,
+    "ann_pq_embeddings": 0,
+    "ann_ivf_embeddings": 0,
+    "simhash_documents": 0,
+    "events_user_cardinality_hll": 0,
+    "langid_documents": 0,
+    "fingerprint_documents": 0,
+    "ann_filtered_embeddings": 4,
+    "bm25_dis_max_documents": 4,
+    "bm25_min_score_documents": 4,
+    "bm25_rank_feature_documents": 4,
+    "bm25_synonym_documents": 4,
+    "bm25_top_hits_by_lang": 4,
+    "bm25_topk_documents": 4,
+    "corpus_ngram_topk": 4,
+    "decontaminate_documents": 4,
+    "doc_repetition": 4,
+    "docs_adjacency_matrix": 4,
+    "docs_chunked": 4,
+    "docs_composite_pages": 4,
+    "docs_constant_score": 4,
+    "docs_dedup_cut": 4,
+    "docs_duplicate_spans": 4,
+    "docs_filters_agg": 4,
+    "docs_fuzzy_lookup": 4,
+    "docs_multi_terms": 4,
+    "docs_nested_keyword_counts": 4,
+    "docs_ngram_jaccard_pairs": 4,
+    "docs_prefix_lookup": 4,
+    "docs_rare_terms": 4,
+    "docs_redact_pii": 4,
+    "docs_regexp_lookup": 4,
+    "docs_runtime_field_agg": 4,
+    "docs_shuffle_shards": 4,
+    "docs_sort_by_dl": 4,
+    "docs_stratified_sample": 4,
+    "docs_wildcard_lookup": 4,
+    "events_asof_orders": 4,
+    "events_auto_histogram": 4,
+    "events_matrix_stats": 4,
+    "events_sessionize": 4,
+    "highlight_documents": 4,
+    "hybrid_rrf_documents": 4,
+    "pack_documents": 4,
+    "percolate_documents": 4,
+    "phrase_prefix_documents": 4,
+    "phrase_topk_documents": 4,
+    "q1_pricing_summary": 4,
+    "significant_text_documents": 4,
+    "span_near_documents": 4,
+    "term_suggest": 4,
+    "terms_set_documents": 4,
+    "top_terms_by_df": 4,
+}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Driver-gate ROTATION POLICY (r5): the driver records a bounded
+    # prefix of this registry (50 rows in r3/r4), so entries are ordered
+    # by least-recently-driver-verified — see _LAST_DRIVER_VERIFIED below.
+    # The r5 window refreshes everything whose last driver-green row is
+    # r1-r3 plus anything whose implementation changed this round; the
+    # r4-green half (fresh external evidence) rotates to the tail, still
+    # re-verified bit-exactly by tests/test_entry.py every run.
     return {
-        # -- driver-gate window (the driver records a bounded prefix of
-        #    this registry, 50 rows in r3): (A) SQL-oracle queries with no
-        #    driver row in any round yet, ordered oldest-debt-first
-        "highlight_documents": highlight_documents,
-        "phrase_topk_documents": phrase_topk_documents,
-        "span_near_documents": span_near_documents,
-        "docs_prefix_lookup": docs_prefix_lookup,
-        "docs_fuzzy_lookup": docs_fuzzy_lookup,
-        "docs_wildcard_lookup": docs_wildcard_lookup,
-        "term_suggest": term_suggest,
-        "top_terms_by_df": top_terms_by_df,
-        "significant_text_documents": significant_text_documents,
-        "docs_runtime_field_agg": docs_runtime_field_agg,
-        "docs_adjacency_matrix": docs_adjacency_matrix,
-        "docs_multi_terms": docs_multi_terms,
-        "docs_rare_terms": docs_rare_terms,
-        "docs_sort_by_dl": docs_sort_by_dl,
-        "docs_composite_pages": docs_composite_pages,
-        "bm25_top_hits_by_lang": bm25_top_hits_by_lang,
-        "events_asof_orders": events_asof_orders,
-        "docs_shuffle_shards": docs_shuffle_shards,
-        "docs_nested_keyword_counts": docs_nested_keyword_counts,
-        "docs_regexp_lookup": docs_regexp_lookup,
-        "terms_set_documents": terms_set_documents,
-        "phrase_prefix_documents": phrase_prefix_documents,
-        "docs_filters_agg": docs_filters_agg,
-        "doc_repetition": doc_repetition,
-        "decontaminate_documents": decontaminate_documents,
-        "pack_documents": pack_documents,
-        "events_auto_histogram": events_auto_histogram,
-        "docs_chunked": docs_chunked,
-        "docs_stratified_sample": docs_stratified_sample,
-        "docs_redact_pii": docs_redact_pii,
-        "docs_duplicate_spans": docs_duplicate_spans,
-        "docs_dedup_cut": docs_dedup_cut,
-        "corpus_ngram_topk": corpus_ngram_topk,
-        "bm25_dis_max_documents": bm25_dis_max_documents,
-        "bm25_min_score_documents": bm25_min_score_documents,
-        "docs_constant_score": docs_constant_score,
-        "events_matrix_stats": events_matrix_stats,
-        "bm25_synonym_documents": bm25_synonym_documents,
-        "bm25_rank_feature_documents": bm25_rank_feature_documents,
-        "percolate_documents": percolate_documents,
-        "hybrid_rrf_documents": hybrid_rrf_documents,
-        "ann_filtered_embeddings": ann_filtered_embeddings,
-        #    (B) SQL-oracle queries whose implementation changed in r4
-        #    (prior green rows predate the change)
+        # -- window (50): (A) implementation changed in r5
         "top_orders_by_revenue": top_orders_by_revenue,
-        "events_sessionize": events_sessionize,
-        "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
-        #    (C) flagship sentinels, driver-green every round
-        "q1_pricing_summary": q1_pricing_summary,
-        "bm25_topk_documents": bm25_topk_documents,
-        #    (D) rows-only flagships with no driver row yet
-        "minhash_dedup_documents": minhash_dedup_documents,
-        "semdedup_embeddings": semdedup_embeddings,
-        "bm25_topk_code": bm25_topk_code,
-        # -- past the r3-sized window: rows-only heuristics (pytest-
-        #    covered), then stable queries already driver-green in r2/r3
-        "bpe_merges_documents": bpe_merges_documents,
-        "doc_perplexity": doc_perplexity,
-        "docs_tfidf_neighbors": docs_tfidf_neighbors,
-        "dedup_exact_docs": dedup_exact_docs,
-        "events_tumbling_window": events_tumbling_window,
-        "embeddings_kmeans": embeddings_kmeans,
-        "ann_pq_embeddings": ann_pq_embeddings,
-        "ann_ivf_embeddings": ann_ivf_embeddings,
-        "simhash_documents": simhash_documents,
-        "events_user_cardinality_hll": events_user_cardinality_hll,
-        "langid_documents": langid_documents,
-        "fingerprint_documents": fingerprint_documents,
-        "bm25_topk_appended": bm25_topk_appended,
-        "field_scoped_lookup": field_scoped_lookup,
-        "docs_terms_agg_filtered": docs_terms_agg_filtered,
-        "docs_exists_counts": docs_exists_counts,
+        #    (B) last driver-green in r2 (stalest evidence)
         "ann_topk_embeddings": ann_topk_embeddings,
+        "docs_exists_counts": docs_exists_counts,
+        "docs_terms_agg_filtered": docs_terms_agg_filtered,
         "embedding_label_norms": embedding_label_norms,
         "embedding_near_dup_exact": embedding_near_dup_exact,
+        "field_scoped_lookup": field_scoped_lookup,
         "media_features_stub": media_features_stub,
+        #    (C) last driver-green in r3
         "bm25_topk_should": bm25_topk_should,
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_deleted": bm25_topk_deleted,
@@ -4378,6 +4435,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": doc_token_counts,
         "docs_containing_term": docs_containing_term,
         "doc_quality": doc_quality,
+        "dedup_exact_docs": dedup_exact_docs,
+        "events_tumbling_window": events_tumbling_window,
+        "bm25_topk_appended": bm25_topk_appended,
+        # -- past the window: rows-only queries (no SQL oracle by design;
+        #    reference-math / parity pytests are their evidence)
+        "minhash_dedup_documents": minhash_dedup_documents,
+        "semdedup_embeddings": semdedup_embeddings,
+        "bm25_topk_code": bm25_topk_code,
+        "bpe_merges_documents": bpe_merges_documents,
+        "doc_perplexity": doc_perplexity,
+        "docs_tfidf_neighbors": docs_tfidf_neighbors,
+        "embeddings_kmeans": embeddings_kmeans,
+        "ann_pq_embeddings": ann_pq_embeddings,
+        "ann_ivf_embeddings": ann_ivf_embeddings,
+        "simhash_documents": simhash_documents,
+        "events_user_cardinality_hll": events_user_cardinality_hll,
+        "langid_documents": langid_documents,
+        "fingerprint_documents": fingerprint_documents,
+        #    driver-green in r4 (freshest external evidence)
+        "ann_filtered_embeddings": ann_filtered_embeddings,
+        "bm25_dis_max_documents": bm25_dis_max_documents,
+        "bm25_min_score_documents": bm25_min_score_documents,
+        "bm25_rank_feature_documents": bm25_rank_feature_documents,
+        "bm25_synonym_documents": bm25_synonym_documents,
+        "bm25_top_hits_by_lang": bm25_top_hits_by_lang,
+        "bm25_topk_documents": bm25_topk_documents,
+        "corpus_ngram_topk": corpus_ngram_topk,
+        "decontaminate_documents": decontaminate_documents,
+        "doc_repetition": doc_repetition,
+        "docs_adjacency_matrix": docs_adjacency_matrix,
+        "docs_chunked": docs_chunked,
+        "docs_composite_pages": docs_composite_pages,
+        "docs_constant_score": docs_constant_score,
+        "docs_dedup_cut": docs_dedup_cut,
+        "docs_duplicate_spans": docs_duplicate_spans,
+        "docs_filters_agg": docs_filters_agg,
+        "docs_fuzzy_lookup": docs_fuzzy_lookup,
+        "docs_multi_terms": docs_multi_terms,
+        "docs_nested_keyword_counts": docs_nested_keyword_counts,
+        "docs_ngram_jaccard_pairs": docs_ngram_jaccard_pairs,
+        "docs_prefix_lookup": docs_prefix_lookup,
+        "docs_rare_terms": docs_rare_terms,
+        "docs_redact_pii": docs_redact_pii,
+        "docs_regexp_lookup": docs_regexp_lookup,
+        "docs_runtime_field_agg": docs_runtime_field_agg,
+        "docs_shuffle_shards": docs_shuffle_shards,
+        "docs_sort_by_dl": docs_sort_by_dl,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_wildcard_lookup": docs_wildcard_lookup,
+        "events_asof_orders": events_asof_orders,
+        "events_auto_histogram": events_auto_histogram,
+        "events_matrix_stats": events_matrix_stats,
+        "events_sessionize": events_sessionize,
+        "highlight_documents": highlight_documents,
+        "hybrid_rrf_documents": hybrid_rrf_documents,
+        "pack_documents": pack_documents,
+        "percolate_documents": percolate_documents,
+        "phrase_prefix_documents": phrase_prefix_documents,
+        "phrase_topk_documents": phrase_topk_documents,
+        "q1_pricing_summary": q1_pricing_summary,
+        "significant_text_documents": significant_text_documents,
+        "span_near_documents": span_near_documents,
+        "term_suggest": term_suggest,
+        "terms_set_documents": terms_set_documents,
+        "top_terms_by_df": top_terms_by_df,
     }
 
 

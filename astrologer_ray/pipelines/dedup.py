@@ -1197,6 +1197,95 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------- duplicate substrings
 
 
+_ROLL_A1 = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+_ROLL_A2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_ROLL_A1_INV = np.uint64(pow(int(_ROLL_A1), -1, 1 << 64))
+_ROLL_A2_INV = np.uint64(pow(int(_ROLL_A2), -1, 1 << 64))
+
+
+def _pow_series(a: np.uint64, n: int) -> np.ndarray:
+    """[a^0, a^1, ..., a^(n-1)] mod 2^64 (uint64 wraparound cumprod)."""
+    p = np.empty(n, dtype=np.uint64)
+    p[0] = 1
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, a, dtype=np.uint64),
+                               out=p[1:])
+    return p
+
+
+def _poly_window_hash(tok_h: np.ndarray, a: np.uint64, a_inv: np.uint64,
+                      w: int) -> np.ndarray:
+    """Rolling polynomial hash of every length-``w`` window of the
+    uint64 stream ``tok_h``: W(i) = sum_j tok_h[i+j] * a^j mod 2^64,
+    computed for ALL windows with two cumulative passes —
+    W(i) = (P(i+w) - P(i)) * a^(-i) where P is the prefix sum of
+    tok_h[j] * a^j. Equal windows hash equal exactly; two independent
+    multipliers give 128 collision-resistant bits overall."""
+    L = len(tok_h)
+    nw = L - w + 1
+    pw = _pow_series(a, L)
+    pref = np.zeros(L + 1, dtype=np.uint64)
+    np.cumsum(tok_h * pw, out=pref[1:])
+    return (pref[w:] - pref[:-w]) * _pow_series(a_inv, nw)
+
+
+def _window_hashes(
+    col, window: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-window 128-bit content hashes for :func:`duplicate_spans`,
+    fully vectorized (the r4 advice replaced a per-window-position
+    Python ``hashlib.blake2b`` loop): tokenize the whole batch in C
+    kernels (lower + split + flatten + dictionary_encode — the simple
+    ``[a-z0-9]+`` split, token-for-token the SQL oracle's), blake2b
+    only the batch's DISTINCT tokens into two uint64 halves, then
+    combine token hashes into window hashes with a vectorized rolling
+    polynomial (two independent odd multipliers mod 2^64).
+
+    Window equality: tokens contain no separators, so a window's token
+    tuple determines its content; equal tuples give equal (h1, h2) and
+    unequal tuples collide with probability ~2^-128 per pair — the same
+    exactness contract the joined-string blake2b had.
+
+    Returns ``(h1, h2, row_of_win, pos)`` — uint64 hash halves, the
+    batch row each window belongs to, and the window's 0-based token
+    offset within its row. Windows never cross rows; rows with fewer
+    than ``window`` tokens contribute none."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    import pyarrow.compute as pc
+
+    lower = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_of_tok = doc_of_tok[nonempty]
+    L = len(flat)
+    if L < window:
+        z = np.empty(0, np.uint64)
+        return z, z, np.empty(0, np.int64), np.empty(0, np.int64)
+    enc = pc.dictionary_encode(flat)
+    inv = enc.indices.to_numpy().astype(np.int64)
+    th1 = np.empty(len(enc.dictionary), dtype=np.uint64)
+    th2 = np.empty(len(enc.dictionary), dtype=np.uint64)
+    for u, tok in enumerate(enc.dictionary.to_pylist()):  # DISTINCT only
+        dg = hashlib.blake2b(tok.encode("utf-8"), digest_size=16).digest()
+        th1[u] = int.from_bytes(dg[:8], "big")
+        th2[u] = int.from_bytes(dg[8:], "big")
+    with np.errstate(over="ignore"):
+        h1 = _poly_window_hash(th1[inv], _ROLL_A1, _ROLL_A1_INV, window)
+        h2 = _poly_window_hash(th2[inv], _ROLL_A2, _ROLL_A2_INV, window)
+    nw = L - window + 1
+    valid = doc_of_tok[:nw] == doc_of_tok[window - 1:]
+    # token offset within the row: stream index minus the row's first
+    # stream index (doc_of_tok is non-decreasing, so searchsorted works)
+    first_idx = np.searchsorted(doc_of_tok, doc_of_tok[:nw], side="left")
+    pos = np.arange(nw, dtype=np.int64) - first_idx
+    return h1[valid], h2[valid], doc_of_tok[:nw][valid], pos[valid]
+
+
 def duplicate_spans(
     ds: Dataset,
     text_col: str = "text",
@@ -1222,9 +1311,11 @@ def duplicate_spans(
     reproduce the paper's substring-removal dedup.
 
     Distributed shape (text never shuffles):
-      1. window rows  : ``(h, h2, doc_id, pos)`` per window — h/h2 are the
-                        two int64 halves of a 128-bit blake2b of the window
-                        string, so "equal hash" is exact for any real corpus.
+      1. window rows  : ``(h, h2, doc_id, pos)`` per window — h/h2 are two
+                        independent 64-bit rolling polynomial hashes over
+                        per-token blake2b values (see
+                        :func:`_window_hashes`), so "equal hash" is exact
+                        for any real corpus and the kernel is vectorized.
       2. duplicate    : hash-repartition by ``h`` sorted; vectorized run scan
          marking         marks rows whose (h, h2) run length >= min_count.
                         Each block's first and last h-run can be sheared by
@@ -1256,31 +1347,13 @@ def duplicate_spans(
 
     def win_rows(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col]).astype(np.int64)
-        texts = t[text_col].to_pylist()
-        h1_all, h2_all, id_all, pos_all = [], [], [], []
-        for d, tx in zip(ids, texts):
-            toks = _SIMPLE_RE.findall((tx or "").lower())
-            nw = len(toks) - window + 1
-            if nw <= 0:
-                continue
-            h1 = np.empty(nw, dtype=np.int64)
-            h2 = np.empty(nw, dtype=np.int64)
-            for i in range(nw):
-                dg = hashlib.blake2b(
-                    " ".join(toks[i:i + window]).encode("utf-8"),
-                    digest_size=16).digest()
-                h1[i] = int.from_bytes(dg[:8], "big", signed=True)
-                h2[i] = int.from_bytes(dg[8:], "big", signed=True)
-            h1_all.append(h1)
-            h2_all.append(h2)
-            id_all.append(np.full(nw, d, dtype=np.int64))
-            pos_all.append(np.arange(nw, dtype=np.int64))
-        if not h1_all:
+        h1, h2, row_of_win, pos = _window_hashes(t[text_col], window)
+        if len(h1) == 0:
             return win_schema.empty_table()
-        return pa.table({"h": np.concatenate(h1_all),
-                         "h2": np.concatenate(h2_all),
-                         id_col: np.concatenate(id_all),
-                         "pos": np.concatenate(pos_all)}, schema=win_schema)
+        return pa.table({"h": h1.view(np.int64),
+                         "h2": h2.view(np.int64),
+                         id_col: ids[row_of_win],
+                         "pos": pos}, schema=win_schema)
 
     # materialize BEFORE the keyed repartition: a Dataset captures its
     # DataContext at creation, so the hash-shuffle strategy set above only

@@ -51,8 +51,24 @@ def _norm_query(q: dict) -> tuple[int, frozenset, frozenset, frozenset, int]:
 
 class PercolateStage:
     """Actor-pool matcher: queries compiled once per actor in
-    ``__init__``; ``__call__`` tokenizes each doc once and tests every
-    stored query against the token set."""
+    ``__init__`` into an ES-style candidate index; ``__call__``
+    tokenizes each doc once and exact-verifies only the CANDIDATE
+    queries the index admits.
+
+    Candidate index (the ES percolator model — index the stored
+    queries, not the docs): a query with ``must`` terms can only match
+    a doc containing its rarest must term (rarity proxied by term
+    frequency across the stored-query set — no corpus df is needed for
+    correctness, only for pruning power), so it is bucketed under that
+    single anchor term.  A must-less query with ``min_should >= 1``
+    needs at least one should term, so it is bucketed under EVERY
+    should term.  A must-less ``min_should == 0`` query is a pure
+    must_not screen that matches almost everything — it stays on an
+    always-verify list.  Per doc, candidates = union of the buckets of
+    the doc's tokens + the always list; the exact bool verify is
+    unchanged, so results are identical to the linear scan while the
+    verify count drops from |queries| to |candidates| per doc
+    (pytest ``test_percolate_index_prunes`` measures the ratio)."""
 
     def __init__(self, queries: list[dict], text_col: str = "text",
                  id_col: str = "doc_id", mode: str = "simple"):
@@ -63,6 +79,35 @@ class PercolateStage:
         self.text_col = text_col
         self.id_col = id_col
         self.mode = mode
+        # ---- candidate index
+        from collections import Counter
+
+        tf = Counter()
+        for _qid, must, _mn, should, _ms in self.queries:
+            tf.update(must)
+            tf.update(should)
+        self.buckets: dict[str, list[int]] = {}
+        self.always: list[int] = []
+        for i, (_qid, must, _mn, should, ms) in enumerate(self.queries):
+            if must:
+                anchor = min(must, key=lambda w: (tf[w], w))
+                self.buckets.setdefault(anchor, []).append(i)
+            elif ms >= 1:
+                for w in should:
+                    self.buckets.setdefault(w, []).append(i)
+            else:
+                self.always.append(i)
+        # instrumentation for the pruning test/bench (per-actor totals)
+        self.n_candidate_checks = 0
+        self.n_docs_seen = 0
+
+    def _candidates(self, toks: frozenset) -> list[int]:
+        cand = set(self.always)
+        for w in toks:
+            b = self.buckets.get(w)
+            if b:
+                cand.update(b)
+        return sorted(cand)  # stored-query order, like the linear scan
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from astrologer_ray.functions.tokenizer import tokenize
@@ -71,7 +116,11 @@ class PercolateStage:
         for did, tx in zip(t[self.id_col].to_pylist(),
                            t[self.text_col].to_pylist()):
             toks = frozenset(tokenize(tx or "", mode=self.mode))
-            for qid, must, must_not, should, ms in self.queries:
+            cand = self._candidates(toks)
+            self.n_candidate_checks += len(cand)
+            self.n_docs_seen += 1
+            for i in cand:
+                qid, must, must_not, should, ms = self.queries[i]
                 if not must <= toks:
                     continue
                 if must_not & toks:
