@@ -11,10 +11,14 @@ methods — this module adds translation, not retrieval):
 
 - ``query``: match_all, match, match_phrase, term, terms, exists,
   range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
-  filter / should / minimum_should_match), dis_max, constant_score.
+  filter / should / minimum_should_match), dis_max, constant_score,
+  more_like_this.
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
-  ``sort`` (single field, ES keyword syntax).
-- ``aggs`` / ``aggregations``: terms, multi_terms, rare_terms, filters,
+  ``sort`` (single field, ES keyword syntax), ``knn`` (exact cosine
+  over a vector doc attribute), ``retriever.rrf`` (standard + knn
+  sub-retrievers fused by :func:`astrologer_ray.pipelines.hybrid.rrf_fuse`).
+- ``aggs`` / ``aggregations``: terms, multi_terms, rare_terms,
+  significant_terms, filters,
   adjacency_matrix, composite, top_hits, histogram and date_histogram
   (fixed ``interval`` seconds or calendar ``day``/``hour`` over an
   epoch-seconds attribute) with min/max/sum/avg/value_count sub-aggs
@@ -107,10 +111,11 @@ def _clause_filter(s, kind: str, arg) -> dict:
         out = {}
         for key in ("must", "must_not", "should"):
             cl = arg.get(key, [])
-            cl = cl if isinstance(cl, list) else [cl]
+            cl = _expand_clauses(cl if isinstance(cl, list) else [cl])
             if key == "must":
                 fl = arg.get("filter", [])
-                cl = cl + (fl if isinstance(fl, list) else [fl])
+                cl = cl + _expand_clauses(
+                    fl if isinstance(fl, list) else [fl])
             if cl:
                 out[key] = [
                     _clause_filter(s, *next(iter(c.items()))) for c in cl
@@ -119,6 +124,20 @@ def _clause_filter(s, kind: str, arg) -> dict:
     if kind == "match_all":
         return {"bool": {}}  # matches everything
     raise NotImplementedError(f"unsupported query clause {kind!r}")
+
+
+def _expand_clauses(cl: list) -> list:
+    """Lenient clause-list normalization: a clause object holding
+    SEVERAL query keys (the reference's Postman "SetOptions having
+    signer" body packs ``term`` and ``exists`` into one ``must``
+    object) expands into one single-key clause per key."""
+    out = []
+    for c in cl:
+        if len(c) == 1:
+            out.append(c)
+        else:
+            out.extend({k: v} for k, v in c.items())
+    return out
 
 
 def _tokens(s, text: str) -> list[str]:
@@ -139,6 +158,23 @@ def _translate(s, q: dict) -> _Translated:
     if kind == "match":
         ((_f, v),) = arg.items()
         t.terms = _tokens(s, _text_of(v))
+        return t
+    if kind == "more_like_this":
+        # expand the `like` text through the searcher's deterministic MLT
+        # term selection, then reuse the whole terms machinery (scoring,
+        # totals, agg scope) — more_like_this IS a term query once
+        # selection happens (see Searcher.more_like_this)
+        like = arg["like"]
+        if isinstance(like, list):
+            like = " ".join(like)
+        t.terms = s.mlt_terms(
+            like,
+            max_query_terms=int(arg.get("max_query_terms", 25)),
+            min_doc_freq=int(arg.get("min_doc_freq", 1)),
+            min_term_freq=int(arg.get("min_term_freq", 1)),
+        )
+        if not t.terms:  # ES: no selectable like-terms -> no matches
+            t.filters.append({"bool": {"must_not": [{"bool": {}}]}})
         return t
     if kind == "match_phrase":
         ((_f, v),) = arg.items()
@@ -162,7 +198,7 @@ def _translate(s, q: dict) -> _Translated:
         return t
     if kind == "bool":
         must = arg.get("must", [])
-        must = must if isinstance(must, list) else [must]
+        must = _expand_clauses(must if isinstance(must, list) else [must])
         match_groups: list[list[str]] = []  # per-clause token groups
         for c in must:
             ck, cv = next(iter(c.items()))
@@ -186,16 +222,17 @@ def _translate(s, q: dict) -> _Translated:
             for toks in match_groups:
                 t.filters.append(
                     {"bool": {"should": [{"match": w} for w in toks]}})
-        for c in arg.get("filter", []) if isinstance(
-                arg.get("filter", []), list) else [arg["filter"]]:
+        fl = arg.get("filter", [])
+        for c in _expand_clauses(fl if isinstance(fl, list) else [fl]):
             t.filters.append(_clause_filter(s, *next(iter(c.items()))))
         mn = arg.get("must_not", [])
-        mn = mn if isinstance(mn, list) else [mn]
+        mn = _expand_clauses(mn if isinstance(mn, list) else [mn])
         if mn:
             t.filters.append({"bool": {"must_not": [
                 _clause_filter(s, *next(iter(c.items()))) for c in mn]}})
         should = arg.get("should", [])
-        should = should if isinstance(should, list) else [should]
+        should = _expand_clauses(
+            should if isinstance(should, list) else [should])
         for c in should:
             ck, cv = next(iter(c.items()))
             if ck == "rank_feature":
@@ -338,6 +375,12 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                                      filter=scope)
             out[name] = {"buckets": [
                 {"key": list(k), "doc_count": int(c)} for *k, c in rows]}
+        elif kind == "significant_terms":
+            rows = s.agg_significant_terms(
+                arg["field"], k=int(arg.get("size", 10)), filter=scope)
+            out[name] = {"buckets": [
+                {"key": v, "doc_count": int(fg), "bg_count": int(bg),
+                 "score": sc} for v, fg, bg, sc in rows]}
         elif kind == "rare_terms":
             rows = s.agg_rare_terms(
                 arg["field"], max_doc_count=int(arg.get("max_doc_count", 1)),
@@ -375,10 +418,54 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
     return out
 
 
+def _retriever_ranking(s, spec: dict, window: int) -> list[int]:
+    """One rrf sub-retriever -> its ranked doc-id list (top ``window``)."""
+    ((kind, arg),) = spec.items()
+    if kind == "standard":
+        t = _translate(s, arg.get("query"))
+        return [h["doc_id"]
+                for h in _run_hits(s, t, window, None, None, None)]
+    if kind == "knn":
+        return [h["doc_id"] for h in s.knn(
+            arg["field"], arg["query_vector"], k=window,
+            num_candidates=arg.get("num_candidates"))]
+    raise NotImplementedError(f"unsupported retriever {kind!r}")
+
+
 def execute_dsl(s, body: dict) -> dict:
     """Run one ES ``_search`` request body; returns an ES-shaped dict."""
-    t = _translate(s, body.get("query"))
     size = int(body.get("size", 10))
+    if "retriever" in body:
+        # ES 8 retriever tree: only the rrf compound retriever (the
+        # standard BM25+knn hybrid) — fused by pipelines.hybrid.rrf_fuse
+        from astrologer_ray.pipelines.hybrid import RRF_C, rrf_fuse
+
+        rrf = body["retriever"]["rrf"]
+        window = int(rrf.get("rank_window_size", max(size, 10)))
+        rankings = [_retriever_ranking(s, r, window)
+                    for r in rrf["retrievers"]]
+        fused = rrf_fuse(rankings, k=size,
+                         c=int(rrf.get("rank_constant", RRF_C)))
+        return {"hits": {
+            "total": {"value": len({i for r in rankings for i in r}),
+                      "relation": "eq"},
+            "hits": [{"_id": d, "_score": sc} for d, sc in fused],
+        }}
+    if "knn" in body and "query" not in body:
+        arg = body["knn"]
+        knn_f = None
+        if arg.get("filter"):
+            knn_f = _clause_filter(s, *next(iter(arg["filter"].items())))
+        hits = s.knn(arg["field"], arg["query_vector"],
+                     k=int(arg.get("k", size)),
+                     num_candidates=arg.get("num_candidates"),
+                     filter=knn_f)
+        return {"hits": {
+            "total": {"value": len(hits), "relation": "eq"},
+            "hits": [{"_id": h["doc_id"], "_score": h["score"]}
+                     for h in hits[:size]],
+        }}
+    t = _translate(s, body.get("query"))
     frm = int(body.get("from", 0))
     after = tuple(body["search_after"]) if "search_after" in body else None
     hits = _run_hits(s, t, size + frm, body.get("min_score"),

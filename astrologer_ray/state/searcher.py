@@ -1348,6 +1348,68 @@ class Searcher:
         order = np.lexsort((vals[keep], counts[keep]))
         return [(str(vals[keep][i]), int(counts[keep][i])) for i in order]
 
+    def agg_significant_terms(self, attr: str, k: int = 10,
+                              filter=None) -> list[tuple]:
+        """ES ``significant_terms`` over a doc attribute (the Postman
+        "Most Popular Memo Values" body,
+        /root/reference/es.postman_collection.json:180): attribute
+        values over-represented in the FOREGROUND (docs matching
+        ``filter``) versus the BACKGROUND (all live docs), scored with
+        the same JLH-flavored ``(fg% - bg%) * (fg% / bg%)`` as
+        :func:`astrologer_ray.pipelines.aggs.significant_terms`; only
+        values with fg_n > 0, top-k by (score desc, value asc).
+        Returns ``(value, fg_n, bg_n, score)`` tuples."""
+        live = self._apply_deletes(None)
+        fg_m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None)
+        col = self._attr(attr).astype(str)
+        bg_col = col if live is None else col[live]
+        fg_col = col if fg_m is None else col[fg_m]
+        bg_total, fg_total = len(bg_col), len(fg_col)
+        if fg_total == 0 or bg_total == 0:
+            return []
+        bg_vals, bg_counts = np.unique(bg_col, return_counts=True)
+        fg_vals, fg_counts = np.unique(fg_col, return_counts=True)
+        # every fg value exists in bg (fg is a subset of bg rows)
+        bg_of_fg = bg_counts[np.searchsorted(bg_vals, fg_vals)]
+        fg_pct = fg_counts / fg_total
+        bg_pct = bg_of_fg / bg_total
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        order = np.lexsort((fg_vals, -score))[:k]
+        return [(str(fg_vals[i]), int(fg_counts[i]), int(bg_of_fg[i]),
+                 float(score[i])) for i in order]
+
+    def knn(self, field: str, query_vector, k: int = 10,
+            num_candidates: int | None = None, filter=None,
+            decorate: bool = False) -> list[dict]:
+        """ES top-level ``knn`` search over a vector doc attribute
+        (a 2-D ``(n_local, dim)`` sidecar or runtime field): exact
+        cosine similarity against ``query_vector``, top-k by (score
+        desc, doc_id asc). ``num_candidates`` is accepted for ES
+        request-shape parity; the local search is exact, so it only
+        caps the candidate pool like ES's per-shard parameter."""
+        v = np.asarray(self._attr(field), dtype=np.float64)
+        if v.ndim != 2:
+            v = np.stack(v)
+        q = np.asarray(query_vector, dtype=np.float64)
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None)
+        sims = v @ q
+        norms = np.linalg.norm(v, axis=1) * np.linalg.norm(q)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(norms > 0, sims / norms, -np.inf)
+        if m is not None:
+            sims = np.where(m, sims, -np.inf)
+        pool = len(sims) if num_candidates is None \
+            else min(num_candidates, len(sims))
+        cand = np.argpartition(-sims, min(pool, len(sims)) - 1)[:pool] \
+            if pool < len(sims) else np.arange(len(sims))
+        cand = cand[np.isfinite(sims[cand])]
+        order = np.lexsort((cand, -sims[cand]))[:k]
+        return self._format(
+            [(int(cand[i]) + self.doc_lo, float(sims[cand[i]]))
+             for i in order], decorate)
+
     def search_boosting(
         self,
         terms: list[str],
