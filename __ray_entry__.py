@@ -4227,6 +4227,119 @@ WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
 """
 
 
+# fixed code-shaped strings appended to the documents sample so the
+# code-mode SQL oracle exercises camelCase / snake_case / ALLCAPS /
+# digit-boundary / cap-length rules even when the prose corpus does not
+CODE_TOKEN_SAMPLES: list[str] = [
+    "camelCaseIdentifier snake_case_name HTTPServer2Go parseURL2",
+    "def get_user_id(x): return x.userID + 123abc",
+    "_private __dunder__ a1b2C3 XMLHttpRequest",
+    "ABc A1 1A2b x_ _y _ __",
+    "UPPER lower MixedCASE endUPPER",
+    "val123 123val 123 val_123_x",
+    "",
+    "non-ascii mixed_ascii separators.everywhere;here",
+    "a" * 70 + " " + "B" * 70 + "c",
+    "for (int i = 0; i < N; i++) sumTotal += arr[i];",
+]
+
+
+class _CodeCountStage:
+    """Actor-pool stage: the production CodeTokenizer (Arrow byte-LUT
+    fast path — the same kernel SPIMI uses to build the code index,
+    stages/spimi.py) emitting (doc_id, term, tf) rows."""
+
+    def __init__(self):
+        from astrologer_ray.functions.tokenizer import CodeTokenizer
+
+        self.tk = CodeTokenizer(mode="code")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        doc_idx, terms, tfs, _dls = self.tk.batch_counts(col)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+        })
+
+
+def code_token_counts(sf_dir: str):
+    """Code-mode tokenization with an end-to-end SQL oracle (VERDICT r4
+    #7): per-(doc, term) counts over a documents sample plus the fixed
+    CODE_TOKEN_SAMPLES rows, produced by the SAME CodeTokenizer Arrow
+    kernel that builds the bm25_topk_code index — the DuckDB oracle
+    reimplements the code tokenizer (raw-run regex, camel/snake/digit
+    part splits, 64-char cap, whole+parts dedupe rule) independently in
+    SQL, so a hash match verifies the code-mode pipeline externally."""
+    rd = _rd()
+
+    docs = rd.read_parquet(
+        _tbl(sf_dir, "documents"), columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < 200,
+    )
+    samples = rd.from_items([
+        {"doc_id": -1000 - i, "text": s}
+        for i, s in enumerate(CODE_TOKEN_SAMPLES)
+    ])
+    out = (
+        docs.union(samples)
+        .map_batches(_CodeCountStage, batch_format="pyarrow",
+                     concurrency=(1, 4), batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def _code_token_counts_sql() -> str:
+    vals = ", ".join(
+        f"({-1000 - i}, '" + s.replace("'", "''") + "')"
+        for i, s in enumerate(CODE_TOKEN_SAMPLES)
+    )
+    return rf"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL SELECT * FROM (VALUES {vals}) v(doc_id, text)),
+scrubbed AS (SELECT doc_id,
+  regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]+', '', 'g') AS txt
+  FROM src),
+rawtok AS (
+  SELECT doc_id, unnest(l) AS tok
+  FROM (SELECT doc_id,
+          regexp_extract_all(txt, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+') AS l
+        FROM scrubbed) t),
+split AS (
+  SELECT doc_id, lower(tok) AS whole,
+    list_filter(
+      string_split_regex(
+        lower(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            replace(tok, '_', ' '),
+            '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+            '([a-z])([A-Z])', '\1 \2', 'g'),
+            '([A-Za-z])([0-9])', '\1 \2', 'g'),
+            '([0-9])([A-Za-z])', '\1 \2', 'g')),
+        ' +'),
+      x -> x <> '') AS parts
+  FROM rawtok),
+terms AS (
+  SELECT doc_id,
+    CASE WHEN parts = [whole]
+         THEN (CASE WHEN len(whole) <= 64 THEN [whole] ELSE [] END)
+         ELSE list_concat(
+            CASE WHEN len(whole) <= 64 THEN [whole] ELSE [] END,
+            list_filter(parts, x -> len(x) <= 64))
+    END AS tl
+  FROM split)
+SELECT doc_id, term, count(*) AS tf
+FROM (SELECT doc_id, unnest(tl) AS term FROM terms)
+GROUP BY doc_id, term ORDER BY doc_id, term
+"""
+
+
 def bm25_topk_code(sf_dir: str):
     """Flagship: code-mode index over the synthesized code corpus."""
     from astrologer_ray.functions.tokenizer import tokenize
@@ -4264,6 +4377,7 @@ def entry() -> Any:
 # driver's bounded window refreshes the oldest external evidence each
 # round. 0 = never driver-windowed (rows-only by design).
 _LAST_DRIVER_VERIFIED = {
+    "code_token_counts": 0,  # new in r5
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
     "docs_exists_counts": 2,
@@ -4385,7 +4499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # r4-green half (fresh external evidence) rotates to the tail, still
     # re-verified bit-exactly by tests/test_entry.py every run.
     return {
-        # -- window (50): (A) implementation changed in r5
+        # -- window (50): (A) new in r5 / implementation changed in r5
+        "code_token_counts": code_token_counts,
         "top_orders_by_revenue": top_orders_by_revenue,
         #    (B) last driver-green in r2 (stalest evidence)
         "ann_topk_embeddings": ann_topk_embeddings,
@@ -4437,7 +4552,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": doc_quality,
         "dedup_exact_docs": dedup_exact_docs,
         "events_tumbling_window": events_tumbling_window,
-        "bm25_topk_appended": bm25_topk_appended,
         # -- past the window: rows-only queries (no SQL oracle by design;
         #    reference-math / parity pytests are their evidence)
         "minhash_dedup_documents": minhash_dedup_documents,
@@ -4453,7 +4567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cardinality_hll": events_user_cardinality_hll,
         "langid_documents": langid_documents,
         "fingerprint_documents": fingerprint_documents,
-        #    driver-green in r4 (freshest external evidence)
+        #    driver-green in r3/r4 (freshest external evidence;
+        #    bm25_topk_appended displaced from the window by
+        #    code_token_counts — same oracle as bm25_topk_documents)
+        "bm25_topk_appended": bm25_topk_appended,
         "ann_filtered_embeddings": ann_filtered_embeddings,
         "bm25_dis_max_documents": bm25_dis_max_documents,
         "bm25_min_score_documents": bm25_min_score_documents,
@@ -4505,6 +4622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "code_token_counts": _code_token_counts_sql(),
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
         "customer_order_stats": CUSTOMER_ORDER_SQL,
