@@ -325,6 +325,58 @@ def cmd_terms(args) -> int:
     return 0
 
 
+def cmd_buckets(args) -> int:
+    """The reference's ``es-stats`` command
+    (/root/reference/commands/es-stats.go:19-57): fixed-step range-bucket
+    doc counts over a column, bucket bounds anchored at the column MIN
+    and the last bucket's ``to`` capped at the MAX, one
+    ``{"from", "to", "doc_count"}`` JSON row per bucket.  ES range-agg
+    semantics: each bucket counts ``from <= v < to`` (so, like the
+    reference, rows equal to the max fall outside the capped last
+    bucket).  One pruned column read; counting is a vectorized
+    bucketize map + a bucket-count groupby — no row leaves the cluster."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import stats_min_max
+
+    _ray_session(args.num_cpus)
+    ds = rd.read_parquet(args.parquet, columns=[args.col])
+    mm = stats_min_max(ds, args.col)
+    lo = mm[f"min_{args.col}"][0].as_py()
+    hi = mm[f"max_{args.col}"][0].as_py()
+    step = args.step
+    if isinstance(lo, int) and float(step).is_integer():
+        step = int(step)  # integer column + integral step: integer bounds
+
+    def bucketize(t):
+        import pyarrow as _pa
+
+        v = pc.cast(t[args.col], _pa.float64())
+        idx = pc.cast(pc.floor(
+            pc.divide(pc.subtract(v, float(lo)), float(step))), _pa.int64())
+        # v == max falls outside every [from, to) range (the reference
+        # caps the last bucket's `to` AT the max) — sentinel it out
+        idx = pc.if_else(pc.equal(v, float(hi)), _pa.scalar(-1, _pa.int64()),
+                         idx)
+        return _pa.table({"idx": idx})
+
+    from ray.data.aggregate import Count
+
+    counts = dict(
+        (r["idx"], r["n"])
+        for r in ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("idx").aggregate(Count(alias_name="n")).take_all()
+    )
+    i, frm = 0, lo
+    while frm < hi:
+        to = min(frm + step, hi)
+        print(json.dumps({"from": frm, "to": to,
+                          "doc_count": int(counts.get(i, 0))}))
+        i, frm = i + 1, frm + step
+    return 0
+
+
 def cmd_delete(args) -> int:
     """ES _delete_by_query: tombstone docs matching the filter DSL."""
     from astrologer_ray.pipelines.segments import delete_by_query
@@ -529,6 +581,17 @@ def main(argv: list[str] | None = None) -> int:
     tm.add_argument("--prefix", default=None)
     tm.add_argument("--wildcard", default=None)
     tm.set_defaults(fn=cmd_terms)
+
+    bu = sub.add_parser("buckets",
+                        help="fixed-step range-bucket doc counts over a "
+                             "column (the reference es-stats command, "
+                             "commands/es-stats.go)")
+    bu.add_argument("parquet", help="parquet file/dir/glob to scan")
+    bu.add_argument("--col", required=True)
+    bu.add_argument("--step", type=float, default=10_000,
+                    help="bucket width (reference constant: 10000)")
+    bu.add_argument("--num-cpus", type=int, default=None)
+    bu.set_defaults(fn=cmd_buckets)
 
     de = sub.add_parser("delete",
                         help="tombstone docs matching a filter "

@@ -362,3 +362,43 @@ def test_cli_snapshot_restore_round_trip(ray_session, small_corpus_dir,
     os.remove(os.path.join(idx, "_SUCCESS"))
     with _pytest.raises(RuntimeError, match="_SUCCESS"):
         main(["snapshot", idx, snap])
+
+
+def test_cli_buckets_matches_reference_semantics(ray_session, tmp_path,
+                                                 capsys):
+    """`cli buckets` == the reference es-stats command: min-anchored
+    fixed-step ranges, last `to` capped at max, each bucket counting
+    from <= v < to (v == max outside every bucket, like ES range aggs
+    over the reference's capped range list)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(9)
+    seq = np.sort(rng.integers(1000, 4251, size=500)).astype(np.int64)
+    seq[0], seq[-1] = 1000, 4250  # pin min/max
+    p = str(tmp_path / "ledger.parquet")
+    pq.write_table(pa.table({"seq": seq}), p)
+
+    assert main(["buckets", p, "--col", "seq", "--step", "1000"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    # reference range list: from=min; from<max; from+=step, to capped
+    assert [(r["from"], r["to"]) for r in rows] == [
+        (1000, 2000), (2000, 3000), (3000, 4000), (4000, 4250)]
+    for r in rows:
+        want = int(((seq >= r["from"]) & (seq < r["to"])).sum())
+        assert r["doc_count"] == want
+    # total check: every row except the max rows is counted exactly once
+    assert sum(r["doc_count"] for r in rows) == int((seq < 4250).sum())
+
+    # exact multiple of step: max row still excluded (reference loop
+    # generates its last range as [max-step, max))
+    seq2 = np.arange(0, 3001, dtype=np.int64)
+    p2 = str(tmp_path / "ledger2.parquet")
+    pq.write_table(pa.table({"seq": seq2}), p2)
+    assert main(["buckets", p2, "--col", "seq", "--step", "1000"]) == 0
+    rows = [json.loads(ln) for ln in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [(r["from"], r["to"], r["doc_count"]) for r in rows] == [
+        (0, 1000, 1000), (1000, 2000, 1000), (2000, 3000, 1000)]
