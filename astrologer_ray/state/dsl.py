@@ -12,7 +12,7 @@ methods — this module adds translation, not retrieval):
 - ``query``: match_all, match, match_phrase, term, terms, exists,
   range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
-  more_like_this.
+  more_like_this, span_near (in-order span_term clauses).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
   ``sort`` (single field, ES keyword syntax), ``knn`` (exact cosine
   over a vector doc attribute), ``retriever.rrf`` (standard + knn
@@ -58,6 +58,7 @@ class _Translated:
         self.dis_max: dict | None = None
         self.const: dict | None = None      # {"filter":..., "boost":...}
         self.rank_feature: dict | None = None  # {"field","pivot","boost"}
+        self.span_near: dict | None = None     # {"terms", "slop"}
 
     @property
     def filter(self):
@@ -180,6 +181,15 @@ def _translate(s, q: dict) -> _Translated:
         ((_f, v),) = arg.items()
         t.phrase = _tokens(s, _text_of(v))
         return t
+    if kind == "span_near":
+        if not arg.get("in_order", True):
+            raise NotImplementedError("span_near supports in_order only")
+        t.span_near = {
+            "terms": [next(iter(c["span_term"].values()))
+                      for c in arg["clauses"]],
+            "slop": int(arg.get("slop", 0)),
+        }
+        return t
     if kind == "dis_max":
         t.dis_max = {
             "queries": [
@@ -272,6 +282,9 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
                                 k=size, filter=t.filter)
     if t.phrase is not None:
         return s.phrase_search(t.phrase, k=size, filter=t.filter)
+    if t.span_near is not None:
+        return s.span_near(t.span_near["terms"], slop=t.span_near["slop"],
+                           k=size, filter=t.filter)
     if t.rank_feature is not None:
         if t.should_terms or not t.terms:
             raise NotImplementedError(
@@ -300,7 +313,8 @@ def _agg_scope_filter(s, t: _Translated):
     containing >=1 phrase WORD (a superset of phrase matches) — exact
     phrase totals are handled separately in :func:`execute_dsl`."""
     parts = list(t.filters)
-    sterms = t.terms + t.should_terms + (t.phrase or [])
+    sterms = t.terms + t.should_terms + (t.phrase or []) \
+        + (t.span_near["terms"] if t.span_near else [])
     if t.dis_max is not None:
         for qt in t.dis_max["queries"]:
             sterms.extend(qt)
@@ -478,6 +492,10 @@ def execute_dsl(s, body: dict) -> dict:
         # exact: a phrase's total counts PHRASE matches, not docs holding
         # any phrase word — run the phrase predicate over all local docs
         total = len(s.phrase_search(t.phrase, k=s.n_local, filter=t.filter))
+    elif t.span_near is not None:
+        total = len(s.span_near(t.span_near["terms"],
+                                slop=t.span_near["slop"],
+                                k=s.n_local, filter=t.filter))
     else:
         total = s.count(_agg_scope_filter(s, t))
     resp = {

@@ -500,3 +500,24 @@ def test_mlt_knn_rrf_bodies(dsl_index):
             [h["doc_id"] for h in s.knn("embedding", q, k=20)]]
     want = rrf_fuse(legs, k=6, c=60)
     assert _ids_scores(got) == want
+
+
+def test_span_near_body(dsl_index):
+    """span_near executes through the adapter against the native
+    positional implementation, with an exact hits.total."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    body = {"query": {"span_near": {
+        "clauses": [{"span_term": {"content": w1}},
+                    {"span_term": {"content": w2}}],
+        "slop": 3, "in_order": True}}, "size": 6}
+    got = execute_dsl(s, body)
+    want = s.span_near([w1, w2], slop=3, k=6)
+    assert _ids_scores(got) == _want(want)
+    assert got["hits"]["total"]["value"] == \
+        len(s.span_near([w1, w2], slop=3, k=s.n_local))
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"span_near": {
+            "clauses": [{"span_term": {"content": w1}}],
+            "in_order": False}}})
