@@ -71,7 +71,8 @@ class PercolateStage:
     (pytest ``test_percolate_index_prunes`` measures the ratio)."""
 
     def __init__(self, queries: list[dict], text_col: str = "text",
-                 id_col: str = "doc_id", mode: str = "simple"):
+                 id_col: str = "doc_id", mode: str = "simple",
+                 index_queries: bool = True):
         self.queries = [_norm_query(q) for q in queries]
         ids = [q[0] for q in self.queries]
         if len(set(ids)) != len(ids):
@@ -79,7 +80,9 @@ class PercolateStage:
         self.text_col = text_col
         self.id_col = id_col
         self.mode = mode
-        # ---- candidate index
+        # ---- candidate index (index_queries=False keeps the r4 linear
+        # scan — every query on the always list — for benchmarking the
+        # index's pruning win; results are identical either way)
         from collections import Counter
 
         tf = Counter()
@@ -89,7 +92,9 @@ class PercolateStage:
         self.buckets: dict[str, list[int]] = {}
         self.always: list[int] = []
         for i, (_qid, must, _mn, should, ms) in enumerate(self.queries):
-            if must:
+            if not index_queries:
+                self.always.append(i)
+            elif must:
                 anchor = min(must, key=lambda w: (tf[w], w))
                 self.buckets.setdefault(anchor, []).append(i)
             elif ms >= 1:
@@ -144,6 +149,7 @@ def percolate(
     mode: str = "simple",
     concurrency=(1, 8),
     batch_size: int = 512,
+    index_queries: bool = True,
 ) -> Dataset:
     """Match every document against the stored query set; returns the
     (doc_id, query_id) match pairs as a streaming Dataset."""
@@ -151,7 +157,7 @@ def percolate(
         PercolateStage,
         fn_constructor_kwargs={
             "queries": queries, "text_col": text_col,
-            "id_col": id_col, "mode": mode,
+            "id_col": id_col, "mode": mode, "index_queries": index_queries,
         },
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -331,6 +331,65 @@ def bench_query_qps_replicated(n_queries: int = 800) -> dict:
             "hits": sum(len(r) for r in res)}
 
 
+def bench_percolate(n_queries: int = 20_000) -> dict:
+    """Percolator at ES-typical stored-query scale: 10k deterministic
+    term queries built from the documents vocabulary, streamed against
+    the documents table twice — candidate-indexed (the production path)
+    vs the r4 linear scan (``index_queries=False``) — same results by
+    construction, the ratio is the index's pruning win (VERDICT r4 #3)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.pipelines.percolate import percolate
+
+    # the code corpus, not sf documents: the sf table's 31-word vocab
+    # puts every term in ~80% of docs, so NO stored-query index can
+    # prune there; the bench corpus has the Zipf vocab (5000 terms)
+    # that real percolation workloads have
+    paths = _ensure_corpus()[:2]  # ~10k docs stream through the stage
+    sample = pq.read_table(paths[0], columns=["content"])[:300]
+    df: dict[str, int] = {}
+    for tx in sample["content"].to_pylist():
+        for w in set(tokenize(tx or "", mode="simple")):
+            df[w] = df.get(w, 0) + 1
+    vocab = sorted(df)
+    rare = sorted(w for w, c in df.items() if c <= max(2, len(sample) // 50))
+    rng = random.Random(17)
+    # ES-realistic alert rules: each has at least one selective term
+    # (the candidate index anchors on the rarest must term)
+    queries = []
+    for qid in range(n_queries):
+        q = {"id": qid, "must": rng.sample(rare, 2)
+             + rng.sample(vocab, rng.randint(0, 1))}
+        if rng.random() < 0.2:
+            q["must_not"] = rng.sample(vocab, 1)
+        queries.append(q)
+
+    def run(indexed: bool) -> tuple[float, int]:
+        def add_ids(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "doc_id", pa.array(range(t.num_rows), pa.int64()))
+
+        ds = rd.read_parquet(paths, columns=["content"]).map_batches(
+            add_ids, batch_format="pyarrow")
+        t0 = time.time()
+        n = percolate(ds, queries, text_col="content",
+                      index_queries=indexed,
+                      concurrency=(1, max(2, NUM_CPUS // 4))).count()
+        return time.time() - t0, n
+
+    sec_idx, n_idx = run(True)
+    sec_lin, n_lin = run(False)
+    assert n_idx == n_lin, (n_idx, n_lin)
+    return {"sec": sec_idx, "sec_linear": round(sec_lin, 3),
+            "n_queries": n_queries, "n_matches": n_idx,
+            "speedup_vs_linear": round(sec_lin / sec_idx, 2)}
+
+
 def _timed(fn, *args) -> dict:
     t0 = time.time()
     fn(*args)
@@ -378,6 +437,7 @@ def main() -> None:
         _stage("top_orders_by_revenue", _timed, E.top_orders_by_revenue, SF_DIR)
         _stage("events_date_histogram", _timed, E.events_date_histogram, SF_DIR)
         _stage("minhash_dedup", _timed, E.minhash_dedup_documents, SF_DIR)
+        _stage("percolate_10k", bench_percolate)
         _stage("ann_topk", _timed, E.ann_topk_embeddings, SF_DIR)
         # last: mutates BENCH_INDEX (adds a delta segment)
         _stage("append_delta", bench_append,
@@ -408,6 +468,8 @@ def main() -> None:
         out["query_qps_cold_job"] = out["query_qps"]
         out["query_single_lat_ms_p50"] = results["query_qps"]["single_lat_ms_p50"]
         out["query_single_lat_ms_p95"] = results["query_qps"]["single_lat_ms_p95"]
+        out["percolate_speedup_vs_linear"] = results["percolate_10k"][
+            "speedup_vs_linear"]
         out["append_docs_per_s"] = round(results["append_delta"]["docs_per_s"], 1)
         out["append_speedup_vs_full"] = results["append_delta"][
             "speedup_vs_full_rebuild"]
