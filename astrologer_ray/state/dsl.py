@@ -12,7 +12,8 @@ methods — this module adds translation, not retrieval):
 - ``query``: match_all, match, match_phrase, term, terms, exists,
   range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
-  more_like_this, span_near (in-order span_term clauses).
+  more_like_this, span_near (in-order span_term clauses),
+  function_score (one gauss decay function, boost_mode=multiply).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
   ``sort`` (single field, ES keyword syntax), ``knn`` (exact cosine
   over a vector doc attribute), ``retriever.rrf`` (standard + knn
@@ -59,6 +60,7 @@ class _Translated:
         self.const: dict | None = None      # {"filter":..., "boost":...}
         self.rank_feature: dict | None = None  # {"field","pivot","boost"}
         self.span_near: dict | None = None     # {"terms", "slop"}
+        self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
 
     @property
     def filter(self):
@@ -190,6 +192,26 @@ def _translate(s, q: dict) -> _Translated:
             "slop": int(arg.get("slop", 0)),
         }
         return t
+    if kind == "function_score":
+        # the single-gauss multiply form Searcher.function_score serves
+        # (ES default boost_mode IS multiply)
+        inner = _translate(s, arg.get("query"))
+        if inner.phrase or inner.dis_max or inner.const or not inner.terms:
+            raise NotImplementedError(
+                "function_score requires a match/more_like_this inner query")
+        fns = arg.get("functions", [])
+        if arg.get("boost_mode", "multiply") != "multiply" or \
+                len(fns) != 1 or "gauss" not in fns[0]:
+            raise NotImplementedError(
+                "function_score supports one gauss function with "
+                "boost_mode=multiply")
+        ((attr, g),) = fns[0]["gauss"].items()
+        inner.gauss = {
+            "attr": attr, "origin": float(g["origin"]),
+            "scale": float(g["scale"]),
+            "decay": float(g.get("decay", 0.5)),
+        }
+        return inner
     if kind == "dis_max":
         t.dis_max = {
             "queries": [
@@ -285,6 +307,11 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if t.span_near is not None:
         return s.span_near(t.span_near["terms"], slop=t.span_near["slop"],
                            k=size, filter=t.filter)
+    if t.gauss is not None:
+        return s.function_score(
+            t.terms, k=size, decay_attr=t.gauss["attr"],
+            origin=t.gauss["origin"], scale=t.gauss["scale"],
+            decay=t.gauss["decay"], filter=t.filter)
     if t.rank_feature is not None:
         if t.should_terms or not t.terms:
             raise NotImplementedError(

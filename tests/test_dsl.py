@@ -521,3 +521,24 @@ def test_span_near_body(dsl_index):
         execute_dsl(s, {"query": {"span_near": {
             "clauses": [{"span_term": {"content": w1}}],
             "in_order": False}}})
+
+
+def test_function_score_gauss_body(dsl_index):
+    """function_score (one gauss, boost_mode=multiply) dispatches onto
+    Searcher.function_score; unsupported shapes raise."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    body = {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"gauss": {"dl": {
+            "origin": 40, "scale": 20, "decay": 0.5}}}],
+        "boost_mode": "multiply"}}, "size": 7}
+    got = execute_dsl(s, body)
+    want = s.function_score([w1], k=7, decay_attr="dl", origin=40.0,
+                            scale=20.0, decay=0.5)
+    assert _ids_scores(got) == _want(want) and len(want) > 0
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"function_score": {
+            "query": {"match": {"content": w1}},
+            "functions": [{"gauss": {"dl": {"origin": 0, "scale": 1}}}],
+            "boost_mode": "sum"}}})
