@@ -331,7 +331,7 @@ def bench_query_qps_replicated(n_queries: int = 800) -> dict:
             "hits": sum(len(r) for r in res)}
 
 
-def bench_percolate(n_queries: int = 20_000) -> dict:
+def bench_percolate(n_queries: int = 30_000) -> dict:
     """Percolator at ES-typical stored-query scale: 10k deterministic
     term queries built from the documents vocabulary, streamed against
     the documents table twice — candidate-indexed (the production path)
@@ -350,7 +350,7 @@ def bench_percolate(n_queries: int = 20_000) -> dict:
     # puts every term in ~80% of docs, so NO stored-query index can
     # prune there; the bench corpus has the Zipf vocab (5000 terms)
     # that real percolation workloads have
-    paths = _ensure_corpus()[:2]  # ~10k docs stream through the stage
+    paths = _ensure_corpus()[:4]  # ~20k docs stream through the stage
     sample = pq.read_table(paths[0], columns=["content"])[:300]
     df: dict[str, int] = {}
     for tx in sample["content"].to_pylist():
@@ -379,7 +379,7 @@ def bench_percolate(n_queries: int = 20_000) -> dict:
         t0 = time.time()
         n = percolate(ds, queries, text_col="content",
                       index_queries=indexed,
-                      concurrency=(1, max(2, NUM_CPUS // 4))).count()
+                      concurrency=max(2, NUM_CPUS // 4)).count()
         return time.time() - t0, n
 
     sec_idx, n_idx = run(True)
