@@ -671,6 +671,70 @@ def scaling() -> None:
     )
 
 
+def scaling_qps() -> None:
+    """Two-parallelism-level evidence for the QUERY half of the
+    north-star metric (top-k query QPS): the same warm replicated
+    serving pool at 2 vs 8 one-cpu replicas (both fully below this
+    host's measured ~8-worker bus knee), same 800-query workload,
+    interleaved (lo, hi) pairs with bracketing bandwidth probes — the
+    same drift-cancelling methodology as the build suite. On a real
+    cluster replicas land on separate nodes, each with its own bus."""
+    import ray
+
+    from astrologer_ray.state.pool import ReplicatedSearchPool
+
+    lo, hi = 2, 8
+    if os.environ.get("GRAFT_SCALING_QPS_ACTORS"):
+        lo, hi = (int(x) for x in
+                  os.environ["GRAFT_SCALING_QPS_ACTORS"].split(","))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    if not os.path.exists(os.path.join(BENCH_INDEX, "_SUCCESS")):
+        bench_build()  # untimed here: this suite measures serving only
+    queries = _sample_queries(800)
+    host_start = host_probes(full=True)
+
+    def leg(n_actors: int) -> dict:
+        probe = host_probes()
+        pool = ReplicatedSearchPool(BENCH_INDEX, n_actors=n_actors,
+                                    num_cpus=1.0)
+        pool.warm()
+        t0 = time.time()
+        res = pool.search_many(queries)
+        dt = time.time() - t0
+        pool.shutdown()
+        return {"n_actors": n_actors, "sec": round(dt, 3),
+                "qps": round(len(queries) / dt, 1),
+                "hits": sum(len(r) for r in res), "probe": probe}
+
+    pairs = []
+    for i in range(3):
+        a, b = (leg(lo), leg(hi)) if i % 2 == 0 else \
+            tuple(reversed((leg(hi), leg(lo))))
+        pairs.append((a, b))
+    effs = [round((p[1]["qps"] / p[0]["qps"]) / (hi / lo), 3)
+            for p in pairs]
+    best = sorted(effs)[len(effs) // 2]
+    print(json.dumps({
+        "metric": "serving QPS scaling efficiency (warm replicated pool)",
+        "actors_lo": lo, "actors_hi": hi,
+        "pair_efficiencies": effs,
+        "scaling_efficiency": best,
+        "best_pair_efficiency": max(effs),
+        "qps_lo": [p[0]["qps"] for p in pairs],
+        "qps_hi": [p[1]["qps"] for p in pairs],
+        "hits_equal": all(p[0]["hits"] == p[1]["hits"] for p in pairs),
+        "probes_lo": [p[0]["probe"] for p in pairs],
+        "probes_hi": [p[1]["probe"] for p in pairs],
+        "host_start": host_start,
+        "host": host_probes(full=True),
+    }), flush=True)
+    ray.shutdown()
+
+
 def _exclusive_lock():
     """One bench at a time per (corpus, index) path set: two concurrent
     bench processes share BENCH_INDEX and force=True-wipe each other's
@@ -690,7 +754,9 @@ def _exclusive_lock():
 
 if __name__ == "__main__":
     _lock = _exclusive_lock()
-    if "--scaling" in sys.argv:
+    if "--scaling-qps" in sys.argv:
+        scaling_qps()
+    elif "--scaling" in sys.argv:
         scaling()
     else:
         main()
