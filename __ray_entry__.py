@@ -126,8 +126,15 @@ _SPLIT_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x ->
 
 
 def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 with the combiner shape the 100 TB version needs: each
+    batch pre-aggregates into (flag, status, partial sums) rows — six
+    groups exist, so the exchange carries <= 6 rows per batch instead of
+    an all-to-all shuffle of the whole table (r4's Ray groupby spent
+    ~2.6 s shuffling 6 M rows to produce 6 groups; the combiner runs at
+    read speed). Exactness: quantity values are small integers stored
+    as float64, so two-level summation is order-independent; money sums
+    are integer cents end-to-end."""
     rd = _rd()
-    from ray.data.aggregate import Count, Sum
 
     ds = rd.read_parquet(
         _tbl(sf_dir, "lineitem"),
@@ -135,31 +142,34 @@ def q1_pricing_summary(sf_dir: str):
                  "l_extendedprice", "l_discount"],
     )
 
-    def project(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         disc_price = pc.multiply(
             pc.cast(t["l_extendedprice"], pa.float64()),
             pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
         )
-        return pa.table(
+        proj = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
+                "l_quantity": pc.cast(t["l_quantity"], pa.float64()),
                 "price_c": _cents(t["l_extendedprice"]),
                 "disc_price_c": _cents(disc_price),
             }
         )
-
-    out = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("price_c", alias_name="price_c"),
-            Sum("disc_price_c", alias_name="disc_price_c"),
-            Count(alias_name="n"),
+        return proj.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("price_c", "sum"),
+             ("disc_price_c", "sum"), ("l_quantity", "count")]
         )
-        .to_pandas()
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(
+            sum_qty=("l_quantity_sum", "sum"),
+            price_c=("price_c_sum", "sum"),
+            disc_price_c=("disc_price_c_sum", "sum"),
+            n=("l_quantity_count", "sum"),
+        )
     )
     out["sum_base_price"] = out.pop("price_c") / 100.0
     out["sum_disc_price"] = out.pop("disc_price_c") / 100.0
@@ -4502,6 +4512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- window (50): (A) new in r5 / implementation changed in r5
         "code_token_counts": code_token_counts,
         "top_orders_by_revenue": top_orders_by_revenue,
+        "q1_pricing_summary": q1_pricing_summary,
         #    (B) last driver-green in r2 (stalest evidence)
         "ann_topk_embeddings": ann_topk_embeddings,
         "docs_exists_counts": docs_exists_counts,
@@ -4547,7 +4558,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_avg": events_weighted_avg,
         "events_range_listing": events_range_listing,
         "union_all_keys": union_all_keys,
-        "doc_token_counts": doc_token_counts,
         "docs_containing_term": docs_containing_term,
         "doc_quality": doc_quality,
         "dedup_exact_docs": dedup_exact_docs,
@@ -4568,9 +4578,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": langid_documents,
         "fingerprint_documents": fingerprint_documents,
         #    driver-green in r3/r4 (freshest external evidence;
-        #    bm25_topk_appended displaced from the window by
-        #    code_token_counts — same oracle as bm25_topk_documents)
+        #    bm25_topk_appended / doc_token_counts displaced from the
+        #    window by code_token_counts and the rewritten q1 (both
+        #    pytest-mirrored bit-exactly at sf0.01 this round)
         "bm25_topk_appended": bm25_topk_appended,
+        "doc_token_counts": doc_token_counts,
         "ann_filtered_embeddings": ann_filtered_embeddings,
         "bm25_dis_max_documents": bm25_dis_max_documents,
         "bm25_min_score_documents": bm25_min_score_documents,
@@ -4611,7 +4623,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_documents": percolate_documents,
         "phrase_prefix_documents": phrase_prefix_documents,
         "phrase_topk_documents": phrase_topk_documents,
-        "q1_pricing_summary": q1_pricing_summary,
         "significant_text_documents": significant_text_documents,
         "span_near_documents": span_near_documents,
         "term_suggest": term_suggest,
