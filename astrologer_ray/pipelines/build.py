@@ -588,8 +588,16 @@ def _encode_postings(
         # tasks; 256-node cluster: 8 per node). Deriving it from
         # cluster_resources() pinned concurrency at ~8 tasks at EVERY
         # cluster size, which flatlined the stage between scaling levels.
+        # ncpu-1 (not ncpu//2) below the 4-cpu slice: a merge task on a
+        # tiny cluster still takes (almost) a full bus slice — reserving
+        # ncpu//2 made merge CONCURRENCY equal at adjacent cluster sizes
+        # (2 tasks at both 4 and 8 cpus; measured in SCALING_r05a where
+        # 2-cpu and 8-cpu merge walls were identical by construction),
+        # which under-reports N->4N scaling for any pair below 16 cpus.
+        # The -1 keeps one cpu unreserved so a stray 1-cpu actor can
+        # never deadlock a tiny cluster's merge.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        merge_num_cpus = max(1, min(4, ncpu // 2))
+        merge_num_cpus = max(1, min(4, ncpu - 1))
 
     keymap_dir = os.path.join(os.path.dirname(postings_dir), "keymap")
     _write_keymap(docs_dir, keymap_dir, parallelism,
