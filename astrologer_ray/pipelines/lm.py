@@ -52,8 +52,9 @@ def _flat_simple_tokens(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Batch tokenization for ``simple`` mode entirely in C kernels:
     lower + regex split + flatten + dictionary_encode.  Returns the
     factorized token-id stream ``inv`` (positional order preserved), the
-    distinct token strings ``uniq`` (object array), and ``doc_of_tok``
-    (which row each position belongs to)."""
+    distinct token strings ``uniq`` (an Arrow string array — the
+    dictionary), and ``doc_of_tok`` (which row each position belongs
+    to)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     lower = pc.utf8_lower(pc.fill_null(arr, ""))
     toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
