@@ -13,7 +13,9 @@ methods — this module adds translation, not retrieval):
   range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
   more_like_this, span_near (in-order span_term clauses),
-  function_score (one gauss decay function, boost_mode=multiply).
+  function_score (one gauss decay function, boost_mode=multiply),
+  boosting (match positive, term-level negative, negative_boost
+  demotion).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
   ``sort`` (single field, ES keyword syntax), ``knn`` (exact cosine
   over a vector doc attribute), ``retriever.rrf`` (standard + knn
@@ -23,8 +25,13 @@ methods — this module adds translation, not retrieval):
   adjacency_matrix, composite, top_hits, histogram and date_histogram
   (fixed ``interval`` seconds or calendar ``day``/``hour`` over an
   epoch-seconds attribute) with min/max/sum/avg/value_count sub-aggs
-  on the histogram family.  Aggregations scope to the query's matching
-  docs, like ES.
+  on the histogram family; metric aggs over numeric doc attributes —
+  avg, sum, min, max, value_count, stats, percentiles (exact linear
+  interpolation), cardinality (exact distinct) — standalone or as
+  sub-aggs of ``terms`` buckets — the ``range`` bucket agg
+  ([from, to) buckets), ``global`` (escapes the query scope) and
+  ``missing``.  Aggregations scope to the query's matching docs,
+  like ES.
 
 Scoring semantics: ``match`` / ``match_phrase`` / ``dis_max`` clauses
 score BM25; term-level queries (term/exists/range/prefix/...) execute
@@ -61,6 +68,7 @@ class _Translated:
         self.rank_feature: dict | None = None  # {"field","pivot","boost"}
         self.span_near: dict | None = None     # {"terms", "slop"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
+        self.boosting: dict | None = None  # {"negative","negative_boost"}
 
     @property
     def filter(self):
@@ -212,6 +220,19 @@ def _translate(s, q: dict) -> _Translated:
             "decay": float(g.get("decay", 0.5)),
         }
         return inner
+    if kind == "boosting":
+        # positive supplies candidates + BM25; negative DEMOTES (does not
+        # exclude) by negative_boost — Searcher.search_boosting
+        inner = _translate(s, arg["positive"])
+        if inner.phrase or inner.dis_max or inner.const or not inner.terms:
+            raise NotImplementedError(
+                "boosting requires a match/more_like_this positive query")
+        inner.boosting = {
+            "negative": _clause_filter(
+                s, *next(iter(arg["negative"].items()))),
+            "negative_boost": float(arg.get("negative_boost", 0.5)),
+        }
+        return inner
     if kind == "dis_max":
         t.dis_max = {
             "queries": [
@@ -307,6 +328,10 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if t.span_near is not None:
         return s.span_near(t.span_near["terms"], slop=t.span_near["slop"],
                            k=size, filter=t.filter)
+    if t.boosting is not None:
+        return s.search_boosting(
+            t.terms, k=size, negative=t.boosting["negative"],
+            negative_boost=t.boosting["negative_boost"], filter=t.filter)
     if t.gauss is not None:
         return s.function_score(
             t.terms, k=size, decay_attr=t.gauss["attr"],
@@ -399,6 +424,59 @@ def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
     return out
 
 
+def _scope_keep(s, scope) -> np.ndarray:
+    """Boolean keep-mask over local docs: agg scope ∧ live (tombstones)."""
+    mask = s._apply_deletes(
+        s.filter_mask(scope) if scope is not None else None)
+    return np.ones(s.n_local, dtype=bool) if mask is None else mask
+
+
+# ES default percents for the percentiles agg
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
+    """One metric agg over the docs selected by ``keep`` — the shared
+    kernel behind top-level metric aggs and terms-bucket sub-aggs.
+    Returns the ES-shaped result dict for ``fn``."""
+    if fn == "cardinality":
+        col = np.asarray(s._attr(arg["field"]))
+        vals = col[keep]
+        if vals.dtype.kind == "f":
+            vals = vals[~np.isnan(vals)]
+        elif vals.dtype.kind == "O":
+            vals = vals[np.array([x is not None for x in vals],
+                                 dtype=bool)]
+        return {"value": int(len(np.unique(vals)))}
+    col = np.asarray(s._attr(arg["field"]), dtype=np.float64)
+    v = col[keep]
+    v = v[~np.isnan(v)]
+    n = int(len(v))
+    if fn == "value_count":
+        return {"value": n}
+    if fn == "sum":
+        return {"value": float(v.sum())}
+    if fn == "stats":
+        return {
+            "count": n,
+            "min": float(v.min()) if n else None,
+            "max": float(v.max()) if n else None,
+            "avg": float(v.mean()) if n else None,
+            "sum": float(v.sum()),
+        }
+    if fn == "percentiles":
+        pcts = [float(p) for p in arg.get("percents", _DEFAULT_PERCENTS)]
+        return {"values": {
+            str(p): float(np.quantile(v, p / 100.0)) if n else None
+            for p in pcts}}
+    if fn in ("avg", "min", "max"):
+        if n == 0:
+            return {"value": None}  # ES: null over no values
+        return {"value": float({"avg": v.mean, "min": v.min,
+                                "max": v.max}[fn]())}
+    raise NotImplementedError(f"unsupported metric agg {fn!r}")
+
+
 def _run_aggs(s, aggs: dict, scope) -> dict:
     out = {}
     for name, spec in aggs.items():
@@ -408,8 +486,18 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
         if kind == "terms":
             rows = s.agg_terms(arg["field"], k=int(arg.get("size", 10)),
                                filter=scope)
-            out[name] = {"buckets": [
-                {"key": k, "doc_count": int(c)} for k, c in rows]}
+            buckets = []
+            keep = _scope_keep(s, scope) if subs else None
+            for k, c in rows:
+                b = {"key": k, "doc_count": int(c)}
+                if subs:  # ES's bread-and-butter terms + metric shape
+                    bmask = keep & s.filter_mask(
+                        {"term": {arg["field"]: k}})
+                    for nm, sp in subs.items():
+                        ((fn, sarg),) = sp.items()
+                        b[nm] = _metric_result(s, fn, sarg, bmask)
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
         elif kind == "multi_terms":
             fields = [f["field"] for f in arg["terms"]]
             rows = s.agg_multi_terms(fields, k=int(arg.get("size", 10)),
@@ -445,6 +533,54 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                 for k, c in s.agg_adjacency_matrix(named)]}
         elif kind in ("histogram", "date_histogram"):
             out[name] = {"buckets": _histogram(s, arg, subs, scope)}
+        elif kind == "global":
+            # ES global agg: escapes the query scope — sub-aggs run over
+            # ALL live docs regardless of the surrounding query
+            sub = _run_aggs(s, subs, None)
+            out[name] = {"doc_count": int(_scope_keep(s, None).sum()),
+                         **sub}
+        elif kind == "missing":
+            # docs in scope WITHOUT a value for the field (NaN / None)
+            col = np.asarray(s._attr(arg["field"]))
+            keep = _scope_keep(s, scope)
+            if col.dtype.kind == "f":
+                absent = np.isnan(col)
+            elif col.dtype.kind == "O":
+                absent = np.array([x is None for x in col], dtype=bool)
+            else:
+                absent = np.zeros(len(col), dtype=bool)
+            out[name] = {"doc_count": int((keep & absent).sum())}
+        elif kind in ("avg", "sum", "min", "max", "value_count", "stats",
+                      "percentiles", "cardinality"):
+            # percentiles is the exact flavor (linear interpolation ==
+            # SQL quantile_cont, same as pipelines.aggs.percentiles);
+            # cardinality is exact distinct (the sketch flavor lives in
+            # pipelines.aggs.hll_distinct) — ES's t-digest/HLL converge
+            # to these
+            out[name] = _metric_result(s, kind, arg, _scope_keep(s, scope))
+        elif kind == "range":
+            # ES range agg: half-open [from, to) buckets, key "a-b"
+            col = np.asarray(s._attr(arg["field"]), dtype=np.float64)
+            keep = _scope_keep(s, scope).copy()
+            keep &= ~np.isnan(col)
+            buckets = []
+            for r in arg["ranges"]:
+                lo = r.get("from")
+                hi = r.get("to")
+                m = keep.copy()
+                if lo is not None:
+                    m &= col >= float(lo)
+                if hi is not None:
+                    m &= col < float(hi)
+                key = r.get("key", f"{'*' if lo is None else lo}-"
+                                   f"{'*' if hi is None else hi}")
+                b = {"key": key, "doc_count": int(m.sum())}
+                if lo is not None:
+                    b["from"] = float(lo)
+                if hi is not None:
+                    b["to"] = float(hi)
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
         elif kind == "top_hits":
             # ES shape: terms agg grouped by `field` with a top_hits sub —
             # flattened here onto the searcher's fused implementation

@@ -542,3 +542,142 @@ def test_function_score_gauss_body(dsl_index):
             "query": {"match": {"content": w1}},
             "functions": [{"gauss": {"dl": {"origin": 0, "scale": 1}}}],
             "boost_mode": "sum"}}})
+
+
+def test_boosting_body(dsl_index):
+    """boosting demotes (not excludes) negative matches by
+    negative_boost, and equals a hand-computed demote + rerank."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    lang = s.agg_terms("lang", k=1)[0][0]
+    body = {"query": {"boosting": {
+        "positive": {"match": {"content": w1}},
+        "negative": {"term": {"lang": lang}},
+        "negative_boost": 0.2}}, "size": 8}
+    got = execute_dsl(s, body)
+    want = s.search_boosting([w1], k=8, negative={"term": {"lang": lang}},
+                             negative_boost=0.2)
+    assert _ids_scores(got) == _want(want) and len(want) > 0
+
+    # hand-check: demotion is exactly base*0.2 on negative matches and
+    # nothing is excluded (same candidate set as the plain match)
+    base = {h["doc_id"]: h["score"]
+            for h in s.search([w1], k=s.n_local, strategy="taat")}
+    neg = s.filter_mask({"term": {"lang": lang}})
+    expect = {i: (sc * 0.2 if neg[i - s.doc_lo] else sc)
+              for i, sc in base.items()}
+    full = s.search_boosting([w1], k=s.n_local,
+                             negative={"term": {"lang": lang}},
+                             negative_boost=0.2)
+    assert {h["doc_id"]: pytest.approx(h["score"]) for h in full} == expect
+    assert any(neg[h["doc_id"] - s.doc_lo] for h in full)
+
+    # the total is the positive match count, demotion does not shrink it
+    assert got["hits"]["total"]["value"] == s.count(
+        {"bool": {"should": [{"match": w1}]}})
+    with pytest.raises(ValueError):
+        s.search_boosting([w1], negative={"term": {"lang": lang}},
+                          negative_boost=1.5)
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"boosting": {
+            "positive": {"term": {"lang": lang}},
+            "negative": {"match": {"content": w1}},
+            "negative_boost": 0.5}}})
+
+
+def test_metric_aggs_bodies(dsl_index):
+    """avg/sum/min/max/value_count/stats over a numeric attr match
+    numpy, both unscoped and under a query scope."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+
+    body = {"aggs": {
+        "a": {"avg": {"field": "dl"}}, "s": {"sum": {"field": "dl"}},
+        "lo": {"min": {"field": "dl"}}, "hi": {"max": {"field": "dl"}},
+        "n": {"value_count": {"field": "dl"}},
+        "st": {"stats": {"field": "dl"}},
+    }, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]
+    assert got["a"]["value"] == pytest.approx(dl.mean())
+    assert got["s"]["value"] == pytest.approx(dl.sum())
+    assert got["lo"]["value"] == dl.min()
+    assert got["hi"]["value"] == dl.max()
+    assert got["n"]["value"] == len(dl)
+    assert got["st"] == {
+        "count": len(dl), "min": dl.min(), "max": dl.max(),
+        "avg": pytest.approx(dl.mean()), "sum": pytest.approx(dl.sum())}
+
+    # scoped: only docs matching the query contribute (ES semantics)
+    body = {"query": {"match": {"content": w1}},
+            "aggs": {"a": {"avg": {"field": "dl"}}}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]
+    mask = s.filter_mask({"bool": {"should": [{"match": w1}]}})
+    assert 0 < mask.sum() < s.n_local  # the fixture must discriminate
+    assert got["a"]["value"] == pytest.approx(dl[mask].mean())
+
+
+def test_range_percentiles_cardinality_aggs(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    lang = np.asarray(s._attr("lang"))
+
+    body = {"aggs": {
+        "r": {"range": {"field": "dl", "ranges": [
+            {"to": 25}, {"from": 25, "to": 50}, {"from": 50}]}},
+        "p": {"percentiles": {"field": "dl", "percents": [50, 90]}},
+        "c": {"cardinality": {"field": "lang"}},
+    }, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]
+    assert [b["doc_count"] for b in got["r"]["buckets"]] == [
+        int((dl < 25).sum()),
+        int(((dl >= 25) & (dl < 50)).sum()),
+        int((dl >= 50).sum())]
+    assert got["r"]["buckets"][1]["key"] == "25-50"
+    assert got["p"]["values"]["50.0"] == pytest.approx(
+        np.quantile(dl, 0.5))
+    assert got["p"]["values"]["90.0"] == pytest.approx(
+        np.quantile(dl, 0.9))
+    assert got["c"]["value"] == len(np.unique(lang))
+
+
+def test_terms_agg_metric_subaggs(dsl_index):
+    """The ES bread-and-butter shape: terms buckets each carrying metric
+    sub-aggs, hand-checked per bucket against numpy."""
+    s = Searcher(dsl_index, load_docs=True)
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    lang = np.asarray(s._attr("lang"))
+    body = {"aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"avg_dl": {"avg": {"field": "dl"}},
+                 "n": {"value_count": {"field": "dl"}}},
+    }}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["by_lang"]["buckets"]
+    assert len(got) == min(3, len(np.unique(lang))) and len(got) > 1
+    for b in got:
+        grp = dl[lang == b["key"]]
+        assert b["doc_count"] == len(grp)
+        assert b["avg_dl"]["value"] == pytest.approx(grp.mean())
+        assert b["n"]["value"] == len(grp)
+
+
+def test_global_and_missing_aggs(dsl_index):
+    """global escapes the query scope (ES semantics); missing counts
+    docs without the field value."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    body = {"query": {"match": {"content": w1}},
+            "aggs": {
+                "all_docs": {"global": {},
+                             "aggs": {"a": {"avg": {"field": "dl"}}}},
+                "scoped_a": {"avg": {"field": "dl"}},
+                "no_dl": {"missing": {"field": "dl"}},
+            }, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]
+    mask = s.filter_mask({"bool": {"should": [{"match": w1}]}})
+    assert 0 < mask.sum() < s.n_local
+    assert got["all_docs"]["doc_count"] == s.n_local
+    assert got["all_docs"]["a"]["value"] == pytest.approx(dl.mean())
+    assert got["scoped_a"]["value"] == pytest.approx(dl[mask].mean())
+    assert got["no_dl"]["doc_count"] == 0  # every doc has a length
