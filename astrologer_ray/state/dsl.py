@@ -402,24 +402,12 @@ def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
     for grp, key in zip(np.split(idx, bounds),
                         buckets[np.r_[0, bounds]] if len(buckets) else []):
         b = {"key": float(key), "doc_count": int(len(grp))}
-        for name, spec in subs.items():
-            ((fn, sarg),) = spec.items()
-            sub_col = np.asarray(s._attr(sarg["field"]), dtype=np.float64)
-            vals = sub_col[grp]
-            vals = vals[~np.isnan(vals)]
-            if fn == "min":
-                v = float(vals.min()) if len(vals) else None
-            elif fn == "max":
-                v = float(vals.max()) if len(vals) else None
-            elif fn == "sum":
-                v = float(vals.sum())
-            elif fn == "avg":
-                v = float(vals.mean()) if len(vals) else None
-            elif fn == "value_count":
-                v = int(len(vals))
-            else:
-                raise NotImplementedError(f"sub-agg {fn!r}")
-            b[name] = {"value": v}
+        if subs:
+            gmask = np.zeros(len(col), dtype=bool)
+            gmask[grp] = True
+            for name, spec in subs.items():
+                ((fn, sarg),) = spec.items()
+                b[name] = _metric_result(s, fn, sarg, gmask)
         out.append(b)
     return out
 
