@@ -569,6 +569,23 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                     b["to"] = float(hi)
                 buckets.append(b)
             out[name] = {"buckets": buckets}
+        elif kind == "composite":
+            # ES composite agg: multi-source buckets in ascending key
+            # order, paged with after_key (Searcher.agg_composite)
+            names = [next(iter(src)) for src in arg["sources"]]
+            fields = [next(iter(src.values()))["terms"]["field"]
+                      for src in arg["sources"]]
+            after = None
+            if arg.get("after") is not None:
+                after = tuple(arg["after"][n] for n in names)
+            res = s.agg_composite(fields, size=int(arg.get("size", 10)),
+                                  after=after, filter=scope)
+            out[name] = {"buckets": [
+                {"key": dict(zip(names, kt)), "doc_count": c}
+                for kt, c in res["buckets"]]}
+            if res["after_key"] is not None:
+                out[name]["after_key"] = dict(zip(names,
+                                                  res["after_key"]))
         elif kind == "top_hits":
             # ES shape: terms agg grouped by `field` with a top_hits sub —
             # flattened here onto the searcher's fused implementation

@@ -681,3 +681,35 @@ def test_global_and_missing_aggs(dsl_index):
     assert got["all_docs"]["a"]["value"] == pytest.approx(dl.mean())
     assert got["scoped_a"]["value"] == pytest.approx(dl[mask].mean())
     assert got["no_dl"]["doc_count"] == 0  # every doc has a length
+
+
+def test_composite_agg_body_pages(dsl_index):
+    """composite agg: ascending multi-source buckets, after_key paging —
+    pages through the DSL equal the direct agg_composite pages and the
+    full enumeration covers every (lang, dl) pair exactly once."""
+    s = Searcher(dsl_index, load_docs=True)
+    seen = []
+    after = None
+    while True:
+        body = {"aggs": {"c": {"composite": {
+            "size": 7,
+            "sources": [{"l": {"terms": {"field": "lang"}}},
+                        {"d": {"terms": {"field": "dl"}}}],
+            **({"after": after} if after else {}),
+        }}}, "size": 0}
+        got = execute_dsl(s, body)["aggregations"]["c"]
+        want = s.agg_composite(
+            ["lang", "dl"], size=7,
+            after=tuple(after[n] for n in ("l", "d")) if after else None)
+        assert [(b["key"]["l"], b["key"]["d"], b["doc_count"])
+                for b in got["buckets"]] == [
+            (kt[0], kt[1], c) for kt, c in want["buckets"]]
+        seen.extend((b["key"]["l"], b["key"]["d"]) for b in got["buckets"])
+        if "after_key" not in got:
+            break
+        after = got["after_key"]
+    lang = np.asarray(s._attr("lang"))
+    dl = np.asarray(s._attr("dl"))
+    assert sorted(seen) == sorted(
+        {(str(l), d) for l, d in zip(lang.tolist(), dl.tolist())})
+    assert len(seen) > 7  # actually paged
