@@ -313,12 +313,17 @@ def _translate(s, q: dict) -> _Translated:
 
 def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if sort is not None:
-        spec = sort[0] if isinstance(sort, list) else sort
+        specs = sort if isinstance(sort, list) else [sort]
+        if len(specs) > 1:
+            # refuse rather than silently drop the tie-breaker keys
+            raise NotImplementedError("one sort field only")
+        spec = specs[0]
         ((attr, opts),) = spec.items() if isinstance(spec, dict) \
             else ((spec, {}),)
-        desc = (opts or {}).get("order", "desc") == "desc"
-        return s.sort_by_attr(attr, k=size, descending=desc,
-                              filter=t.filter, after=after)
+        if attr != "_score":  # sort:["_score"] IS the default ranking
+            desc = (opts or {}).get("order", "desc") == "desc"
+            return s.sort_by_attr(attr, k=size, descending=desc,
+                                  filter=t.filter, after=after)
     if t.dis_max is not None:
         return s.search_dis_max(t.dis_max["queries"],
                                 tie_breaker=t.dis_max["tie_breaker"],

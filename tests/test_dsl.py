@@ -713,3 +713,16 @@ def test_composite_agg_body_pages(dsl_index):
     assert sorted(seen) == sorted(
         {(str(l), d) for l, d in zip(lang.tolist(), dl.tolist())})
     assert len(seen) > 7  # actually paged
+
+
+def test_sort_edge_shapes(dsl_index):
+    """Multi-field sort refuses (no silent tie-breaker drop); _score sort
+    is the default ranking."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"match_all": {}},
+                        "sort": [{"dl": {}}, {"doc_key": {}}]})
+    got = execute_dsl(s, {"query": {"match": {"content": w1}},
+                          "sort": ["_score"], "size": 5})
+    assert _ids_scores(got) == _want(s.search([w1], k=5))
