@@ -331,10 +331,16 @@ def chunk_documents(
     stride = max_tokens - overlap
 
     def explode(t: pa.Table) -> pa.Table:
-        toks = pc.utf8_split_whitespace(t[text_col])
+        # ascii_ (not utf8_) split: pyarrow 16's utf8_split_whitespace
+        # intermittently emits whitespace-containing fragments inside warm
+        # Ray workers on plasma-backed columns (observed ~1/8 runs:
+        # "   " -> ["", " "]); the ASCII byte-compare path never does, and
+        # it IS the oracle's semantics (DuckDB regexp_split_to_array with
+        # RE2 \s+ splits on ASCII whitespace only)
+        toks = pc.ascii_split_whitespace(t[text_col])
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
-        # utf8_split_whitespace emits '' fragments for leading/trailing
+        # split_whitespace emits '' fragments for leading/trailing
         # whitespace; drop them (CSR re-offset below) so token counts
         # match the SQL oracle's non-empty filter
         flat = toks.values
