@@ -24,14 +24,19 @@ methods — this module adds translation, not retrieval):
   significant_terms, filters,
   adjacency_matrix, composite, top_hits, histogram and date_histogram
   (fixed ``interval`` seconds or calendar ``day``/``hour`` over an
-  epoch-seconds attribute) with min/max/sum/avg/value_count sub-aggs
-  on the histogram family; metric aggs over numeric doc attributes —
+  epoch-seconds attribute); metric aggs over numeric doc attributes —
   avg, sum, min, max, value_count, stats, percentiles (exact linear
-  interpolation), cardinality (exact distinct) — standalone or as
-  sub-aggs of ``terms`` buckets — the ``range`` bucket agg
-  ([from, to) buckets), ``global`` (escapes the query scope) and
-  ``missing``.  Aggregations scope to the query's matching docs,
-  like ES.
+  interpolation), cardinality (exact distinct) — the ``range`` bucket
+  agg ([from, to) buckets), ``global`` (escapes the query scope) and
+  ``missing``.  Sub-aggregations nest RECURSIVELY under terms /
+  histogram / date_histogram / range / filters / global buckets
+  (terms-inside-terms, date_histogram-with-terms, ...) — each bucket's
+  predicate composes into the scope filter via ``_compose_scope``.
+  Aggregations scope to the query's matching docs, like ES.
+- ``explain: true`` (per-hit ``_explanation`` BM25 term breakdown) and
+  ``highlight`` (per-hit term-occurrence evidence from the positional
+  index; structured rows, not ``<em>`` snippets — the index stores
+  positions, not source text), both on match/bool-match queries.
 
 Scoring semantics: ``match`` / ``match_phrase`` / ``dis_max`` clauses
 score BM25; term-level queries (term/exists/range/prefix/...) execute
@@ -385,6 +390,13 @@ def _agg_scope_filter(s, t: _Translated):
     return parts[0] if len(parts) == 1 else {"bool": {"must": parts}}
 
 
+def _compose_scope(scope, part: dict) -> dict:
+    """Bucket scope = surrounding agg scope ∧ this bucket's predicate —
+    the recursion step that lets bucket aggs nest arbitrarily (ES's
+    terms-inside-terms, date_histogram-with-terms, ... shapes)."""
+    return part if scope is None else {"bool": {"must": [scope, part]}}
+
+
 def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
     attr = arg["field"]
     interval = arg.get("interval") or arg.get("fixed_interval") \
@@ -408,11 +420,11 @@ def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
                         buckets[np.r_[0, bounds]] if len(buckets) else []):
         b = {"key": float(key), "doc_count": int(len(grp))}
         if subs:
-            gmask = np.zeros(len(col), dtype=bool)
-            gmask[grp] = True
-            for name, spec in subs.items():
-                ((fn, sarg),) = spec.items()
-                b[name] = _metric_result(s, fn, sarg, gmask)
+            # recurse with the bucket's half-open range as the scope, so
+            # sub-aggs may be metric OR bucket aggs (full ES nesting)
+            part = {"range": {attr: {"gte": float(key),
+                                     "lt": float(key) + width}}}
+            b.update(_run_aggs(s, subs, _compose_scope(scope, part)))
         out.append(b)
     return out
 
@@ -470,25 +482,33 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
     raise NotImplementedError(f"unsupported metric agg {fn!r}")
 
 
+# bucket aggs that accept nested sub-aggregations (recursion via
+# _compose_scope); a sub-agg under any other kind raises rather than
+# being silently dropped
+_SUB_CAPABLE = {"terms", "histogram", "date_histogram", "range",
+                "filters", "global"}
+
+
 def _run_aggs(s, aggs: dict, scope) -> dict:
     out = {}
     for name, spec in aggs.items():
         spec = dict(spec)
         subs = spec.pop("aggs", None) or spec.pop("aggregations", None) or {}
         ((kind, arg),) = spec.items()
+        if subs and kind not in _SUB_CAPABLE:
+            raise NotImplementedError(
+                f"sub-aggregations under {kind!r} are not supported")
         if kind == "terms":
             rows = s.agg_terms(arg["field"], k=int(arg.get("size", 10)),
                                filter=scope)
             buckets = []
-            keep = _scope_keep(s, scope) if subs else None
             for k, c in rows:
                 b = {"key": k, "doc_count": int(c)}
-                if subs:  # ES's bread-and-butter terms + metric shape
-                    bmask = keep & s.filter_mask(
-                        {"term": {arg["field"]: k}})
-                    for nm, sp in subs.items():
-                        ((fn, sarg),) = sp.items()
-                        b[nm] = _metric_result(s, fn, sarg, bmask)
+                if subs:  # ES's bread-and-butter shape: sub-aggs may be
+                    # metric (avg/sum/...) or bucket (terms/histogram/...)
+                    # aggs — recurse with this bucket's term as the scope
+                    b.update(_run_aggs(s, subs, _compose_scope(
+                        scope, {"term": {arg["field"]: k}})))
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif kind == "multi_terms":
@@ -514,8 +534,12 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
             if scope is not None:
                 named = {n: {"bool": {"must": [f, scope]}}
                          for n, f in named.items()}
-            out[name] = {"buckets": {
-                n: {"doc_count": int(c)} for n, c in s.agg_filters(named)}}
+            buckets = {n: {"doc_count": int(c)}
+                       for n, c in s.agg_filters(named)}
+            if subs:  # per named bucket, recurse with its filter as scope
+                for n in buckets:
+                    buckets[n].update(_run_aggs(s, subs, named[n]))
+            out[name] = {"buckets": buckets}
         elif kind == "adjacency_matrix":
             named = {n: f for n, f in arg["filters"].items()}
             if scope is not None:
@@ -561,10 +585,13 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                 lo = r.get("from")
                 hi = r.get("to")
                 m = keep.copy()
+                bounds = {}
                 if lo is not None:
                     m &= col >= float(lo)
+                    bounds["gte"] = float(lo)
                 if hi is not None:
                     m &= col < float(hi)
+                    bounds["lt"] = float(hi)
                 key = r.get("key", f"{'*' if lo is None else lo}-"
                                    f"{'*' if hi is None else hi}")
                 b = {"key": key, "doc_count": int(m.sum())}
@@ -572,6 +599,13 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                     b["from"] = float(lo)
                 if hi is not None:
                     b["to"] = float(hi)
+                if subs:  # recurse with this bucket's range as the scope
+                    # (gte -inf for a fully-open bucket: NaN >= -inf is
+                    # False, matching the doc_count's NaN exclusion)
+                    part = {"range": {arg["field"]:
+                                      bounds or {"gte": float("-inf")}}}
+                    b.update(_run_aggs(s, subs,
+                                       _compose_scope(scope, part)))
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif kind == "composite":
@@ -682,6 +716,64 @@ def execute_dsl(s, body: dict) -> dict:
             ],
         }
     }
+    if body.get("explain") or body.get("highlight"):
+        _attach_hit_evidence(s, body, t, resp, size + frm, after)
     if aggs:
         resp["aggregations"] = _run_aggs(s, aggs, _agg_scope_filter(s, t))
     return resp
+
+
+def _is_plain_match(t: _Translated, body: dict) -> bool:
+    """True when _run_hits took the plain terms-scoring ``Searcher.search``
+    path — the only path explain/highlight evidence is defined for."""
+    sort = body.get("sort")
+    if sort is not None:
+        specs = sort if isinstance(sort, list) else [sort]
+        spec = specs[0]
+        attr = next(iter(spec)) if isinstance(spec, dict) else spec
+        if attr != "_score":
+            return False
+    return (t.phrase is None and t.span_near is None and t.dis_max is None
+            and t.boosting is None and t.gauss is None
+            and t.rank_feature is None and t.const is None
+            and bool(t.terms or t.should_terms))
+
+
+def _attach_hit_evidence(s, body: dict, t: _Translated, resp: dict,
+                         k: int, after) -> None:
+    """ES ``explain: true`` (per-hit ``_explanation`` BM25 breakdown) and
+    ``highlight`` (per-hit term-occurrence evidence, offsets flavor — the
+    index stores positions, not source text, so fragments are structured
+    occurrence rows rather than ``<em>`` snippets)."""
+    if not _is_plain_match(t, body):
+        raise NotImplementedError(
+            "explain/highlight are supported for match/bool match "
+            "queries only")
+    kw = dict(filter=t.filter, should_terms=t.should_terms or None,
+              min_should_match=t.msm, min_score=body.get("min_score"),
+              after=after)
+    if body.get("explain"):
+        by_doc: dict = {}
+        for r in s.explain(t.terms, k=k, **kw):
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for h in resp["hits"]["hits"]:
+            h["_explanation"] = {
+                "value": h["_score"],
+                "description": "sum of:",
+                "details": [
+                    {"value": r["weight"],
+                     "description": f"weight({r['term']}) "
+                                    f"[tf={r['tf']}, df={r['df']}]"}
+                    for r in by_doc.get(h["_id"], [])
+                ],
+            }
+    if body.get("highlight"):
+        fields = list(body["highlight"].get("fields", {"content": {}}))
+        by_doc = {}
+        for r in s.highlight(t.terms, k=k, **kw):
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for h in resp["hits"]["hits"]:
+            rows = [{"term": r["term"], "n_occ": r["n_occ"],
+                     "first_pos": r["first_pos"]}
+                    for r in by_doc.get(h["_id"], [])]
+            h["highlight"] = {f: rows for f in fields}

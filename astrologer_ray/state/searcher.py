@@ -2074,14 +2074,19 @@ class Searcher:
         scored.sort()
         return [t for _, t in scored[:max_query_terms]]
 
-    def highlight(self, terms: list[str], k: int = 10, filter=None) -> list[dict]:
+    def highlight(self, terms: list[str], k: int = 10, filter=None,
+                  **search_kw) -> list[dict]:
         """Per-hit query-term occurrence evidence from the positional index
         (ES ``highlight`` analog, offsets flavor): one row per (hit, query
         term present in the hit) with the occurrence count and the first
         0-based token position. Requires ``build_index(positions=True)``.
+        Extra ``search_kw`` (should_terms / min_should_match / ...) pass
+        through to :meth:`search` so the highlighted hit set matches the
+        query the caller actually ran.
         """
-        hits = self.search(terms, k=k, filter=filter)
-        uniq = sorted({t for t in terms if t in self.postings})
+        hits = self.search(terms, k=k, filter=filter, **search_kw)
+        all_terms = list(terms) + list(search_kw.get("should_terms") or [])
+        uniq = sorted({t for t in all_terms if t in self.postings})
         occ = {t: self._phrase_occurrences(t) for t in uniq}
         out = []
         for h in hits:
@@ -2099,18 +2104,23 @@ class Searcher:
         return out
 
     def explain(self, terms: list[str], k: int = 10, filter=None,
-                strategy: str = "auto") -> list[dict]:
+                strategy: str = "auto", **search_kw) -> list[dict]:
         """ES ``_explain`` analog: the per-(hit, term) BM25 contribution
         breakdown for the top-k hits — one row per query term present in
         the hit with its tf, df, and weight (the same ``bm25_term_weight``
         expression the scorer uses, so rows sum to the hit's score
-        bit-for-bit in sorted-term order)."""
+        bit-for-bit in sorted-term order). Extra ``search_kw``
+        (should_terms / min_should_match / min_score / after) pass through
+        to :meth:`search` so the explained hit set matches the query the
+        caller actually ran (the DSL adapter's ``explain: true``)."""
         from astrologer_ray.functions.codec import decode_chunk
 
-        hits = self.search(terms, k=k, filter=filter, strategy=strategy)
+        hits = self.search(terms, k=k, filter=filter, strategy=strategy,
+                           **search_kw)
         if not hits:
             return []
-        uniq = sorted({t for t in terms
+        all_terms = list(terms) + list(search_kw.get("should_terms") or [])
+        uniq = sorted({t for t in all_terms
                        if t in self.postings and self.owns_term(t)})
         decoded = {}
         for t in uniq:

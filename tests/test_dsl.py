@@ -726,3 +726,130 @@ def test_sort_edge_shapes(dsl_index):
     got = execute_dsl(s, {"query": {"match": {"content": w1}},
                           "sort": ["_score"], "size": 5})
     assert _ids_scores(got) == _want(s.search([w1], k=5))
+
+
+def test_nested_bucket_subaggs(dsl_index):
+    """Bucket aggs nest recursively (ES semantics): terms-inside-terms,
+    terms under date_histogram, metric under range buckets, filters with
+    sub-aggs — every bucket hand-checked against numpy masks."""
+    s = Searcher(dsl_index, load_docs=True)
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    lang = np.asarray(s._attr("lang"))
+    repo = np.asarray(s._attr("repo"))
+
+    # terms -> terms (+ a metric beside the nested bucket agg)
+    body = {"aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {"by_repo": {"terms": {"field": "repo", "size": 3},
+                             "aggs": {"m": {"max": {"field": "dl"}}}},
+                 "a": {"avg": {"field": "dl"}}},
+    }}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["by_lang"]["buckets"]
+    assert len(got) == 2
+    for b in got:
+        lmask = lang == b["key"]
+        assert b["doc_count"] == int(lmask.sum())
+        assert b["a"]["value"] == pytest.approx(dl[lmask].mean())
+        inner = b["by_repo"]["buckets"]
+        assert len(inner) >= 1
+        for ib in inner:
+            rmask = lmask & (repo == ib["key"])
+            assert ib["doc_count"] == int(rmask.sum())
+            assert ib["m"]["value"] == dl[rmask].max()
+
+    # histogram -> terms (bucket agg under the histogram family)
+    body = {"aggs": {"h": {
+        "histogram": {"field": "dl", "interval": 20},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    }}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["h"]["buckets"]
+    assert len(got) >= 2
+    for b in got:
+        hmask = (dl >= b["key"]) & (dl < b["key"] + 20)
+        assert b["doc_count"] == int(hmask.sum())
+        want = sorted(
+            ((int((hmask & (lang == v)).sum()), v)
+             for v in np.unique(lang[hmask])), key=lambda t: (-t[0], t[1]))
+        assert [(ib["doc_count"], ib["key"]) for ib in
+                b["langs"]["buckets"]] == [(c, v) for c, v in want]
+
+    # range -> avg, incl. open-ended buckets
+    body = {"aggs": {"r": {
+        "range": {"field": "dl", "ranges": [{"to": 30}, {"from": 30}]},
+        "aggs": {"a": {"avg": {"field": "dl"}}},
+    }}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["r"]["buckets"]
+    assert got[0]["a"]["value"] == pytest.approx(dl[dl < 30].mean())
+    assert got[1]["a"]["value"] == pytest.approx(dl[dl >= 30].mean())
+
+    # filters -> metric, under a query scope
+    w1 = max(s.df, key=lambda t: s.df[t])
+    l0 = str(lang[0])
+    body = {"query": {"match": {"content": w1}},
+            "aggs": {"f": {
+                "filters": {"filters": {"sel": {"term": {"lang": l0}}}},
+                "aggs": {"a": {"avg": {"field": "dl"}}}}},
+            "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["f"]["buckets"]["sel"]
+    qmask = s.filter_mask({"bool": {"should": [{"match": w1}]}})
+    m = qmask & (lang == l0)
+    assert got["doc_count"] == int(m.sum())
+    assert got["a"]["value"] == pytest.approx(dl[m].mean())
+
+    # sub-aggs under a kind that cannot nest refuse loudly
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"aggs": {"x": {
+            "significant_terms": {"field": "lang"},
+            "aggs": {"a": {"avg": {"field": "dl"}}}}}, "size": 0})
+
+
+def test_explain_true_body(dsl_index):
+    """explain: true attaches a per-hit BM25 breakdown whose detail
+    weights sum to the hit score bit-for-bit (same expression tree as
+    the scorer), matching Searcher.explain rows."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[2][0]
+    body = {"query": {"match": {"content": f"{w1} {w2}"}},
+            "size": 5, "explain": True}
+    got = execute_dsl(s, body)
+    rows = s.explain([w1, w2], k=5)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert got["hits"]["hits"], "fixture must match"
+    for h in got["hits"]["hits"]:
+        det = h["_explanation"]["details"]
+        assert h["_explanation"]["value"] == h["_score"]
+        assert [d["value"] for d in det] == [
+            r["weight"] for r in by_doc[h["_id"]]]
+        # sorted-term summation order == the scorer's accumulation
+        assert sum(d["value"] for d in det) == pytest.approx(
+            h["_score"], abs=1e-9)
+
+    # unsupported path refuses rather than fabricating an explanation
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"match_phrase": {"content": f"{w1} {w2}"}},
+                        "explain": True})
+
+
+def test_highlight_body(dsl_index):
+    """highlight returns per-hit term-occurrence evidence (offsets
+    flavor) for every requested field, matching Searcher.highlight."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    body = {"query": {"match": {"content": f"{w1} {w2}"}}, "size": 4,
+            "highlight": {"fields": {"content": {}}}}
+    got = execute_dsl(s, body)
+    occ = {}
+    for r in s.highlight([w1, w2], k=4):
+        occ.setdefault(r["doc_id"], []).append(
+            {"term": r["term"], "n_occ": r["n_occ"],
+             "first_pos": r["first_pos"]})
+    assert got["hits"]["hits"]
+    any_occ = False
+    for h in got["hits"]["hits"]:
+        assert h["highlight"]["content"] == occ.get(h["_id"], [])
+        any_occ = any_occ or bool(h["highlight"]["content"])
+    assert any_occ  # top hits contain the query terms
