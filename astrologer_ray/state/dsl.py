@@ -18,7 +18,9 @@ methods — this module adds translation, not retrieval):
   demotion).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
   ``sort`` (single field, ES keyword syntax), ``knn`` (exact cosine
-  over a vector doc attribute), ``retriever.rrf`` (standard + knn
+  over a vector doc attribute; combined with ``query`` the two legs'
+  scores SUM per doc over the union, ES 8 hybrid scoring),
+  ``retriever.rrf`` (standard + knn
   sub-retrievers fused by :func:`astrologer_ray.pipelines.hybrid.rrf_fuse`).
 - ``aggs`` / ``aggregations``: terms, multi_terms, rare_terms,
   significant_terms, filters,
@@ -672,7 +674,7 @@ def execute_dsl(s, body: dict) -> dict:
                       "relation": "eq"},
             "hits": [{"_id": d, "_score": sc} for d, sc in fused],
         }}
-    if "knn" in body and "query" not in body:
+    if "knn" in body:
         arg = body["knn"]
         knn_f = None
         if arg.get("filter"):
@@ -681,10 +683,31 @@ def execute_dsl(s, body: dict) -> dict:
                      k=int(arg.get("k", size)),
                      num_candidates=arg.get("num_candidates"),
                      filter=knn_f)
+        if "query" not in body:
+            return {"hits": {
+                "total": {"value": len(hits), "relation": "eq"},
+                "hits": [{"_id": h["doc_id"], "_score": h["score"]}
+                         for h in hits[:size]],
+            }}
+        # ES 8 combined retrieval: the knn leg and the query leg each
+        # contribute their own top hits; a doc in both legs sums the two
+        # scores, then the union re-ranks (ES "hybrid scoring" — each
+        # leg's score is only known for docs that leg retrieved)
+        if any(k in body for k in ("aggs", "aggregations", "sort",
+                                   "explain", "highlight")):
+            raise NotImplementedError(
+                "knn+query combined retrieval supports hits only")
+        t = _translate(s, body.get("query"))
+        qhits = _run_hits(s, t, size, body.get("min_score"), None, None)
+        fused: dict[int, float] = {}
+        for h in qhits:
+            fused[h["doc_id"]] = fused.get(h["doc_id"], 0.0) + h["score"]
+        for h in hits:
+            fused[h["doc_id"]] = fused.get(h["doc_id"], 0.0) + h["score"]
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
         return {"hits": {
-            "total": {"value": len(hits), "relation": "eq"},
-            "hits": [{"_id": h["doc_id"], "_score": h["score"]}
-                     for h in hits[:size]],
+            "total": {"value": len(fused), "relation": "eq"},
+            "hits": [{"_id": d, "_score": sc} for d, sc in top],
         }}
     t = _translate(s, body.get("query"))
     frm = int(body.get("from", 0))

@@ -853,3 +853,27 @@ def test_highlight_body(dsl_index):
         assert h["highlight"]["content"] == occ.get(h["_id"], [])
         any_occ = any_occ or bool(h["highlight"]["content"])
     assert any_occ  # top hits contain the query terms
+
+
+def test_knn_plus_query_sums_leg_scores(dsl_index):
+    """ES 8 combined retrieval: a body holding BOTH knn and query fuses
+    the two legs — a doc retrieved by both sums its scores; the union
+    re-ranks. Verified against hand-fused direct calls."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(s.n_local, 8))
+    s.add_runtime_field("embedding", lambda a: vecs)
+    q = rng.normal(size=8).tolist()
+    body = {"query": {"match": {"content": w1}},
+            "knn": {"field": "embedding", "query_vector": q, "k": 5},
+            "size": 6}
+    got = execute_dsl(s, body)
+    fused = {}
+    for h in s.search([w1], k=6):
+        fused[h["doc_id"]] = fused.get(h["doc_id"], 0.0) + h["score"]
+    for h in s.knn("embedding", q, k=5):
+        fused[h["doc_id"]] = fused.get(h["doc_id"], 0.0) + h["score"]
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    assert _ids_scores(got) == want
+    assert got["hits"]["total"]["value"] == len(fused)
