@@ -3293,6 +3293,55 @@ GROUP BY lang, source ORDER BY lang, source LIMIT 12
 """
 
 
+def docs_nested_terms_agg(sf_dir: str):
+    """ES recursive bucket nesting (r5 DSL feature) through the request-
+    body adapter: terms(lang, 3) -> terms(source, 2) -> avg(dl), one row
+    per (lang, source) leaf bucket carrying both levels' doc counts.
+    avg over the integer token counts is bit-exact on both sides (every
+    partial sum is an exact float64 integer)."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"size": 0, "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"by_src": {"terms": {"field": "repo", "size": 2},
+                            "aggs": {"avg_dl": {"avg": {"field": "dl"}}}}},
+    }}})
+    rows = []
+    for lb in resp["aggregations"]["by_lang"]["buckets"]:
+        for sb in lb["by_src"]["buckets"]:
+            rows.append((lb["key"], int(lb["doc_count"]), sb["key"],
+                         int(sb["doc_count"]),
+                         float(sb["avg_dl"]["value"])))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "lang_count": pa.array([r[1] for r in rows], pa.int64()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+        "source_count": pa.array([r[3] for r in rows], pa.int64()),
+        "avg_dl": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+NESTED_TERMS_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, lang, source, len({_SPLIT_SQL}) AS dl FROM documents),
+lc AS (
+  SELECT lang, count(*)::BIGINT AS lang_count FROM dl
+  GROUP BY lang ORDER BY lang_count DESC, lang LIMIT 3),
+sc AS (
+  SELECT d.lang, d.source, count(*)::BIGINT AS source_count,
+         avg(d.dl) AS avg_dl,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY count(*) DESC, d.source) AS rn
+  FROM dl d JOIN lc USING (lang)
+  GROUP BY d.lang, d.source)
+SELECT lc.lang, lc.lang_count, sc.source, sc.source_count, sc.avg_dl
+FROM lc JOIN sc ON sc.lang = lc.lang AND sc.rn <= 2
+ORDER BY lc.lang_count DESC, lc.lang, sc.source_count DESC, sc.source
+"""
+
+
 def bm25_top_hits_by_lang(sf_dir: str):
     """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: for
     one BM25 query, the top-3 lang buckets by matched-doc count (ties:
@@ -4388,6 +4437,7 @@ def entry() -> Any:
 # round. 0 = never driver-windowed (rows-only by design).
 _LAST_DRIVER_VERIFIED = {
     "code_token_counts": 0,  # new in r5
+    "docs_nested_terms_agg": 0,  # new in r5 (recursive DSL nesting)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
     "docs_exists_counts": 2,
@@ -4511,6 +4561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- window (50): (A) new in r5 / implementation changed in r5
         "code_token_counts": code_token_counts,
+        "docs_nested_terms_agg": docs_nested_terms_agg,
         "top_orders_by_revenue": top_orders_by_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         #    (B) last driver-green in r2 (stalest evidence)
@@ -4634,6 +4685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "code_token_counts": _code_token_counts_sql(),
+        "docs_nested_terms_agg": NESTED_TERMS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
         "customer_order_stats": CUSTOMER_ORDER_SQL,
