@@ -9,15 +9,21 @@ this module lets those bodies run verbatim against this engine, so
 Supported surface (everything dispatches onto existing searcher
 methods — this module adds translation, not retrieval):
 
-- ``query``: match_all, match, match_phrase, term, terms, exists,
+- ``query``: match_all, match, match_phrase, match_phrase_prefix,
+  multi_match (best_fields/most_fields/cross_fields reduce to match
+  over the single analyzed text field; type=phrase to match_phrase),
+  term, terms, terms_set (literal minimum_should_match), ids, exists,
   range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
   more_like_this, span_near (in-order span_term clauses),
   function_score (one gauss decay function, boost_mode=multiply),
   boosting (match positive, term-level negative, negative_boost
-  demotion).
+  demotion), pinned (explicit ids first, organic match hits after).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
-  ``sort`` (single field, ES keyword syntax), ``knn`` (exact cosine
+  ``collapse`` (one hit per distinct value of a doc attribute),
+  ``rescore`` (match_phrase proximity rerank of the top-window BM25
+  hits, query_weight=1.0), ``sort`` (single field, ES keyword
+  syntax), ``knn`` (exact cosine
   over a vector doc attribute; combined with ``query`` the two legs'
   scores SUM per doc over the union, ES 8 hybrid scoring),
   ``retriever.rrf`` (standard + knn
@@ -76,6 +82,8 @@ class _Translated:
         self.span_near: dict | None = None     # {"terms", "slop"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
         self.boosting: dict | None = None  # {"negative","negative_boost"}
+        self.phrase_prefix: dict | None = None  # {"terms","max_expansions"}
+        self.pinned: list[int] | None = None    # pinned doc ids, in order
 
     @property
     def filter(self):
@@ -108,6 +116,8 @@ def _clause_filter(s, kind: str, arg) -> dict:
                                     for v in vs]}}
     if kind == "exists":
         return {"exists": arg["field"] if isinstance(arg, dict) else arg}
+    if kind == "ids":
+        return {"ids": [int(v) for v in arg["values"]]}
     if kind == "range":
         return {"range": arg}
     if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
@@ -198,6 +208,43 @@ def _translate(s, q: dict) -> _Translated:
         ((_f, v),) = arg.items()
         t.phrase = _tokens(s, _text_of(v))
         return t
+    if kind == "multi_match":
+        # the index analyzes ONE text field (content), so best_fields /
+        # most_fields / cross_fields all reduce to match over it, and
+        # type=phrase to match_phrase — the fields list only selects
+        # among text fields that are a single field here
+        mtype = arg.get("type", "best_fields")
+        if mtype in ("best_fields", "most_fields", "cross_fields"):
+            t.terms = _tokens(s, arg["query"])
+            return t
+        if mtype == "phrase":
+            t.phrase = _tokens(s, arg["query"])
+            return t
+        raise NotImplementedError(
+            f"multi_match type {mtype!r} is not supported")
+    if kind == "match_phrase_prefix":
+        ((_f, v),) = arg.items()
+        me = v.get("max_expansions", 50) if isinstance(v, dict) else 50
+        t.phrase_prefix = {"terms": _tokens(s, _text_of(v)),
+                           "max_expansions": int(me)}
+        return t
+    if kind == "terms_set":
+        ((_f, spec),) = arg.items()
+        if "minimum_should_match_field" in spec or \
+                "minimum_should_match_script" in spec:
+            raise NotImplementedError(
+                "terms_set supports a literal minimum_should_match only "
+                "(no per-doc field / script)")
+        t.should_terms = [str(w) for w in spec["terms"]]
+        t.msm = int(spec.get("minimum_should_match", 1))
+        return t
+    if kind == "pinned":
+        inner = _translate(s, arg["organic"])
+        if inner.phrase or inner.dis_max or inner.const or not inner.terms:
+            raise NotImplementedError(
+                "pinned requires a match/more_like_this organic query")
+        inner.pinned = [int(v) for v in arg["ids"]]
+        return inner
     if kind == "span_near":
         if not arg.get("in_order", True):
             raise NotImplementedError("span_near supports in_order only")
@@ -331,6 +378,13 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
             desc = (opts or {}).get("order", "desc") == "desc"
             return s.sort_by_attr(attr, k=size, descending=desc,
                                   filter=t.filter, after=after)
+    if t.phrase_prefix is not None:
+        return s.match_phrase_prefix(
+            t.phrase_prefix["terms"], k=size,
+            max_expansions=t.phrase_prefix["max_expansions"],
+            filter=t.filter)
+    if t.pinned is not None:
+        return s.search_pinned(t.terms, t.pinned, k=size, filter=t.filter)
     if t.dis_max is not None:
         return s.search_dis_max(t.dis_max["queries"],
                                 tie_breaker=t.dis_max["tie_breaker"],
@@ -378,7 +432,8 @@ def _agg_scope_filter(s, t: _Translated):
     phrase totals are handled separately in :func:`execute_dsl`."""
     parts = list(t.filters)
     sterms = t.terms + t.should_terms + (t.phrase or []) \
-        + (t.span_near["terms"] if t.span_near else [])
+        + (t.span_near["terms"] if t.span_near else []) \
+        + (t.phrase_prefix["terms"][:-1] if t.phrase_prefix else [])
     if t.dis_max is not None:
         for qt in t.dis_max["queries"]:
             sterms.extend(qt)
@@ -658,6 +713,10 @@ def _retriever_ranking(s, spec: dict, window: int) -> list[int]:
 def execute_dsl(s, body: dict) -> dict:
     """Run one ES ``_search`` request body; returns an ES-shaped dict."""
     size = int(body.get("size", 10))
+    if ("retriever" in body or "knn" in body) and \
+            ("collapse" in body or "rescore" in body):
+        raise NotImplementedError(
+            "collapse/rescore are not supported with knn/retriever")
     if "retriever" in body:
         # ES 8 retriever tree: only the rrf compound retriever (the
         # standard BM25+knn hybrid) — fused by pipelines.hybrid.rrf_fuse
@@ -712,8 +771,43 @@ def execute_dsl(s, body: dict) -> dict:
     t = _translate(s, body.get("query"))
     frm = int(body.get("from", 0))
     after = tuple(body["search_after"]) if "search_after" in body else None
-    hits = _run_hits(s, t, size + frm, body.get("min_score"),
-                     after, body.get("sort"))
+    if "collapse" in body:
+        # ES field collapsing: one hit (the best) per distinct value of a
+        # doc attribute — served by Searcher.search_collapse (plain
+        # match/bool-match queries only; hits.total still counts DOCS)
+        if not _is_plain_match(t, body) or t.should_terms or \
+                body.get("sort") is not None or after is not None:
+            raise NotImplementedError(
+                "collapse requires a plain match query with default "
+                "ranking")
+        hits = s.search_collapse(t.terms, body["collapse"]["field"],
+                                 k=size + frm, filter=t.filter)
+    elif "rescore" in body:
+        # ES rescore: rerank the top-window BM25 hits with a
+        # match_phrase proximity bonus (Searcher.rescore semantics:
+        # final = bm25 + rescore_query_weight * consecutive-occurrence
+        # count; query_weight must stay 1.0)
+        rs = body["rescore"]
+        rq = rs["query"]["rescore_query"]
+        if "match_phrase" not in rq:
+            raise NotImplementedError(
+                "rescore supports a match_phrase rescore_query only")
+        if float(rs["query"].get("query_weight", 1.0)) != 1.0:
+            raise NotImplementedError("rescore query_weight must be 1.0")
+        if not _is_plain_match(t, body) or t.should_terms or \
+                body.get("sort") is not None or after is not None:
+            raise NotImplementedError(
+                "rescore requires a plain match query with default "
+                "ranking")
+        phrase = _tokens(s, _text_of(next(iter(rq["match_phrase"].values()))))
+        hits = s.rescore(
+            t.terms, phrase, k=size + frm,
+            window=int(rs.get("window_size", 10)),
+            weight=float(rs["query"].get("rescore_query_weight", 1.0)),
+            filter=t.filter)
+    else:
+        hits = _run_hits(s, t, size + frm, body.get("min_score"),
+                         after, body.get("sort"))
     hits = hits[frm:]
     aggs = body.get("aggs") or body.get("aggregations")
     # ES reports the true matched-doc count, not the page length; the
@@ -726,6 +820,17 @@ def execute_dsl(s, body: dict) -> dict:
         total = len(s.span_near(t.span_near["terms"],
                                 slop=t.span_near["slop"],
                                 k=s.n_local, filter=t.filter))
+    elif t.phrase_prefix is not None:
+        total = len(s.match_phrase_prefix(
+            t.phrase_prefix["terms"], k=s.n_local,
+            max_expansions=t.phrase_prefix["max_expansions"],
+            filter=t.filter))
+    elif t.msm > 1 and (t.terms or t.should_terms):
+        # minimum_should_match > 1 (bool msm, terms_set): the >=1-term
+        # agg-scope filter overcounts; run the exact predicate instead
+        total = len(s.search(t.terms, k=s.n_local, filter=t.filter,
+                             should_terms=t.should_terms or None,
+                             min_should_match=t.msm))
     else:
         total = s.count(_agg_scope_filter(s, t))
     resp = {
@@ -740,6 +845,11 @@ def execute_dsl(s, body: dict) -> dict:
         }
     }
     if body.get("explain") or body.get("highlight"):
+        if "collapse" in body or "rescore" in body:
+            # the evidence queries re-run the PLAIN match ranking, whose
+            # top-k differs from the collapsed/rescored hit set
+            raise NotImplementedError(
+                "explain/highlight are not supported with collapse/rescore")
         _attach_hit_evidence(s, body, t, resp, size + frm, after)
     if aggs:
         resp["aggregations"] = _run_aggs(s, aggs, _agg_scope_filter(s, t))
@@ -759,6 +869,7 @@ def _is_plain_match(t: _Translated, body: dict) -> bool:
     return (t.phrase is None and t.span_near is None and t.dis_max is None
             and t.boosting is None and t.gauss is None
             and t.rank_feature is None and t.const is None
+            and t.phrase_prefix is None and t.pinned is None
             and bool(t.terms or t.should_terms))
 
 

@@ -813,6 +813,9 @@ class Searcher:
                                            matching the regex (ES regexp)
           {"field_prefix": {field: "pre"}} keyword-field value prefix
           {"attr_prefix": {attr: "pre"}}   sidecar attribute starts-with
+          {"ids": [doc_id, ...]}           explicit doc-id membership (ES
+                                           ids query; ids outside this
+                                           searcher's range are ignored)
           {"bool": {"must": [...], "must_not": [...], "should": [...]}}
 
         Masks are in LOCAL doc-id space (``mask[doc_id - self.doc_lo]``),
@@ -887,6 +890,12 @@ class Searcher:
             return np.asarray(
                 pc.fill_null(pc.starts_with(col, str(val)), False)
             )
+        if kind == "ids":
+            m = np.zeros(self.n_local, dtype=bool)
+            ids = np.asarray([int(v) for v in arg], dtype=np.int64)
+            ids = ids - self.doc_lo
+            m[ids[(ids >= 0) & (ids < self.n_local)]] = True
+            return m
         if kind == "bool":
             m = np.ones(self.n_local, dtype=bool)
             for sub in arg.get("must", []):

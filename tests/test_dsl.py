@@ -877,3 +877,134 @@ def test_knn_plus_query_sums_leg_scores(dsl_index):
     want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
     assert _ids_scores(got) == want
     assert got["hits"]["total"]["value"] == len(fused)
+
+
+def test_multi_match_and_ids_bodies(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[2][0]
+
+    # best_fields / most_fields / cross_fields all reduce to match over
+    # the single analyzed text field
+    for mtype in ("best_fields", "most_fields", "cross_fields"):
+        got = execute_dsl(s, {"query": {"multi_match": {
+            "query": f"{w1} {w2}", "fields": ["content", "path"],
+            "type": mtype}}, "size": 6})
+        assert _ids_scores(got) == _want(s.search([w1, w2], k=6))
+    # type=phrase reduces to match_phrase
+    got = execute_dsl(s, {"query": {"multi_match": {
+        "query": f"{w1} {w2}", "fields": ["content"],
+        "type": "phrase"}}, "size": 5})
+    assert _ids_scores(got) == _want(s.phrase_search([w1, w2], k=5))
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"multi_match": {
+            "query": w1, "type": "bool_prefix"}}})
+
+    # ids query: filter context over explicit doc ids
+    want_ids = [h["doc_id"] for h in s.search([w1], k=3)]
+    got = execute_dsl(s, {"query": {"ids": {"values": want_ids}},
+                          "size": 10})
+    assert sorted(h["_id"] for h in got["hits"]["hits"]) == sorted(want_ids)
+    assert got["hits"]["total"]["value"] == len(want_ids)
+    # out-of-range ids are ignored, matching ES's missing-id behavior
+    got = execute_dsl(s, {"query": {"ids": {"values": [10**9]}}, "size": 5})
+    assert got["hits"]["total"]["value"] == 0
+
+    # ids inside bool.filter composes with scoring clauses
+    got = execute_dsl(s, {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "filter": [{"ids": {"values": want_ids}}],
+    }}, "size": 10})
+    assert _ids_scores(got) == _want(
+        s.search([w1], k=10, filter={"ids": want_ids}))
+
+
+def test_terms_set_body(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    ws = [t for t, _ in terms_by_df[:3]]
+    body = {"query": {"terms_set": {"content": {
+        "terms": ws, "minimum_should_match": 2}}}, "size": 8}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.search([], k=8, should_terms=ws, min_should_match=2))
+    # hits.total counts docs matching >= msm terms, not >= 1
+    exact = len(s.search([], k=s.n_local, should_terms=ws,
+                         min_should_match=2))
+    assert got["hits"]["total"]["value"] == exact
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"terms_set": {"content": {
+            "terms": ws, "minimum_should_match_field": "required"}}}})
+
+
+def test_match_phrase_prefix_body(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    # parity with the direct call is the contract whether or not the
+    # phrase-prefix matches anything in the corpus
+    body = {"query": {"match_phrase_prefix": {
+        "content": {"query": f"{w1} {w2[:2]}", "max_expansions": 10}}},
+        "size": 6}
+    got = execute_dsl(s, body)
+    want = s.match_phrase_prefix([w1, w2[:2]], k=6, max_expansions=10)
+    assert _ids_scores(got) == _want(want)
+    assert got["hits"]["total"]["value"] == len(
+        s.match_phrase_prefix([w1, w2[:2]], k=s.n_local, max_expansions=10))
+
+
+def test_pinned_body(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    organic = s.search([w1], k=10)
+    pin0 = organic[-1]["doc_id"]
+    pin = [pin0, 0 if pin0 != 0 else 1]
+    body = {"query": {"pinned": {
+        "ids": pin, "organic": {"match": {"content": w1}}}}, "size": 7}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.search_pinned([w1], pin, k=7))
+    # the pinned ids lead, in the given order
+    assert [h["_id"] for h in got["hits"]["hits"]][:2] == pin
+
+
+def test_collapse_body(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    body = {"query": {"match": {"content": w1}},
+            "collapse": {"field": "lang"}, "size": 5}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.search_collapse([w1], "lang", k=5))
+    # one hit per distinct collapse value
+    langs = [s._attr("lang")[h["_id"] - s.doc_lo]
+             for h in got["hits"]["hits"]]
+    assert len(langs) == len(set(langs))
+    # total still counts DOCS (ES collapse semantics)
+    assert got["hits"]["total"]["value"] == s.count(
+        {"bool": {"should": [{"match": w1}]}})
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"match": {"content": w1}},
+                        "collapse": {"field": "lang"}, "explain": True})
+
+
+def test_rescore_body(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    body = {"query": {"match": {"content": f"{w1} {w2}"}},
+            "rescore": {"window_size": 12, "query": {
+                "rescore_query": {"match_phrase": {
+                    "content": f"{w1} {w2}"}},
+                "rescore_query_weight": 3.0}},
+            "size": 6}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(
+        s.rescore([w1, w2], [w1, w2], k=6, window=12, weight=3.0))
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"match": {"content": w1}},
+                        "rescore": {"query": {
+                            "rescore_query": {"match": {"content": w2}}}}})
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"knn": {"field": "emb", "query_vector": [0.1],
+                                "k": 3},
+                        "rescore": {"query": {"rescore_query": {
+                            "match_phrase": {"content": w1}}}}})
