@@ -3342,6 +3342,96 @@ ORDER BY lc.lang_count DESC, lc.lang, sc.source_count DESC, sc.source
 """
 
 
+def docs_dsl_pipeline_aggs(sf_dir: str):
+    """ES *pipeline aggregations* (r5 DSL feature) through the request-
+    body adapter: histogram over dl (width 16) with a sum(dl) sub-agg,
+    then cumulative_sum and derivative over the ordered buckets — the
+    classic "running total + day-over-day delta" ES dashboard shape.
+    All values are exact float64 integers, so the hash is bit-stable."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"size": 0, "aggs": {"by_dl": {
+        "histogram": {"field": "dl", "interval": 16},
+        "aggs": {
+            "sum_dl": {"sum": {"field": "dl"}},
+            "cum_dl": {"cumulative_sum": {"buckets_path": "sum_dl"}},
+            "deriv": {"derivative": {"buckets_path": "sum_dl"}},
+        }}}})
+    rows = [(float(b["key"]), int(b["doc_count"]),
+             float(b["sum_dl"]["value"]), float(b["cum_dl"]["value"]),
+             # ES emits no derivative for the first bucket; coalesce to 0
+             float(b.get("deriv", {"value": 0.0})["value"]))
+            for b in resp["aggregations"]["by_dl"]["buckets"]]
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], pa.float64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_dl": pa.array([r[2] for r in rows], pa.float64()),
+        "cum_dl": pa.array([r[3] for r in rows], pa.float64()),
+        "deriv": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+DSL_PIPELINE_SQL = f"""
+WITH dl AS (
+  SELECT len({_SPLIT_SQL}) AS dl FROM documents),
+b AS (
+  SELECT floor(dl / 16) * 16 AS bucket, count(*)::BIGINT AS n,
+         sum(dl)::DOUBLE AS sum_dl
+  FROM dl GROUP BY 1)
+SELECT bucket, n, sum_dl,
+       sum(sum_dl) OVER (ORDER BY bucket) AS cum_dl,
+       coalesce(sum_dl - lag(sum_dl) OVER (ORDER BY bucket), 0) AS deriv
+FROM b ORDER BY bucket
+"""
+
+
+def docs_dsl_top_hits(sf_dir: str):
+    """ES ``top_hits`` sub-aggregation (r5 DSL feature) through the
+    request-body adapter: terms(lang, 3) buckets, each carrying its two
+    longest docs by explicit ``sort: dl desc`` — the "best examples per
+    group" ES shape, SQL's ROW_NUMBER-over-PARTITION."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"size": 0, "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"longest": {"top_hits": {
+            "size": 2, "sort": [{"dl": {"order": "desc"}}]}}},
+    }}})
+    rows = []
+    for b in resp["aggregations"]["by_lang"]["buckets"]:
+        for rank, h in enumerate(b["longest"]["hits"]["hits"], 1):
+            rows.append((b["key"], int(b["doc_count"]), rank,
+                         int(h["_id"]), int(h["sort"][0])))
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "lang_count": pa.array([r[1] for r in rows], pa.int64()),
+        "hit_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[3] for r in rows], pa.int64()),
+        "dl": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+DSL_TOP_HITS_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, lang, len({_SPLIT_SQL}) AS dl FROM documents),
+lc AS (
+  SELECT lang, count(*)::BIGINT AS lang_count FROM dl
+  GROUP BY lang ORDER BY lang_count DESC, lang LIMIT 3),
+ranked AS (
+  SELECT d.lang, d.doc_id, d.dl,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY d.dl DESC, d.doc_id) AS rn
+  FROM dl d JOIN lc USING (lang))
+SELECT lc.lang, lc.lang_count, r.rn AS hit_rank, r.doc_id, r.dl
+FROM lc JOIN ranked r ON r.lang = lc.lang AND r.rn <= 2
+ORDER BY lc.lang_count DESC, lc.lang, r.rn
+"""
+
+
 def bm25_top_hits_by_lang(sf_dir: str):
     """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation: for
     one BM25 query, the top-3 lang buckets by matched-doc count (ties:
@@ -4438,6 +4528,8 @@ def entry() -> Any:
 _LAST_DRIVER_VERIFIED = {
     "code_token_counts": 0,  # new in r5
     "docs_nested_terms_agg": 0,  # new in r5 (recursive DSL nesting)
+    "docs_dsl_pipeline_aggs": 0,  # new in r5 (DSL pipeline aggs)
+    "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
     "docs_exists_counts": 2,
@@ -4562,6 +4654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- window (50): (A) new in r5 / implementation changed in r5
         "code_token_counts": code_token_counts,
         "docs_nested_terms_agg": docs_nested_terms_agg,
+        "docs_dsl_pipeline_aggs": docs_dsl_pipeline_aggs,
+        "docs_dsl_top_hits": docs_dsl_top_hits,
         "top_orders_by_revenue": top_orders_by_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         #    (B) last driver-green in r2 (stalest evidence)
@@ -4686,6 +4780,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "code_token_counts": _code_token_counts_sql(),
         "docs_nested_terms_agg": NESTED_TERMS_SQL,
+        "docs_dsl_pipeline_aggs": DSL_PIPELINE_SQL,
+        "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
         "customer_order_stats": CUSTOMER_ORDER_SQL,

@@ -30,10 +30,14 @@ methods — this module adds translation, not retrieval):
   sub-retrievers fused by :func:`astrologer_ray.pipelines.hybrid.rrf_fuse`).
 - ``aggs`` / ``aggregations``: terms, multi_terms, rare_terms,
   significant_terms, filters,
-  adjacency_matrix, composite, top_hits, histogram and date_histogram
+  adjacency_matrix, composite, top_hits (explicit ``sort``, the
+  query's BM25 order, or doc order under match_all; ``_source`` attr
+  projection), histogram, date_histogram and auto_date_histogram
   (fixed ``interval`` seconds or calendar ``day``/``hour`` over an
   epoch-seconds attribute); metric aggs over numeric doc attributes —
-  avg, sum, min, max, value_count, stats, percentiles (exact linear
+  avg, sum, min, max, value_count, stats, extended_stats (population
+  + sampling moments, ``sigma`` bounds), weighted_avg,
+  median_absolute_deviation (exact), percentiles (exact linear
   interpolation), cardinality (exact distinct) — the ``range`` bucket
   agg ([from, to) buckets), ``global`` (escapes the query scope) and
   ``missing``.  Sub-aggregations nest RECURSIVELY under terms /
@@ -41,6 +45,15 @@ methods — this module adds translation, not retrieval):
   (terms-inside-terms, date_histogram-with-terms, ...) — each bucket's
   predicate composes into the scope filter via ``_compose_scope``.
   Aggregations scope to the query's matching docs, like ES.
+- pipeline aggregations: parent ``cumulative_sum``, ``derivative``,
+  ``serial_diff``, ``bucket_script``, ``bucket_selector`` and
+  ``bucket_sort`` inside a terms/histogram parent (``buckets_path``
+  to a sibling metric or ``_count``; scripts take the arithmetic
+  subset of painless over ``params.*``), and sibling ``avg_bucket``,
+  ``sum_bucket``, ``min_bucket``, ``max_bucket``, ``stats_bucket``
+  next to a bucket agg (``buckets_path`` = "parent>metric").  The
+  distributed counterparts are pipelines.aggs.pipeline_aggs /
+  bucket_script / bucket_selector.
 - ``explain: true`` (per-hit ``_explanation`` BM25 term breakdown) and
   ``highlight`` (per-hit term-occurrence evidence from the positional
   index; structured rows, not ``<em>`` snippets — the index stores
@@ -454,7 +467,8 @@ def _compose_scope(scope, part: dict) -> dict:
     return part if scope is None else {"bool": {"must": [scope, part]}}
 
 
-def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
+def _histogram(s, arg: dict, subs: dict, scope,
+               qterms: list | None = None) -> list[dict]:
     attr = arg["field"]
     interval = arg.get("interval") or arg.get("fixed_interval") \
         or arg.get("calendar_interval")
@@ -481,7 +495,8 @@ def _histogram(s, arg: dict, subs: dict, scope) -> list[dict]:
             # sub-aggs may be metric OR bucket aggs (full ES nesting)
             part = {"range": {attr: {"gte": float(key),
                                      "lt": float(key) + width}}}
-            b.update(_run_aggs(s, subs, _compose_scope(scope, part)))
+            b.update(_run_aggs(s, subs, _compose_scope(scope, part),
+                               qterms))
         out.append(b)
     return out
 
@@ -501,6 +516,15 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
     """One metric agg over the docs selected by ``keep`` — the shared
     kernel behind top-level metric aggs and terms-bucket sub-aggs.
     Returns the ES-shaped result dict for ``fn``."""
+    if fn == "weighted_avg":
+        # ES weighted_avg: {"value": {"field": v}, "weight": {"field": w}}
+        vv = np.asarray(s._attr(arg["value"]["field"]), dtype=np.float64)
+        ww = np.asarray(s._attr(arg["weight"]["field"]), dtype=np.float64)
+        m = keep & ~np.isnan(vv) & ~np.isnan(ww)
+        tw = float(ww[m].sum())
+        if tw == 0.0:
+            return {"value": None}
+        return {"value": float((vv[m] * ww[m]).sum() / tw)}
     if fn == "cardinality":
         col = np.asarray(s._attr(arg["field"]))
         vals = col[keep]
@@ -531,6 +555,39 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
         return {"values": {
             str(p): float(np.quantile(v, p / 100.0)) if n else None
             for p in pcts}}
+    if fn == "extended_stats":
+        # population moments, like ES (variance = E[x^2] - E[x]^2);
+        # sigma (default 2) shapes std_deviation_bounds
+        if n == 0:
+            return {"count": 0, "min": None, "max": None, "avg": None,
+                    "sum": 0.0}
+        sigma = float(arg.get("sigma", 2.0))
+        avg = float(v.mean())
+        var_p = float(v.var())            # population (ES "variance")
+        var_s = float(v.var(ddof=1)) if n > 1 else 0.0
+        std_p, std_s = float(np.sqrt(var_p)), float(np.sqrt(var_s))
+        return {
+            "count": n, "min": float(v.min()), "max": float(v.max()),
+            "avg": avg, "sum": float(v.sum()),
+            "sum_of_squares": float((v * v).sum()),
+            "variance": var_p, "variance_population": var_p,
+            "variance_sampling": var_s,
+            "std_deviation": std_p, "std_deviation_population": std_p,
+            "std_deviation_sampling": std_s,
+            "std_deviation_bounds": {
+                "upper": avg + sigma * std_p, "lower": avg - sigma * std_p,
+                "upper_population": avg + sigma * std_p,
+                "lower_population": avg - sigma * std_p,
+                "upper_sampling": avg + sigma * std_s,
+                "lower_sampling": avg - sigma * std_s,
+            },
+        }
+    if fn == "median_absolute_deviation":
+        # exact MAD (ES approximates with a t-digest; exact is the limit)
+        if n == 0:
+            return {"value": None}
+        med = float(np.median(v))
+        return {"value": float(np.median(np.abs(v - med)))}
     if fn in ("avg", "min", "max"):
         if n == 0:
             return {"value": None}  # ES: null over no values
@@ -542,32 +599,179 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
 # bucket aggs that accept nested sub-aggregations (recursion via
 # _compose_scope); a sub-agg under any other kind raises rather than
 # being silently dropped
-_SUB_CAPABLE = {"terms", "histogram", "date_histogram", "range",
-                "filters", "global"}
+_SUB_CAPABLE = {"terms", "histogram", "date_histogram",
+                "auto_date_histogram", "range", "filters", "global"}
+
+# ES *pipeline aggregations* — post-processing over already-reduced
+# buckets (driver-side O(#buckets); the distributed counterparts live in
+# pipelines.aggs.pipeline_aggs / bucket_script / bucket_selector).
+# Parent pipelines sit INSIDE a bucket agg's `aggs` and see its ordered
+# bucket list; sibling pipelines sit NEXT TO a bucket agg and reduce it.
+_PARENT_PIPELINE = {"cumulative_sum", "derivative", "serial_diff",
+                    "bucket_script", "bucket_selector", "bucket_sort"}
+_SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket",
+                     "max_bucket", "stats_bucket"}
 
 
-def _run_aggs(s, aggs: dict, scope) -> dict:
+def _bucket_path_value(bucket: dict, path: str) -> float | None:
+    """Resolve an ES ``buckets_path`` against one bucket dict:
+    ``_count`` -> doc_count, ``m`` -> bucket["m"]["value"], ``m.sub`` ->
+    bucket["m"]["sub"]. None when absent (ES ``gap_policy: skip``)."""
+    if path == "_count":
+        return float(bucket["doc_count"])
+    name, _, key = path.partition(".")
+    node = bucket.get(name)
+    if not isinstance(node, dict):
+        return None
+    v = node.get(key or "value")
+    return None if v is None else float(v)
+
+
+def _script_eval(script, params: dict):
+    """Evaluate a ``bucket_script`` / ``bucket_selector`` script — the
+    arithmetic/comparison subset of painless over ``params.*`` variables
+    (``params.a / params.b > 0.5``, ``&&``/``||``). No builtins are
+    exposed; anything beyond that subset raises."""
+    src = script["source"] if isinstance(script, dict) else script
+    expr = (src.replace("params.", "params_")
+               .replace("&&", " and ").replace("||", " or "))
+    env = {f"params_{k}": v for k, v in params.items()}
+    try:
+        return eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+    except Exception as e:  # pragma: no cover - surfaced to the caller
+        raise NotImplementedError(
+            f"unsupported bucket script {src!r}: {e}") from e
+
+
+def _split_parent_pipelines(subs: dict) -> tuple[dict, list]:
+    """Split a bucket agg's sub-agg dict into (per-bucket sub-aggs,
+    ordered parent-pipeline specs)."""
+    normal, pipes = {}, []
+    for n, sp in subs.items():
+        kinds = [k for k in sp if k not in ("aggs", "aggregations")]
+        if len(kinds) == 1 and kinds[0] in _PARENT_PIPELINE:
+            pipes.append((n, kinds[0], sp[kinds[0]]))
+        else:
+            normal[n] = sp
+    return normal, pipes
+
+
+def _apply_parent_pipelines(buckets: list, specs: list) -> list:
+    """Run parent pipeline aggs, in body order, over the parent's ordered
+    bucket list (mutates and returns it)."""
+    for name, kind, arg in specs:
+        if kind == "bucket_sort":
+            for srt in reversed(arg.get("sort", [])):
+                ((path, opts),) = (srt.items() if isinstance(srt, dict)
+                                   else ((srt, {}),))
+                desc = (opts or {}).get("order", "desc") == "desc"
+
+                def _key(b, p=path, d=desc):
+                    v = _bucket_path_value(b, p)
+                    # missing sorts last regardless of direction
+                    return (v is None, (-v if d else v)
+                            if v is not None else 0.0)
+                buckets.sort(key=_key)  # stable: later sorts break ties
+            frm = int(arg.get("from", 0))
+            size = arg.get("size")
+            buckets[:] = buckets[frm:
+                                 None if size is None else frm + int(size)]
+            continue
+        if kind == "bucket_selector":
+            kept = []
+            for b in buckets:
+                params = {k: _bucket_path_value(b, p)
+                          for k, p in arg["buckets_path"].items()}
+                if None in params.values():
+                    continue  # gap_policy: skip
+                if _script_eval(arg["script"], params):
+                    kept.append(b)
+            buckets[:] = kept
+            continue
+        if kind == "bucket_script":
+            for b in buckets:
+                params = {k: _bucket_path_value(b, p)
+                          for k, p in arg["buckets_path"].items()}
+                if None in params.values():
+                    continue
+                b[name] = {"value": float(
+                    _script_eval(arg["script"], params))}
+            continue
+        vals = [_bucket_path_value(b, arg["buckets_path"]) for b in buckets]
+        if kind == "cumulative_sum":
+            run = 0.0
+            for b, v in zip(buckets, vals):
+                run += v or 0.0
+                b[name] = {"value": run}
+        elif kind in ("derivative", "serial_diff"):
+            lag = int(arg.get("lag", 1)) if kind == "serial_diff" else 1
+            for i, b in enumerate(buckets):
+                if i < lag or vals[i] is None or vals[i - lag] is None:
+                    continue  # ES: leading buckets carry no value
+                b[name] = {"value": vals[i] - vals[i - lag]}
+        else:
+            raise NotImplementedError(
+                f"unsupported parent pipeline agg {kind!r}")
+    return buckets
+
+
+def _sibling_bucket_result(out: dict, kind: str, arg: dict) -> dict:
+    """One sibling ``*_bucket`` pipeline agg: reduce a completed bucket
+    agg's per-bucket metric (``buckets_path`` = "parent>metric")."""
+    parent, _, metric = arg["buckets_path"].partition(">")
+    if parent not in out or "buckets" not in out[parent]:
+        raise NotImplementedError(
+            f"buckets_path {arg['buckets_path']!r} does not name a "
+            "preceding bucket aggregation")
+    bl = out[parent]["buckets"]
+    items = (list(bl.items()) if isinstance(bl, dict)  # filters agg
+             else [(b.get("key"), b) for b in bl])
+    vals = [(k, _bucket_path_value(b, metric or "_count"))
+            for k, b in items]
+    vals = [(k, v) for k, v in vals if v is not None]
+    if not vals:
+        return {"value": None}
+    arr = np.array([v for _, v in vals], dtype=np.float64)
+    if kind == "avg_bucket":
+        return {"value": float(arr.mean())}
+    if kind == "sum_bucket":
+        return {"value": float(arr.sum())}
+    if kind == "stats_bucket":
+        return {"count": int(len(arr)), "min": float(arr.min()),
+                "max": float(arr.max()), "avg": float(arr.mean()),
+                "sum": float(arr.sum())}
+    best = float(arr.max() if kind == "max_bucket" else arr.min())
+    return {"value": best, "keys": [k for k, v in vals if v == best]}
+
+
+def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
     out = {}
+    sibling = []
     for name, spec in aggs.items():
         spec = dict(spec)
         subs = spec.pop("aggs", None) or spec.pop("aggregations", None) or {}
         ((kind, arg),) = spec.items()
+        if kind in _SIBLING_PIPELINE:
+            # deferred: needs the named bucket agg fully computed first
+            sibling.append((name, kind, arg))
+            continue
         if subs and kind not in _SUB_CAPABLE:
             raise NotImplementedError(
                 f"sub-aggregations under {kind!r} are not supported")
         if kind == "terms":
             rows = s.agg_terms(arg["field"], k=int(arg.get("size", 10)),
                                filter=scope)
+            normal, pipes = _split_parent_pipelines(subs)
             buckets = []
             for k, c in rows:
                 b = {"key": k, "doc_count": int(c)}
-                if subs:  # ES's bread-and-butter shape: sub-aggs may be
+                if normal:  # ES's bread-and-butter shape: sub-aggs may be
                     # metric (avg/sum/...) or bucket (terms/histogram/...)
                     # aggs — recurse with this bucket's term as the scope
-                    b.update(_run_aggs(s, subs, _compose_scope(
-                        scope, {"term": {arg["field"]: k}})))
+                    b.update(_run_aggs(s, normal, _compose_scope(
+                        scope, {"term": {arg["field"]: k}}), qterms))
                 buckets.append(b)
-            out[name] = {"buckets": buckets}
+            out[name] = {"buckets": _apply_parent_pipelines(buckets, pipes)}
         elif kind == "multi_terms":
             fields = [f["field"] for f in arg["terms"]]
             rows = s.agg_multi_terms(fields, k=int(arg.get("size", 10)),
@@ -595,7 +799,7 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                        for n, c in s.agg_filters(named)}
             if subs:  # per named bucket, recurse with its filter as scope
                 for n in buckets:
-                    buckets[n].update(_run_aggs(s, subs, named[n]))
+                    buckets[n].update(_run_aggs(s, subs, named[n], qterms))
             out[name] = {"buckets": buckets}
         elif kind == "adjacency_matrix":
             named = {n: f for n, f in arg["filters"].items()}
@@ -606,11 +810,39 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                 {"key": k, "doc_count": int(c)}
                 for k, c in s.agg_adjacency_matrix(named)]}
         elif kind in ("histogram", "date_histogram"):
-            out[name] = {"buckets": _histogram(s, arg, subs, scope)}
+            normal, pipes = _split_parent_pipelines(subs)
+            buckets = _histogram(s, arg, normal, scope, qterms)
+            out[name] = {"buckets": _apply_parent_pipelines(buckets, pipes)}
+        elif kind == "auto_date_histogram":
+            # ES auto_date_histogram: smallest fixed-interval ladder step
+            # keeping <= `buckets` buckets (same ladder as the distributed
+            # pipelines.aggs.auto_date_histogram; attrs here are numeric
+            # epoch seconds, so the ladder converts us -> s)
+            from astrologer_ray.pipelines.aggs import AUTO_HIST_LADDER_US
+
+            target = int(arg.get("buckets", 10))
+            col = np.asarray(s._attr(arg["field"]), dtype=np.float64)
+            keep = _scope_keep(s, scope) & ~np.isnan(col)
+            if not keep.any():
+                out[name] = {"buckets": [], "interval": None}
+                continue
+            lo, hi = float(col[keep].min()), float(col[keep].max())
+            width = next(
+                (w / 1e6 for w in AUTO_HIST_LADDER_US
+                 if (hi // (w / 1e6)) - (lo // (w / 1e6)) + 1 <= target),
+                AUTO_HIST_LADDER_US[-1] / 1e6)
+            normal, pipes = _split_parent_pipelines(subs)
+            buckets = _histogram(
+                s, {"field": arg["field"], "interval": width},
+                normal, scope, qterms)
+            out[name] = {
+                "buckets": _apply_parent_pipelines(buckets, pipes),
+                "interval": f"{width:g}s",
+            }
         elif kind == "global":
             # ES global agg: escapes the query scope — sub-aggs run over
             # ALL live docs regardless of the surrounding query
-            sub = _run_aggs(s, subs, None)
+            sub = _run_aggs(s, subs, None, qterms)
             out[name] = {"doc_count": int(_scope_keep(s, None).sum()),
                          **sub}
         elif kind == "missing":
@@ -625,7 +857,8 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                 absent = np.zeros(len(col), dtype=bool)
             out[name] = {"doc_count": int((keep & absent).sum())}
         elif kind in ("avg", "sum", "min", "max", "value_count", "stats",
-                      "percentiles", "cardinality"):
+                      "percentiles", "cardinality", "extended_stats",
+                      "weighted_avg", "median_absolute_deviation"):
             # percentiles is the exact flavor (linear interpolation ==
             # SQL quantile_cont, same as pipelines.aggs.percentiles);
             # cardinality is exact distinct (the sketch flavor lives in
@@ -662,7 +895,8 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
                     part = {"range": {arg["field"]:
                                       bounds or {"gte": float("-inf")}}}
                     b.update(_run_aggs(s, subs,
-                                       _compose_scope(scope, part)))
+                                       _compose_scope(scope, part),
+                                       qterms))
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif kind == "composite":
@@ -682,17 +916,53 @@ def _run_aggs(s, aggs: dict, scope) -> dict:
             if res["after_key"] is not None:
                 out[name]["after_key"] = dict(zip(names,
                                                   res["after_key"]))
-        elif kind == "top_hits":
-            # ES shape: terms agg grouped by `field` with a top_hits sub —
-            # flattened here onto the searcher's fused implementation
+        elif kind == "top_hits" and "field" in arg:
+            # legacy flattened shape: terms agg grouped by `field` with a
+            # top_hits sub — the searcher's fused implementation
             rows = s.search_top_hits(
                 terms=arg.get("terms", []), group_attr=arg["field"],
                 n_hits=int(arg.get("size", 3)),
                 k_groups=int(arg.get("groups", 10)), filter=scope,
             )
             out[name] = {"hits": rows}
+        elif kind == "top_hits":
+            # proper ES top_hits: inside a bucket agg, `scope` already
+            # carries the bucket's predicate (via _compose_scope), so the
+            # hits are the bucket's best docs — by explicit sort, by the
+            # surrounding query's BM25 score, or (match_all) in doc order
+            thk = int(arg.get("size", 3))
+            srt = arg.get("sort")
+            if srt:
+                one = srt[0] if isinstance(srt, list) else srt
+                if isinstance(one, str):
+                    one = {one: {}}
+                ((attr, opts),) = one.items()
+                desc = (opts or {}).get("order", "desc") == "desc"
+                rows = s.sort_by_attr(attr, k=thk, descending=desc,
+                                      filter=scope)
+                hits = [{"_id": r["doc_id"], "sort": [r["value"]]}
+                        for r in rows]
+            elif qterms:
+                rows = s.search(list(qterms), k=thk, filter=scope)
+                hits = [{"_id": r["doc_id"], "_score": r["score"]}
+                        for r in rows]
+            else:
+                ids = np.flatnonzero(_scope_keep(s, scope))[:thk]
+                hits = [{"_id": int(i) + s.doc_lo, "_score": 1.0}
+                        for i in ids]
+            for h in hits:  # _source: requested doc attrs, ES-style
+                if arg.get("_source"):
+                    li = h["_id"] - s.doc_lo
+                    h["_source"] = {
+                        a: (s._attr(a)[li].item()
+                            if hasattr(s._attr(a)[li], "item")
+                            else s._attr(a)[li])
+                        for a in arg["_source"]}
+            out[name] = {"hits": {"hits": hits}}
         else:
             raise NotImplementedError(f"unsupported agg {kind!r}")
+    for name, kind, arg in sibling:
+        out[name] = _sibling_bucket_result(out, kind, arg)
     return out
 
 
@@ -852,7 +1122,9 @@ def execute_dsl(s, body: dict) -> dict:
                 "explain/highlight are not supported with collapse/rescore")
         _attach_hit_evidence(s, body, t, resp, size + frm, after)
     if aggs:
-        resp["aggregations"] = _run_aggs(s, aggs, _agg_scope_filter(s, t))
+        resp["aggregations"] = _run_aggs(
+            s, aggs, _agg_scope_filter(s, t),
+            qterms=(t.terms or t.should_terms or None))
     return resp
 
 

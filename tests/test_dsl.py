@@ -1008,3 +1008,221 @@ def test_rescore_body(dsl_index):
                                 "k": 3},
                         "rescore": {"query": {"rescore_query": {
                             "match_phrase": {"content": w1}}}}})
+
+
+# ------------------------------------------------------- pipeline aggs
+
+@pytest.fixture()
+def pipe_searcher(dsl_index):
+    """Searcher with deterministic numeric runtime fields for the
+    pipeline-agg bodies (epoch-seconds ts + a value column)."""
+    s = Searcher(dsl_index, load_docs=True)
+    n = s.n_local
+    i = np.arange(n)
+    ts = 1_600_000_000 + (i % 6) * 86_400          # 6 distinct days
+    val = (i * 7 % 23).astype(np.float64)
+    s.add_runtime_field("ts", lambda a, v=ts: v)
+    s.add_runtime_field("val", lambda a, v=val: v)
+    return s, ts.astype(np.float64), val
+
+
+def _day_keys_sums(ts, val):
+    keys = np.unique(np.floor(ts / 86_400.0) * 86_400.0)
+    sums = np.array([val[np.floor(ts / 86_400.0) * 86_400.0 == k].sum()
+                     for k in keys])
+    cnts = np.array([(np.floor(ts / 86_400.0) * 86_400.0 == k).sum()
+                     for k in keys])
+    return keys, sums, cnts
+
+
+def test_cumulative_sum_derivative_serial_diff(pipe_searcher):
+    s, ts, val = pipe_searcher
+    body = {"size": 0, "query": {"match_all": {}}, "aggs": {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v": {"sum": {"field": "val"}},
+            "cum": {"cumulative_sum": {"buckets_path": "v"}},
+            "cum_n": {"cumulative_sum": {"buckets_path": "_count"}},
+            "slope": {"derivative": {"buckets_path": "v"}},
+            "diff2": {"serial_diff": {"buckets_path": "v", "lag": 2}},
+        }}}}
+    got = execute_dsl(s, body)["aggregations"]["days"]["buckets"]
+    keys, sums, cnts = _day_keys_sums(ts, val)
+    assert [b["key"] for b in got] == list(keys)
+    assert [b["v"]["value"] for b in got] == list(sums)
+    assert [b["cum"]["value"] for b in got] == list(np.cumsum(sums))
+    assert [b["cum_n"]["value"] for b in got] == list(
+        np.cumsum(cnts).astype(float))
+    # ES: the first bucket carries no derivative
+    assert "slope" not in got[0]
+    assert [b["slope"]["value"] for b in got[1:]] == list(np.diff(sums))
+    assert "diff2" not in got[0] and "diff2" not in got[1]
+    assert [b["diff2"]["value"] for b in got[2:]] == list(
+        sums[2:] - sums[:-2])
+
+
+def test_bucket_script_selector_sort(pipe_searcher):
+    s, ts, val = pipe_searcher
+    keys, sums, cnts = _day_keys_sums(ts, val)
+    avg = sums / cnts
+    # bucket_script: per-bucket mean via params arithmetic
+    got = execute_dsl(s, {"size": 0, "aggs": {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v": {"sum": {"field": "val"}},
+            "mean": {"bucket_script": {
+                "buckets_path": {"t": "v", "c": "_count"},
+                "script": "params.t / params.c"}},
+        }}}})["aggregations"]["days"]["buckets"]
+    assert [b["mean"]["value"] for b in got] == list(avg)
+    # bucket_selector: HAVING sum >= median; bucket_sort: by v desc, top 2
+    thresh = float(np.median(sums))
+    got = execute_dsl(s, {"size": 0, "aggs": {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v": {"sum": {"field": "val"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"t": "v"},
+                "script": f"params.t >= {thresh}"}},
+            "order": {"bucket_sort": {
+                "sort": [{"v": {"order": "desc"}}], "size": 2}},
+        }}}})["aggregations"]["days"]["buckets"]
+    kept = sorted([v for v in sums if v >= thresh], reverse=True)[:2]
+    assert [b["v"]["value"] for b in got] == kept
+    # && / || painless connectives translate
+    got = execute_dsl(s, {"size": 0, "aggs": {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v": {"sum": {"field": "val"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"t": "v", "c": "_count"},
+                "script": f"params.t >= {thresh} && params.c > 0"}},
+        }}}})["aggregations"]["days"]["buckets"]
+    assert len(got) == int((sums >= thresh).sum())
+
+
+def test_sibling_bucket_aggs(pipe_searcher):
+    s, ts, val = pipe_searcher
+    keys, sums, cnts = _day_keys_sums(ts, val)
+    got = execute_dsl(s, {"size": 0, "aggs": {
+        "days": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "val"}}}},
+        "avg_day": {"avg_bucket": {"buckets_path": "days>v"}},
+        "sum_day": {"sum_bucket": {"buckets_path": "days>v"}},
+        "min_day": {"min_bucket": {"buckets_path": "days>v"}},
+        "max_day": {"max_bucket": {"buckets_path": "days>v"}},
+        "n_stats": {"stats_bucket": {"buckets_path": "days>_count"}},
+    }})["aggregations"]
+    assert got["avg_day"]["value"] == sums.mean()
+    assert got["sum_day"]["value"] == sums.sum()
+    assert got["min_day"]["value"] == sums.min()
+    assert got["max_day"]["value"] == sums.max()
+    assert got["min_day"]["keys"] == [float(keys[np.argmin(sums)])]
+    assert got["max_day"]["keys"] == [float(keys[np.argmax(sums)])]
+    assert got["n_stats"] == {
+        "count": len(keys), "min": float(cnts.min()),
+        "max": float(cnts.max()), "avg": float(cnts.mean()),
+        "sum": float(cnts.sum())}
+    # unknown parent path raises instead of silently returning nothing
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"size": 0, "aggs": {
+            "x": {"avg_bucket": {"buckets_path": "nope>v"}}}})
+
+
+def test_extended_stats_weighted_avg_mad(pipe_searcher):
+    s, ts, val = pipe_searcher
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    got = execute_dsl(s, {"size": 0, "aggs": {
+        "es": {"extended_stats": {"field": "val", "sigma": 3.0}},
+        "wa": {"weighted_avg": {"value": {"field": "val"},
+                                "weight": {"field": "dl"}}},
+        "mad": {"median_absolute_deviation": {"field": "val"}},
+    }})["aggregations"]
+    es = got["es"]
+    assert es["count"] == len(val)
+    assert es["avg"] == pytest.approx(val.mean())
+    assert es["variance"] == pytest.approx(val.var())
+    assert es["variance_sampling"] == pytest.approx(val.var(ddof=1))
+    assert es["sum_of_squares"] == pytest.approx((val * val).sum())
+    assert es["std_deviation_bounds"]["upper"] == pytest.approx(
+        val.mean() + 3.0 * val.std())
+    assert got["wa"]["value"] == pytest.approx(
+        (val * dl).sum() / dl.sum())
+    med = np.median(val)
+    assert got["mad"]["value"] == np.median(np.abs(val - med))
+    # scoped by a term filter: moments over the matching docs only
+    w1 = max(s.df, key=lambda t: s.df[t])
+    m = np.zeros(s.n_local, bool)
+    for h in s.search([w1], k=s.n_local):
+        m[h["doc_id"] - s.doc_lo] = True
+    got = execute_dsl(s, {"size": 0,
+                          "query": {"match": {"content": w1}},
+                          "aggs": {"es": {"extended_stats": {
+                              "field": "val"}}}})["aggregations"]["es"]
+    assert got["count"] == int(m.sum())
+    assert got["avg"] == pytest.approx(val[m].mean())
+
+
+def test_auto_date_histogram_body(pipe_searcher):
+    s, ts, val = pipe_searcher
+    # 6 distinct days: target 10 buckets picks the 1-day ladder step
+    got = execute_dsl(s, {"size": 0, "aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10},
+        "aggs": {"v": {"sum": {"field": "val"}}},
+    }}})["aggregations"]["auto"]
+    assert got["interval"] == "86400s"
+    keys, sums, cnts = _day_keys_sums(ts, val)
+    assert [b["key"] for b in got["buckets"]] == list(keys)
+    assert [b["v"]["value"] for b in got["buckets"]] == list(sums)
+    # target 3 forces a coarser step (7 days covers 6 days in 1-2 buckets)
+    got = execute_dsl(s, {"size": 0, "aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 3},
+    }}})["aggregations"]["auto"]
+    assert got["interval"] == "604800s"
+    assert len(got["buckets"]) <= 3
+    assert sum(b["doc_count"] for b in got["buckets"]) == s.n_local
+
+
+def test_top_hits_sub_agg(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    langs = np.asarray(s._attr("lang"))
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    # explicit sort: per lang bucket, the 2 longest docs
+    got = execute_dsl(s, {"size": 0, "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"longest": {"top_hits": {
+            "size": 2, "sort": [{"dl": {"order": "desc"}}],
+            "_source": ["dl"]}}},
+    }}})["aggregations"]["by_lang"]["buckets"]
+    assert len(got) == 3
+    for b in got:
+        want = s.sort_by_attr("dl", k=2, descending=True,
+                              filter={"term": {"lang": b["key"]}})
+        hits = b["longest"]["hits"]["hits"]
+        assert [h["_id"] for h in hits] == [r["doc_id"] for r in want]
+        assert [h["sort"] for h in hits] == [[r["value"]] for r in want]
+        assert all(h["_source"]["dl"] == dl[h["_id"] - s.doc_lo]
+                   for h in hits)
+    # no sort: ordered by the surrounding query's BM25 score per bucket
+    got = execute_dsl(s, {"size": 0,
+                          "query": {"match": {"content": w1}},
+                          "aggs": {"by_lang": {
+                              "terms": {"field": "lang", "size": 2},
+                              "aggs": {"best": {"top_hits": {"size": 2}}},
+                          }}})["aggregations"]["by_lang"]["buckets"]
+    for b in got:
+        want = s.search([w1], k=2, filter={"bool": {
+            "must": [{"bool": {"should": [{"match": w1}]}},
+                     {"term": {"lang": b["key"]}}]}})
+        assert [(h["_id"], h["_score"]) for h in
+                b["best"]["hits"]["hits"]] == _want(want)
+    # match_all: doc order, score 1.0
+    got = execute_dsl(s, {"size": 0, "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"first": {"top_hits": {"size": 3}}}},
+    }})["aggregations"]["by_lang"]["buckets"]
+    b = got[0]
+    want_ids = np.flatnonzero(langs == b["key"])[:3] + s.doc_lo
+    assert [h["_id"] for h in b["first"]["hits"]["hits"]] == list(want_ids)
