@@ -485,6 +485,29 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_msearch(args) -> int:
+    """ES ``_msearch`` analog: one ``_search`` request body per input
+    line (NDJSON; the ES header lines are unnecessary with a single
+    index), served in one scatter over a replicated actor pool and
+    printed one JSON response per line, in request order."""
+    import sys
+
+    from astrologer_ray.state.pool import ReplicatedSearchPool
+
+    _ray_session(args.num_cpus)
+    raw = (sys.stdin.read() if args.bodies == "-"
+           else open(args.bodies).read())
+    bodies = [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
+    pool = ReplicatedSearchPool(args.index, n_actors=args.replicas,
+                                load_docs=True)
+    try:
+        for resp in pool.msearch(bodies):
+            print(json.dumps(resp))
+    finally:
+        pool.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="astrologer_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -674,6 +697,17 @@ def main(argv: list[str] | None = None) -> int:
                          "search with its top tf*idf terms")
     se.add_argument("--mlt-max-terms", type=int, default=25)
     se.set_defaults(fn=cmd_search)
+
+    ms = sub.add_parser(
+        "msearch",
+        help="ES _msearch analog: one _search JSON body per input line, "
+             "served in one scatter over a replicated actor pool")
+    ms.add_argument("index")
+    ms.add_argument("bodies",
+                    help="NDJSON file of request bodies ('-' = stdin)")
+    ms.add_argument("--replicas", type=int, default=2,
+                    help="replica actor count (default 2)")
+    ms.set_defaults(fn=cmd_msearch)
 
     args = p.parse_args(argv)
     return args.fn(args)

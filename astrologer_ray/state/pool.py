@@ -168,6 +168,21 @@ class ReplicatedSearchPool:
         ]
         return ray.get(futs)
 
+    def msearch(self, bodies: list[dict]) -> list[dict]:
+        """ES ``_msearch``: N ``_search`` request bodies served in one
+        round trip — each body routes whole to one replica (round-robin,
+        all scattered before any gather), responses return in request
+        order like ES's ``responses`` array. Bodies that touch doc attrs
+        (aggs, sort, top_hits, ...) need the pool built with
+        ``load_docs=True``."""
+        import ray
+
+        futs = [
+            self.actors[i % self.n_actors].run_dsl.remote(body)
+            for i, body in enumerate(bodies)
+        ]
+        return ray.get(futs)
+
     def shutdown(self) -> None:
         import ray
 

@@ -2174,6 +2174,15 @@ class Searcher:
     def search_text(self, text: str, k: int = 10, **kw) -> list[dict]:
         return self.search(tokenize(text, mode=self.mode), k=k, **kw)
 
+    def run_dsl(self, body: dict) -> dict:
+        """Execute one ES ``_search`` request body against this searcher
+        (actor-remotable entry point for :mod:`astrologer_ray.state.dsl` —
+        a ``ray.remote(Searcher)`` replica serves whole DSL bodies, the
+        unit `ReplicatedSearchPool.msearch` round-robins)."""
+        from astrologer_ray.state.dsl import execute_dsl
+
+        return execute_dsl(self, body)
+
 
 class SearchStage:
     """Actor-pool batch query stage: ``map_batches(SearchStage, concurrency=N)``.

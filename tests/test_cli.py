@@ -402,3 +402,28 @@ def test_cli_buckets_matches_reference_semantics(ray_session, tmp_path,
             capsys.readouterr().out.strip().splitlines()]
     assert [(r["from"], r["to"], r["doc_count"]) for r in rows] == [
         (0, 1000, 1000), (1000, 2000, 1000), (2000, 3000, 1000)]
+
+
+def test_cli_msearch(ray_session, small_corpus_dir, tmp_path, capsys):
+    import json
+
+    from astrologer_ray.cli import main
+
+    idx = str(tmp_path / "msidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows",
+                 "64"]) == 0
+    capsys.readouterr()
+    nd = tmp_path / "bodies.ndjson"
+    nd.write_text(
+        json.dumps({"query": {"match": {"content": "index merge"}},
+                    "size": 3}) + "\n" +
+        json.dumps({"size": 0, "aggs": {"langs": {
+            "terms": {"field": "lang", "size": 2}}}}) + "\n")
+    assert main(["msearch", idx, str(nd), "--replicas", "2"]) == 0
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["hits"]["hits"]  # body 1: real ranked hits
+    assert lines[1]["aggregations"]["langs"]["buckets"]  # body 2: aggs
+    # responses come back in request order: body 2 carried size 0
+    assert lines[1]["hits"]["hits"] == []

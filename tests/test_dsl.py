@@ -1226,3 +1226,31 @@ def test_top_hits_sub_agg(dsl_index):
     b = got[0]
     want_ids = np.flatnonzero(langs == b["key"])[:3] + s.doc_lo
     assert [h["_id"] for h in b["first"]["hits"]["hits"]] == list(want_ids)
+
+
+def test_msearch_pool_matches_direct(dsl_index):
+    """ES _msearch over the replicated pool: every response equals the
+    direct execute_dsl call, in request order, across replicas."""
+    from astrologer_ray.state.pool import ReplicatedSearchPool
+
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    bodies = [
+        {"query": {"match": {"content": w1}}, "size": 5},
+        {"query": {"bool": {"must": [{"match": {"content": w2}}],
+                            "filter": [{"term": {"lang": "go"}}]}},
+         "size": 4},
+        {"size": 0, "aggs": {"by_lang": {
+            "terms": {"field": "lang", "size": 3},
+            "aggs": {"d": {"avg": {"field": "dl"}}}},
+            "best": {"max_bucket": {"buckets_path": "by_lang>d"}}}},
+        {"query": {"match_phrase": {"content": f"{w1} {w2}"}}, "size": 3},
+    ]
+    want = [execute_dsl(s, b) for b in bodies]
+    pool = ReplicatedSearchPool(dsl_index, n_actors=2, load_docs=True)
+    try:
+        got = pool.msearch(bodies)
+    finally:
+        pool.shutdown()
+    assert got == want
