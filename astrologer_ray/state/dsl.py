@@ -16,7 +16,12 @@ methods — this module adds translation, not retrieval):
   range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
   more_like_this, span_near (in-order span_term clauses),
-  function_score (one gauss decay function, boost_mode=multiply),
+  function_score (general form: gauss decay / field_value_factor /
+  script_score over the vectorized painless arithmetic subset with
+  ``doc['x'].value`` attr refs / bare weight functions, per-function
+  filters, score_mode multiply|sum|avg|max|min, boost_mode
+  multiply|sum|replace|avg|max|min, max_boost; the single-gauss
+  multiply shape keeps its fast path),
   boosting (match positive, term-level negative, negative_boost
   demotion), pinned (explicit ids first, organic match hits after).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
@@ -94,6 +99,7 @@ class _Translated:
         self.rank_feature: dict | None = None  # {"field","pivot","boost"}
         self.span_near: dict | None = None     # {"terms", "slop"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
+        self.fscore: dict | None = None  # general function_score form
         self.boosting: dict | None = None  # {"negative","negative_boost"}
         self.phrase_prefix: dict | None = None  # {"terms","max_expansions"}
         self.pinned: list[int] | None = None    # pinned doc ids, in order
@@ -268,23 +274,47 @@ def _translate(s, q: dict) -> _Translated:
         }
         return t
     if kind == "function_score":
-        # the single-gauss multiply form Searcher.function_score serves
-        # (ES default boost_mode IS multiply)
         inner = _translate(s, arg.get("query"))
         if inner.phrase or inner.dis_max or inner.const or not inner.terms:
             raise NotImplementedError(
                 "function_score requires a match/more_like_this inner query")
         fns = arg.get("functions", [])
-        if arg.get("boost_mode", "multiply") != "multiply" or \
-                len(fns) != 1 or "gauss" not in fns[0]:
-            raise NotImplementedError(
-                "function_score supports one gauss function with "
-                "boost_mode=multiply")
-        ((attr, g),) = fns[0]["gauss"].items()
-        inner.gauss = {
-            "attr": attr, "origin": float(g["origin"]),
-            "scale": float(g["scale"]),
-            "decay": float(g.get("decay", 0.5)),
+        if arg.get("boost_mode", "multiply") == "multiply" and \
+                arg.get("score_mode", "multiply") == "multiply" and \
+                "max_boost" not in arg and len(fns) == 1 and \
+                set(fns[0]) == {"gauss"}:
+            # the single-gauss multiply fast path
+            # (Searcher.function_score; ES default boost_mode)
+            ((attr, g),) = fns[0]["gauss"].items()
+            inner.gauss = {
+                "attr": attr, "origin": float(g["origin"]),
+                "scale": float(g["scale"]),
+                "decay": float(g.get("decay", 0.5)),
+            }
+            return inner
+        # general form: gauss / field_value_factor / script_score / bare
+        # weight functions, each optionally filter-gated, combined by
+        # score_mode then boost_mode (Searcher.search_function_score)
+        parsed = []
+        for f in fns:
+            f = dict(f)
+            pf: dict = {}
+            if "filter" in f:
+                pf["filter"] = _clause_filter(
+                    s, *next(iter(f.pop("filter").items())))
+            if "weight" in f:
+                pf["weight"] = float(f.pop("weight"))
+            if len(f) > 1 or (f and next(iter(f)) not in (
+                    "gauss", "field_value_factor", "script_score")):
+                raise NotImplementedError(
+                    f"unsupported function_score function {sorted(f)}")
+            pf.update(f)
+            parsed.append(pf)
+        inner.fscore = {
+            "functions": parsed,
+            "score_mode": arg.get("score_mode", "multiply"),
+            "boost_mode": arg.get("boost_mode", "multiply"),
+            "max_boost": arg.get("max_boost"),
         }
         return inner
     if kind == "boosting":
@@ -416,6 +446,12 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
             t.terms, k=size, decay_attr=t.gauss["attr"],
             origin=t.gauss["origin"], scale=t.gauss["scale"],
             decay=t.gauss["decay"], filter=t.filter)
+    if t.fscore is not None:
+        return s.search_function_score(
+            t.terms, t.fscore["functions"], k=size,
+            score_mode=t.fscore["score_mode"],
+            boost_mode=t.fscore["boost_mode"],
+            max_boost=t.fscore["max_boost"], filter=t.filter)
     if t.rank_feature is not None:
         if t.should_terms or not t.terms:
             raise NotImplementedError(
@@ -1142,6 +1178,7 @@ def _is_plain_match(t: _Translated, body: dict) -> bool:
             and t.boosting is None and t.gauss is None
             and t.rank_feature is None and t.const is None
             and t.phrase_prefix is None and t.pinned is None
+            and t.fscore is None
             and bool(t.terms or t.should_terms))
 
 

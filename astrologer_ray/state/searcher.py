@@ -1716,6 +1716,176 @@ class Searcher:
             [(int(ids[i]), float(final[i])) for i in order], decorate
         )
 
+    _FVF_MODIFIERS = {
+        # ES field_value_factor modifiers (log* are base 10, ln* natural)
+        "none": lambda v: v,
+        "log": lambda v: np.log10(v),
+        "log1p": lambda v: np.log10(v + 1.0),
+        "log2p": lambda v: np.log10(v + 2.0),
+        "ln": lambda v: np.log(v),
+        "ln1p": lambda v: np.log1p(v),
+        "ln2p": lambda v: np.log(v + 2.0),
+        "square": lambda v: v * v,
+        "sqrt": lambda v: np.sqrt(v),
+        "reciprocal": lambda v: 1.0 / v,
+    }
+
+    def _function_value(self, fn: dict, li: np.ndarray) -> np.ndarray:
+        """One function_score function -> its per-candidate value array
+        (before the function's ``weight`` multiplier). ``li`` are LOCAL
+        candidate indices."""
+        import math
+
+        if "gauss" in fn:
+            ((attr, g),) = fn["gauss"].items()
+            origin, scale = float(g["origin"]), float(g["scale"])
+            decay = float(g.get("decay", 0.5))
+            sigma2 = (scale ** 2) / (2.0 * math.log(1.0 / decay))
+            dv = np.asarray(self._attr(attr), dtype=np.float64)[li]
+            return np.exp(-(np.abs(dv - origin) ** 2) / (2.0 * sigma2))
+        if "field_value_factor" in fn:
+            spec = fn["field_value_factor"]
+            v = np.asarray(self._attr(spec["field"]), dtype=np.float64)[li]
+            if "missing" in spec:
+                v = np.where(np.isnan(v), float(spec["missing"]), v)
+            mod = self._FVF_MODIFIERS.get(spec.get("modifier", "none"))
+            if mod is None:
+                raise NotImplementedError(
+                    f"field_value_factor modifier "
+                    f"{spec.get('modifier')!r} is not supported")
+            return float(spec.get("factor", 1.0)) * mod(v)
+        if "script_score" in fn:
+            script = fn["script_score"]["script"]
+            src = script["source"] if isinstance(script, dict) else script
+            # vectorized painless arithmetic subset: doc['x'].value ->
+            # the candidate-sliced attr array, Math.* -> numpy kernels
+            import re as _re
+
+            expr = _re.sub(r"doc\[['\"](\w+)['\"]\]\.value", r"doc_\1", src)
+            expr = (expr.replace("Math.log10", "np.log10")
+                        .replace("Math.log", "np.log")
+                        .replace("Math.sqrt", "np.sqrt")
+                        .replace("Math.abs", "np.abs")
+                        .replace("Math.max", "np.maximum")
+                        .replace("Math.min", "np.minimum"))
+            env: dict = {"np": np}
+            if isinstance(script, dict):
+                for pk, pv in (script.get("params") or {}).items():
+                    env[f"params_{pk}"] = pv
+            expr = expr.replace("params.", "params_")
+            for attr in set(_re.findall(r"doc_(\w+)", expr)):
+                env[f"doc_{attr}"] = np.asarray(
+                    self._attr(attr), dtype=np.float64)[li]
+            try:
+                out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+            except Exception as e:
+                raise NotImplementedError(
+                    f"unsupported script_score script {src!r}: {e}") from e
+            return np.broadcast_to(
+                np.asarray(out, dtype=np.float64), li.shape).copy()
+        # a bare {"weight": w} function contributes the constant 1.0
+        # (the weight multiplier is applied by the caller)
+        return np.ones(len(li), dtype=np.float64)
+
+    def search_function_score(
+        self,
+        terms: list[str],
+        functions: list[dict],
+        k: int = 10,
+        *,
+        score_mode: str = "multiply",
+        boost_mode: str = "multiply",
+        max_boost: float | None = None,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``function_score``, the general form: a list of functions
+        (``gauss`` decay / ``field_value_factor`` / ``script_score`` over
+        the vectorized painless arithmetic subset / bare ``weight``), each
+        optionally gated by its own ``filter``, combined across functions
+        by ``score_mode`` (multiply / sum / avg [weight-weighted, like ES]
+        / max / min) and with the BM25 query score by ``boost_mode``
+        (multiply / sum / replace / avg / max / min), with ``max_boost``
+        clamping the combined function score first.
+
+        Docs matching NO function keep the neutral function-score 1.0
+        (ES behavior). Exact like :meth:`function_score`: functions can
+        promote low-BM25 docs, so the full candidate set is enumerated and
+        reranked — single-gauss multiply callers wanting the WAND bound
+        should use :meth:`function_score`. Requires ``load_docs=True``."""
+        if k <= 0:
+            return []
+        all_hits = self.search(terms, k=self.n_local, filter=filter,
+                               strategy="taat")
+        if not all_hits:
+            return []
+        ids = np.array([h["doc_id"] for h in all_hits], dtype=np.int64)
+        base = np.array([h["score"] for h in all_hits], dtype=np.float64)
+        li = ids - self.doc_lo
+        n = len(ids)
+        masks, vals, weights = [], [], []
+        for fn in functions:
+            if fn.get("filter") is not None:
+                fm = self._apply_deletes(self.filter_mask(fn["filter"]))
+                m = (np.ones(self.n_local, bool) if fm is None else fm)[li]
+            else:
+                m = np.ones(n, dtype=bool)
+            w = float(fn.get("weight", 1.0))
+            masks.append(m)
+            weights.append(w)
+            vals.append(self._function_value(fn, li) * w)
+        any_match = np.zeros(n, dtype=bool)
+        for m in masks:
+            any_match |= m
+        if score_mode == "multiply":
+            fs = np.ones(n, dtype=np.float64)
+            for m, v in zip(masks, vals):
+                fs = np.where(m, fs * v, fs)
+        elif score_mode == "sum":
+            fs = np.zeros(n, dtype=np.float64)
+            for m, v in zip(masks, vals):
+                fs = np.where(m, fs + v, fs)
+        elif score_mode == "avg":
+            # ES: weighted average — sum(w_i * f_i) / sum(w_i) over the
+            # matching functions (vals already carry the w_i factor)
+            num = np.zeros(n, dtype=np.float64)
+            den = np.zeros(n, dtype=np.float64)
+            for m, v, w in zip(masks, vals, weights):
+                num = np.where(m, num + v, num)
+                den = np.where(m, den + w, den)
+            fs = np.where(den > 0, num / np.where(den > 0, den, 1.0), 1.0)
+        elif score_mode in ("max", "min"):
+            fill = -np.inf if score_mode == "max" else np.inf
+            fs = np.full(n, fill, dtype=np.float64)
+            red = np.maximum if score_mode == "max" else np.minimum
+            for m, v in zip(masks, vals):
+                fs = np.where(m, red(fs, v), fs)
+        else:
+            raise NotImplementedError(
+                f"unsupported score_mode {score_mode!r}")
+        fs = np.where(any_match, fs, 1.0)  # no function matched: neutral
+        if max_boost is not None:
+            fs = np.minimum(fs, float(max_boost))
+        if boost_mode == "multiply":
+            final = base * fs
+        elif boost_mode == "sum":
+            final = base + fs
+        elif boost_mode == "replace":
+            final = fs
+        elif boost_mode == "avg":
+            final = (base + fs) / 2.0
+        elif boost_mode == "max":
+            final = np.maximum(base, fs)
+        elif boost_mode == "min":
+            final = np.minimum(base, fs)
+        else:
+            raise NotImplementedError(
+                f"unsupported boost_mode {boost_mode!r}")
+        order = np.lexsort((ids, -final))[: min(k, n)]
+        return self._format(
+            [(int(ids[i]), float(final[i])) for i in order], decorate
+        )
+
     def search_rank_feature(
         self,
         terms: list[str],

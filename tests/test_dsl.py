@@ -537,11 +537,17 @@ def test_function_score_gauss_body(dsl_index):
     want = s.function_score([w1], k=7, decay_attr="dl", origin=40.0,
                             scale=20.0, decay=0.5)
     assert _ids_scores(got) == _want(want) and len(want) > 0
-    with pytest.raises(NotImplementedError):
-        execute_dsl(s, {"query": {"function_score": {
-            "query": {"match": {"content": w1}},
-            "functions": [{"gauss": {"dl": {"origin": 0, "scale": 1}}}],
-            "boost_mode": "sum"}}})
+    # boost_mode=sum routes to the general path (r5): base + gauss factor
+    got = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"gauss": {"dl": {
+            "origin": 40, "scale": 20, "decay": 0.5}}}],
+        "boost_mode": "sum"}}, "size": 7})
+    want = s.search_function_score(
+        [w1], [{"gauss": {"dl": {"origin": 40, "scale": 20,
+                                 "decay": 0.5}}}],
+        k=7, boost_mode="sum")
+    assert _ids_scores(got) == _want(want) and len(want) > 0
 
 
 def test_boosting_body(dsl_index):
@@ -1254,3 +1260,86 @@ def test_msearch_pool_matches_direct(dsl_index):
     finally:
         pool.shutdown()
     assert got == want
+
+
+def test_function_score_general_form(dsl_index):
+    """General function_score: field_value_factor, script_score, weight,
+    per-function filters, score_mode/boost_mode combos — each verified
+    against a numpy recomputation over the full candidate set."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    langs = np.asarray(s._attr("lang"))
+    base_hits = s.search([w1], k=s.n_local)
+    ids = np.array([h["doc_id"] for h in base_hits])
+    base = np.array([h["score"] for h in base_hits])
+    li = ids - s.doc_lo
+
+    def ranked(final, k):
+        order = np.lexsort((ids, -final))[:k]
+        return [(int(ids[i]), pytest.approx(float(final[i])))
+                for i in order]
+
+    # field_value_factor log1p * weight, boost_mode sum
+    got = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"field_value_factor": {
+            "field": "dl", "factor": 0.5, "modifier": "log1p"},
+            "weight": 2.0}],
+        "boost_mode": "sum"}}, "size": 6})
+    want = base + 2.0 * 0.5 * np.log10(dl[li] + 1.0)
+    assert _ids_scores(got) == ranked(want, 6)
+
+    # script_score with doc refs + params, boost_mode replace
+    got = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"script_score": {"script": {
+            "source": "Math.sqrt(doc['dl'].value) * params.f",
+            "params": {"f": 3.0}}}}],
+        "boost_mode": "replace"}}, "size": 5})
+    want = np.sqrt(dl[li]) * 3.0
+    assert _ids_scores(got) == ranked(want, 5)
+
+    # two functions, one filter-gated; score_mode sum, max_boost clamp
+    lang0 = langs[li[0]]
+    got = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [
+            {"filter": {"term": {"lang": str(lang0)}}, "weight": 4.0},
+            {"field_value_factor": {"field": "dl", "factor": 0.01}},
+        ],
+        "score_mode": "sum", "max_boost": 5.0}}, "size": 8})
+    fs = 0.01 * dl[li] + np.where(langs[li] == lang0, 4.0, 0.0)
+    want = base * np.minimum(fs, 5.0)
+    assert _ids_scores(got) == ranked(want, 8)
+
+    # score_mode avg is the ES weighted average; boost_mode max
+    got = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [
+            {"field_value_factor": {"field": "dl"}, "weight": 3.0},
+            {"weight": 1.0},
+        ],
+        "score_mode": "avg", "boost_mode": "max"}}, "size": 6})
+    fs = (3.0 * dl[li] + 1.0) / 4.0
+    want = np.maximum(base, fs)
+    assert _ids_scores(got) == ranked(want, 6)
+
+    # single-gauss multiply still routes to the fast path (same result
+    # as the dedicated method) and general gauss matches it too
+    g = {"origin": float(dl[li].mean()), "scale": 10.0, "decay": 0.5}
+    fast = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"gauss": {"dl": g}}]}}, "size": 5})
+    gen = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"gauss": {"dl": g}}],
+        "score_mode": "sum"}}, "size": 5})
+    assert _ids_scores(fast) == _ids_scores(gen)
+
+    # unsupported function kinds refuse loudly
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"function_score": {
+            "query": {"match": {"content": w1}},
+            "functions": [{"random_score": {}}],
+            "boost_mode": "sum"}}})
