@@ -1548,6 +1548,38 @@ DECONTAM_BENCH_IDS = [3, 77, 201]
 DECONTAM_N = 4
 
 
+def fuzzy_decontaminate_documents(sf_dir: str):
+    """MinHash-LSH (fuzzy) test-set decontamination: documents NEAR-
+    matching a benchmark doc by exact shingle Jaccard >= 0.5, candidates
+    from the same banded-LSH model as the dedup pipeline (benchmark side
+    banded once on the driver and broadcast via ray.put; corpus streams,
+    nothing shuffles). The benchmark texts are fixed doc_ids, so each is
+    found at Jaccard 1.0 — plus any true near-copies. Rows-only (MinHash
+    is not SQL-expressible); flagged values are EXACT Jaccards, property-
+    tested against the brute oracle in
+    tests/test_ops.py::test_fuzzy_decontaminate_lsh_matches_brute."""
+    rd = _rd()
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from astrologer_ray.pipelines.textstats import fuzzy_decontaminate
+
+    bench = _pq.read_table(
+        _tbl(sf_dir, "documents"), columns=["doc_id", "text"],
+        filters=_pc.field("doc_id").isin(DECONTAM_BENCH_IDS),
+    ).sort_by("doc_id")
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    out = fuzzy_decontaminate(
+        ds, bench.column("text").to_pylist(), threshold=0.5)
+    df = out.to_pandas()
+    df = df[df["bench_id"] >= 0].sort_values("doc_id")
+    df["bench_doc_id"] = [int(bench["doc_id"][int(i)].as_py())
+                          for i in df["bench_id"]]
+    return df[["doc_id", "bench_doc_id", "bench_jaccard"]].reset_index(
+        drop=True)
+
+
 def decontaminate_documents(sf_dir: str):
     """Test-set decontamination (LLM training-data hygiene): documents
     containing any token 4-gram of a benchmark set — here the texts of
@@ -4602,6 +4634,7 @@ _LAST_DRIVER_VERIFIED = {
     "bm25_topk_documents": 4,
     "corpus_ngram_topk": 4,
     "decontaminate_documents": 4,
+    "fuzzy_decontaminate_documents": 0,  # new in r5 (rows-only: MinHash)
     "doc_repetition": 4,
     "docs_adjacency_matrix": 4,
     "docs_chunked": 4,
@@ -4737,6 +4770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": bm25_topk_documents,
         "corpus_ngram_topk": corpus_ngram_topk,
         "decontaminate_documents": decontaminate_documents,
+        "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
         "doc_repetition": doc_repetition,
         "docs_adjacency_matrix": docs_adjacency_matrix,
         "docs_chunked": docs_chunked,

@@ -284,6 +284,128 @@ def decontaminate(ds: Dataset, benchmark_texts: list[str], n: int = 8,
     )
 
 
+class FuzzyDecontaminateStage:
+    """MinHash-LSH test-set decontamination: flag documents NEAR-matching
+    a benchmark doc (paraphrased / lightly-edited contamination the exact
+    n-gram guard misses).
+
+    Same candidate model as the LSH dedup (``pipelines.dedup``): the
+    benchmark side is banded ONCE on the driver and broadcast via
+    ``ray.put`` — a ``(band, band_hash) -> bench ids`` map plus each
+    bench doc's sorted shingle-hash set. Per batch, a doc's band hashes
+    (identical MinHasher arithmetic) probe the map; candidates are
+    verified with EXACT Jaccard over shingle-hash sets (sorted-array
+    ``np.intersect1d``), so flagged docs are true >= ``threshold``
+    matches (LSH affects recall only, never precision). Corpus streams;
+    the benchmark never shuffles.
+    """
+
+    def __init__(self, bench_ref, *, threshold: float = 0.5,
+                 num_perm: int = 128, bands: int = 32, seed: int = 7,
+                 shingle_k: int = 3, text_col: str = "text"):
+        import ray
+
+        from astrologer_ray.pipelines.dedup import MinHashBands
+
+        obj = ray.get(bench_ref) if not isinstance(bench_ref, tuple) \
+            else bench_ref
+        self.band_map, self.bench_shingles = obj
+        self.threshold = float(threshold)
+        self.text_col = text_col
+        # reuse the dedup banding stage for its vectorized signature +
+        # band-hash arithmetic (bench side used the same constructor)
+        self._bander = MinHashBands(text_col=text_col, num_perm=num_perm,
+                                    bands=bands, seed=seed,
+                                    shingle_k=shingle_k)
+
+    @staticmethod
+    def build_benchmark(texts: list[str], *, num_perm: int = 128,
+                        bands: int = 32, seed: int = 7, shingle_k: int = 3):
+        """Broadcast payload: ((band, band_hash) -> [bench ids] map,
+        per-bench-doc sorted shingle-hash arrays)."""
+        from astrologer_ray.pipelines.dedup import (MinHashBands,
+                                                    _shingle_hashes)
+
+        bander = MinHashBands(num_perm=num_perm, bands=bands, seed=seed,
+                              shingle_k=shingle_k)
+        t = pa.table({"text": pa.array(texts, pa.string()),
+                      "doc_id": pa.array(range(len(texts)), pa.int64())})
+        rows = bander(t)
+        band_map: dict[tuple[int, int], list[int]] = {}
+        for b, h, i in zip(rows["band"].to_pylist(),
+                           rows["band_hash"].to_pylist(),
+                           rows["doc_id"].to_pylist()):
+            band_map.setdefault((b, h), []).append(i)
+        shingles = [np.unique(_shingle_hashes(s, shingle_k))
+                    for s in texts]
+        return band_map, shingles
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from astrologer_ray.pipelines.dedup import _shingle_hashes
+
+        texts = t[self.text_col].to_pylist()
+        n = len(texts)
+        # band rows for this batch via the shared bander (needs an id col)
+        bt = pa.table({self.text_col: t[self.text_col],
+                       self._bander.id_col:
+                           pa.array(range(n), pa.int64())})
+        rows = self._bander(bt)
+        cands: list[set[int]] = [set() for _ in range(n)]
+        for b, h, i in zip(rows["band"].to_pylist(),
+                           rows["band_hash"].to_pylist(),
+                           rows[self._bander.id_col].to_pylist()):
+            hit = self.band_map.get((b, h))
+            if hit:
+                cands[i].update(hit)
+        best_j = np.zeros(n, dtype=np.float64)
+        best_id = np.full(n, -1, dtype=np.int64)
+        for i, cand in enumerate(cands):
+            if not cand:
+                continue
+            mine = np.unique(
+                _shingle_hashes(texts[i], self._bander.mh.shingle_k))
+            if len(mine) == 0:
+                continue
+            for bid in sorted(cand):
+                other = self.bench_shingles[bid]
+                inter = len(np.intersect1d(mine, other,
+                                           assume_unique=True))
+                union = len(mine) + len(other) - inter
+                j = inter / union if union else 0.0
+                if j > best_j[i]:
+                    best_j[i], best_id[i] = j, bid
+        out = {c: t[c] for c in t.column_names if c != self.text_col}
+        out["bench_jaccard"] = pa.array(best_j, pa.float64())
+        out["bench_id"] = pa.array(
+            np.where(best_j >= self.threshold, best_id, -1), pa.int64())
+        return pa.table(out)
+
+
+def fuzzy_decontaminate(ds: Dataset, benchmark_texts: list[str], *,
+                        threshold: float = 0.5, num_perm: int = 128,
+                        bands: int = 32, seed: int = 7, shingle_k: int = 3,
+                        text_col: str = "text") -> Dataset:
+    """Near-duplicate benchmark contamination over a Dataset: adds
+    ``bench_jaccard`` (best exact Jaccard among LSH candidates) and
+    ``bench_id`` (matched benchmark doc, -1 below ``threshold``); filter
+    ``bench_id < 0`` downstream to keep clean docs."""
+    import ray
+
+    ref = ray.put(FuzzyDecontaminateStage.build_benchmark(
+        benchmark_texts, num_perm=num_perm, bands=bands, seed=seed,
+        shingle_k=shingle_k))
+    return ds.map_batches(
+        FuzzyDecontaminateStage,
+        fn_constructor_kwargs={
+            "bench_ref": ref, "threshold": threshold, "num_perm": num_perm,
+            "bands": bands, "seed": seed, "shingle_k": shingle_k,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def fingerprint64(text: str) -> int:
     """Deterministic 63-bit fingerprint of the simple-token stream.
 

@@ -1319,3 +1319,52 @@ def test_remove_spans_empty_span_table(ray_session):
     # clean_text is the canonical simple-split join, untouched
     assert out.sort_values("doc_id")["clean_text"].iloc[0] == \
         "unique words only here 0 alpha beta"
+
+
+def test_fuzzy_decontaminate_lsh_matches_brute(ray_session):
+    """MinHash-LSH decontamination: flagged docs carry their TRUE exact
+    Jaccard (precision exact); near-copies of benchmark docs are found;
+    clean docs stay unflagged (brute-force verified)."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.dedup import jaccard
+    from astrologer_ray.pipelines.textstats import fuzzy_decontaminate
+
+    rng = __import__("random").Random(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    bench = [" ".join(rng.choices(vocab, k=60)) for _ in range(3)]
+    docs = []
+    # 0: exact copy of bench 0; 1: light edit of bench 1 (high jaccard);
+    # 2: heavier edit of bench 2; rest: unrelated
+    docs.append({"doc_id": 0, "text": bench[0]})
+    ed = bench[1].split()
+    ed[5], ed[25] = "zzz", "yyy"
+    docs.append({"doc_id": 1, "text": " ".join(ed)})
+    ed2 = bench[2].split()
+    for p in range(0, 30, 3):
+        ed2[p] = f"n{p}"
+    docs.append({"doc_id": 2, "text": " ".join(ed2)})
+    for i in range(3, 40):
+        docs.append({"doc_id": i,
+                     "text": " ".join(rng.choices(vocab, k=50))})
+    out = fuzzy_decontaminate(
+        rd.from_items(docs), bench, threshold=0.5
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # exact copy: jaccard 1.0 against bench 0
+    assert out.loc[0, "bench_id"] == 0
+    assert out.loc[0, "bench_jaccard"] == 1.0
+    # near-copy found, and the reported jaccard IS the true exact one
+    assert out.loc[1, "bench_id"] == 1
+    assert out.loc[1, "bench_jaccard"] == pytest.approx(
+        jaccard(docs[1]["text"], bench[1]))
+    assert out.loc[1, "bench_jaccard"] >= 0.5
+    # every flagged doc is a true >= threshold match (exact precision)
+    for _, r in out[out.bench_id >= 0].iterrows():
+        true_j = jaccard(docs[int(r.doc_id)]["text"], bench[int(r.bench_id)])
+        assert r.bench_jaccard == pytest.approx(true_j)
+        assert true_j >= 0.5
+    # no unflagged doc hides a high-similarity match (recall at j>=0.9
+    # is ~certain with 32 bands of 4 rows)
+    for _, r in out[out.bench_id < 0].iterrows():
+        for b in bench:
+            assert jaccard(docs[int(r.doc_id)]["text"], b) < 0.9
