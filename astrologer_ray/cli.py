@@ -485,6 +485,19 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    """ES ``_count`` analog: the matched-doc count for a query body
+    (same exact-total semantics as ``_search`` hits.total)."""
+    from astrologer_ray.state.dsl import execute_count
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    s = Searcher(args.index, load_docs=True)
+    body = json.loads(args.query) if args.query else None
+    print(json.dumps(execute_count(s, body)))
+    return 0
+
+
 def cmd_msearch(args) -> int:
     """ES ``_msearch`` analog: one ``_search`` request body per input
     line (NDJSON; the ES header lines are unnecessary with a single
@@ -708,6 +721,15 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("--replicas", type=int, default=2,
                     help="replica actor count (default 2)")
     ms.set_defaults(fn=cmd_msearch)
+
+    cn = sub.add_parser(
+        "count", help="ES _count analog: matched-doc count for a query "
+                      "body (omit QUERY to count all live docs)")
+    cn.add_argument("index")
+    cn.add_argument("query", nargs="?", default=None,
+                    help='JSON body, e.g. \'{"query": {"match": '
+                         '{"content": "merge"}}}\'')
+    cn.set_defaults(fn=cmd_count)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1016,6 +1016,40 @@ def _retriever_ranking(s, spec: dict, window: int) -> list[int]:
     raise NotImplementedError(f"unsupported retriever {kind!r}")
 
 
+def _exact_total(s, t: _Translated) -> int:
+    """The true matched-doc count for a translated query — ES's
+    ``hits.total`` / ``_count`` semantics: the agg-scope filter (>=1
+    scoring term + filters) except where it would overcount, where the
+    exact predicate runs instead (phrase / span / phrase_prefix / msm>1)."""
+    if t.phrase is not None:
+        # exact: a phrase's total counts PHRASE matches, not docs holding
+        # any phrase word — run the phrase predicate over all local docs
+        return len(s.phrase_search(t.phrase, k=s.n_local, filter=t.filter))
+    if t.span_near is not None:
+        return len(s.span_near(t.span_near["terms"],
+                               slop=t.span_near["slop"],
+                               k=s.n_local, filter=t.filter))
+    if t.phrase_prefix is not None:
+        return len(s.match_phrase_prefix(
+            t.phrase_prefix["terms"], k=s.n_local,
+            max_expansions=t.phrase_prefix["max_expansions"],
+            filter=t.filter))
+    if t.msm > 1 and (t.terms or t.should_terms):
+        # minimum_should_match > 1 (bool msm, terms_set): the >=1-term
+        # agg-scope filter overcounts; run the exact predicate instead
+        return len(s.search(t.terms, k=s.n_local, filter=t.filter,
+                            should_terms=t.should_terms or None,
+                            min_should_match=t.msm))
+    return s.count(_agg_scope_filter(s, t))
+
+
+def execute_count(s, body: dict | None = None) -> dict:
+    """ES ``_count``: the matched-doc count for a query body — no hits,
+    no aggs, same exact-total semantics as ``hits.total``."""
+    t = _translate(s, (body or {}).get("query"))
+    return {"count": int(_exact_total(s, t))}
+
+
 def execute_dsl(s, body: dict) -> dict:
     """Run one ES ``_search`` request body; returns an ES-shaped dict."""
     size = int(body.get("size", 10))
@@ -1116,29 +1150,7 @@ def execute_dsl(s, body: dict) -> dict:
                          after, body.get("sort"))
     hits = hits[frm:]
     aggs = body.get("aggs") or body.get("aggregations")
-    # ES reports the true matched-doc count, not the page length; the
-    # agg-scope filter IS the match predicate (>=1 scoring term + filters)
-    if t.phrase is not None:
-        # exact: a phrase's total counts PHRASE matches, not docs holding
-        # any phrase word — run the phrase predicate over all local docs
-        total = len(s.phrase_search(t.phrase, k=s.n_local, filter=t.filter))
-    elif t.span_near is not None:
-        total = len(s.span_near(t.span_near["terms"],
-                                slop=t.span_near["slop"],
-                                k=s.n_local, filter=t.filter))
-    elif t.phrase_prefix is not None:
-        total = len(s.match_phrase_prefix(
-            t.phrase_prefix["terms"], k=s.n_local,
-            max_expansions=t.phrase_prefix["max_expansions"],
-            filter=t.filter))
-    elif t.msm > 1 and (t.terms or t.should_terms):
-        # minimum_should_match > 1 (bool msm, terms_set): the >=1-term
-        # agg-scope filter overcounts; run the exact predicate instead
-        total = len(s.search(t.terms, k=s.n_local, filter=t.filter,
-                             should_terms=t.should_terms or None,
-                             min_should_match=t.msm))
-    else:
-        total = s.count(_agg_scope_filter(s, t))
+    total = _exact_total(s, t)
     resp = {
         "hits": {
             "total": {"value": int(total), "relation": "eq"},

@@ -427,3 +427,21 @@ def test_cli_msearch(ray_session, small_corpus_dir, tmp_path, capsys):
     assert lines[1]["aggregations"]["langs"]["buckets"]  # body 2: aggs
     # responses come back in request order: body 2 carried size 0
     assert lines[1]["hits"]["hits"] == []
+
+
+def test_cli_count(ray_session, small_corpus_dir, tmp_path, capsys):
+    import json
+
+    from astrologer_ray.cli import main
+
+    idx = str(tmp_path / "cntidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows",
+                 "64"]) == 0
+    capsys.readouterr()
+    assert main(["count", idx]) == 0
+    all_docs = json.loads(capsys.readouterr().out.strip())["count"]
+    assert all_docs > 0
+    assert main(["count", idx,
+                 '{"query": {"match": {"content": "index"}}}']) == 0
+    some = json.loads(capsys.readouterr().out.strip())["count"]
+    assert 0 < some <= all_docs

@@ -1343,3 +1343,26 @@ def test_function_score_general_form(dsl_index):
             "query": {"match": {"content": w1}},
             "functions": [{"random_score": {}}],
             "boost_mode": "sum"}}})
+
+
+def test_execute_count_matches_hits_total(dsl_index):
+    from astrologer_ray.state.dsl import execute_count
+
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    bodies = [
+        None,
+        {"query": {"match": {"content": w1}}},
+        {"query": {"match_phrase": {"content": f"{w1} {w2}"}}},
+        {"query": {"bool": {"must": [{"match": {"content": w1}}],
+                            "filter": [{"term": {"lang": "go"}}]}}},
+        {"query": {"terms_set": {"content": {
+            "terms": [w1, w2], "minimum_should_match": 2}}}},
+    ]
+    for body in bodies:
+        got = execute_count(s, body)["count"]
+        want = (execute_dsl(s, body)["hits"]["total"]["value"]
+                if body else s.count(None))
+        assert got == want, body
+    assert execute_count(s, None)["count"] == s.count(None)
