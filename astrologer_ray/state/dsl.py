@@ -59,6 +59,12 @@ methods — this module adds translation, not retrieval):
   next to a bucket agg (``buckets_path`` = "parent>metric").  The
   distributed counterparts are pipelines.aggs.pipeline_aggs /
   bucket_script / bucket_selector.
+- ``suggest``: named ``term`` suggesters (one entry per analyzed
+  token, options ordered distance asc / df desc like
+  ``Searcher.suggest``) and ``phrase`` suggesters (whole-phrase
+  corrections ranked by the smoothed unigram LM of
+  ``Searcher.suggest_phrase``; ``collate`` keeps only phrases with an
+  exact index match).
 - ``explain: true`` (per-hit ``_explanation`` BM25 term breakdown) and
   ``highlight`` (per-hit term-occurrence evidence from the positional
   index; structured rows, not ``<em>`` snippets — the index stores
@@ -1016,6 +1022,62 @@ def _retriever_ranking(s, spec: dict, window: int) -> list[int]:
     raise NotImplementedError(f"unsupported retriever {kind!r}")
 
 
+def _run_suggest(s, sugg: dict) -> dict:
+    """ES ``suggest`` section: named term / phrase suggesters. The term
+    suggester emits one entry per analyzed token (offsets recovered by a
+    forward scan of the lowered input; -1 when the analyzer rewrote the
+    token); the phrase suggester emits one whole-text entry whose options
+    come from :meth:`Searcher.suggest_phrase`."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    global_text = sugg.get("text")
+    out = {}
+    for name, spec in sugg.items():
+        if name == "text":
+            continue
+        text = spec.get("text", global_text)
+        if text is None:
+            raise ValueError(f"suggester {name!r} has no text")
+        if "term" in spec:
+            arg = spec["term"]
+            k = int(arg.get("size", 5))
+            me = int(arg.get("max_edits", 2))
+            pl = int(arg.get("prefix_length", 0))
+            entries = []
+            lower, cursor = text.lower(), 0
+            for tok in tokenize(text, mode=s.mode):
+                off = lower.find(tok, cursor)
+                if off >= 0:
+                    cursor = off + len(tok)
+                entries.append({
+                    "text": tok, "offset": off, "length": len(tok),
+                    "options": [
+                        {"text": r["term"], "freq": r["df"],
+                         "score": round(1.0 - r["distance"] /
+                                        max(len(tok), 1), 4)}
+                        for r in s.suggest(tok, k=k, max_edits=me,
+                                           prefix_length=pl)],
+                })
+            out[name] = entries
+        elif "phrase" in spec:
+            arg = spec["phrase"]
+            gens = arg.get("direct_generator") or [{}]
+            options = s.suggest_phrase(
+                text, k=int(arg.get("size", 3)),
+                max_edits=int(arg.get("max_edits",
+                                      gens[0].get("max_edits", 1))),
+                max_candidates=int(arg.get("max_candidates", 3)),
+                error_prob=float(arg.get("error_prob", 0.5)),
+                collate="collate" in arg)
+            out[name] = [{"text": text, "offset": 0, "length": len(text),
+                          "options": options}]
+        else:
+            raise NotImplementedError(
+                f"unsupported suggester kind in {name!r} "
+                f"(term and phrase are supported)")
+    return out
+
+
 def _exact_total(s, t: _Translated) -> int:
     """The true matched-doc count for a translated query — ES's
     ``hits.total`` / ``_count`` semantics: the agg-scope filter (>=1
@@ -1169,6 +1231,8 @@ def execute_dsl(s, body: dict) -> dict:
             raise NotImplementedError(
                 "explain/highlight are not supported with collapse/rescore")
         _attach_hit_evidence(s, body, t, resp, size + frm, after)
+    if "suggest" in body:
+        resp["suggest"] = _run_suggest(s, body["suggest"])
     if aggs:
         resp["aggregations"] = _run_aggs(
             s, aggs, _agg_scope_filter(s, t),

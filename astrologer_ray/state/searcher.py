@@ -784,6 +784,64 @@ class Searcher:
         rows.sort(key=lambda r: (r["distance"], -r["df"], r["term"]))
         return rows[:k]
 
+    def suggest_phrase(self, text: str, k: int = 3, max_edits: int = 1,
+                       max_candidates: int = 3, error_prob: float = 0.5,
+                       collate: bool = False) -> list[dict]:
+        """Phrase suggester (ES ``suggest.phrase``): whole-phrase
+        corrections for a multi-token input, built from per-token term-
+        suggester candidates and ranked by a smoothed unigram language
+        model — a documented simplification of ES's stupid-backoff
+        bigram model (same candidate generator, same shape):
+
+        ``score(phrase) = sum_t log10((df(t)+1) / (N+|V|)) +
+        n_corrections * log10(error_prob)``
+
+        so higher-df corrections win and every correction pays the
+        ``error_prob`` penalty (ES's candidate-generator likelihood).
+        The identity phrase is excluded like ES excludes the input.
+        ``collate=True`` keeps only phrases with at least one exact
+        phrase match in this index (ES's collate query; needs an index
+        built with positions). Candidate space is bounded:
+        ``max_candidates`` corrections per token, full cartesian product
+        only across tokens that HAVE candidates."""
+        import itertools
+        import math
+
+        toks = tokenize(text, mode=self.mode)
+        if not toks:
+            return []
+        vocab = max(1, len(self.df))
+        denom = float(self.N + vocab)
+
+        def logp(t: str) -> float:
+            return math.log10((self.df.get(t, 0) + 1) / denom)
+
+        per_tok: list[list[str]] = []
+        for t in toks:
+            cands = [t]
+            cands += [r["term"]
+                      for r in self.suggest(t, k=max_candidates,
+                                            max_edits=max_edits)]
+            per_tok.append(cands)
+        seen = set()
+        out = []
+        for combo in itertools.product(*per_tok):
+            if combo == tuple(toks) or combo in seen:
+                continue
+            seen.add(combo)
+            n_corr = sum(1 for a, b in zip(combo, toks) if a != b)
+            score = (sum(logp(t) for t in combo)
+                     + n_corr * math.log10(error_prob))
+            out.append({"text": " ".join(combo), "score": score,
+                        "tokens": list(combo)})
+        if collate:
+            out = [r for r in out
+                   if self.phrase_search(r["tokens"], k=1)]
+        out.sort(key=lambda r: (-r["score"], r["text"]))
+        for r in out:
+            r.pop("tokens")
+        return out[:k]
+
     def filter_mask(self, f) -> np.ndarray:
         """Boolean doc mask for an ES-style predicate (the reference's main
         query shape: bool.must of term filters,

@@ -1366,3 +1366,79 @@ def test_execute_count_matches_hits_total(dsl_index):
                 if body else s.count(None))
         assert got == want, body
     assert execute_count(s, None)["count"] == s.count(None)
+
+
+def test_suggest_term_and_phrase_bodies(dsl_index):
+    """suggest: term suggester (per-token entries) and phrase suggester
+    (unigram-LM ranked whole-phrase corrections, collate filter)."""
+    import math
+
+    s = Searcher(dsl_index, load_docs=True)
+    # find an adjacent pair that really occurs (for collate)
+    terms_by_df = [t for t, _ in sorted(s.df.items(),
+                                        key=lambda kv: -kv[1])[:12]]
+    pair = None
+    for a in terms_by_df:
+        for b in terms_by_df:
+            if a != b and s.phrase_search([a, b], k=1):
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair is not None
+    a, b = pair
+    # misspell `a` one edit away from the dictionary word
+    bad = a[:-1] + ("q" if a[-1] != "q" else "x")
+    assert bad not in s.df
+    text = f"{bad} {b}"
+
+    # phrase suggester: the corrected phrase is offered and scored by
+    # the documented unigram model + one correction penalty
+    opts = s.suggest_phrase(text, k=5, max_edits=1, collate=False)
+    fixed = [o for o in opts if o["text"] == f"{a} {b}"]
+    assert fixed, opts
+    vocab = len(s.df)
+    denom = s.N + vocab
+
+    def logp(t):
+        return math.log10((s.df.get(t, 0) + 1) / denom)
+
+    want = logp(a) + logp(b) + math.log10(0.5)
+    assert fixed[0]["score"] == pytest.approx(want)
+    # identity phrase is never offered
+    assert all(o["text"] != text for o in opts)
+    # collate keeps only phrases occurring verbatim in the index
+    copts = s.suggest_phrase(text, k=5, max_edits=1, collate=True)
+    for o in copts:
+        assert s.phrase_search(o["text"].split(), k=1), o
+
+    # DSL body: phrase suggester
+    got = execute_dsl(s, {"size": 0, "suggest": {
+        "fix": {"text": text, "phrase": {
+            "field": "content", "size": 5, "max_edits": 1,
+            "collate": {"query": {}}}}}})
+    entry = got["suggest"]["fix"][0]
+    assert entry["text"] == text and entry["offset"] == 0
+    assert entry["options"] == copts
+
+    # DSL body: term suggester — one entry per token, options == direct
+    got = execute_dsl(s, {"size": 0, "suggest": {
+        "t": {"text": text, "term": {
+            "field": "content", "size": 3, "max_edits": 1}}}})
+    entries = got["suggest"]["t"]
+    assert [e["text"] for e in entries] == [bad, b]
+    assert entries[0]["offset"] == 0
+    assert entries[1]["offset"] == text.index(b)
+    want_opts = s.suggest(bad, k=3, max_edits=1)
+    assert [o["text"] for o in entries[0]["options"]] == \
+        [r["term"] for r in want_opts]
+    assert [o["freq"] for o in entries[0]["options"]] == \
+        [r["df"] for r in want_opts]
+    # shared top-level text + unknown suggester kind refuses
+    got = execute_dsl(s, {"size": 0, "suggest": {
+        "text": text,
+        "t2": {"term": {"field": "content", "size": 2}}}})
+    assert [e["text"] for e in got["suggest"]["t2"]] == [bad, b]
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"suggest": {"x": {"text": "a",
+                                          "completion": {}}}})
