@@ -3049,6 +3049,67 @@ ORDER BY distance, df DESC, term LIMIT 5
 """
 
 
+def phrase_suggest_documents(sf_dir: str):
+    """Phrase suggester (ES ``suggest.phrase``) with a FULL SQL oracle:
+    whole-phrase corrections for 'hast data', candidates = each token
+    plus its top-3 distance-1 dictionary corrections (df desc, term asc
+    — the term-suggester order DuckDB's levenshtein() reproduces),
+    scored by the smoothed unigram LM
+    ``sum log10((df+1)/(N+V)) + corrections * log10(0.5)`` and ranked
+    by (rounded score desc, text) so float ties order identically on
+    both sides."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    # k large enough to keep every combo (4 x 4 - identity = 15), so the
+    # top-8 cut happens on the ROUNDED score, matching the oracle
+    rows = s.suggest_phrase("hast data", k=16, max_edits=1,
+                            max_candidates=3)
+    rows = [{"text": r["text"], "score": round(r["score"], 6)}
+            for r in rows]
+    rows.sort(key=lambda r: (-r["score"], r["text"]))
+    rows = rows[:8]
+    return pa.table({
+        "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+        "score": pa.array([r["score"] for r in rows], pa.float64()),
+    })
+
+
+PHRASE_SUGGEST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+const AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM vocab) AS v),
+c1 AS (
+  SELECT 'hast' AS cand, 0 AS corr
+  UNION ALL
+  SELECT term, 1 FROM (
+    SELECT term FROM vocab WHERE levenshtein(term, 'hast') = 1
+    ORDER BY df DESC, term LIMIT 3) s1),
+c2 AS (
+  SELECT 'data' AS cand, 0 AS corr
+  UNION ALL
+  SELECT term, 1 FROM (
+    SELECT term FROM vocab WHERE levenshtein(term, 'data') = 1
+    ORDER BY df DESC, term LIMIT 3) s2),
+ph AS (
+  SELECT c1.cand || ' ' || c2.cand AS text,
+         round(log10((coalesce(v1.df, 0) + 1) * 1.0 / (k.n + k.v))
+               + log10((coalesce(v2.df, 0) + 1) * 1.0 / (k.n + k.v))
+               + (c1.corr + c2.corr) * log10(0.5), 6) AS score
+  FROM c1 CROSS JOIN c2 CROSS JOIN const k
+  LEFT JOIN vocab v1 ON v1.term = c1.cand
+  LEFT JOIN vocab v2 ON v2.term = c2.cand
+  WHERE NOT (c1.corr = 0 AND c2.corr = 0))
+SELECT row_number() OVER (ORDER BY score DESC, text) AS rank, text, score
+FROM ph ORDER BY score DESC, text LIMIT 8
+"""
+
+
 def top_terms_by_df(sf_dir: str):
     """Corpus-wide top analyzed terms by document frequency, served from
     the term DICTIONARY alone (no postings decode, no corpus scan) — the
@@ -4670,6 +4731,7 @@ _LAST_DRIVER_VERIFIED = {
     "significant_text_documents": 4,
     "span_near_documents": 4,
     "term_suggest": 4,
+    "phrase_suggest_documents": 0,  # new in r5 (phrase suggester, SQL oracle)
     "terms_set_documents": 4,
     "top_terms_by_df": 4,
 }
@@ -4805,6 +4867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_text_documents": significant_text_documents,
         "span_near_documents": span_near_documents,
         "term_suggest": term_suggest,
+        "phrase_suggest_documents": phrase_suggest_documents,
         "terms_set_documents": terms_set_documents,
         "top_terms_by_df": top_terms_by_df,
     }
@@ -4903,6 +4966,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_fuzzy_lookup": FUZZY_LOOKUP_SQL,
         "docs_wildcard_lookup": WILDCARD_LOOKUP_SQL,
         "term_suggest": TERM_SUGGEST_SQL,
+        "phrase_suggest_documents": PHRASE_SUGGEST_SQL,
         "top_terms_by_df": TOP_TERMS_SQL,
         "significant_text_documents": SIGNIFICANT_TEXT_SQL,
         "docs_runtime_field_agg": RUNTIME_FIELD_SQL,

@@ -810,7 +810,9 @@ class Searcher:
         toks = tokenize(text, mode=self.mode)
         if not toks:
             return []
-        vocab = max(1, len(self.df))
+        # LM vocabulary = analyzed-text dictionary only (keyword-field
+        # namespaced entries are not words)
+        vocab = max(1, len(self._text_term_table()[0]))
         denom = float(self.N + vocab)
 
         def logp(t: str) -> float:

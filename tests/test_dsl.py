@@ -1397,7 +1397,7 @@ def test_suggest_term_and_phrase_bodies(dsl_index):
     opts = s.suggest_phrase(text, k=5, max_edits=1, collate=False)
     fixed = [o for o in opts if o["text"] == f"{a} {b}"]
     assert fixed, opts
-    vocab = len(s.df)
+    vocab = len([t for t in s.df if "\x1e" not in t])
     denom = s.N + vocab
 
     def logp(t):
