@@ -726,6 +726,27 @@ FROM agg
 """
 
 
+def events_percentile_ranks(sf_dir: str):
+    """ES ``percentile_ranks`` (exact flavor): % of event values <= each
+    probe — one combiner pass of (n, n<=v) partials, driver reduce
+    O(blocks x probes), no shuffle or sort (the inverse of the
+    percentiles agg)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import percentile_ranks
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["value"])
+    return percentile_ranks(ds, "value", (10.0, 50.0, 200.0))
+
+
+PERCENTILE_RANKS_SQL = """
+SELECT v AS value,
+       round(100.0 * (SELECT count(*) FROM events WHERE value <= v)
+             / (SELECT count(*) FROM events WHERE value IS NOT NULL),
+             6) AS pct_rank
+FROM (VALUES (10.0), (50.0), (200.0)) t(v) ORDER BY value
+"""
+
+
 def events_pipeline_aggs(sf_dir: str):
     """ES pipeline aggregations over a day histogram: cumulative_sum of
     the doc count, derivative of the day's cents sum, 3-bucket trailing
@@ -4660,6 +4681,7 @@ _LAST_DRIVER_VERIFIED = {
     "events_extended_stats": 3,
     "events_props_sum": 3,
     "events_pipeline_aggs": 3,
+    "events_percentile_ranks": 0,  # new in r5 (SQL oracle)
     "events_dense_histogram": 3,
     "events_percentiles_sampled": 3,
     "events_bucket_script": 3,
@@ -4791,6 +4813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_extended_stats": events_extended_stats,
         "events_props_sum": events_props_sum,
         "events_pipeline_aggs": events_pipeline_aggs,
+        "events_percentile_ranks": events_percentile_ranks,
         "events_dense_histogram": events_dense_histogram,
         "events_percentiles_sampled": events_percentiles_sampled,
         "events_bucket_script": events_bucket_script,
@@ -4897,6 +4920,7 @@ def oracle_sql() -> dict[str, str]:
         "events_extended_stats": EVENTS_EXTENDED_STATS_SQL,
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
+        "events_percentile_ranks": PERCENTILE_RANKS_SQL,
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
         "events_auto_histogram": EVENTS_AUTO_HIST_SQL,
         "docs_chunked": DOCS_CHUNKED_SQL,

@@ -597,6 +597,13 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
         return {"values": {
             str(p): float(np.quantile(v, p / 100.0)) if n else None
             for p in pcts}}
+    if fn == "percentile_ranks":
+        # exact: % of observed values <= probe (the t-digest's limit;
+        # distributed counterpart pipelines.aggs.percentile_ranks)
+        probes = [float(x) for x in arg["values"]]
+        return {"values": {
+            str(p): float(100.0 * (v <= p).sum() / n) if n else None
+            for p in probes}}
     if fn == "extended_stats":
         # population moments, like ES (variance = E[x^2] - E[x]^2);
         # sigma (default 2) shapes std_deviation_bounds
@@ -899,8 +906,9 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
                 absent = np.zeros(len(col), dtype=bool)
             out[name] = {"doc_count": int((keep & absent).sum())}
         elif kind in ("avg", "sum", "min", "max", "value_count", "stats",
-                      "percentiles", "cardinality", "extended_stats",
-                      "weighted_avg", "median_absolute_deviation"):
+                      "percentiles", "percentile_ranks", "cardinality",
+                      "extended_stats", "weighted_avg",
+                      "median_absolute_deviation"):
             # percentiles is the exact flavor (linear interpolation ==
             # SQL quantile_cont, same as pipelines.aggs.percentiles);
             # cardinality is exact distinct (the sketch flavor lives in

@@ -1442,3 +1442,12 @@ def test_suggest_term_and_phrase_bodies(dsl_index):
     with pytest.raises(NotImplementedError):
         execute_dsl(s, {"suggest": {"x": {"text": "a",
                                           "completion": {}}}})
+
+
+def test_percentile_ranks_metric(pipe_searcher):
+    s, ts, val = pipe_searcher
+    got = execute_dsl(s, {"size": 0, "aggs": {"pr": {
+        "percentile_ranks": {"field": "val", "values": [5, 15]}}}})
+    pr = got["aggregations"]["pr"]["values"]
+    assert pr["5.0"] == pytest.approx(100.0 * (val <= 5).sum() / len(val))
+    assert pr["15.0"] == pytest.approx(100.0 * (val <= 15).sum() / len(val))
