@@ -59,6 +59,11 @@ methods — this module adds translation, not retrieval):
   next to a bucket agg (``buckets_path`` = "parent>metric").  The
   distributed counterparts are pipelines.aggs.pipeline_aggs /
   bucket_script / bucket_selector.
+- ``runtime_mappings``: request-scoped computed attributes
+  (``emit(<painless arithmetic expr>)`` over ``doc['x'].value`` refs,
+  ``params.*``, ``Math.*`` -> numpy), composing with every filter /
+  agg / sort like stored attrs; a list-form top-level ``_source``
+  projects the named doc attrs onto every hit.
 - ``suggest``: named ``term`` suggesters (one entry per analyzed
   token, options ordered distance asc / df desc like
   ``Searcher.suggest``) and ``phrase`` suggesters (whole-phrase
@@ -1120,8 +1125,83 @@ def execute_count(s, body: dict | None = None) -> dict:
     return {"count": int(_exact_total(s, t))}
 
 
+def _runtime_field_fn(s, spec: dict):
+    """Compile an ES runtime-field script (``emit(<arithmetic expr>)``
+    over ``doc['x'].value`` refs, ``params.*`` and ``Math.*``) into the
+    vectorized attrs->array callable ``Searcher.add_runtime_field``
+    expects."""
+    import re
+
+    script = spec.get("script")
+    if script is None:
+        raise NotImplementedError(
+            "runtime_mappings fields need a script")
+    src = script["source"] if isinstance(script, dict) else script
+    m = re.fullmatch(r"\s*emit\((.*)\)\s*", src, flags=re.S)
+    if not m:
+        raise NotImplementedError(
+            "runtime field scripts must be a single emit(<expr>) over "
+            "the painless arithmetic subset")
+    expr = re.sub(r"doc\[['\"](\w+)['\"]\]\.value", r"doc_\1", m.group(1))
+    expr = (expr.replace("Math.log10", "np.log10")
+                .replace("Math.log", "np.log")
+                .replace("Math.sqrt", "np.sqrt")
+                .replace("Math.abs", "np.abs")
+                .replace("Math.max", "np.maximum")
+                .replace("Math.min", "np.minimum")
+                .replace("params.", "params_"))
+    params = (script.get("params") or {}) if isinstance(script, dict) \
+        else {}
+    attr_names = set(re.findall(r"doc_(\w+)", expr))
+
+    def fn(attrs):
+        env = {"np": np}
+        for pk, pv in params.items():
+            env[f"params_{pk}"] = pv
+        for a in attr_names:
+            env[f"doc_{a}"] = np.asarray(attrs[a], dtype=np.float64)
+        try:
+            out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
+        except Exception as e:
+            raise NotImplementedError(
+                f"unsupported runtime field script {src!r}: {e}") from e
+        return np.broadcast_to(
+            np.asarray(out, dtype=np.float64), (s.n_local,)).copy()
+
+    return fn
+
+
 def execute_dsl(s, body: dict) -> dict:
-    """Run one ES ``_search`` request body; returns an ES-shaped dict."""
+    """Run one ES ``_search`` request body; returns an ES-shaped dict.
+
+    ``runtime_mappings`` register request-scoped computed attributes
+    (removed afterwards); a LIST-form top-level ``_source`` projects the
+    named doc attrs onto every returned hit."""
+    added = []
+    try:
+        for name, spec in (body.get("runtime_mappings") or {}).items():
+            if name in s.doc_attrs:
+                raise ValueError(
+                    f"runtime field {name!r} shadows a stored attribute")
+            s.add_runtime_field(name, _runtime_field_fn(s, spec))
+            added.append(name)
+        resp = _execute_body(s, body)
+        src = body.get("_source")
+        if isinstance(src, list) and src:
+            for h in resp["hits"]["hits"]:
+                li = h["_id"] - s.doc_lo
+                h["_source"] = {
+                    a: (s._attr(a)[li].item()
+                        if hasattr(s._attr(a)[li], "item")
+                        else s._attr(a)[li])
+                    for a in src}
+        return resp
+    finally:
+        for name in added:
+            s.doc_attrs.pop(name, None)
+
+
+def _execute_body(s, body: dict) -> dict:
     size = int(body.get("size", 10))
     if ("retriever" in body or "knn" in body) and \
             ("collapse" in body or "rescore" in body):

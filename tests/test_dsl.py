@@ -1451,3 +1451,49 @@ def test_percentile_ranks_metric(pipe_searcher):
     pr = got["aggregations"]["pr"]["values"]
     assert pr["5.0"] == pytest.approx(100.0 * (val <= 5).sum() / len(val))
     assert pr["15.0"] == pytest.approx(100.0 * (val <= 15).sum() / len(val))
+
+
+def test_runtime_mappings_and_source_projection(dsl_index):
+    """runtime_mappings register request-scoped computed attrs (filter /
+    agg / sort compose like stored attrs, removed afterwards); a
+    list-form top-level _source projects attrs onto every hit."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    body = {
+        "runtime_mappings": {"dl2": {"type": "double", "script": {
+            "source": "emit(doc['dl'].value * params.m)",
+            "params": {"m": 2.0}}}},
+        "query": {"match": {"content": w1}},
+        "aggs": {"mx": {"max": {"field": "dl2"}}},
+        "_source": ["dl", "lang"],
+        "size": 4,
+    }
+    got = execute_dsl(s, body)
+    # the runtime field saw every doc in the query scope
+    m = np.zeros(s.n_local, bool)
+    for h in s.search([w1], k=s.n_local):
+        m[h["doc_id"] - s.doc_lo] = True
+    assert got["aggregations"]["mx"]["value"] == (dl[m] * 2.0).max()
+    # _source carries the projected attrs for each hit
+    for h in got["hits"]["hits"]:
+        li = h["_id"] - s.doc_lo
+        assert h["_source"]["dl"] == dl[li]
+        assert h["_source"]["lang"] == s._attr("lang")[li]
+    # the request-scoped field is gone afterwards
+    assert "dl2" not in s.doc_attrs
+    # sorting by a runtime field works and cleans up on error too
+    got = execute_dsl(s, {
+        "runtime_mappings": {"neg": {"script":
+                             "emit(0 - doc['dl'].value)"}},
+        "query": {"match_all": {}},
+        "sort": [{"neg": {"order": "asc"}}], "size": 3})
+    want = s.sort_by_attr("dl", k=3, descending=True)
+    assert [h["_id"] for h in got["hits"]["hits"]] == \
+        [r["doc_id"] for r in want]
+    assert "neg" not in s.doc_attrs
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"runtime_mappings": {"x": {"script":
+                        "doc['dl'].value"}},  # no emit()
+                        "query": {"match_all": {}}})
+    assert "x" not in s.doc_attrs
