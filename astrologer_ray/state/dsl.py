@@ -1125,6 +1125,195 @@ def execute_count(s, body: dict | None = None) -> dict:
     return {"count": int(_exact_total(s, t))}
 
 
+# metric aggs whose per-shard values merge losslessly by the same op
+_MERGEABLE_METRICS = {"sum", "min", "max", "value_count"}
+
+
+def shard_plan(body: dict, shard_size: int | None = None
+               ) -> tuple[dict, dict]:
+    """Rewrite a ``_search`` body for scatter-gather over doc-range
+    shards and return ``(per_shard_body, merge_plan)``.
+
+    Doc-range shards score every local doc COMPLETELY from global stats
+    (df/N/avgdl), so hits merge exactly for every query kind; totals sum
+    (disjoint docs). Aggregations must be shard-mergeable: bucket counts
+    (terms / multi_terms / histogram / date_histogram / range / filters /
+    missing) sum by key; sum/min/max/value_count merge by the same op;
+    avg and stats merge via per-shard ``stats`` partials;
+    extended_stats via its moment sums. ``terms`` follows ES shard
+    semantics: each shard returns ``shard_size`` buckets (default
+    ``3*size+10``) and the merged result carries
+    ``doc_count_error_upper_bound``. Sibling ``*_bucket`` pipelines
+    apply post-merge on the driver. Everything else
+    (sub-aggregations, sort, search_after, knn/retriever, collapse,
+    rescore, suggest, cardinality, percentiles, ...) raises."""
+    for k in ("knn", "retriever", "collapse", "rescore", "sort",
+              "search_after", "suggest"):
+        if k in body:
+            raise NotImplementedError(
+                f"sharded execution does not support {k!r}")
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    sbody = dict(body)
+    sbody["size"] = size + frm
+    sbody.pop("from", None)
+    aggs = body.get("aggs") or body.get("aggregations") or {}
+    plan: dict = {"size": size, "frm": frm, "aggs": {}, "sibling": [],
+                  "shard_sizes": {}}
+    saggs = {}
+    for name, spec in aggs.items():
+        spec = dict(spec)
+        if "aggs" in spec or "aggregations" in spec:
+            raise NotImplementedError(
+                "sharded aggs do not support sub-aggregations")
+        ((kind, arg),) = spec.items()
+        if kind in _SIBLING_PIPELINE:
+            plan["sibling"].append((name, kind, arg))
+            continue
+        if kind in ("terms", "multi_terms"):
+            tsize = int(arg.get("size", 10))
+            ssize = int(shard_size or arg.get("shard_size",
+                                              3 * tsize + 10))
+            saggs[name] = {kind: {**arg, "size": ssize}}
+            plan["aggs"][name] = (kind, arg)
+            plan["shard_sizes"][name] = ssize
+        elif kind in ("histogram", "date_histogram", "range", "filters",
+                      "missing") or kind in _MERGEABLE_METRICS \
+                or kind == "extended_stats":
+            saggs[name] = {kind: arg}
+            plan["aggs"][name] = (kind, arg)
+        elif kind in ("avg", "stats"):
+            saggs[name] = {"stats": arg}  # mergeable partial
+            plan["aggs"][name] = (kind, arg)
+        else:
+            raise NotImplementedError(
+                f"agg {kind!r} is not shard-mergeable")
+    if aggs:
+        sbody.pop("aggregations", None)
+        sbody["aggs"] = saggs
+    return sbody, plan
+
+
+def merge_sharded(responses: list[dict], plan: dict) -> dict:
+    """Merge per-shard ``run_dsl`` responses per the :func:`shard_plan`
+    contract (exact hit merge, by-key/by-op agg merge)."""
+    size, frm = plan["size"], plan["frm"]
+    all_hits = [h for r in responses for h in r["hits"]["hits"]]
+    all_hits.sort(key=lambda h: (-(h.get("_score") or 0.0), h["_id"]))
+    out = {"hits": {
+        "total": {"value": sum(r["hits"]["total"]["value"]
+                               for r in responses),
+                  "relation": "eq"},
+        "hits": all_hits[frm:frm + size],
+    }}
+    if not (plan["aggs"] or plan["sibling"]):
+        return out
+    aggs_out: dict = {}
+    for name, (kind, arg) in plan["aggs"].items():
+        parts = [r["aggregations"][name] for r in responses]
+        if kind in ("terms", "multi_terms"):
+            cnt: dict = {}
+            trunc = []
+            ssize = plan["shard_sizes"][name]
+            for p in parts:
+                bl = p["buckets"]
+                for b in bl:
+                    key = (tuple(b["key"]) if isinstance(b["key"], list)
+                           else b["key"])
+                    cnt[key] = cnt.get(key, 0) + b["doc_count"]
+                if bl and len(bl) >= ssize:  # this shard may have cut
+                    trunc.append(bl[-1]["doc_count"])
+            rows = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            rows = rows[: int(arg.get("size", 10))]
+            entry = {"buckets": [
+                {"key": list(k) if kind == "multi_terms" else k,
+                 "doc_count": c} for k, c in rows]}
+            if kind == "terms":
+                entry["doc_count_error_upper_bound"] = sum(trunc)
+            aggs_out[name] = entry
+        elif kind in ("histogram", "date_histogram"):
+            cnt = {}
+            for p in parts:
+                for b in p["buckets"]:
+                    cnt[b["key"]] = cnt.get(b["key"], 0) + b["doc_count"]
+            aggs_out[name] = {"buckets": [
+                {"key": k, "doc_count": c} for k, c in sorted(cnt.items())]}
+        elif kind == "range":
+            # per-shard bucket lists align positionally (same ranges)
+            merged = [dict(b) for b in parts[0]["buckets"]]
+            for p in parts[1:]:
+                for mb, b in zip(merged, p["buckets"]):
+                    mb["doc_count"] += b["doc_count"]
+            aggs_out[name] = {"buckets": merged}
+        elif kind == "filters":
+            named: dict = {}
+            for p in parts:
+                for n2, b in p["buckets"].items():
+                    named.setdefault(n2, {"doc_count": 0})
+                    named[n2]["doc_count"] += b["doc_count"]
+            aggs_out[name] = {"buckets": named}
+        elif kind == "missing":
+            aggs_out[name] = {"doc_count": sum(p["doc_count"]
+                                               for p in parts)}
+        elif kind in ("sum", "value_count"):
+            aggs_out[name] = {"value": sum(p["value"] for p in parts)}
+        elif kind in ("min", "max"):
+            vals = [p["value"] for p in parts if p["value"] is not None]
+            aggs_out[name] = {"value": (min(vals) if kind == "min"
+                                        else max(vals)) if vals else None}
+        elif kind == "avg":
+            n = sum(p["count"] for p in parts)
+            tot = sum(p["sum"] for p in parts)
+            aggs_out[name] = {"value": tot / n if n else None}
+        elif kind == "stats":
+            n = sum(p["count"] for p in parts)
+            tot = sum(p["sum"] for p in parts)
+            mins = [p["min"] for p in parts if p["min"] is not None]
+            maxs = [p["max"] for p in parts if p["max"] is not None]
+            aggs_out[name] = {
+                "count": n, "min": min(mins) if mins else None,
+                "max": max(maxs) if maxs else None,
+                "avg": tot / n if n else None, "sum": tot}
+        elif kind == "extended_stats":
+            n = sum(p["count"] for p in parts)
+            tot = sum(p["sum"] for p in parts)
+            sq = sum(p.get("sum_of_squares", 0.0) for p in parts)
+            mins = [p["min"] for p in parts if p["min"] is not None]
+            maxs = [p["max"] for p in parts if p["max"] is not None]
+            if n == 0:
+                aggs_out[name] = {"count": 0, "min": None, "max": None,
+                                  "avg": None, "sum": 0.0}
+                continue
+            sigma = float(arg.get("sigma", 2.0))
+            avg = tot / n
+            var_p = max(sq / n - avg * avg, 0.0)
+            var_s = (sq - n * avg * avg) / (n - 1) if n > 1 else 0.0
+            std_p, std_s = var_p ** 0.5, max(var_s, 0.0) ** 0.5
+            aggs_out[name] = {
+                "count": n, "min": min(mins), "max": max(maxs),
+                "avg": avg, "sum": tot, "sum_of_squares": sq,
+                "variance": var_p, "variance_population": var_p,
+                "variance_sampling": var_s,
+                "std_deviation": std_p,
+                "std_deviation_population": std_p,
+                "std_deviation_sampling": std_s,
+                "std_deviation_bounds": {
+                    "upper": avg + sigma * std_p,
+                    "lower": avg - sigma * std_p,
+                    "upper_population": avg + sigma * std_p,
+                    "lower_population": avg - sigma * std_p,
+                    "upper_sampling": avg + sigma * std_s,
+                    "lower_sampling": avg - sigma * std_s,
+                },
+            }
+        else:  # pragma: no cover - shard_plan validated kinds
+            raise NotImplementedError(kind)
+    for name, kind, arg in plan["sibling"]:
+        aggs_out[name] = _sibling_bucket_result(aggs_out, kind, arg)
+    out["aggregations"] = aggs_out
+    return out
+
+
 def _runtime_field_fn(s, spec: dict):
     """Compile an ES runtime-field script (``emit(<arithmetic expr>)``
     over ``doc['x'].value`` refs, ``params.*`` and ``Math.*``) into the

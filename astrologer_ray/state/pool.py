@@ -109,6 +109,39 @@ class ShardedSearchPool:
                 for a in self.actors]
         return _merge_topk(ray.get(futs), k)
 
+    def execute_dsl(self, body: dict, shard_size: int | None = None
+                    ) -> dict:
+        """Scatter one ES ``_search`` body to every doc-range shard and
+        merge (the ES data-node topology): hits merge EXACTLY (each shard
+        scores its docs completely from global stats), totals sum, and
+        aggregations merge per :func:`astrologer_ray.state.dsl.shard_plan`
+        — bucket counts by key, metrics by their merge op, ``terms`` with
+        ES shard semantics (``shard_size`` per shard +
+        ``doc_count_error_upper_bound``). Unsupported shapes raise
+        client-side before any scatter."""
+        import ray
+
+        from astrologer_ray.state.dsl import merge_sharded, shard_plan
+
+        sbody, plan = shard_plan(body, shard_size)
+        futs = [a.run_dsl.remote(sbody) for a in self.actors]
+        return merge_sharded(ray.get(futs), plan)
+
+    def msearch(self, bodies: list[dict],
+                shard_size: int | None = None) -> list[dict]:
+        """ES ``_msearch`` over the sharded topology: every body is
+        scattered to ALL shards (all scatters issued before any gather),
+        responses merge per body in request order."""
+        import ray
+
+        from astrologer_ray.state.dsl import merge_sharded, shard_plan
+
+        plans = [shard_plan(b, shard_size) for b in bodies]
+        futs = [[a.run_dsl.remote(sb) for a in self.actors]
+                for sb, _ in plans]
+        return [merge_sharded(ray.get(fs), plan)
+                for fs, (_sb, plan) in zip(futs, plans)]
+
     def shutdown(self) -> None:
         import ray
 

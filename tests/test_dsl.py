@@ -1497,3 +1497,74 @@ def test_runtime_mappings_and_source_projection(dsl_index):
                         "doc['dl'].value"}},  # no emit()
                         "query": {"match_all": {}}})
     assert "x" not in s.doc_attrs
+
+
+def test_sharded_execute_dsl_matches_full(dsl_index):
+    """Scatter-gather DSL over doc-range shards == the full searcher:
+    exact hit merge, by-key/by-op agg merge, ES terms shard semantics."""
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    pool = ShardedSearchPool(dsl_index, n_actors=3, load_docs=True)
+    try:
+        body = {"query": {"match": {"content": w1}}, "size": 6,
+                "aggs": {
+                    "langs": {"terms": {"field": "lang", "size": 5}},
+                    "by_dl": {"histogram": {"field": "dl",
+                                            "interval": 50}},
+                    "dl_sum": {"sum": {"field": "dl"}},
+                    "dl_avg": {"avg": {"field": "dl"}},
+                    "dl_stats": {"stats": {"field": "dl"}},
+                    "dl_es": {"extended_stats": {"field": "dl"}},
+                    "dl_min": {"min": {"field": "dl"}},
+                    "dl_cnt": {"value_count": {"field": "dl"}},
+                    "top_lang": {"max_bucket": {
+                        "buckets_path": "langs>_count"}},
+                }}
+        got = pool.execute_dsl(body)
+        want = execute_dsl(s, body)
+        assert _ids_scores(got) == _ids_scores(want)
+        assert got["hits"]["total"] == want["hits"]["total"]
+        ga, wa = got["aggregations"], want["aggregations"]
+        assert ga["langs"]["buckets"] == wa["langs"]["buckets"]
+        assert ga["langs"]["doc_count_error_upper_bound"] == 0
+        assert ga["by_dl"]["buckets"] == wa["by_dl"]["buckets"]
+        # integer dl -> float sums are bit-exact across groupings
+        assert ga["dl_sum"] == wa["dl_sum"]
+        assert ga["dl_avg"]["value"] == pytest.approx(
+            wa["dl_avg"]["value"])
+        assert ga["dl_stats"]["count"] == wa["dl_stats"]["count"]
+        assert ga["dl_stats"]["sum"] == wa["dl_stats"]["sum"]
+        assert ga["dl_stats"]["min"] == wa["dl_stats"]["min"]
+        assert ga["dl_es"]["variance"] == pytest.approx(
+            wa["dl_es"]["variance"])
+        assert ga["dl_min"] == wa["dl_min"]
+        assert ga["dl_cnt"] == wa["dl_cnt"]
+        assert ga["top_lang"]["value"] == wa["top_lang"]["value"]
+        assert ga["top_lang"]["keys"] == wa["top_lang"]["keys"]
+        # from/size paging slices the MERGED ranking
+        paged = pool.execute_dsl({"query": {"match": {"content": w1}},
+                                  "from": 2, "size": 3})
+        assert _ids_scores(paged) == _ids_scores(want)[2:5]
+        # msearch merges each body in request order
+        many = pool.msearch([body, {"query": {"match_all": {}},
+                                    "size": 0}])
+        assert _ids_scores(many[0]) == _ids_scores(want)
+        assert many[1]["hits"]["total"]["value"] == s.count(None)
+        # tiny shard_size: ES-style truncation is visible in the bound
+        t2 = pool.execute_dsl({"size": 0, "aggs": {"langs": {
+            "terms": {"field": "lang", "size": 2}}}}, shard_size=1)
+        assert t2["aggregations"]["langs"]["doc_count_error_upper_bound"] > 0
+        # unsupported shapes refuse client-side
+        for bad in (
+            {"query": {"match": {"content": w1}},
+             "sort": [{"dl": {"order": "desc"}}]},
+            {"aggs": {"x": {"cardinality": {"field": "dl"}}}},
+            {"aggs": {"x": {"terms": {"field": "lang"},
+                            "aggs": {"m": {"avg": {"field": "dl"}}}}}},
+        ):
+            with pytest.raises(NotImplementedError):
+                pool.execute_dsl(bad)
+    finally:
+        pool.shutdown()
