@@ -3456,6 +3456,63 @@ ORDER BY lc.lang_count DESC, lc.lang, sc.source_count DESC, sc.source
 """
 
 
+def docs_sharded_dsl_agg(sf_dir: str):
+    """Scatter-gather DSL over doc-range shards (r5): one _search body
+    (match + terms agg + stats + sum) runs on a 3-shard
+    ShardedSearchPool and the merged response must equal the DuckDB
+    oracle — external evidence that the per-shard agg merge (counts by
+    key, stats via partials) is exact. dl sums are integers, so the
+    float totals hash bit-stably."""
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    pool = ShardedSearchPool(_documents_index(sf_dir), n_actors=3,
+                             load_docs=True)
+    try:
+        resp = pool.execute_dsl({"size": 0, "query": {
+            "match": {"content": "data"}},
+            "aggs": {
+                "langs": {"terms": {"field": "lang", "size": 5}},
+                "dl_stats": {"stats": {"field": "dl"}},
+            }})
+    finally:
+        pool.shutdown()
+    a = resp["aggregations"]
+    st = a["dl_stats"]
+    rows = [(b["key"], b["doc_count"], st["count"], float(st["sum"]),
+             float(st["min"]), float(st["max"]),
+             resp["hits"]["total"]["value"])
+            for b in a["langs"]["buckets"]]
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "cnt": pa.array([r[1] for r in rows], pa.int64()),
+        "n": pa.array([r[2] for r in rows], pa.int64()),
+        "sum_dl": pa.array([r[3] for r in rows], pa.float64()),
+        "min_dl": pa.array([r[4] for r in rows], pa.float64()),
+        "max_dl": pa.array([r[5] for r in rows], pa.float64()),
+        "total": pa.array([r[6] for r in rows], pa.int64()),
+    })
+
+
+SHARDED_DSL_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, lang, len({_SPLIT_SQL}) AS dl,
+         list_contains({_SPLIT_SQL}, 'data') AS hit
+  FROM documents),
+m AS (SELECT * FROM dl WHERE hit),
+st AS (
+  SELECT count(*)::BIGINT AS n, sum(dl)::DOUBLE AS sum_dl,
+         min(dl)::DOUBLE AS min_dl, max(dl)::DOUBLE AS max_dl,
+         count(*)::BIGINT AS total
+  FROM m)
+SELECT l.lang, l.cnt, st.n, st.sum_dl, st.min_dl, st.max_dl, st.total
+FROM (
+  SELECT lang, count(*)::BIGINT AS cnt FROM m
+  GROUP BY lang ORDER BY cnt DESC, lang LIMIT 5) l
+CROSS JOIN st
+ORDER BY l.cnt DESC, l.lang
+"""
+
+
 def docs_dsl_pipeline_aggs(sf_dir: str):
     """ES *pipeline aggregations* (r5 DSL feature) through the request-
     body adapter: histogram over dl (width 16) with a sum(dl) sub-agg,
@@ -4643,6 +4700,7 @@ _LAST_DRIVER_VERIFIED = {
     "code_token_counts": 0,  # new in r5
     "docs_nested_terms_agg": 0,  # new in r5 (recursive DSL nesting)
     "docs_dsl_pipeline_aggs": 0,  # new in r5 (DSL pipeline aggs)
+    "docs_sharded_dsl_agg": 0,  # new in r5 (sharded scatter-gather merge)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -4772,6 +4830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_token_counts": code_token_counts,
         "docs_nested_terms_agg": docs_nested_terms_agg,
         "docs_dsl_pipeline_aggs": docs_dsl_pipeline_aggs,
+        "docs_sharded_dsl_agg": docs_sharded_dsl_agg,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "top_orders_by_revenue": top_orders_by_revenue,
         "q1_pricing_summary": q1_pricing_summary,
@@ -4901,6 +4960,7 @@ def oracle_sql() -> dict[str, str]:
         "code_token_counts": _code_token_counts_sql(),
         "docs_nested_terms_agg": NESTED_TERMS_SQL,
         "docs_dsl_pipeline_aggs": DSL_PIPELINE_SQL,
+        "docs_sharded_dsl_agg": SHARDED_DSL_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

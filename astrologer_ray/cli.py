@@ -511,8 +511,14 @@ def cmd_msearch(args) -> int:
     raw = (sys.stdin.read() if args.bodies == "-"
            else open(args.bodies).read())
     bodies = [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
-    pool = ReplicatedSearchPool(args.index, n_actors=args.replicas,
-                                load_docs=True)
+    if getattr(args, "sharded", False):
+        from astrologer_ray.state.pool import ShardedSearchPool
+
+        pool = ShardedSearchPool(args.index, n_actors=args.replicas,
+                                 load_docs=True)
+    else:
+        pool = ReplicatedSearchPool(args.index, n_actors=args.replicas,
+                                    load_docs=True)
     try:
         for resp in pool.msearch(bodies):
             print(json.dumps(resp))
@@ -719,7 +725,11 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("bodies",
                     help="NDJSON file of request bodies ('-' = stdin)")
     ms.add_argument("--replicas", type=int, default=2,
-                    help="replica actor count (default 2)")
+                    help="actor count (default 2)")
+    ms.add_argument("--sharded", action="store_true",
+                    help="doc-range shard actors with scatter-gather "
+                         "merge instead of whole-body replicas "
+                         "(shard-mergeable bodies only)")
     ms.set_defaults(fn=cmd_msearch)
 
     cn = sub.add_parser(

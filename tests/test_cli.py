@@ -445,3 +445,29 @@ def test_cli_count(ray_session, small_corpus_dir, tmp_path, capsys):
                  '{"query": {"match": {"content": "index"}}}']) == 0
     some = json.loads(capsys.readouterr().out.strip())["count"]
     assert 0 < some <= all_docs
+
+
+def test_cli_msearch_sharded(ray_session, small_corpus_dir, tmp_path,
+                             capsys):
+    import json
+
+    from astrologer_ray.cli import main
+
+    idx = str(tmp_path / "msidx2")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows",
+                 "64"]) == 0
+    capsys.readouterr()
+    nd = tmp_path / "bodies.ndjson"
+    nd.write_text(json.dumps(
+        {"query": {"match": {"content": "index merge"}}, "size": 3,
+         "aggs": {"langs": {"terms": {"field": "lang", "size": 3}}}})
+        + "\n")
+    assert main(["msearch", idx, str(nd), "--replicas", "2",
+                 "--sharded"]) == 0
+    sharded = json.loads(capsys.readouterr().out.strip())
+    assert main(["msearch", idx, str(nd), "--replicas", "2"]) == 0
+    replicated = json.loads(capsys.readouterr().out.strip())
+    # the sharded merge reproduces the full-searcher response (modulo
+    # the terms truncation bound, absent on the replicated path)
+    sharded["aggregations"]["langs"].pop("doc_count_error_upper_bound")
+    assert sharded == replicated
