@@ -111,6 +111,7 @@ class _Translated:
         self.span_near: dict | None = None     # {"terms", "slop"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
         self.fscore: dict | None = None  # general function_score form
+        self.boosts: dict[str, float] = {}  # per-term clause boosts
         self.boosting: dict | None = None  # {"negative","negative_boost"}
         self.phrase_prefix: dict | None = None  # {"terms","max_expansions"}
         self.pinned: list[int] | None = None    # pinned doc ids, in order
@@ -204,6 +205,19 @@ def _tokens(s, text: str) -> list[str]:
     return tokenize(text, mode=s.mode)
 
 
+def _note_boost(t: _Translated, toks: list[str], v) -> None:
+    """Record an explicit per-clause ``boost`` for a match clause's
+    tokens (ES: the clause's BM25 contribution multiplies by boost)."""
+    if not (isinstance(v, dict) and "boost" in v):
+        return
+    b = float(v["boost"])
+    for tok in toks:
+        if tok in t.boosts:
+            raise NotImplementedError(
+                f"term {tok!r} appears in more than one boosted clause")
+        t.boosts[tok] = b
+
+
 def _translate(s, q: dict) -> _Translated:
     t = _Translated()
     if q is None:
@@ -216,6 +230,7 @@ def _translate(s, q: dict) -> _Translated:
     if kind == "match":
         ((_f, v),) = arg.items()
         t.terms = _tokens(s, _text_of(v))
+        _note_boost(t, t.terms, v)
         return t
     if kind == "more_like_this":
         # expand the `like` text through the searcher's deterministic MLT
@@ -366,6 +381,7 @@ def _translate(s, q: dict) -> _Translated:
             if ck == "match":
                 ((_f, v),) = cv.items()
                 toks = _tokens(s, _text_of(v))
+                _note_boost(t, toks, v)
                 match_groups.append(toks)
                 t.terms.extend(toks)
             elif ck == "match_phrase":
@@ -411,7 +427,9 @@ def _translate(s, q: dict) -> _Translated:
                     "only match/rank_feature clauses supported in "
                     "scoring bool.should")
             ((_f, v),) = cv.items()
-            t.should_terms.extend(_tokens(s, _text_of(v)))
+            stoks = _tokens(s, _text_of(v))
+            _note_boost(t, stoks, v)
+            t.should_terms.extend(stoks)
         t.msm = int(arg.get("minimum_should_match", 0))
         return t
     # a bare term-level query: filter context
@@ -475,7 +493,7 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if t.terms or t.should_terms:
         return s.search(t.terms, k=size, filter=t.filter,
                         should_terms=t.should_terms or None,
-                        min_should_match=t.msm,
+                        min_should_match=t.msm, boosts=t.boosts or None,
                         min_score=min_score, after=after)
     if t.const is not None:
         return s.search_constant_score(t.const["filter"],

@@ -1568,3 +1568,27 @@ def test_sharded_execute_dsl_matches_full(dsl_index):
                 pool.execute_dsl(bad)
     finally:
         pool.shutdown()
+
+
+def test_match_clause_boost(dsl_index):
+    """Explicit per-clause boost multiplies that clause's BM25
+    contribution (Searcher.search boosts), in must and should."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    got = execute_dsl(s, {"query": {"match": {"content": {
+        "query": w1, "boost": 2.5}}}, "size": 6})
+    want = s.search([w1], k=6, boosts={w1: 2.5})
+    assert _ids_scores(got) == _want(want)
+    got = execute_dsl(s, {"query": {"bool": {
+        "must": [{"match": {"content": {"query": w1, "boost": 3.0}}}],
+        "should": [{"match": {"content": {"query": w2,
+                                          "boost": 0.5}}}]}},
+        "size": 6})
+    want = s.search([w1], k=6, should_terms=[w2],
+                    boosts={w1: 3.0, w2: 0.5})
+    assert _ids_scores(got) == _want(want)
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"bool": {"must": [
+            {"match": {"content": {"query": w1, "boost": 2.0}}},
+            {"match": {"content": {"query": w1, "boost": 3.0}}}]}}})
