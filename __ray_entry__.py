@@ -3456,6 +3456,49 @@ ORDER BY lc.lang_count DESC, lc.lang, sc.source_count DESC, sc.source
 """
 
 
+def docs_multi_sort(sf_dir: str):
+    """ES multi-field sort (r5): (lang asc, dl desc, doc_id asc) top 12
+    through the request-body adapter, plus one search_after page — SQL's
+    composite ORDER BY ... LIMIT with a row-value cursor."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    body = {"query": {"match_all": {}},
+            "sort": [{"lang": {"order": "asc"}},
+                     {"dl": {"order": "desc"}}], "size": 6}
+    rows = []
+    got = execute_dsl(s, body)["hits"]["hits"]
+    for page in (1, 2):
+        for h in got:
+            rows.append((page, h["_id"], str(h["sort"][0]),
+                         int(h["sort"][1])))
+        if not got:
+            break
+        last = got[-1]
+        got = execute_dsl(s, {**body, "search_after":
+                              last["sort"] + [last["_id"]]}
+                          )["hits"]["hits"]
+    return pa.table({
+        "page": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "dl": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+MULTI_SORT_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, lang, len({_SPLIT_SQL}) AS dl FROM documents),
+ranked AS (
+  SELECT doc_id, lang, dl,
+         row_number() OVER (ORDER BY lang, dl DESC, doc_id) AS rn
+  FROM dl)
+SELECT (rn - 1) // 6 + 1 AS page, doc_id, lang, dl
+FROM ranked WHERE rn <= 12 ORDER BY rn
+"""
+
+
 def docs_sharded_dsl_agg(sf_dir: str):
     """Scatter-gather DSL over doc-range shards (r5): one _search body
     (match + terms agg + stats + sum) runs on a 3-shard
@@ -4701,6 +4744,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_nested_terms_agg": 0,  # new in r5 (recursive DSL nesting)
     "docs_dsl_pipeline_aggs": 0,  # new in r5 (DSL pipeline aggs)
     "docs_sharded_dsl_agg": 0,  # new in r5 (sharded scatter-gather merge)
+    "docs_multi_sort": 0,  # new in r5 (multi-field sort + cursor)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -4831,6 +4875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nested_terms_agg": docs_nested_terms_agg,
         "docs_dsl_pipeline_aggs": docs_dsl_pipeline_aggs,
         "docs_sharded_dsl_agg": docs_sharded_dsl_agg,
+        "docs_multi_sort": docs_multi_sort,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "top_orders_by_revenue": top_orders_by_revenue,
         "q1_pricing_summary": q1_pricing_summary,
@@ -4961,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_nested_terms_agg": NESTED_TERMS_SQL,
         "docs_dsl_pipeline_aggs": DSL_PIPELINE_SQL,
         "docs_sharded_dsl_agg": SHARDED_DSL_SQL,
+        "docs_multi_sort": MULTI_SORT_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

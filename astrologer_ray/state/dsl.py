@@ -440,14 +440,22 @@ def _translate(s, q: dict) -> _Translated:
 def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if sort is not None:
         specs = sort if isinstance(sort, list) else [sort]
-        if len(specs) > 1:
-            # refuse rather than silently drop the tie-breaker keys
-            raise NotImplementedError("one sort field only")
-        spec = specs[0]
-        ((attr, opts),) = spec.items() if isinstance(spec, dict) \
-            else ((spec, {}),)
+        parsed = []
+        for spec in specs:
+            ((attr, opts),) = spec.items() if isinstance(spec, dict) \
+                else ((spec, {}),)
+            parsed.append((attr,
+                           (opts or {}).get("order", "desc") == "desc"))
+        if len(parsed) > 1:
+            if any(a == "_score" for a, _ in parsed):
+                raise NotImplementedError(
+                    "_score inside a multi-field sort is not supported")
+            # multi-key field sort (ES tie-breaker keys), search_after
+            # cursor = (v1, ..., vN, doc_id)
+            return s.sort_by_attrs(parsed, k=size, filter=t.filter,
+                                   after=after)
+        attr, desc = parsed[0]
         if attr != "_score":  # sort:["_score"] IS the default ranking
-            desc = (opts or {}).get("order", "desc") == "desc"
             return s.sort_by_attr(attr, k=size, descending=desc,
                                   filter=t.filter, after=after)
     if t.phrase_prefix is not None:

@@ -2165,6 +2165,58 @@ class Searcher:
             for i in order
         ]
 
+    def sort_by_attrs(
+        self,
+        specs: list[tuple[str, bool]],
+        k: int = 10,
+        filter=None,
+        after: tuple | None = None,
+    ) -> list[dict]:
+        """Multi-key ES field sort: ``specs`` = ``[(attr, descending),
+        ...]`` primary-first, doc_id asc as the final tiebreak. Mixed
+        directions over any comparable dtype (strings included) via
+        per-key factorization + stable argsort applied last-key-first.
+        ``after`` is the ES ``search_after`` cursor for this sort:
+        ``(v1, ..., vN, doc_id)``. Requires ``load_docs=True``."""
+        if k <= 0 or not specs:
+            return []
+        m = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        ids = (np.flatnonzero(m) if m is not None
+               else np.arange(self.n_local))
+        cols = [self._attr(a)[ids] for a, _ in specs]
+        if after is not None:
+            *avals, adoc = after
+            alocal = int(adoc) - self.doc_lo
+            keep = np.zeros(len(ids), dtype=bool)
+            tie = np.ones(len(ids), dtype=bool)
+            for (attr, desc), av, v in zip(specs, avals, cols):
+                later = (v < av) if desc else (v > av)
+                keep |= tie & later
+                tie &= v == av
+            keep |= tie & (ids > alocal)
+            ids = ids[keep]
+            cols = [v[keep] for v in cols]
+        order = np.argsort(ids, kind="stable")  # doc_id asc base order
+        for (attr, desc), v in zip(reversed(specs), reversed(cols)):
+            # factorize -> integer codes so descending keeps stability
+            # (and works for strings, where negation is unavailable)
+            _u, codes = np.unique(v[order], return_inverse=True)
+            idx = np.argsort(-codes if desc else codes, kind="stable")
+            order = order[idx]
+        order = order[:k]
+        lo = self.doc_lo
+
+        def _item(x):
+            return x.item() if hasattr(x, "item") else x
+
+        return [
+            {"doc_id": int(ids[i]) + lo,
+             "sort": [_item(v[i]) for v in cols]}
+            for i in order
+        ]
+
     def agg_composite(
         self,
         sources: list[str],

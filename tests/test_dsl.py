@@ -722,13 +722,36 @@ def test_composite_agg_body_pages(dsl_index):
 
 
 def test_sort_edge_shapes(dsl_index):
-    """Multi-field sort refuses (no silent tie-breaker drop); _score sort
-    is the default ranking."""
+    """Multi-field sort works (r5: sort_by_attrs, was a refusal); _score
+    sort is the default ranking; _score inside a multi-sort refuses."""
     s = Searcher(dsl_index, load_docs=True)
     w1 = max(s.df, key=lambda t: s.df[t])
+    got = execute_dsl(s, {"query": {"match_all": {}},
+                          "sort": [{"lang": {"order": "asc"}},
+                                   {"dl": {"order": "desc"}}],
+                          "size": 8})
+    langs = np.asarray(s._attr("lang"))
+    dl = np.asarray(s._attr("dl"))
+    rows = sorted(range(s.n_local),
+                  key=lambda i: (langs[i], -dl[i], i))[:8]
+    assert [h["_id"] for h in got["hits"]["hits"]] == \
+        [i + s.doc_lo for i in rows]
+    assert [h["sort"] for h in got["hits"]["hits"]] == \
+        [[str(langs[i]), int(dl[i])] for i in rows]
+    # search_after pages the multi-key order without overlap
+    last = got["hits"]["hits"][-1]
+    got2 = execute_dsl(s, {"query": {"match_all": {}},
+                           "sort": [{"lang": {"order": "asc"}},
+                                    {"dl": {"order": "desc"}}],
+                           "search_after": last["sort"] + [last["_id"]],
+                           "size": 5})
+    rows2 = sorted(range(s.n_local),
+                   key=lambda i: (langs[i], -dl[i], i))[8:13]
+    assert [h["_id"] for h in got2["hits"]["hits"]] == \
+        [i + s.doc_lo for i in rows2]
     with pytest.raises(NotImplementedError):
-        execute_dsl(s, {"query": {"match_all": {}},
-                        "sort": [{"dl": {}}, {"doc_key": {}}]})
+        execute_dsl(s, {"query": {"match": {"content": w1}},
+                        "sort": [{"dl": {}}, "_score"]})
     got = execute_dsl(s, {"query": {"match": {"content": w1}},
                           "sort": ["_score"], "size": 5})
     assert _ids_scores(got) == _want(s.search([w1], k=5))
