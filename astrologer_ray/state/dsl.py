@@ -1173,8 +1173,7 @@ def shard_plan(body: dict, shard_size: int | None = None
     apply post-merge on the driver. Everything else
     (sub-aggregations, sort, search_after, knn/retriever, collapse,
     rescore, suggest, cardinality, percentiles, ...) raises."""
-    for k in ("knn", "retriever", "collapse", "rescore", "sort",
-              "search_after", "suggest"):
+    for k in ("knn", "retriever", "collapse", "rescore", "suggest"):
         if k in body:
             raise NotImplementedError(
                 f"sharded execution does not support {k!r}")
@@ -1183,9 +1182,25 @@ def shard_plan(body: dict, shard_size: int | None = None
     sbody = dict(body)
     sbody["size"] = size + frm
     sbody.pop("from", None)
+    sort_specs = None
+    if body.get("sort") is not None:
+        # field sorts merge exactly over doc-range shards: each shard
+        # returns its local top by the same composite key (+ the local
+        # search_after cut), and the driver re-sorts the union
+        raw = body["sort"] if isinstance(body["sort"], list) \
+            else [body["sort"]]
+        sort_specs = []
+        for sp in raw:
+            ((attr, opts),) = sp.items() if isinstance(sp, dict) \
+                else ((sp, {}),)
+            if attr == "_score":
+                raise NotImplementedError(
+                    "sharded execution does not support _score sorts")
+            sort_specs.append(
+                (attr, (opts or {}).get("order", "desc") == "desc"))
     aggs = body.get("aggs") or body.get("aggregations") or {}
     plan: dict = {"size": size, "frm": frm, "aggs": {}, "sibling": [],
-                  "shard_sizes": {}}
+                  "shard_sizes": {}, "sort": sort_specs}
     saggs = {}
     for name, spec in aggs.items():
         spec = dict(spec)
@@ -1225,7 +1240,21 @@ def merge_sharded(responses: list[dict], plan: dict) -> dict:
     contract (exact hit merge, by-key/by-op agg merge)."""
     size, frm = plan["size"], plan["frm"]
     all_hits = [h for r in responses for h in r["hits"]["hits"]]
-    all_hits.sort(key=lambda h: (-(h.get("_score") or 0.0), h["_id"]))
+    if plan.get("sort"):
+        specs = plan["sort"]
+        all_hits.sort(key=lambda h: h["_id"])  # doc_id asc final tiebreak
+
+        def _key(i):
+            if len(specs) == 1:
+                # the single-field path labels the value "value"
+                return lambda h: (h["sort"][i] if "sort" in h
+                                  else h["value"])
+            return lambda h: h["sort"][i]
+
+        for i in range(len(specs) - 1, -1, -1):  # stable, last key first
+            all_hits.sort(key=_key(i), reverse=specs[i][1])
+    else:
+        all_hits.sort(key=lambda h: (-(h.get("_score") or 0.0), h["_id"]))
     out = {"hits": {
         "total": {"value": sum(r["hits"]["total"]["value"]
                                for r in responses),

@@ -1579,10 +1579,26 @@ def test_sharded_execute_dsl_matches_full(dsl_index):
         t2 = pool.execute_dsl({"size": 0, "aggs": {"langs": {
             "terms": {"field": "lang", "size": 2}}}}, shard_size=1)
         assert t2["aggregations"]["langs"]["doc_count_error_upper_bound"] > 0
+        # field sorts merge exactly (single and multi, with cursor)
+        sbody = {"query": {"match_all": {}},
+                 "sort": [{"lang": {"order": "asc"}},
+                          {"dl": {"order": "desc"}}], "size": 7}
+        got_s = pool.execute_dsl(sbody)
+        want_s = execute_dsl(s, sbody)
+        assert [h["_id"] for h in got_s["hits"]["hits"]] == \
+            [h["_id"] for h in want_s["hits"]["hits"]]
+        last = got_s["hits"]["hits"][-1]
+        after = {**sbody, "search_after": last["sort"] + [last["_id"]]}
+        assert [h["_id"] for h in pool.execute_dsl(after)["hits"]["hits"]] \
+            == [h["_id"] for h in execute_dsl(s, after)["hits"]["hits"]]
+        one = {"query": {"match_all": {}},
+               "sort": [{"dl": {"order": "desc"}}], "size": 5}
+        assert [h["_id"] for h in pool.execute_dsl(one)["hits"]["hits"]] \
+            == [h["_id"] for h in execute_dsl(s, one)["hits"]["hits"]]
         # unsupported shapes refuse client-side
         for bad in (
             {"query": {"match": {"content": w1}},
-             "sort": [{"dl": {"order": "desc"}}]},
+             "sort": ["_score", {"dl": {}}]},
             {"aggs": {"x": {"cardinality": {"field": "dl"}}}},
             {"aggs": {"x": {"terms": {"field": "lang"},
                             "aggs": {"m": {"avg": {"field": "dl"}}}}}},
