@@ -4877,6 +4877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sharded_dsl_agg": docs_sharded_dsl_agg,
         "docs_multi_sort": docs_multi_sort,
         "docs_dsl_top_hits": docs_dsl_top_hits,
+        "events_percentile_ranks": events_percentile_ranks,
+        "phrase_suggest_documents": phrase_suggest_documents,
+        "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
         "top_orders_by_revenue": top_orders_by_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         #    (B) last driver-green in r2 (stalest evidence)
@@ -4917,11 +4920,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_extended_stats": events_extended_stats,
         "events_props_sum": events_props_sum,
         "events_pipeline_aggs": events_pipeline_aggs,
-        "events_percentile_ranks": events_percentile_ranks,
         "events_dense_histogram": events_dense_histogram,
         "events_percentiles_sampled": events_percentiles_sampled,
         "events_bucket_script": events_bucket_script,
-        "events_percentile_ranks": events_percentile_ranks,
         "events_weighted_avg": events_weighted_avg,
         "events_range_listing": events_range_listing,
         "union_all_keys": union_all_keys,
@@ -4959,7 +4960,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_documents": bm25_topk_documents,
         "corpus_ngram_topk": corpus_ngram_topk,
         "decontaminate_documents": decontaminate_documents,
-        "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
         "doc_repetition": doc_repetition,
         "docs_adjacency_matrix": docs_adjacency_matrix,
         "docs_chunked": docs_chunked,
@@ -4994,7 +4994,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_text_documents": significant_text_documents,
         "span_near_documents": span_near_documents,
         "term_suggest": term_suggest,
-        "phrase_suggest_documents": phrase_suggest_documents,
         "terms_set_documents": terms_set_documents,
         "top_terms_by_df": top_terms_by_df,
     }
