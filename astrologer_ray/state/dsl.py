@@ -680,7 +680,8 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
 # _compose_scope); a sub-agg under any other kind raises rather than
 # being silently dropped
 _SUB_CAPABLE = {"terms", "histogram", "date_histogram",
-                "auto_date_histogram", "range", "filters", "global"}
+                "auto_date_histogram", "range", "filters", "global",
+                "missing", "sampler"}
 
 # ES *pipeline aggregations* — post-processing over already-reduced
 # buckets (driver-side O(#buckets); the distributed counterparts live in
@@ -936,6 +937,27 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
             else:
                 absent = np.zeros(len(col), dtype=bool)
             out[name] = {"doc_count": int((keep & absent).sum())}
+            if subs:  # ES: sub-aggs run over exactly the counted docs
+                mids = (np.flatnonzero(keep & absent) + s.doc_lo).tolist()
+                out[name].update(
+                    _run_aggs(s, subs, {"ids": [int(i) for i in mids]},
+                              qterms))
+        elif kind == "sampler":
+            # ES sampler: sub-aggs run over the top shard_size docs by
+            # the surrounding query's score (doc order under match_all)
+            n_top = int(arg.get("shard_size", 100))
+            if qterms:
+                ids = [h["doc_id"]
+                       for h in s.search(list(qterms), k=n_top,
+                                         filter=scope)]
+            else:
+                ids = (np.flatnonzero(_scope_keep(s, scope))[:n_top]
+                       + s.doc_lo).tolist()
+            out[name] = {"doc_count": len(ids)}
+            if subs:
+                out[name].update(
+                    _run_aggs(s, subs, {"ids": [int(i) for i in ids]},
+                              qterms))
         elif kind in ("avg", "sum", "min", "max", "value_count", "stats",
                       "percentiles", "percentile_ranks", "cardinality",
                       "extended_stats", "weighted_avg",

@@ -1631,3 +1631,42 @@ def test_match_clause_boost(dsl_index):
         execute_dsl(s, {"query": {"bool": {"must": [
             {"match": {"content": {"query": w1, "boost": 2.0}}},
             {"match": {"content": {"query": w1, "boost": 3.0}}}]}}})
+
+
+def test_sampler_and_missing_subaggs(dsl_index):
+    """sampler runs sub-aggs over the top shard_size docs by the query's
+    score; missing runs sub-aggs over exactly its counted docs."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    got = execute_dsl(s, {"size": 0,
+                          "query": {"match": {"content": w1}},
+                          "aggs": {"sample": {
+                              "sampler": {"shard_size": 7},
+                              "aggs": {"d": {"avg": {"field": "dl"}}}}}})
+    top = [h["doc_id"] for h in s.search([w1], k=7)]
+    samp = got["aggregations"]["sample"]
+    assert samp["doc_count"] == len(top)
+    li = np.array(top) - s.doc_lo
+    assert samp["d"]["value"] == pytest.approx(dl[li].mean())
+    # match_all: doc order
+    got = execute_dsl(s, {"size": 0, "aggs": {"sample": {
+        "sampler": {"shard_size": 4},
+        "aggs": {"mx": {"max": {"field": "dl"}}}}}})
+    samp = got["aggregations"]["sample"]
+    assert samp["doc_count"] == 4
+    assert samp["mx"]["value"] == dl[:4].max()
+    # missing with subs: runtime field absent for a slice of docs
+    n = s.n_local
+    col = np.arange(n, dtype=np.float64)
+    col[: n // 3] = np.nan
+    s.add_runtime_field("maybe", lambda a, v=col: v)
+    try:
+        got = execute_dsl(s, {"size": 0, "aggs": {"no_val": {
+            "missing": {"field": "maybe"},
+            "aggs": {"d": {"avg": {"field": "dl"}}}}}})
+        miss = got["aggregations"]["no_val"]
+        assert miss["doc_count"] == n // 3
+        assert miss["d"]["value"] == pytest.approx(dl[: n // 3].mean())
+    finally:
+        s.doc_attrs.pop("maybe", None)
