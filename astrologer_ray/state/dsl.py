@@ -27,8 +27,10 @@ methods — this module adds translation, not retrieval):
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
   ``collapse`` (one hit per distinct value of a doc attribute),
   ``rescore`` (match_phrase proximity rerank of the top-window BM25
-  hits, query_weight=1.0), ``sort`` (single field, ES keyword
-  syntax), ``knn`` (exact cosine
+  hits, query_weight=1.0), ``sort`` (single or MULTI field with
+  per-key order and the row-value search_after cursor; explicit
+  per-clause match ``boost`` multiplies that clause's BM25
+  contribution), ``knn`` (exact cosine
   over a vector doc attribute; combined with ``query`` the two legs'
   scores SUM per doc over the union, ES 8 hybrid scoring),
   ``retriever.rrf`` (standard + knn
@@ -44,12 +46,18 @@ methods — this module adds translation, not retrieval):
   + sampling moments, ``sigma`` bounds), weighted_avg,
   median_absolute_deviation (exact), percentiles (exact linear
   interpolation), cardinality (exact distinct) — the ``range`` bucket
-  agg ([from, to) buckets), ``global`` (escapes the query scope) and
-  ``missing``.  Sub-aggregations nest RECURSIVELY under terms /
-  histogram / date_histogram / range / filters / global buckets
-  (terms-inside-terms, date_histogram-with-terms, ...) — each bucket's
-  predicate composes into the scope filter via ``_compose_scope``.
+  agg ([from, to) buckets), ``global`` (escapes the query scope),
+  ``missing`` (with sub-aggs over exactly its counted docs),
+  ``sampler`` (sub-aggs over the top shard_size docs by the query's
+  score) and ``percentile_ranks`` (exact).  Sub-aggregations nest
+  RECURSIVELY under terms / histogram / date_histogram / range /
+  filters / global / missing / sampler buckets (terms-inside-terms,
+  date_histogram-with-terms, ...) — each bucket's predicate composes
+  into the scope filter via ``_compose_scope``.
   Aggregations scope to the query's matching docs, like ES.
+  ``execute_count`` serves the ``_count`` endpoint; ``shard_plan`` /
+  ``merge_sharded`` implement the scatter-gather merge contract used
+  by ``ShardedSearchPool.execute_dsl``.
 - pipeline aggregations: parent ``cumulative_sum``, ``derivative``,
   ``serial_diff``, ``bucket_script``, ``bucket_selector`` and
   ``bucket_sort`` inside a terms/histogram parent (``buckets_path``

@@ -331,6 +331,41 @@ def bench_query_qps_replicated(n_queries: int = 800) -> dict:
             "hits": sum(len(r) for r in res)}
 
 
+def bench_msearch_dsl(n_bodies: int = 240) -> dict:
+    """Adapter serving throughput: N ES ``_search`` request bodies —
+    alternating plain match, match+terms-agg, and match+histogram+
+    cumulative_sum shapes — served via ``ReplicatedSearchPool.msearch``
+    (whole bodies round-robined to warm replicas). The r5 DSL surface's
+    serving number; compare with query_qps_replicated to read the
+    adapter + agg overhead per request."""
+    from astrologer_ray.state.pool import ReplicatedSearchPool
+
+    queries = _sample_queries(n_bodies)
+    bodies = []
+    for i, (terms, k) in enumerate(queries):
+        q = {"match": {"content": " ".join(terms)}}
+        if i % 3 == 0:
+            bodies.append({"query": q, "size": k})
+        elif i % 3 == 1:
+            bodies.append({"query": q, "size": 0, "aggs": {
+                "langs": {"terms": {"field": "lang", "size": 5}}}})
+        else:
+            bodies.append({"query": q, "size": 0, "aggs": {
+                "by_dl": {"histogram": {"field": "dl", "interval": 64},
+                          "aggs": {"cum": {"cumulative_sum": {
+                              "buckets_path": "_count"}}}}}})
+    pool = ReplicatedSearchPool(BENCH_INDEX,
+                                n_actors=max(2, NUM_CPUS // 4),
+                                load_docs=True)
+    pool.warm()
+    t0 = time.time()
+    res = pool.msearch(bodies)
+    dt = time.time() - t0
+    pool.shutdown()
+    return {"sec": dt, "n_bodies": n_bodies, "qps": n_bodies / dt,
+            "hits": sum(len(r["hits"]["hits"]) for r in res)}
+
+
 def bench_percolate(n_queries: int = 30_000) -> dict:
     """Percolator at ES-typical stored-query scale: 10k deterministic
     term queries built from the documents vocabulary, streamed against
@@ -433,6 +468,7 @@ def main() -> None:
         _stage("query_qps", bench_query_qps)
         _stage("query_qps_sharded", bench_query_qps_sharded)
         _stage("query_qps_replicated", bench_query_qps_replicated)
+        _stage("msearch_dsl", bench_msearch_dsl)
         _stage("q1_pricing_summary", _timed, E.q1_pricing_summary, SF_DIR)
         _stage("top_orders_by_revenue", _timed, E.top_orders_by_revenue, SF_DIR)
         _stage("events_date_histogram", _timed, E.events_date_histogram, SF_DIR)
@@ -466,6 +502,7 @@ def main() -> None:
         # reported separately, not the serving number
         out["query_qps_serving"] = out["query_qps_replicated"]
         out["query_qps_cold_job"] = out["query_qps"]
+        out["msearch_dsl_qps"] = round(results["msearch_dsl"]["qps"], 1)
         out["query_single_lat_ms_p50"] = results["query_qps"]["single_lat_ms_p50"]
         out["query_single_lat_ms_p95"] = results["query_qps"]["single_lat_ms_p95"]
         out["percolate_speedup_vs_linear"] = results["percolate_10k"][
