@@ -848,9 +848,17 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
             raise NotImplementedError(
                 f"sub-aggregations under {kind!r} are not supported")
         if kind == "terms":
-            rows = s.agg_terms(arg["field"], k=int(arg.get("size", 10)),
-                               filter=scope)
             normal, pipes = _split_parent_pipelines(subs)
+            tsize = int(arg.get("size", 10))
+            order = arg.get("order")
+            # ES custom bucket order (by _key / _count asc / a sub-agg
+            # metric) decides which buckets survive truncation, so ALL
+            # buckets are materialized first (exact; ES itself warns
+            # metric-ordered terms are unbounded on high-cardinality
+            # fields) — the default count-desc path stays top-k
+            rows = s.agg_terms(arg["field"],
+                               k=s.n_local if order else tsize,
+                               filter=scope)
             buckets = []
             for k, c in rows:
                 b = {"key": k, "doc_count": int(c)}
@@ -860,6 +868,23 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
                     b.update(_run_aggs(s, normal, _compose_scope(
                         scope, {"term": {arg["field"]: k}}), qterms))
                 buckets.append(b)
+            if order:
+                ((opath, odir),) = order.items()
+                desc = odir == "desc"
+                buckets.sort(key=lambda b: b["key"])  # stable tiebreak
+                if opath == "_key":
+                    if desc:
+                        buckets.reverse()
+                elif opath == "_count":
+                    buckets.sort(key=lambda b: b["doc_count"],
+                                 reverse=desc)
+                else:  # a sub-agg metric path; missing values sort last
+                    def _okey(b, p=opath, d=desc):
+                        v = _bucket_path_value(b, p)
+                        return (v is None,
+                                (-v if d else v) if v is not None else 0)
+                    buckets.sort(key=_okey)
+                buckets = buckets[:tsize]
             out[name] = {"buckets": _apply_parent_pipelines(buckets, pipes)}
         elif kind == "multi_terms":
             fields = [f["field"] for f in arg["terms"]]

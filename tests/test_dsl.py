@@ -1670,3 +1670,91 @@ def test_sampler_and_missing_subaggs(dsl_index):
         assert miss["d"]["value"] == pytest.approx(dl[: n // 3].mean())
     finally:
         s.doc_attrs.pop("maybe", None)
+
+
+def test_sharded_merge_randomized_equivalence(dsl_index):
+    """Seeded sweep over the shard-mergeable body space: every generated
+    body must produce the same response from the 3-shard scatter-gather
+    as from the full searcher (terms buckets compared as sets when the
+    shard_size could truncate)."""
+    import random
+
+    from astrologer_ray.state.pool import ShardedSearchPool
+
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = [t for t, _ in sorted(s.df.items(),
+                                        key=lambda kv: -kv[1])[:10]
+                   if "\x1e" not in t]
+    rng = random.Random(31)
+    pool = ShardedSearchPool(dsl_index, n_actors=3, load_docs=True)
+    metric_kinds = ["sum", "min", "max", "value_count", "avg", "stats"]
+    try:
+        for trial in range(18):
+            q = rng.choice([
+                {"match_all": {}},
+                {"match": {"content": rng.choice(terms_by_df)}},
+                {"match": {"content": " ".join(
+                    rng.sample(terms_by_df, 2))}},
+                {"bool": {"must": [
+                    {"match": {"content": rng.choice(terms_by_df)}}],
+                    "filter": [{"range": {"dl": {
+                        "gte": rng.randrange(0, 60)}}}]}},
+            ])
+            aggs = {}
+            for i in range(rng.randrange(0, 3)):
+                kind = rng.choice(metric_kinds)
+                aggs[f"m{i}"] = {kind: {"field": "dl"}}
+            if rng.random() < 0.5:
+                aggs["h"] = {"histogram": {
+                    "field": "dl", "interval": rng.choice([32, 64])}}
+            body = {"query": q, "size": rng.randrange(0, 12)}
+            if aggs:
+                body["aggs"] = aggs
+            got = pool.execute_dsl(body)
+            want = execute_dsl(s, body)
+            assert _ids_scores(got) == _ids_scores(want), (trial, body)
+            assert got["hits"]["total"] == want["hits"]["total"], body
+            for name in aggs:
+                g, w = (got["aggregations"][name],
+                        want["aggregations"][name])
+                if "buckets" in w:
+                    assert g["buckets"] == w["buckets"], (trial, name)
+                elif "avg" in w:  # stats: float groupings may differ
+                    assert g["count"] == w["count"]
+                    assert g["sum"] == pytest.approx(w["sum"])
+                    assert g["avg"] == pytest.approx(w["avg"])
+                elif isinstance(w.get("value"), float):
+                    assert g["value"] == pytest.approx(w["value"]), name
+                else:
+                    assert g == w, (trial, name, g, w)
+    finally:
+        pool.shutdown()
+
+
+def test_terms_agg_custom_order(dsl_index):
+    """terms agg order: by _key, by _count asc, and by a sub-agg metric
+    — truncation happens AFTER the custom order (ES semantics)."""
+    s = Searcher(dsl_index, load_docs=True)
+    langs = np.asarray(s._attr("lang"))
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    uvals = sorted({str(v) for v in langs})
+
+    got = execute_dsl(s, {"size": 0, "aggs": {"l": {"terms": {
+        "field": "lang", "size": 2, "order": {"_key": "asc"}}}}})
+    assert [b["key"] for b in got["aggregations"]["l"]["buckets"]] == \
+        uvals[:2]
+
+    got = execute_dsl(s, {"size": 0, "aggs": {"l": {"terms": {
+        "field": "lang", "size": 3, "order": {"_count": "asc"}}}}})
+    counts = {v: int((langs == v).sum()) for v in uvals}
+    want = sorted(uvals, key=lambda v: (counts[v], v))[:3]
+    assert [b["key"] for b in got["aggregations"]["l"]["buckets"]] == want
+
+    got = execute_dsl(s, {"size": 0, "aggs": {"l": {"terms": {
+        "field": "lang", "size": 2, "order": {"d": "desc"}},
+        "aggs": {"d": {"avg": {"field": "dl"}}}}}})
+    avg = {v: dl[langs == v].mean() for v in uvals}
+    want = sorted(uvals, key=lambda v: (-avg[v], v))[:2]
+    assert [b["key"] for b in got["aggregations"]["l"]["buckets"]] == want
+    for b in got["aggregations"]["l"]["buckets"]:
+        assert b["d"]["value"] == pytest.approx(avg[b["key"]])
