@@ -10,6 +10,8 @@ Supported surface (everything dispatches onto existing searcher
 methods — this module adds translation, not retrieval):
 
 - ``query``: match_all, match, match_phrase, match_phrase_prefix,
+  simple_query_string (OR/AND terms, +required, -excluded, one quoted
+  phrase; Lucene operators beyond that refuse),
   multi_match (best_fields/most_fields/cross_fields reduce to match
   over the single analyzed text field; type=phrase to match_phrase),
   term, terms, terms_set (literal minimum_should_match), ids, exists,
@@ -260,6 +262,55 @@ def _translate(s, q: dict) -> _Translated:
     if kind == "match_phrase":
         ((_f, v),) = arg.items()
         t.phrase = _tokens(s, _text_of(v))
+        return t
+    if kind == "simple_query_string":
+        # the subset users actually type: whitespace-separated terms
+        # (OR by default, AND via default_operator), +term (required),
+        # -term (excluded), "quoted phrase" (one per query). Lucene
+        # operators beyond that (| ( ) ~ *) refuse loudly.
+        qs = str(arg["query"])
+        for ch in "|()~*":
+            if ch in qs:
+                raise NotImplementedError(
+                    f"simple_query_string operator {ch!r} is not "
+                    "supported (terms, +, -, and one quoted phrase are)")
+        import re as _re
+
+        musts: list[str] = []
+        nots: list[str] = []
+        frees: list[str] = []
+        for phr in _re.findall(r'"([^"]*)"', qs):
+            if t.phrase is not None:
+                raise NotImplementedError(
+                    "one quoted phrase per simple_query_string")
+            t.phrase = _tokens(s, phr)
+        qs = _re.sub(r'"[^"]*"', " ", qs)
+        for raw in qs.split():
+            if raw.startswith("+"):
+                musts.extend(_tokens(s, raw[1:]))
+            elif raw.startswith("-"):
+                nots.extend(_tokens(s, raw[1:]))
+            else:
+                frees.extend(_tokens(s, raw))
+        and_op = str(arg.get("default_operator", "or")).lower() == "and"
+        t.terms.extend(musts + frees)
+        groups = [[w] for w in musts] + \
+            ([[w] for w in frees] if and_op else [])
+        if len(groups) > 1 or (groups and (frees if not and_op else [])):
+            # required tokens each add a >=1-term filter (candidates
+            # intersect, ES semantics; scoring is the BM25 sum as usual)
+            for toks in groups:
+                t.filters.append(
+                    {"bool": {"should": [{"match": w} for w in toks]}})
+        elif len(groups) == 1 and not frees and t.phrase is None:
+            pass  # a single required term IS the candidate set already
+        if nots:
+            t.filters.append({"bool": {"must_not": [
+                {"match": w} for w in nots]}})
+        if t.phrase is not None and (t.terms or t.should_terms):
+            raise NotImplementedError(
+                "simple_query_string mixes a phrase with scored terms — "
+                "split into a bool query instead")
         return t
     if kind == "multi_match":
         # the index analyzes ONE text field (content), so best_fields /

@@ -1758,3 +1758,45 @@ def test_terms_agg_custom_order(dsl_index):
     assert [b["key"] for b in got["aggregations"]["l"]["buckets"]] == want
     for b in got["aggregations"]["l"]["buckets"]:
         assert b["d"]["value"] == pytest.approx(avg[b["key"]])
+
+
+def test_simple_query_string(dsl_index):
+    """simple_query_string subset: OR terms, default_operator=and,
+    +required, -excluded, one quoted phrase; operators beyond the
+    subset refuse."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    a, b, c = (terms_by_df[0][0], terms_by_df[1][0], terms_by_df[2][0])
+
+    got = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": f"{a} {b}"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search([a, b], k=6))
+
+    got = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": f"{a} {b}", "default_operator": "and"}}, "size": 6})
+    want = execute_dsl(s, {"query": {"bool": {"must": [
+        {"match": {"content": a}}, {"match": {"content": b}}]}},
+        "size": 6})
+    assert _ids_scores(got) == _ids_scores(want)
+    assert got["hits"]["total"] == want["hits"]["total"]
+
+    got = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": f"+{a} {b}"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search(
+        [a, b], k=6, filter={"bool": {"should": [{"match": a}]}}))
+
+    got = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": f"{a} -{c}"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search(
+        [a], k=6, filter={"bool": {"must_not": [{"match": c}]}}))
+
+    got = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": f'"{a} {b}"'}}, "size": 5})
+    assert _ids_scores(got) == _want(s.phrase_search([a, b], k=5))
+
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"simple_query_string": {
+            "query": f"{a} | {b}"}}})
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"simple_query_string": {
+            "query": f'"{a} {b}" {c}'}}})
