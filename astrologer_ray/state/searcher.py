@@ -2466,6 +2466,38 @@ class Searcher:
         return execute_dsl(self, body)
 
 
+class DSLStage:
+    """Actor-pool batch DSL stage: run a Dataset of stored ES ``_search``
+    request bodies against one index —
+    ``ds.map_batches(DSLStage, fn_constructor_kwargs={"index_dir": ...},
+    concurrency=N, batch_size=B)``. The offline query-log evaluation
+    job: each actor loads the index ONCE in ``__init__`` (docs sidecar
+    included, so aggs/sorts/runtime fields work), then serves whole
+    bodies per batch.
+
+    Input rows: (qid:int64, body:string JSON).
+    Output rows: (qid, response:string JSON) — one response per body,
+    ES-shaped (`execute_dsl`)."""
+
+    def __init__(self, index_dir: str):
+        self.searcher = Searcher(index_dir, load_docs=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from astrologer_ray.state.dsl import execute_dsl
+
+        qids, resps = [], []
+        for row in batch.to_pylist():
+            qids.append(row["qid"])
+            resps.append(json.dumps(
+                execute_dsl(self.searcher, json.loads(row["body"]))))
+        return pa.table({
+            "qid": pa.array(qids, pa.int64()),
+            "response": pa.array(resps, pa.string()),
+        })
+
+
 class SearchStage:
     """Actor-pool batch query stage: ``map_batches(SearchStage, concurrency=N)``.
 

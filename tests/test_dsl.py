@@ -1800,3 +1800,37 @@ def test_simple_query_string(dsl_index):
     with pytest.raises(NotImplementedError):
         execute_dsl(s, {"query": {"simple_query_string": {
             "query": f'"{a} {b}" {c}'}}})
+
+
+def test_dsl_stage_batch_job(dsl_index):
+    """DSLStage: a Dataset of stored _search bodies evaluated against
+    the index via map_batches (offline query-log job) — every response
+    equals the direct execute_dsl call."""
+    import json
+
+    import ray.data as rd
+
+    from astrologer_ray.state.searcher import DSLStage
+
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    bodies = [
+        {"query": {"match": {"content": w1}}, "size": 4},
+        {"query": {"simple_query_string": {"query": f"+{w1} {w2}"}},
+         "size": 3},
+        {"size": 0, "aggs": {"langs": {
+            "terms": {"field": "lang", "size": 3}}}},
+        {"query": {"match_phrase": {"content": f"{w1} {w2}"}},
+         "size": 2},
+    ]
+    ds = rd.from_items([{"qid": i, "body": json.dumps(b)}
+                        for i, b in enumerate(bodies)])
+    out = ds.map_batches(
+        DSLStage, fn_constructor_kwargs={"index_dir": dsl_index},
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas().sort_values("qid")
+    assert list(out.qid) == list(range(len(bodies)))
+    for i, b in enumerate(bodies):
+        got = json.loads(out[out.qid == i].iloc[0]["response"])
+        assert got == execute_dsl(s, b), i
