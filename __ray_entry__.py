@@ -726,27 +726,6 @@ FROM agg
 """
 
 
-def events_percentile_ranks(sf_dir: str):
-    """ES ``percentile_ranks`` (exact flavor): % of event values <= each
-    probe — one combiner pass of (n, n<=v) partials, driver reduce
-    O(blocks x probes), no shuffle or sort (the inverse of the
-    percentiles agg)."""
-    rd = _rd()
-    from astrologer_ray.pipelines.aggs import percentile_ranks
-
-    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["value"])
-    return percentile_ranks(ds, "value", (10.0, 50.0, 200.0))
-
-
-PERCENTILE_RANKS_SQL = """
-SELECT v AS value,
-       round(100.0 * (SELECT count(*) FROM events WHERE value <= v)
-             / (SELECT count(*) FROM events WHERE value IS NOT NULL),
-             6) AS pct_rank
-FROM (VALUES (10.0), (50.0), (200.0)) t(v) ORDER BY value
-"""
-
-
 def events_pipeline_aggs(sf_dir: str):
     """ES pipeline aggregations over a day histogram: cumulative_sum of
     the doc count, derivative of the day's cents sum, 3-bucket trailing
@@ -4839,11 +4818,10 @@ _LAST_DRIVER_VERIFIED = {
     "events_extended_stats": 3,
     "events_props_sum": 3,
     "events_pipeline_aggs": 3,
-    "events_percentile_ranks": 0,  # new in r5 (SQL oracle)
+    "events_percentile_ranks": 0,  # re-windowed in r5 (stale r3 evidence)
     "events_dense_histogram": 3,
     "events_percentiles_sampled": 3,
     "events_bucket_script": 3,
-    "events_percentile_ranks": 3,
     "events_weighted_avg": 3,
     "events_range_listing": 3,
     "union_all_keys": 3,
@@ -5083,7 +5061,6 @@ def oracle_sql() -> dict[str, str]:
         "events_extended_stats": EVENTS_EXTENDED_STATS_SQL,
         "events_props_sum": EVENTS_PROPS_SQL,
         "events_pipeline_aggs": EVENTS_PIPELINE_SQL,
-        "events_percentile_ranks": PERCENTILE_RANKS_SQL,
         "events_dense_histogram": EVENTS_DENSE_HIST_SQL,
         "events_auto_histogram": EVENTS_AUTO_HIST_SQL,
         "docs_chunked": DOCS_CHUNKED_SQL,

@@ -260,38 +260,6 @@ def percentiles(
     return ds.groupby(group_col).map_groups(group_q, batch_format="pyarrow")
 
 
-def percentile_ranks(
-    ds: Dataset, val_col: str, values: tuple, round_to: int = 6,
-) -> pa.Table:
-    """ES ``percentile_ranks`` (exact flavor): for each probe value v,
-    the percentage of observed values <= v — the inverse of the
-    percentiles agg. One combiner pass: each batch counts
-    ``(n, n<=v per probe)`` partials (a map_batches fold, no shuffle,
-    no sort); the driver reduce is O(#blocks x #probes). Exactly SQL's
-    ``100.0 * count(*) FILTER (col <= v) / count(*)``."""
-    import numpy as np
-
-    probes = [float(v) for v in values]
-
-    def partial(t: pa.Table) -> pa.Table:
-        col = np.asarray(t[val_col], dtype=np.float64)
-        col = col[~np.isnan(col)]
-        out = {"n": pa.array([len(col)], pa.int64())}
-        for i, v in enumerate(probes):
-            out[f"le{i}"] = pa.array([int((col <= v).sum())], pa.int64())
-        return pa.table(out)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    n = int(parts["n"].sum())
-    return pa.table({
-        "value": pa.array(probes, pa.float64()),
-        "pct_rank": pa.array(
-            [round(100.0 * int(parts[f"le{i}"].sum()) / n, round_to)
-             if n else None for i in range(len(probes))],
-            pa.float64()),
-    })
-
-
 def _bit_length_u64(v: "np.ndarray") -> "np.ndarray":
     """Exact vectorized bit_length for uint64 (shift cascade — float log2
     is imprecise past 2^53)."""

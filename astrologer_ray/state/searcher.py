@@ -887,6 +887,16 @@ class Searcher:
         if kind == "term":
             ((attr, val),) = arg.items()
             col = self._attr(attr)
+            dt = getattr(col, "dtype", None)
+            if (isinstance(val, str) and dt is not None
+                    and np.issubdtype(dt, np.number)):
+                # terms-agg recursion scopes sub-aggs with the bucket's
+                # stringified key; numpy `int_col == "42"` is all-False,
+                # so compare in the column's own dtype
+                try:
+                    val = dt.type(val)
+                except ValueError:
+                    val = float(val)
             return col == val
         if kind == "exists":
             col = self._attr(arg)

@@ -667,6 +667,27 @@ def test_terms_agg_metric_subaggs(dsl_index):
         assert b["n"]["value"] == len(grp)
 
 
+def test_terms_agg_numeric_field_subaggs(dsl_index):
+    """Terms buckets over a NUMERIC attr still scope their sub-aggs:
+    the recursion scopes with the stringified bucket key, and numpy
+    `int_col == "42"` is all-False, so without dtype coercion every
+    nested metric silently comes back 0/None (code-review r5)."""
+    s = Searcher(dsl_index, load_docs=True)
+    dl = np.asarray(s._attr("dl"))
+    body = {"aggs": {"by_dl": {
+        "terms": {"field": "dl", "size": 3},
+        "aggs": {"n": {"value_count": {"field": "dl"}},
+                 "m": {"max": {"field": "dl"}}},
+    }}, "size": 0}
+    got = execute_dsl(s, body)["aggregations"]["by_dl"]["buckets"]
+    assert got  # fixture has docs
+    for b in got:
+        grp = dl[dl == type(dl[0])(b["key"])]
+        assert b["doc_count"] == len(grp) > 0
+        assert b["n"]["value"] == len(grp)  # was 0 before the fix
+        assert b["m"]["value"] == pytest.approx(float(grp.max()))
+
+
 def test_global_and_missing_aggs(dsl_index):
     """global escapes the query scope (ES semantics); missing counts
     docs without the field value."""
