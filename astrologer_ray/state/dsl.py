@@ -805,6 +805,11 @@ def _apply_parent_pipelines(buckets: list, specs: list) -> list:
                 ((path, opts),) = (srt.items() if isinstance(srt, dict)
                                    else ((srt, {}),))
                 desc = (opts or {}).get("order", "desc") == "desc"
+                if path == "_key":
+                    # the bucket key itself (may be a string — sort it
+                    # directly rather than through the float metric path)
+                    buckets.sort(key=lambda b: b["key"], reverse=desc)
+                    continue
 
                 def _key(b, p=path, d=desc):
                     v = _bucket_path_value(b, p)
@@ -910,6 +915,22 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
             rows = s.agg_terms(arg["field"],
                                k=s.n_local if order else tsize,
                                filter=scope)
+            opath = None
+            if order:
+                ((opath, odir),) = order.items()
+                desc = odir == "desc"
+                if opath in ("_key", "_count"):
+                    # the order doesn't depend on sub-agg values, so
+                    # truncate FIRST and recurse sub-aggs only for the
+                    # surviving `size` buckets (sub-metric order below
+                    # still needs every bucket materialized)
+                    rows = sorted(rows, key=lambda r: r[0])
+                    if opath == "_key":
+                        if desc:
+                            rows.reverse()
+                    else:
+                        rows.sort(key=lambda r: r[1], reverse=desc)
+                    rows = rows[:tsize]
             buckets = []
             for k, c in rows:
                 b = {"key": k, "doc_count": int(c)}
@@ -919,22 +940,15 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
                     b.update(_run_aggs(s, normal, _compose_scope(
                         scope, {"term": {arg["field"]: k}}), qterms))
                 buckets.append(b)
-            if order:
-                ((opath, odir),) = order.items()
-                desc = odir == "desc"
+            if order and opath not in ("_key", "_count"):
+                # a sub-agg metric path; missing values sort last
                 buckets.sort(key=lambda b: b["key"])  # stable tiebreak
-                if opath == "_key":
-                    if desc:
-                        buckets.reverse()
-                elif opath == "_count":
-                    buckets.sort(key=lambda b: b["doc_count"],
-                                 reverse=desc)
-                else:  # a sub-agg metric path; missing values sort last
-                    def _okey(b, p=opath, d=desc):
-                        v = _bucket_path_value(b, p)
-                        return (v is None,
-                                (-v if d else v) if v is not None else 0)
-                    buckets.sort(key=_okey)
+
+                def _okey(b, p=opath, d=desc):
+                    v = _bucket_path_value(b, p)
+                    return (v is None,
+                            (-v if d else v) if v is not None else 0)
+                buckets.sort(key=_okey)
                 buckets = buckets[:tsize]
             out[name] = {"buckets": _apply_parent_pipelines(buckets, pipes)}
         elif kind == "multi_terms":
@@ -1120,14 +1134,15 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
             thk = int(arg.get("size", 3))
             srt = arg.get("sort")
             if srt:
-                one = srt[0] if isinstance(srt, list) else srt
-                if isinstance(one, str):
-                    one = {one: {}}
-                ((attr, opts),) = one.items()
-                desc = (opts or {}).get("order", "desc") == "desc"
-                rows = s.sort_by_attr(attr, k=thk, descending=desc,
-                                      filter=scope)
-                hits = [{"_id": r["doc_id"], "sort": [r["value"]]}
+                specs = []
+                for one in (srt if isinstance(srt, list) else [srt]):
+                    if isinstance(one, str):
+                        one = {one: {}}
+                    ((attr, opts),) = one.items()
+                    specs.append(
+                        (attr, (opts or {}).get("order", "desc") == "desc"))
+                rows = s.sort_by_attrs(specs, k=thk, filter=scope)
+                hits = [{"_id": r["doc_id"], "sort": r["sort"]}
                         for r in rows]
             elif qterms:
                 rows = s.search(list(qterms), k=thk, filter=scope)
@@ -1241,6 +1256,14 @@ def _exact_total(s, t: _Translated) -> int:
             t.phrase_prefix["terms"], k=s.n_local,
             max_expansions=t.phrase_prefix["max_expansions"],
             filter=t.filter))
+    if t.pinned is not None:
+        # ES counts the pinned ids as matches even when they hold no
+        # query term (search_pinned returns them as 0.0-score hits), so
+        # total = |ids ∪ organic matches|, never < the page length
+        scope = _agg_scope_filter(s, t)
+        if scope is None:
+            return s.count()
+        return s.count({"bool": {"should": [{"ids": t.pinned}, scope]}})
     if t.msm > 1 and (t.terms or t.should_terms):
         # minimum_should_match > 1 (bool msm, terms_set): the >=1-term
         # agg-scope filter overcounts; run the exact predicate instead
@@ -1708,7 +1731,7 @@ def _attach_hit_evidence(s, body: dict, t: _Translated, resp: dict,
             "queries only")
     kw = dict(filter=t.filter, should_terms=t.should_terms or None,
               min_should_match=t.msm, min_score=body.get("min_score"),
-              after=after)
+              after=after, boosts=t.boosts or None)
     if body.get("explain"):
         by_doc: dict = {}
         for r in s.explain(t.terms, k=k, **kw):

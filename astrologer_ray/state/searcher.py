@@ -2420,6 +2420,7 @@ class Searcher:
                            **search_kw)
         if not hits:
             return []
+        boosts = search_kw.get("boosts") or {}
         all_terms = list(terms) + list(search_kw.get("should_terms") or [])
         uniq = sorted({t for t in all_terms
                        if t in self.postings and self.owns_term(t)})
@@ -2443,6 +2444,10 @@ class Searcher:
                     idf(self.N, df_t), float(tfs[i]), float(dls[i]),
                     self.avgdl, self.k1, self.b,
                 )
+                if t in boosts:
+                    # same product the scorer applies (w * boost when the
+                    # term is boosted) so detail rows still sum to score
+                    w = w * float(boosts[t])
                 out.append({
                     "doc_id": did, "term": t, "tf": int(tfs[i]),
                     "df": df_t, "weight": float(w),

@@ -1855,3 +1855,81 @@ def test_dsl_stage_batch_job(dsl_index):
     for i, b in enumerate(bodies):
         got = json.loads(out[out.qid == i].iloc[0]["response"])
         assert got == execute_dsl(s, b), i
+
+
+def test_bucket_sort_by_key(pipe_searcher):
+    """bucket_sort on the ES ``_key`` path sorts by the bucket key itself
+    (code-review r5: every key resolved to 'missing', so the sort was a
+    silent no-op and from/size kept the WRONG buckets)."""
+    s, ts, val = pipe_searcher
+    keys, _sums, _cnts = _day_keys_sums(ts, val)
+    got = execute_dsl(s, {"size": 0, "aggs": {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"order": {"bucket_sort": {
+            "sort": [{"_key": {"order": "desc"}}], "size": 2}}},
+    }}})["aggregations"]["days"]["buckets"]
+    want = sorted(keys.tolist(), reverse=True)[:2]
+    assert [float(b["key"]) for b in got] == want
+
+
+def test_pinned_total_counts_nonmatching_pinned(dsl_index):
+    """ES counts pinned ids as matches even when they hold no query term
+    (code-review r5: total came from the organic any-term count, so the
+    page could be LONGER than hits.total)."""
+    s = Searcher(dsl_index, load_docs=True)
+    w = min(s.df, key=lambda t: (s.df[t], t))  # rarest term
+    m = s.filter_mask({"match": w})
+    assert (~m).any()
+    nm_doc = int(np.flatnonzero(~m)[0]) + s.doc_lo
+    n_match = s.count({"match": w})
+    resp = execute_dsl(s, {"query": {"pinned": {
+        "ids": [nm_doc], "organic": {"match": {"content": w}}}},
+        "size": 50})
+    assert resp["hits"]["hits"][0]["_id"] == nm_doc  # pinned first
+    assert resp["hits"]["total"]["value"] == n_match + 1
+    assert len(resp["hits"]["hits"]) <= resp["hits"]["total"]["value"]
+
+
+def test_top_hits_multi_key_sort(dsl_index):
+    """top_hits with a multi-key sort list uses EVERY key (code-review
+    r5: only sort[0] was applied, silently dropping the tiebreaks)."""
+    s = Searcher(dsl_index, load_docs=True)
+    lang = np.asarray(s._attr("lang"))
+    dl = np.asarray(s._attr("dl"), dtype=np.int64)
+    got = execute_dsl(s, {"size": 0, "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {"th": {"top_hits": {"size": 3, "sort": [
+            {"lang": {"order": "asc"}}, {"dl": {"order": "desc"}}]}}},
+    }}})["aggregations"]["by_lang"]["buckets"]
+    assert got
+    for b in got:
+        ids = np.flatnonzero(lang == b["key"])
+        # lang is constant within the bucket -> the dl desc tiebreak
+        # (then doc_id asc) decides the order
+        order = np.lexsort((ids, -dl[ids]))[:3]
+        want = [int(ids[i]) + s.doc_lo for i in order]
+        hits = b["th"]["hits"]["hits"]
+        assert [h["_id"] for h in hits] == want
+        assert all(len(h["sort"]) == 2 for h in hits)
+
+
+def test_explain_details_respect_boosts(dsl_index):
+    """explain:true detail rows carry the BOOSTED weights (code-review
+    r5: boosts were dropped from the evidence query, so details no
+    longer summed to _score for boosted clauses)."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[3][0]
+    resp = execute_dsl(s, {"query": {"bool": {
+        "must": [{"match": {"content": {"query": w1, "boost": 3.0}}}],
+        "should": [{"match": {"content": {"query": w2, "boost": 0.5}}}],
+    }}, "explain": True, "size": 5})
+    assert resp["hits"]["hits"]
+    saw_boosted = False
+    for h in resp["hits"]["hits"]:
+        det = h["_explanation"]["details"]
+        assert det
+        assert sum(d["value"] for d in det) == pytest.approx(
+            h["_score"], rel=1e-9)
+        saw_boosted = saw_boosted or len(det) > 1
+    assert saw_boosted  # at least one hit carries the boosted should term
