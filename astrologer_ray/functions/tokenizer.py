@@ -403,3 +403,34 @@ class CodeTokenizer:
         occ_pos = np.arange(m, dtype=np.int64) - dl_cum[doc_of_emit]
         pos_flat = occ_pos[np.argsort(inv2, kind="stable")].astype(np.int32)
         return doc_idx, term_ids, tfs.astype(np.int32), dls, pos_flat
+
+
+def flat_simple_tokens(col):
+    """Batch ``simple``-mode tokenization entirely in C kernels: lower +
+    ``[^a-z0-9]+`` regex split (token-for-token the SQL oracles' split)
+    + flatten + dictionary_encode.  Returns ``(inv, uniq, doc_of_tok)``
+    — the factorized token-id stream (positional order preserved), the
+    distinct token strings (an Arrow string array — the dictionary),
+    and which input row each position belongs to.  Shared by the n-gram
+    LM trainer and the duplicate-span scanner so their token streams
+    can never diverge."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    lower = pc.utf8_lower(pc.fill_null(arr, ""))
+    toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_of_tok = doc_of_tok[nonempty]
+    if len(flat) == 0:
+        return (np.empty(0, np.int64), pa.array([], pa.string()),
+                doc_of_tok)
+    enc = pc.dictionary_encode(flat)
+    inv = enc.indices.to_numpy().astype(np.int64)
+    return inv, enc.dictionary, doc_of_tok

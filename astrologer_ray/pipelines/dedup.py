@@ -1250,27 +1250,16 @@ def _window_hashes(
     batch row each window belongs to, and the window's 0-based token
     offset within its row. Windows never cross rows; rows with fewer
     than ``window`` tokens contribute none."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    import pyarrow.compute as pc
+    from astrologer_ray.functions.tokenizer import flat_simple_tokens
 
-    lower = pc.utf8_lower(pc.fill_null(arr, ""))
-    toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
-    flat = pc.list_flatten(toks)
-    lens = pc.list_value_length(toks).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(nonempty))
-    doc_of_tok = doc_of_tok[nonempty]
-    L = len(flat)
+    inv, uniq, doc_of_tok = flat_simple_tokens(col)
+    L = len(inv)
     if L < window:
         z = np.empty(0, np.uint64)
         return z, z, np.empty(0, np.int64), np.empty(0, np.int64)
-    enc = pc.dictionary_encode(flat)
-    inv = enc.indices.to_numpy().astype(np.int64)
-    th1 = np.empty(len(enc.dictionary), dtype=np.uint64)
-    th2 = np.empty(len(enc.dictionary), dtype=np.uint64)
-    for u, tok in enumerate(enc.dictionary.to_pylist()):  # DISTINCT only
+    th1 = np.empty(len(uniq), dtype=np.uint64)
+    th2 = np.empty(len(uniq), dtype=np.uint64)
+    for u, tok in enumerate(uniq.to_pylist()):  # DISTINCT only
         dg = hashlib.blake2b(tok.encode("utf-8"), digest_size=16).digest()
         th1[u] = int.from_bytes(dg[:8], "big")
         th2[u] = int.from_bytes(dg[8:], "big")

@@ -48,29 +48,10 @@ MODEL_SCHEMA = pa.schema(
 SEP = "\x1f"  # joins tokens inside a gram key; cannot appear in tokens
 
 
-def _flat_simple_tokens(col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Batch tokenization for ``simple`` mode entirely in C kernels:
-    lower + regex split + flatten + dictionary_encode.  Returns the
-    factorized token-id stream ``inv`` (positional order preserved), the
-    distinct token strings ``uniq`` (an Arrow string array — the
-    dictionary), and ``doc_of_tok`` (which row each position belongs
-    to)."""
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    lower = pc.utf8_lower(pc.fill_null(arr, ""))
-    toks = pc.split_pattern_regex(lower, "[^a-z0-9]+")
-    flat = pc.list_flatten(toks)
-    lens = pc.list_value_length(toks).to_numpy(
-        zero_copy_only=False).astype(np.int64)
-    doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(nonempty))
-    doc_of_tok = doc_of_tok[nonempty]
-    if len(flat) == 0:
-        return (np.empty(0, np.int64), pa.array([], pa.string()),
-                doc_of_tok)
-    enc = pc.dictionary_encode(flat)
-    inv = enc.indices.to_numpy().astype(np.int64)
-    return inv, enc.dictionary, doc_of_tok
+# simple-mode batch tokenization shared with the duplicate-span scanner
+from astrologer_ray.functions.tokenizer import (  # noqa: E402
+    flat_simple_tokens as _flat_simple_tokens,
+)
 
 
 def _count_ngrams_vec(

@@ -97,6 +97,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from astrologer_ray.functions import painless
+
 _TEXT_FIELDS = {"text", "content", "_all"}
 _CALENDAR = {"day": 86400, "hour": 3600, "minute": 60}
 
@@ -773,14 +775,8 @@ def _script_eval(script, params: dict):
     (``params.a / params.b > 0.5``, ``&&``/``||``). No builtins are
     exposed; anything beyond that subset raises."""
     src = script["source"] if isinstance(script, dict) else script
-    expr = (src.replace("params.", "params_")
-               .replace("&&", " and ").replace("||", " or "))
-    env = {f"params_{k}": v for k, v in params.items()}
-    try:
-        return eval(expr, {"__builtins__": {}}, env)  # noqa: S307
-    except Exception as e:  # pragma: no cover - surfaced to the caller
-        raise NotImplementedError(
-            f"unsupported bucket script {src!r}: {e}") from e
+    return painless.evaluate(painless.translate(src, logical=True), src,
+                             params=params, what="bucket script")
 
 
 def _split_parent_pipelines(subs: dict) -> tuple[dict, list]:
@@ -1515,29 +1511,16 @@ def _runtime_field_fn(s, spec: dict):
         raise NotImplementedError(
             "runtime field scripts must be a single emit(<expr>) over "
             "the painless arithmetic subset")
-    expr = re.sub(r"doc\[['\"](\w+)['\"]\]\.value", r"doc_\1", m.group(1))
-    expr = (expr.replace("Math.log10", "np.log10")
-                .replace("Math.log", "np.log")
-                .replace("Math.sqrt", "np.sqrt")
-                .replace("Math.abs", "np.abs")
-                .replace("Math.max", "np.maximum")
-                .replace("Math.min", "np.minimum")
-                .replace("params.", "params_"))
+    expr = painless.translate(m.group(1))
     params = (script.get("params") or {}) if isinstance(script, dict) \
         else {}
-    attr_names = set(re.findall(r"doc_(\w+)", expr))
+    attr_names = painless.doc_refs(expr)
 
     def fn(attrs):
-        env = {"np": np}
-        for pk, pv in params.items():
-            env[f"params_{pk}"] = pv
-        for a in attr_names:
-            env[f"doc_{a}"] = np.asarray(attrs[a], dtype=np.float64)
-        try:
-            out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
-        except Exception as e:
-            raise NotImplementedError(
-                f"unsupported runtime field script {src!r}: {e}") from e
+        docs = {a: np.asarray(attrs[a], dtype=np.float64)
+                for a in attr_names}
+        out = painless.evaluate(expr, src, params=params, docs=docs,
+                                what="runtime field script")
         return np.broadcast_to(
             np.asarray(out, dtype=np.float64), (s.n_local,)).copy()
 

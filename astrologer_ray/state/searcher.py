@@ -1825,32 +1825,19 @@ class Searcher:
                     f"{spec.get('modifier')!r} is not supported")
             return float(spec.get("factor", 1.0)) * mod(v)
         if "script_score" in fn:
+            from astrologer_ray.functions import painless
+
             script = fn["script_score"]["script"]
             src = script["source"] if isinstance(script, dict) else script
             # vectorized painless arithmetic subset: doc['x'].value ->
             # the candidate-sliced attr array, Math.* -> numpy kernels
-            import re as _re
-
-            expr = _re.sub(r"doc\[['\"](\w+)['\"]\]\.value", r"doc_\1", src)
-            expr = (expr.replace("Math.log10", "np.log10")
-                        .replace("Math.log", "np.log")
-                        .replace("Math.sqrt", "np.sqrt")
-                        .replace("Math.abs", "np.abs")
-                        .replace("Math.max", "np.maximum")
-                        .replace("Math.min", "np.minimum"))
-            env: dict = {"np": np}
-            if isinstance(script, dict):
-                for pk, pv in (script.get("params") or {}).items():
-                    env[f"params_{pk}"] = pv
-            expr = expr.replace("params.", "params_")
-            for attr in set(_re.findall(r"doc_(\w+)", expr)):
-                env[f"doc_{attr}"] = np.asarray(
-                    self._attr(attr), dtype=np.float64)[li]
-            try:
-                out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307
-            except Exception as e:
-                raise NotImplementedError(
-                    f"unsupported script_score script {src!r}: {e}") from e
+            expr = painless.translate(src)
+            params = (script.get("params") or {}) \
+                if isinstance(script, dict) else {}
+            docs = {a: np.asarray(self._attr(a), dtype=np.float64)[li]
+                    for a in painless.doc_refs(expr)}
+            out = painless.evaluate(expr, src, params=params, docs=docs,
+                                    what="script_score script")
             return np.broadcast_to(
                 np.asarray(out, dtype=np.float64), li.shape).copy()
         # a bare {"weight": w} function contributes the constant 1.0
