@@ -3635,6 +3635,55 @@ FROM b ORDER BY bucket
 """
 
 
+def docs_dsl_moving_fn(sf_dir: str):
+    """ES ``moving_fn`` pipeline aggregation (r5 DSL feature) through
+    the request-body adapter: histogram over dl (width 16) with a
+    sum(dl) sub-agg and a trailing 3-bucket moving average
+    (``MovingFunctions.unweightedAvg``, ES shift=0 semantics: the
+    window EXCLUDES the current bucket) — SQL's AVG OVER (ROWS BETWEEN
+    3 PRECEDING AND 1 PRECEDING)."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"size": 0, "aggs": {"by_dl": {
+        "histogram": {"field": "dl", "interval": 16},
+        "aggs": {
+            "sum_dl": {"sum": {"field": "dl"}},
+            "ma": {"moving_fn": {
+                "buckets_path": "sum_dl", "window": 3,
+                "script": "MovingFunctions.unweightedAvg(values)"}},
+        }}}})
+    rows = [(float(b["key"]), int(b["doc_count"]),
+             float(b["sum_dl"]["value"]),
+             # first bucket has an empty window; coalesce to 0 so the
+             # column stays non-null for the hash compare
+             float(b["ma"]["value"] if b["ma"]["value"] is not None
+                   else 0.0))
+            for b in resp["aggregations"]["by_dl"]["buckets"]]
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], pa.float64()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_dl": pa.array([r[2] for r in rows], pa.float64()),
+        "ma": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+DSL_MOVING_FN_SQL = f"""
+WITH dl AS (
+  SELECT len({_SPLIT_SQL}) AS dl FROM documents),
+b AS (
+  SELECT floor(dl / 16) * 16 AS bucket, count(*)::BIGINT AS n,
+         sum(dl)::DOUBLE AS sum_dl
+  FROM dl GROUP BY 1)
+SELECT bucket, n, sum_dl,
+       coalesce(avg(sum_dl) OVER (ORDER BY bucket
+                                  ROWS BETWEEN 3 PRECEDING
+                                  AND 1 PRECEDING), 0) AS ma
+FROM b ORDER BY bucket
+"""
+
+
 def docs_dsl_top_hits(sf_dir: str):
     """ES ``top_hits`` sub-aggregation (r5 DSL feature) through the
     request-body adapter: terms(lang, 3) buckets, each carrying its two
@@ -4777,6 +4826,7 @@ _LAST_DRIVER_VERIFIED = {
     "code_token_counts": 0,  # new in r5
     "docs_nested_terms_agg": 0,  # new in r5 (recursive DSL nesting)
     "docs_dsl_pipeline_aggs": 0,  # new in r5 (DSL pipeline aggs)
+    "docs_dsl_moving_fn": 0,  # new in r5 (moving_fn pipeline agg)
     "docs_sharded_dsl_agg": 0,  # new in r5 (sharded scatter-gather merge)
     "docs_multi_sort": 0,  # new in r5 (multi-field sort + cursor)
     "docs_sqs_lookup": 0,  # new in r5 (simple_query_string)
@@ -4908,6 +4958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_token_counts": code_token_counts,
         "docs_nested_terms_agg": docs_nested_terms_agg,
         "docs_dsl_pipeline_aggs": docs_dsl_pipeline_aggs,
+        "docs_dsl_moving_fn": docs_dsl_moving_fn,
         "docs_sharded_dsl_agg": docs_sharded_dsl_agg,
         "docs_multi_sort": docs_multi_sort,
         "docs_sqs_lookup": docs_sqs_lookup,
@@ -5039,6 +5090,7 @@ def oracle_sql() -> dict[str, str]:
         "code_token_counts": _code_token_counts_sql(),
         "docs_nested_terms_agg": NESTED_TERMS_SQL,
         "docs_dsl_pipeline_aggs": DSL_PIPELINE_SQL,
+        "docs_dsl_moving_fn": DSL_MOVING_FN_SQL,
         "docs_sharded_dsl_agg": SHARDED_DSL_SQL,
         "docs_multi_sort": MULTI_SORT_SQL,
         "docs_sqs_lookup": SQS_LOOKUP_SQL,

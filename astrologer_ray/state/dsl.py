@@ -61,11 +61,16 @@ methods — this module adds translation, not retrieval):
   ``merge_sharded`` implement the scatter-gather merge contract used
   by ``ShardedSearchPool.execute_dsl``.
 - pipeline aggregations: parent ``cumulative_sum``, ``derivative``,
-  ``serial_diff``, ``bucket_script``, ``bucket_selector`` and
-  ``bucket_sort`` inside a terms/histogram parent (``buckets_path``
+  ``serial_diff``, ``bucket_script``, ``bucket_selector``,
+  ``bucket_sort`` and ``moving_fn`` (the documented
+  ``MovingFunctions.*`` forms — unweightedAvg / sum / min / max /
+  stdDev / linearWeightedAvg / ewma — with ``window`` and ``shift``)
+  inside a terms/histogram parent (``buckets_path``
   to a sibling metric or ``_count``; scripts take the arithmetic
   subset of painless over ``params.*``), and sibling ``avg_bucket``,
-  ``sum_bucket``, ``min_bucket``, ``max_bucket``, ``stats_bucket``
+  ``sum_bucket``, ``min_bucket``, ``max_bucket``, ``stats_bucket``,
+  ``percentiles_bucket`` (exact, ES's round(p*(n-1)) rank) and
+  ``extended_stats_bucket``
   next to a bucket agg (``buckets_path`` = "parent>metric").  The
   distributed counterparts are pipelines.aggs.pipeline_aggs /
   bucket_script / bucket_selector.
@@ -94,6 +99,8 @@ Response is ES-shaped: ``hits.total.value``, ``hits.hits[]._id/_score``,
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 
@@ -750,9 +757,59 @@ _SUB_CAPABLE = {"terms", "histogram", "date_histogram",
 # Parent pipelines sit INSIDE a bucket agg's `aggs` and see its ordered
 # bucket list; sibling pipelines sit NEXT TO a bucket agg and reduce it.
 _PARENT_PIPELINE = {"cumulative_sum", "derivative", "serial_diff",
-                    "bucket_script", "bucket_selector", "bucket_sort"}
+                    "bucket_script", "bucket_selector", "bucket_sort",
+                    "moving_fn"}
 _SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket",
-                     "max_bucket", "stats_bucket"}
+                     "max_bucket", "stats_bucket", "percentiles_bucket",
+                     "extended_stats_bucket"}
+
+
+def _moving_fn_kernel(script):
+    """Compile a ``moving_fn`` script — the documented
+    ``MovingFunctions.<name>(values, ...)`` forms — to a window kernel
+    over a float64 array (gaps already dropped, like ES's default
+    skip gap policy). Empty windows return None (ES serializes the
+    NaN those functions produce as null)."""
+    src = script["source"] if isinstance(script, dict) else script
+    m = re.match(r"\s*MovingFunctions\.(\w+)\s*\(", src)
+    if not m:
+        raise NotImplementedError(
+            f"moving_fn supports the MovingFunctions.* forms, not {src!r}")
+    name = m.group(1)
+    if name == "ewma":
+        am = re.search(r",\s*([0-9.]+)\s*\)", src)
+        if not am:
+            raise NotImplementedError(
+                "MovingFunctions.ewma needs a numeric alpha literal")
+        alpha = float(am.group(1))
+
+        def ewma(w):
+            avg = None
+            for v in w:
+                avg = v if avg is None else alpha * v + (1 - alpha) * avg
+            return avg
+        return ewma
+    if name == "linearWeightedAvg":
+        def lwa(w):
+            if not len(w):
+                return None
+            wts = np.arange(1, len(w) + 1, dtype=np.float64)
+            return float((w * wts).sum() / wts.sum())
+        return lwa
+    simple = {
+        "max": lambda w: float(w.max()) if len(w) else None,
+        "min": lambda w: float(w.min()) if len(w) else None,
+        "sum": lambda w: float(w.sum()) if len(w) else None,
+        "unweightedAvg": lambda w: float(w.mean()) if len(w) else None,
+        # ES stdDev(values, avg): population deviation around the
+        # passed mean — the docs always pass unweightedAvg(values)
+        "stdDev": lambda w: float(
+            np.sqrt(((w - w.mean()) ** 2).mean())) if len(w) else None,
+    }
+    if name not in simple:
+        raise NotImplementedError(
+            f"unsupported MovingFunctions.{name}")
+    return simple[name]
 
 
 def _bucket_path_value(bucket: dict, path: str) -> float | None:
@@ -839,6 +896,22 @@ def _apply_parent_pipelines(buckets: list, specs: list) -> list:
                     _script_eval(arg["script"], params))}
             continue
         vals = [_bucket_path_value(b, arg["buckets_path"]) for b in buckets]
+        if kind == "moving_fn":
+            # ES window semantics: with shift=0 the window is the last
+            # `window` values EXCLUDING the current bucket; +1 shift
+            # slides it right (window [i-window+shift, i+shift))
+            window = int(arg["window"])
+            shift = int(arg.get("shift", 0))
+            fn = _moving_fn_kernel(arg["script"])
+            for i, b in enumerate(buckets):
+                lo = max(0, i - window + shift)
+                hi = max(lo, min(len(vals), i + shift))
+                w = np.array([v for v in vals[lo:hi] if v is not None],
+                             dtype=np.float64)
+                out = fn(w)
+                b[name] = {"value": None if out is None or np.isnan(out)
+                           else float(out)}
+            continue
         if kind == "cumulative_sum":
             run = 0.0
             for b, v in zip(buckets, vals):
@@ -881,6 +954,28 @@ def _sibling_bucket_result(out: dict, kind: str, arg: dict) -> dict:
         return {"count": int(len(arr)), "min": float(arr.min()),
                 "max": float(arr.max()), "avg": float(arr.mean()),
                 "sum": float(arr.sum())}
+    if kind == "percentiles_bucket":
+        # ES computes these exactly: sorted values, index
+        # round(p/100 * (n-1)) — Java Math.round is half-up
+        pcts = [float(p) for p in arg.get("percents", _DEFAULT_PERCENTS)]
+        srt = np.sort(arr)
+        return {"values": {
+            str(p): float(srt[int(np.floor((p / 100.0)
+                                           * (len(srt) - 1) + 0.5))])
+            for p in pcts}}
+    if kind == "extended_stats_bucket":
+        sigma = float(arg.get("sigma", 2.0))
+        avg = float(arr.mean())
+        var_p = float(arr.var())
+        std_p = float(np.sqrt(var_p))
+        return {
+            "count": int(len(arr)), "min": float(arr.min()),
+            "max": float(arr.max()), "avg": avg, "sum": float(arr.sum()),
+            "sum_of_squares": float((arr * arr).sum()),
+            "variance": var_p, "std_deviation": std_p,
+            "std_deviation_bounds": {"upper": avg + sigma * std_p,
+                                     "lower": avg - sigma * std_p},
+        }
     best = float(arr.max() if kind == "max_bucket" else arr.min())
     return {"value": best, "keys": [k for k, v in vals if v == best]}
 
@@ -1499,8 +1594,6 @@ def _runtime_field_fn(s, spec: dict):
     over ``doc['x'].value`` refs, ``params.*`` and ``Math.*``) into the
     vectorized attrs->array callable ``Searcher.add_runtime_field``
     expects."""
-    import re
-
     script = spec.get("script")
     if script is None:
         raise NotImplementedError(

@@ -1180,6 +1180,71 @@ def test_sibling_bucket_aggs(pipe_searcher):
             "x": {"avg_bucket": {"buckets_path": "nope>v"}}}})
 
 
+def test_moving_fn(pipe_searcher):
+    s, ts, val = pipe_searcher
+    keys, sums, cnts = _day_keys_sums(ts, val)
+    got = execute_dsl(s, {"size": 0, "aggs": {"days": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v": {"sum": {"field": "val"}},
+            "ma": {"moving_fn": {
+                "buckets_path": "v", "window": 3,
+                "script": "MovingFunctions.unweightedAvg(values)"}},
+            "mx": {"moving_fn": {
+                "buckets_path": "v", "window": 2, "shift": 1,
+                "script": "MovingFunctions.max(values)"}},
+            "ew": {"moving_fn": {
+                "buckets_path": "v", "window": 3, "shift": 1,
+                "script": "MovingFunctions.ewma(values, 0.3)"}},
+        }}}})["aggregations"]["days"]["buckets"]
+    # shift=0: the window is the last 3 values EXCLUDING current (ES)
+    for i, b in enumerate(got):
+        w = sums[max(0, i - 3):i]
+        if len(w):
+            assert b["ma"]["value"] == pytest.approx(w.mean())
+        else:
+            assert b["ma"]["value"] is None
+    # shift=1 includes the current bucket
+    for i, b in enumerate(got):
+        w = sums[max(0, i - 1):i + 1]
+        assert b["mx"]["value"] == w.max()
+        ew = None
+        for v in sums[max(0, i - 2):i + 1]:
+            ew = v if ew is None else 0.3 * v + 0.7 * ew
+        assert b["ew"]["value"] == pytest.approx(ew)
+    # unsupported script form refuses rather than mis-computing
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"size": 0, "aggs": {"days": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "val"}},
+                     "bad": {"moving_fn": {
+                         "buckets_path": "v", "window": 3,
+                         "script": "values[0] * 2"}}}}}})
+
+
+def test_percentiles_and_extended_stats_bucket(pipe_searcher):
+    s, ts, val = pipe_searcher
+    keys, sums, cnts = _day_keys_sums(ts, val)
+    got = execute_dsl(s, {"size": 0, "aggs": {
+        "days": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "val"}}}},
+        "pct": {"percentiles_bucket": {"buckets_path": "days>v",
+                                       "percents": [25.0, 50.0, 99.0]}},
+        "xs": {"extended_stats_bucket": {"buckets_path": "days>v"}},
+    }})["aggregations"]
+    srt = np.sort(sums)
+    for p in (25.0, 50.0, 99.0):
+        # ES percentiles_bucket: exact, index round(p/100 * (n-1))
+        idx = int(np.floor(p / 100.0 * (len(srt) - 1) + 0.5))
+        assert got["pct"]["values"][str(p)] == srt[idx]
+    assert got["xs"]["count"] == len(sums)
+    assert got["xs"]["avg"] == pytest.approx(sums.mean())
+    assert got["xs"]["variance"] == pytest.approx(sums.var())
+    assert got["xs"]["std_deviation_bounds"]["upper"] == pytest.approx(
+        sums.mean() + 2.0 * sums.std())
+
+
 def test_extended_stats_weighted_avg_mad(pipe_searcher):
     s, ts, val = pipe_searcher
     dl = np.asarray(s._attr("dl"), dtype=np.float64)
