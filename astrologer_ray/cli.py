@@ -527,6 +527,16 @@ def cmd_msearch(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """ES ``_analyze`` analog: print the analyzer's token stream for a
+    text (token/position, plus exact offsets in ``simple`` mode). Pure
+    driver-side — needs no index and no Ray session."""
+    from astrologer_ray.functions.tokenizer import analyze
+
+    print(json.dumps(analyze(args.text, mode=args.mode)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="astrologer_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -740,6 +750,14 @@ def main(argv: list[str] | None = None) -> int:
                     help='JSON body, e.g. \'{"query": {"match": '
                          '{"content": "merge"}}}\'')
     cn.set_defaults(fn=cmd_count)
+
+    an = sub.add_parser(
+        "analyze", help="ES _analyze analog: the token stream the "
+                        "engine's analyzer emits for TEXT (no index or "
+                        "Ray session needed)")
+    an.add_argument("text")
+    an.add_argument("--mode", choices=("code", "simple"), default="code")
+    an.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -127,6 +127,26 @@ def token_counts(text: str, mode: str = "code") -> Counter:
     return Counter(tokenize(text, mode))
 
 
+def analyze(text: str, mode: str = "code") -> dict:
+    """ES ``_analyze`` analog: the token stream this engine's analyzer
+    emits for ``text``, ES response shape ``{"tokens": [{"token",
+    "position", ...}]}``.  ``simple`` mode carries ``start_offset`` /
+    ``end_offset`` into the original text (the split is a direct regex
+    over the lowered input, so offsets are exact); ``code`` mode emits
+    token + position only — the UTF-8 scrub remaps byte offsets, and
+    subword splits share their parent token's span, so per-term offsets
+    would be misleading rather than merely approximate."""
+    if mode == "simple":
+        return {"tokens": [
+            {"token": m.group(0), "position": i,
+             "start_offset": m.start(), "end_offset": m.end(),
+             "type": "<ALPHANUM>"}
+            for i, m in enumerate(_SIMPLE_RE.finditer(text.lower()))]}
+    return {"tokens": [
+        {"token": t, "position": i, "type": "<ALPHANUM>"}
+        for i, t in enumerate(tokenize(text, mode))]}
+
+
 class CodeTokenizer:
     """Vectorized batch tokenizer with a cross-batch split cache.
 

@@ -471,3 +471,21 @@ def test_cli_msearch_sharded(ray_session, small_corpus_dir, tmp_path,
     # the terms truncation bound, absent on the replicated path)
     sharded["aggregations"]["langs"].pop("doc_count_error_upper_bound")
     assert sharded == replicated
+
+
+def test_cli_analyze(capsys):
+    # no index and no Ray session required
+    assert main(["analyze", "getUserName from HTTP_server2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    toks = [t["token"] for t in out["tokens"]]
+    from astrologer_ray.functions.tokenizer import tokenize
+    assert toks == tokenize("getUserName from HTTP_server2", mode="code")
+    assert [t["position"] for t in out["tokens"]] == list(range(len(toks)))
+
+    assert main(["analyze", "Hello, World 42!", "--mode", "simple"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    # simple mode carries exact offsets into the original text
+    for t in out["tokens"]:
+        assert ("Hello, World 42!".lower()
+                [t["start_offset"]:t["end_offset"]] == t["token"])
+    assert [t["token"] for t in out["tokens"]] == ["hello", "world", "42"]
