@@ -527,6 +527,20 @@ def cmd_msearch(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """ES ``GET /<index>/_explain/<id>`` analog: whether one doc matches
+    a query body, with the BM25 term-by-term breakdown for match
+    queries."""
+    from astrologer_ray.state.dsl import execute_explain
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    s = Searcher(args.index, load_docs=True)
+    print(json.dumps(execute_explain(s, args.doc_id,
+                                     json.loads(args.query))))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """ES ``_analyze`` analog: print the analyzer's token stream for a
     text (token/position, plus exact offsets in ``simple`` mode). Pure
@@ -750,6 +764,15 @@ def main(argv: list[str] | None = None) -> int:
                     help='JSON body, e.g. \'{"query": {"match": '
                          '{"content": "merge"}}}\'')
     cn.set_defaults(fn=cmd_count)
+
+    ex = sub.add_parser(
+        "explain", help="ES _explain/<id> analog: does one doc match a "
+                        "query body, with the per-term score breakdown")
+    ex.add_argument("index")
+    ex.add_argument("doc_id", type=int)
+    ex.add_argument("query", help='JSON body, e.g. \'{"query": '
+                                  '{"match": {"content": "merge"}}}\'')
+    ex.set_defaults(fn=cmd_explain)
 
     an = sub.add_parser(
         "analyze", help="ES _analyze analog: the token stream the "

@@ -1371,6 +1371,54 @@ def execute_count(s, body: dict | None = None) -> dict:
     return {"count": int(_exact_total(s, t))}
 
 
+def execute_explain(s, doc_id: int, body: dict) -> dict:
+    """ES ``GET /<index>/_explain/<id>``: does THIS doc match the query,
+    and — for scoring (match) queries — its BM25 term-by-term score
+    breakdown. Scopes the query to the one doc via an ``ids`` filter
+    composed with the query's own filter context, so ``matched`` and the
+    score agree bit-for-bit with what a ``_search`` over the same body
+    would report for that doc. Match / bool-match / pure filter-context
+    bodies only (the same surface ``explain: true`` covers)."""
+    did = int(doc_id)
+    t = _translate(s, body.get("query"))
+    ids_f = {"ids": [did]}
+    f = ids_f if t.filter is None else {"bool": {"must": [t.filter,
+                                                          ids_f]}}
+    if not t.terms and not t.should_terms:
+        if any(x is not None for x in (
+                t.phrase, t.dis_max, t.const, t.rank_feature, t.span_near,
+                t.gauss, t.fscore, t.boosting, t.phrase_prefix, t.pinned)):
+            raise NotImplementedError(
+                "_explain supports match/bool-match and pure "
+                "filter-context queries only")
+        matched = bool(_scope_keep(s, f).any())
+        return {"_id": did, "matched": matched, "explanation": {
+            "value": 1.0 if matched else 0.0,
+            "description": ("ConstantScore(filter context)" if matched
+                            else "no matching clause"),
+            "details": []}}
+    if not _is_plain_match(t, body):
+        raise NotImplementedError(
+            "_explain supports match/bool-match and pure filter-context "
+            "queries only")
+    rows = s.explain(t.terms, k=1, filter=f,
+                     should_terms=t.should_terms or None,
+                     min_should_match=t.msm,
+                     min_score=body.get("min_score"),
+                     boosts=t.boosts or None)
+    if not rows:
+        return {"_id": did, "matched": False, "explanation": {
+            "value": 0.0, "description": "no matching clause",
+            "details": []}}
+    return {"_id": did, "matched": True, "explanation": {
+        "value": rows[0]["score"],
+        "description": "sum of:",
+        "details": [{"value": r["weight"],
+                     "description": f"weight({r['term']}) "
+                                    f"[tf={r['tf']}, df={r['df']}]"}
+                    for r in rows]}}
+
+
 # metric aggs whose per-shard values merge losslessly by the same op
 _MERGEABLE_METRICS = {"sum", "min", "max", "value_count"}
 

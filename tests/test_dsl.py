@@ -1998,3 +1998,45 @@ def test_explain_details_respect_boosts(dsl_index):
             h["_score"], rel=1e-9)
         saw_boosted = saw_boosted or len(det) > 1
     assert saw_boosted  # at least one hit carries the boosted should term
+
+
+def test_execute_explain(dsl_index):
+    from astrologer_ray.state.dsl import execute_explain
+
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[3][0]
+    body = {"query": {"match": {"content": f"{w1} {w2}"}}}
+    top = execute_dsl(s, {**body, "size": 1})["hits"]["hits"][0]
+    got = execute_explain(s, top["_id"], body)
+    assert got["matched"] is True
+    # the explained score is bit-for-bit the _search score, and the
+    # details sum to it (sorted-term order, like the scorer)
+    assert got["explanation"]["value"] == top["_score"]
+    assert sum(d["value"] for d in got["explanation"]["details"]) == \
+        pytest.approx(top["_score"])
+
+    # a doc with NO query term does not match
+    hit_ids = {h["_id"] for h in
+               execute_dsl(s, {**body, "size": 10_000})["hits"]["hits"]}
+    non_hit = next(d for d in range(s.doc_lo, s.doc_lo + s.n_local)
+                   if d not in hit_ids)
+    got = execute_explain(s, non_hit, body)
+    assert got["matched"] is False and got["explanation"]["value"] == 0.0
+
+    # filter context composes: same match, wrong lang filter -> no match
+    lang_of_top = str(s._attr("lang")[top["_id"] - s.doc_lo])
+    other = next(v for v, _ in s.agg_terms("lang", k=5)
+                 if v != lang_of_top)
+    fbody = {"query": {"bool": {"must": [{"match": {"content": w1}}],
+                                "filter": [{"term": {"lang": other}}]}}}
+    if str(s._attr("lang")[top["_id"] - s.doc_lo]) != other:
+        assert execute_explain(s, top["_id"], fbody)["matched"] is False
+
+    # pure filter-context body: constant-score explanation
+    got = execute_explain(
+        s, top["_id"], {"query": {"term": {"lang": lang_of_top}}})
+    assert got["matched"] is True and got["explanation"]["value"] == 1.0
+    got = execute_explain(
+        s, top["_id"], {"query": {"term": {"lang": other}}})
+    assert got["matched"] is False
