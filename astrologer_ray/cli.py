@@ -325,6 +325,22 @@ def cmd_terms(args) -> int:
     return 0
 
 
+def cmd_terms_enum(args) -> int:
+    """ES ``_terms_enum`` analog: sorted index terms starting with a
+    string, paged by ``--after`` — the autocomplete endpoint. ``field``
+    is the analyzed text field or a keyword field."""
+    from astrologer_ray.state.dsl import execute_terms_enum
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(args.index, load_docs=False)
+    body = {"field": args.field, "string": args.string,
+            "size": args.size}
+    if args.after is not None:
+        body["search_after"] = args.after
+    print(json.dumps(execute_terms_enum(s, body)))
+    return 0
+
+
 def cmd_buckets(args) -> int:
     """The reference's ``es-stats`` command
     (/root/reference/commands/es-stats.go:19-57): fixed-step range-bucket
@@ -764,6 +780,16 @@ def main(argv: list[str] | None = None) -> int:
                     help='JSON body, e.g. \'{"query": {"match": '
                          '{"content": "merge"}}}\'')
     cn.set_defaults(fn=cmd_count)
+
+    te = sub.add_parser(
+        "terms-enum", help="ES _terms_enum analog: sorted terms "
+                           "starting with STRING, paged by --after")
+    te.add_argument("index")
+    te.add_argument("field")
+    te.add_argument("string", nargs="?", default="")
+    te.add_argument("--size", type=int, default=10)
+    te.add_argument("--after", default=None)
+    te.set_defaults(fn=cmd_terms_enum)
 
     ex = sub.add_parser(
         "explain", help="ES _explain/<id> analog: does one doc match a "

@@ -1371,6 +1371,49 @@ def execute_count(s, body: dict | None = None) -> dict:
     return {"count": int(_exact_total(s, t))}
 
 
+def execute_terms_enum(s, body: dict) -> dict:
+    """ES ``_terms_enum``: sorted index terms starting with ``string``,
+    paged by ``search_after`` — the autocomplete endpoint. ``field``
+    names the analyzed text field (the analyzed dictionary) or a
+    keyword field (its ``field\\x1evalue`` dictionary entries, value
+    part returned). ``complete`` is true when the listing reached the
+    end of the matching range (ES semantics: the enumeration saw every
+    candidate)."""
+    from astrologer_ray.stages.spimi import FIELD_SEP
+
+    field = body["field"]
+    prefix = str(body.get("string", ""))
+    size = int(body.get("size", 10))
+    after = body.get("search_after")
+    arr = s._term_array()
+    if field in _TEXT_FIELDS:
+        scan_prefix, strip = prefix, 0
+        in_field = lambda t: FIELD_SEP not in t  # noqa: E731
+    else:
+        scan_prefix = field + FIELD_SEP + prefix
+        strip = len(field) + 1
+        in_field = lambda t: True  # noqa: E731 (range is field-scoped)
+    lo = int(np.searchsorted(arr, scan_prefix, side="left")) \
+        if scan_prefix else 0
+    out: list[str] = []
+    complete = True
+    n = len(arr)
+    for i in range(lo, n):
+        t = str(arr[i])
+        if scan_prefix and not t.startswith(scan_prefix):
+            break
+        if not in_field(t):
+            continue
+        val = t[strip:]
+        if after is not None and val <= str(after):
+            continue
+        if len(out) >= size:
+            complete = False  # more matching terms exist past the page
+            break
+        out.append(val)
+    return {"terms": out, "complete": complete}
+
+
 def execute_explain(s, doc_id: int, body: dict) -> dict:
     """ES ``GET /<index>/_explain/<id>``: does THIS doc match the query,
     and — for scoring (match) queries — its BM25 term-by-term score

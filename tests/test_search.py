@@ -1418,3 +1418,36 @@ def test_rank_feature_matches_brute(index_and_oracle):
         s.search_rank_feature(terms, feature_attr="dl", pivot=0.0)
     assert s.search_rank_feature(
         ["zzz_nope"], feature_attr="dl", pivot=1.0) == []
+
+
+def test_terms_enum(kw_index):
+    """ES _terms_enum analog: sorted prefix listing with paging, over
+    both the analyzed text dictionary and keyword-field entries."""
+    from astrologer_ray.state.dsl import execute_terms_enum
+
+    index_dir, rows = kw_index
+    s = Searcher(index_dir, load_docs=False)
+    from astrologer_ray.stages.spimi import FIELD_SEP
+    text_terms = sorted(t for t in s.df if FIELD_SEP not in t)
+
+    # text-field prefix listing is the sorted dictionary slice
+    pre = text_terms[len(text_terms) // 2][:2]
+    want = [t for t in text_terms if t.startswith(pre)]
+    got = execute_terms_enum(s, {"field": "content", "string": pre,
+                                 "size": len(want) + 5})
+    assert got == {"terms": want, "complete": True}
+
+    # paging: size cap flips complete, search_after resumes exactly
+    got1 = execute_terms_enum(s, {"field": "content", "string": pre,
+                                  "size": max(1, len(want) - 1)})
+    if len(want) > 1:
+        assert not got1["complete"]
+        got2 = execute_terms_enum(
+            s, {"field": "content", "string": pre, "size": 50,
+                "search_after": got1["terms"][-1]})
+        assert got1["terms"] + got2["terms"] == want
+
+    # keyword field: values come back without the field prefix
+    langs = sorted({r[3] for r in rows})
+    got = execute_terms_enum(s, {"field": "lang", "size": 50})
+    assert got == {"terms": langs, "complete": True}
