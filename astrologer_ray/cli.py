@@ -543,6 +543,22 @@ def cmd_msearch(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """ES ``GET /<index>/_doc/<id>`` analog: one doc's sidecar
+    attributes as ``_source`` (or ``_mget`` when several ids are
+    given)."""
+    from astrologer_ray.state.dsl import execute_get, execute_mget
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(args.index, load_docs=True)
+    source = args.source.split(",") if args.source else None
+    if len(args.doc_ids) == 1:
+        print(json.dumps(execute_get(s, args.doc_ids[0], source=source)))
+    else:
+        print(json.dumps(execute_mget(s, args.doc_ids, source=source)))
+    return 0
+
+
 def cmd_explain(args) -> int:
     """ES ``GET /<index>/_explain/<id>`` analog: whether one doc matches
     a query body, with the BM25 term-by-term breakdown for match
@@ -780,6 +796,14 @@ def main(argv: list[str] | None = None) -> int:
                     help='JSON body, e.g. \'{"query": {"match": '
                          '{"content": "merge"}}}\'')
     cn.set_defaults(fn=cmd_count)
+
+    gt = sub.add_parser(
+        "get", help="ES _doc/_mget analog: doc sidecar attributes by id")
+    gt.add_argument("index")
+    gt.add_argument("doc_ids", type=int, nargs="+")
+    gt.add_argument("--source", default=None,
+                    help="comma-separated attr projection")
+    gt.set_defaults(fn=cmd_get)
 
     te = sub.add_parser(
         "terms-enum", help="ES _terms_enum analog: sorted terms "

@@ -60,6 +60,12 @@ methods — this module adds translation, not retrieval):
   ``execute_count`` serves the ``_count`` endpoint; ``shard_plan`` /
   ``merge_sharded`` implement the scatter-gather merge contract used
   by ``ShardedSearchPool.execute_dsl``.
+- endpoint analogs beyond ``_search``: ``execute_explain``
+  (``_explain/<id>`` — does one doc match, with the BM25 breakdown),
+  ``execute_terms_enum`` (``_terms_enum`` — sorted prefix listing
+  with ``search_after`` paging, text or keyword fields),
+  ``execute_get`` / ``execute_mget`` (``_doc`` / ``_mget`` — docs
+  sidecar attributes as ``_source``).
 - pipeline aggregations: parent ``cumulative_sum``, ``derivative``,
   ``serial_diff``, ``bucket_script``, ``bucket_selector``,
   ``bucket_sort`` and ``moving_fn`` (the documented
@@ -1369,6 +1375,37 @@ def execute_count(s, body: dict | None = None) -> dict:
     no aggs, same exact-total semantics as ``hits.total``."""
     t = _translate(s, (body or {}).get("query"))
     return {"count": int(_exact_total(s, t))}
+
+
+def execute_get(s, doc_id: int, source: list[str] | None = None) -> dict:
+    """ES ``GET /<index>/_doc/<id>``: one doc's sidecar attributes as
+    ``_source`` (the index stores positions + metadata, not raw text, so
+    ``_source`` is the docs-sidecar row — doc_key/repo/path/lang/dl and
+    any extra ``column_map`` attrs). ``source`` projects named attrs,
+    like the ``_source`` query parameter. Tombstoned docs are not found,
+    matching every other read path."""
+    did = int(doc_id)
+    if not s.doc_attrs:
+        raise ValueError("_doc get requires load_docs=True")
+    if not (s.doc_lo <= did < s.doc_lo + s.n_local):
+        return {"_id": did, "found": False}
+    if s.deleted is not None and bool((np.asarray(s.deleted) == did).any()):
+        return {"_id": did, "found": False}
+    i = did - s.doc_lo
+    cols = source if source is not None else list(s.doc_attrs)
+    src = {}
+    for c in cols:
+        v = s.doc_attrs[c][i]
+        src[c] = v.item() if hasattr(v, "item") else v
+    return {"_id": did, "found": True, "_source": src}
+
+
+def execute_mget(s, ids: list[int],
+                 source: list[str] | None = None) -> dict:
+    """ES ``_mget``: one :func:`execute_get` row per requested id, in
+    request order (missing / tombstoned ids come back ``found: false``,
+    not dropped)."""
+    return {"docs": [execute_get(s, d, source=source) for d in ids]}
 
 
 def execute_terms_enum(s, body: dict) -> dict:

@@ -2040,3 +2040,23 @@ def test_execute_explain(dsl_index):
     got = execute_explain(
         s, top["_id"], {"query": {"term": {"lang": other}}})
     assert got["matched"] is False
+
+
+def test_execute_get_and_mget(dsl_index):
+    from astrologer_ray.state.dsl import execute_get, execute_mget
+
+    s = Searcher(dsl_index, load_docs=True)
+    did = s.doc_lo + 3
+    got = execute_get(s, did)
+    assert got["found"] is True and got["_id"] == did
+    assert got["_source"]["repo"] == str(s.doc_repo[3])
+    assert got["_source"]["dl"] == int(s._attr("dl")[3])
+    # projection keeps only the named attrs
+    got = execute_get(s, did, source=["lang"])
+    assert set(got["_source"]) == {"lang"}
+    # out-of-range and tombstoned ids are not found, in request order
+    s.deleted = np.array([s.doc_lo + 5], dtype=np.int64)
+    got = execute_mget(s, [did, s.doc_lo + 5, s.doc_lo + s.n_local + 7])
+    assert [d["found"] for d in got["docs"]] == [True, False, False]
+    assert [d["_id"] for d in got["docs"]] == [
+        did, s.doc_lo + 5, s.doc_lo + s.n_local + 7]
