@@ -46,6 +46,47 @@ def doc_refs(expr: str) -> set[str]:
     return set(re.findall(r"doc_(\w+)", expr))
 
 
+def _split_top(s: str, op: str) -> list[str]:
+    """Split on a connective at paren/bracket depth 0 only."""
+    parts, cur, depth, i = [], [], 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0 and s.startswith(op, i):
+            parts.append("".join(cur))
+            cur = []
+            i += len(op)
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def evaluate_predicate(src: str, *, params: dict | None = None,
+                       docs: dict | None = None,
+                       what: str = "script") -> np.ndarray:
+    """Vectorized boolean evaluation of a painless predicate over
+    ``doc_*`` ARRAYS. ``&&``/``||`` cannot become Python ``and``/``or``
+    here (not elementwise), and a plain ``&``/``|`` substitution breaks
+    on precedence (``a > 1 & b``), so the connectives are split at
+    paren depth 0 — ``&&`` binding tighter than ``||``, like painless —
+    and each atom evaluates independently, combined with ``&``/``|``."""
+    result = None
+    for or_part in _split_top(src, "||"):
+        m = None
+        for atom in _split_top(or_part, "&&"):
+            v = evaluate(translate(atom), src, params=params, docs=docs,
+                         what=what)
+            v = np.asarray(v, dtype=bool)
+            m = v if m is None else (m & v)
+        result = m if result is None else (result | m)
+    return result
+
+
 def evaluate(expr: str, src: str, *, params: dict | None = None,
              docs: dict | None = None, what: str = "script"):
     """Sandboxed eval of a translated expr (no builtins; ``np``, the

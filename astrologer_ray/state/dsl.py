@@ -15,9 +15,12 @@ methods — this module adds translation, not retrieval):
   multi_match (best_fields/most_fields/cross_fields reduce to match
   over the single analyzed text field; type=phrase to match_phrase),
   term, terms, terms_set (literal minimum_should_match), ids, exists,
-  range, prefix, wildcard, fuzzy, regexp, bool (must / must_not /
+  range, prefix, wildcard, fuzzy, regexp, script (vectorized painless
+  predicate over doc attrs, filter context), bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
-  more_like_this, span_near (in-order span_term clauses),
+  more_like_this, span_near (in-order span_term clauses), intervals
+  (the ordered ``match`` rule with explicit max_gaps — span_near
+  semantics),
   function_score (general form: gauss decay / field_value_factor /
   script_score over the vectorized painless arithmetic subset with
   ``doc['x'].value`` attr refs / bare weight functions, per-function
@@ -174,6 +177,10 @@ def _clause_filter(s, kind: str, arg) -> dict:
         return {"exists": arg["field"] if isinstance(arg, dict) else arg}
     if kind == "ids":
         return {"ids": [int(v) for v in arg["values"]]}
+    if kind == "script":
+        # ES script query: painless predicate over doc attrs (vectorized
+        # in Searcher.filter_mask via the shared painless module)
+        return {"script": arg["script"] if "script" in arg else arg}
     if kind == "range":
         return {"range": arg}
     if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
@@ -372,6 +379,25 @@ def _translate(s, q: dict) -> _Translated:
                       for c in arg["clauses"]],
             "slop": int(arg.get("slop", 0)),
         }
+        return t
+    if kind == "intervals":
+        # ES intervals query, the ordered `match` rule: terms must appear
+        # in order within max_gaps intervening positions — exactly this
+        # engine's span_near predicate (slop = max_gaps), so it reuses
+        # that scorer. Unordered / all_of / any_of rules refuse.
+        ((_f, rule),) = arg.items()
+        m = rule.get("match")
+        if m is None or not m.get("ordered", False):
+            raise NotImplementedError(
+                "intervals supports the ordered `match` rule only "
+                "(== span_near)")
+        gaps = int(m.get("max_gaps", -1))
+        if gaps < 0:
+            # ES default max_gaps=-1 means unlimited distance; this
+            # engine's span predicate needs a bound — require one
+            raise NotImplementedError(
+                "intervals `match` needs an explicit max_gaps >= 0")
+        t.span_near = {"terms": _tokens(s, m["query"]), "slop": gaps}
         return t
     if kind == "function_score":
         inner = _translate(s, arg.get("query"))

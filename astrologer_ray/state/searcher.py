@@ -876,6 +876,10 @@ class Searcher:
           {"ids": [doc_id, ...]}           explicit doc-id membership (ES
                                            ids query; ids outside this
                                            searcher's range are ignored)
+          {"script": {"source": ..., "params": {...}}}
+                                           painless predicate over
+                                           doc['x'].value sidecar attrs
+                                           (ES script query, vectorized)
           {"bool": {"must": [...], "must_not": [...], "should": [...]}}
 
         Masks are in LOCAL doc-id space (``mask[doc_id - self.doc_lo]``),
@@ -901,6 +905,21 @@ class Searcher:
         if kind == "exists":
             col = self._attr(arg)
             return (col != None) & (col != "")  # noqa: E711 — elementwise
+        if kind == "script":
+            # ES script query (filter context): a painless predicate over
+            # doc['x'].value sidecar attrs, vectorized — && / || split at
+            # paren depth (precedence-safe), atoms eval as numpy
+            from astrologer_ray.functions import painless
+
+            src = arg["source"] if isinstance(arg, dict) else arg
+            params = (arg.get("params") or {}) if isinstance(arg, dict) \
+                else {}
+            docs = {a: np.asarray(self._attr(a), dtype=np.float64)
+                    for a in painless.doc_refs(painless.translate(src))}
+            out = painless.evaluate_predicate(
+                src, params=params, docs=docs, what="script filter")
+            return np.broadcast_to(
+                np.asarray(out, dtype=bool), (self.n_local,)).copy()
         if kind == "range":
             ((attr, bounds),) = arg.items()
             col = self._attr(attr)

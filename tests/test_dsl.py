@@ -2060,3 +2060,60 @@ def test_execute_get_and_mget(dsl_index):
     assert [d["found"] for d in got["docs"]] == [True, False, False]
     assert [d["_id"] for d in got["docs"]] == [
         did, s.doc_lo + 5, s.doc_lo + s.n_local + 7]
+
+
+def test_intervals_body(dsl_index):
+    """intervals (ordered match rule) == span_near over the same terms."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    body = {"query": {"intervals": {"content": {"match": {
+        "query": f"{w1} {w2}", "ordered": True, "max_gaps": 3}}}},
+        "size": 6}
+    got = execute_dsl(s, body)
+    assert _ids_scores(got) == _want(s.span_near([w1, w2], slop=3, k=6))
+    # unordered and unbounded rules refuse rather than mis-compute
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"intervals": {"content": {"match": {
+            "query": f"{w1} {w2}", "ordered": False, "max_gaps": 3}}}}})
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"intervals": {"content": {"match": {
+            "query": f"{w1} {w2}", "ordered": True}}}}})
+
+
+def test_script_query_filter(dsl_index):
+    """ES script query: vectorized painless predicate in filter context,
+    with precedence-safe && / || connectives."""
+    s = Searcher(dsl_index, load_docs=True)
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    med = float(np.median(dl))
+    body = {"query": {"script": {"script": {
+        "source": f"doc['dl'].value > {med}"}}}, "size": 0}
+    got = execute_dsl(s, body)
+    assert got["hits"]["total"]["value"] == int((dl > med).sum())
+
+    # && with params, composed inside a bool filter next to a match
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1 = terms_by_df[0][0]
+    lo, hi = float(np.quantile(dl, 0.25)), float(np.quantile(dl, 0.75))
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "filter": [{"script": {"script": {
+            "source": "doc['dl'].value >= params.lo && "
+                      "doc['dl'].value <= params.hi",
+            "params": {"lo": lo, "hi": hi}}}}]}}, "size": 5}
+    got = execute_dsl(s, body)
+    rng = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "filter": [{"range": {"dl": {"gte": lo, "lte": hi}}}]}},
+        "size": 5}
+    assert _ids_scores(got) == _ids_scores(execute_dsl(s, rng))
+    assert got["hits"]["hits"], "fixture must produce hits"
+
+    # || at depth 0 with parens inside atoms
+    body = {"query": {"script": {"script": {
+        "source": f"(doc['dl'].value * 2) < {2 * lo} || "
+                  f"doc['dl'].value > {hi}"}}}, "size": 0}
+    got = execute_dsl(s, body)
+    assert got["hits"]["total"]["value"] == int(
+        ((dl * 2 < 2 * lo) | (dl > hi)).sum())
