@@ -3669,6 +3669,44 @@ def docs_dsl_moving_fn(sf_dir: str):
     })
 
 
+def docs_script_filter(sf_dir: str):
+    """ES script query (r5 DSL feature) through the request-body
+    adapter: a vectorized painless predicate with && and || connectives
+    and params — docs whose token count sits in [64, 128) or above 256
+    — scoping a terms(lang) aggregation. The oracle is the same
+    predicate as a SQL WHERE over the split length."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"size": 0, "query": {"script": {"script": {
+        "source": "doc['dl'].value >= params.lo && "
+                  "doc['dl'].value < params.hi || "
+                  "doc['dl'].value > params.big",
+        "params": {"lo": 64, "hi": 128, "big": 256}}}},
+        "aggs": {"by_lang": {"terms": {"field": "lang", "size": 20}}}})
+    total = resp["hits"]["total"]["value"]
+    rows = [(b["key"], int(b["doc_count"]))
+            for b in resp["aggregations"]["by_lang"]["buckets"]]
+    return pa.table({
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "total": pa.array([total] * len(rows), pa.int64()),
+    })
+
+
+SCRIPT_FILTER_SQL = f"""
+WITH dl AS (
+  SELECT lang, len({_SPLIT_SQL}) AS dl FROM documents),
+hit AS (
+  SELECT lang FROM dl
+  WHERE (dl >= 64 AND dl < 128) OR dl > 256)
+SELECT lang, count(*)::BIGINT AS n,
+       (SELECT count(*) FROM hit)::BIGINT AS total
+FROM hit GROUP BY lang ORDER BY n DESC, lang LIMIT 20
+"""
+
+
 DSL_MOVING_FN_SQL = f"""
 WITH dl AS (
   SELECT len({_SPLIT_SQL}) AS dl FROM documents),
@@ -4827,6 +4865,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_nested_terms_agg": 0,  # new in r5 (recursive DSL nesting)
     "docs_dsl_pipeline_aggs": 0,  # new in r5 (DSL pipeline aggs)
     "docs_dsl_moving_fn": 0,  # new in r5 (moving_fn pipeline agg)
+    "docs_script_filter": 0,  # new in r5 (script query filter)
     "docs_sharded_dsl_agg": 0,  # new in r5 (sharded scatter-gather merge)
     "docs_multi_sort": 0,  # new in r5 (multi-field sort + cursor)
     "docs_sqs_lookup": 0,  # new in r5 (simple_query_string)
@@ -4959,6 +4998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nested_terms_agg": docs_nested_terms_agg,
         "docs_dsl_pipeline_aggs": docs_dsl_pipeline_aggs,
         "docs_dsl_moving_fn": docs_dsl_moving_fn,
+        "docs_script_filter": docs_script_filter,
         "docs_sharded_dsl_agg": docs_sharded_dsl_agg,
         "docs_multi_sort": docs_multi_sort,
         "docs_sqs_lookup": docs_sqs_lookup,
@@ -5091,6 +5131,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_nested_terms_agg": NESTED_TERMS_SQL,
         "docs_dsl_pipeline_aggs": DSL_PIPELINE_SQL,
         "docs_dsl_moving_fn": DSL_MOVING_FN_SQL,
+        "docs_script_filter": SCRIPT_FILTER_SQL,
         "docs_sharded_dsl_agg": SHARDED_DSL_SQL,
         "docs_multi_sort": MULTI_SORT_SQL,
         "docs_sqs_lookup": SQS_LOOKUP_SQL,
