@@ -50,7 +50,10 @@ methods — this module adds translation, not retrieval):
   avg, sum, min, max, value_count, stats, extended_stats (population
   + sampling moments, ``sigma`` bounds), weighted_avg,
   median_absolute_deviation (exact), percentiles (exact linear
-  interpolation), cardinality (exact distinct) — the ``range`` bucket
+  interpolation), cardinality (exact distinct), boxplot (exact
+  quartiles), string_stats (length stats + Shannon character entropy)
+  and top_metrics (metric values at the top-k docs by a sort field) —
+  the ``range`` bucket
   agg ([from, to) buckets), ``global`` (escapes the query scope),
   ``missing`` (with sub-aggs over exactly its counted docs),
   ``sampler`` (sub-aggs over the top shard_size docs by the query's
@@ -698,6 +701,43 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
         if tw == 0.0:
             return {"value": None}
         return {"value": float((vv[m] * ww[m]).sum() / tw)}
+    if fn == "string_stats":
+        col = np.asarray(s._attr(arg["field"]))[keep]
+        vals = [str(x) for x in col if x is not None]
+        if not vals:
+            return {"count": 0, "min_length": None, "max_length": None,
+                    "avg_length": None, "entropy": 0.0}
+        lens = np.array([len(v) for v in vals], dtype=np.int64)
+        # ES string_stats entropy: Shannon over the character
+        # distribution of all values concatenated
+        from collections import Counter
+        cc = Counter("".join(vals))
+        tot = sum(cc.values())
+        ps = np.array(list(cc.values()), dtype=np.float64) / tot
+        return {"count": int(len(vals)), "min_length": int(lens.min()),
+                "max_length": int(lens.max()),
+                "avg_length": float(lens.mean()),
+                "entropy": float(-(ps * np.log2(ps)).sum())}
+    if fn == "top_metrics":
+        # ES top_metrics: the metric values of the top-`size` docs by a
+        # sort field — the "value at the max" agg
+        ((sf, order),) = arg["sort"].items() if isinstance(arg["sort"],
+                                                           dict) \
+            else ((arg["sort"], "desc"),)
+        sv = np.asarray(s._attr(sf), dtype=np.float64)
+        ids = np.flatnonzero(keep & ~np.isnan(sv))
+        desc = (order if isinstance(order, str)
+                else order.get("order", "desc")) == "desc"
+        k = int(arg.get("size", 1))
+        srt = ids[np.lexsort((ids, -sv[ids] if desc else sv[ids]))][:k]
+        fields = [m["field"] for m in arg["metrics"]] \
+            if isinstance(arg["metrics"], list) else [arg["metrics"]["field"]]
+        cols = {f: np.asarray(s._attr(f), dtype=np.float64)
+                for f in fields}
+        return {"top": [
+            {"sort": [float(sv[i])],
+             "metrics": {f: float(cols[f][i]) for f in fields}}
+            for i in srt]}
     if fn == "cardinality":
         col = np.asarray(s._attr(arg["field"]))
         vals = col[keep]
@@ -762,6 +802,14 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
                 "lower_sampling": avg - sigma * std_s,
             },
         }
+    if fn == "boxplot":
+        # exact quartiles (linear interpolation — the t-digest's limit)
+        if n == 0:
+            return {"min": None, "max": None, "q1": None, "q2": None,
+                    "q3": None}
+        q1, q2, q3 = (float(np.quantile(v, q)) for q in (0.25, 0.5, 0.75))
+        return {"min": float(v.min()), "max": float(v.max()),
+                "q1": q1, "q2": q2, "q3": q3}
     if fn == "median_absolute_deviation":
         # exact MAD (ES approximates with a t-digest; exact is the limit)
         if n == 0:
@@ -1182,7 +1230,8 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
         elif kind in ("avg", "sum", "min", "max", "value_count", "stats",
                       "percentiles", "percentile_ranks", "cardinality",
                       "extended_stats", "weighted_avg",
-                      "median_absolute_deviation"):
+                      "median_absolute_deviation", "boxplot",
+                      "string_stats", "top_metrics"):
             # percentiles is the exact flavor (linear interpolation ==
             # SQL quantile_cont, same as pipelines.aggs.percentiles);
             # cardinality is exact distinct (the sketch flavor lives in

@@ -2117,3 +2117,39 @@ def test_script_query_filter(dsl_index):
     got = execute_dsl(s, body)
     assert got["hits"]["total"]["value"] == int(
         ((dl * 2 < 2 * lo) | (dl > hi)).sum())
+
+
+def test_boxplot_string_stats_top_metrics(pipe_searcher):
+    s, ts, val = pipe_searcher
+    lang = np.asarray(s._attr("lang"))
+    got = execute_dsl(s, {"size": 0, "aggs": {
+        "bx": {"boxplot": {"field": "val"}},
+        "ss": {"string_stats": {"field": "lang"}},
+        "tm": {"top_metrics": {"metrics": [{"field": "val"}],
+                               "sort": {"ts": "desc"}, "size": 2}},
+    }})["aggregations"]
+    assert got["bx"]["min"] == val.min() and got["bx"]["max"] == val.max()
+    for q, k in ((0.25, "q1"), (0.5, "q2"), (0.75, "q3")):
+        assert got["bx"][k] == pytest.approx(np.quantile(val, q))
+    vals = [str(x) for x in lang]
+    lens = np.array([len(v) for v in vals])
+    assert got["ss"]["count"] == len(vals)
+    assert got["ss"]["avg_length"] == pytest.approx(lens.mean())
+    from collections import Counter
+    cc = Counter("".join(vals))
+    ps = np.array(list(cc.values())) / sum(cc.values())
+    assert got["ss"]["entropy"] == pytest.approx(-(ps * np.log2(ps)).sum())
+    # top_metrics: metric values at the top-2 docs by ts desc
+    # (ties broken by local id asc, deterministic)
+    order = np.lexsort((np.arange(len(ts)), -ts))[:2]
+    assert [t["metrics"]["val"] for t in got["tm"]["top"]] == \
+        [float(val[i]) for i in order]
+    assert [t["sort"][0] for t in got["tm"]["top"]] == \
+        [float(ts[i]) for i in order]
+    # and inside a terms bucket (the sub-agg recursion path)
+    got = execute_dsl(s, {"size": 0, "aggs": {"by": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"bx": {"boxplot": {"field": "val"}}}}}})
+    b = got["aggregations"]["by"]["buckets"][0]
+    sub = val[lang == b["key"]]
+    assert b["bx"]["q2"] == pytest.approx(np.quantile(sub, 0.5))
