@@ -112,6 +112,7 @@ Response is ES-shaped: ``hits.total.value``, ``hits.hits[]._id/_score``,
 
 from __future__ import annotations
 
+import json
 import re
 
 import numpy as np
@@ -146,6 +147,8 @@ class _Translated:
         self.boosting: dict | None = None  # {"negative","negative_boost"}
         self.phrase_prefix: dict | None = None  # {"terms","max_expansions"}
         self.pinned: list[int] | None = None    # pinned doc ids, in order
+        self.bool_prefix: dict | None = None    # {"terms","max_expansions"}
+        self.distance_feature: dict | None = None  # {"field","origin",...}
 
     @property
     def filter(self):
@@ -262,6 +265,13 @@ def _translate(s, q: dict) -> _Translated:
     kind, arg = next(iter(q.items()))
     if kind == "match_all":
         return t
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query body — decode
+        # and translate the inner query as if it were written inline
+        import base64
+
+        raw = arg["query"] if isinstance(arg, dict) else arg
+        return _translate(s, json.loads(base64.b64decode(raw)))
     if kind == "match":
         ((_f, v),) = arg.items()
         t.terms = _tokens(s, _text_of(v))
@@ -356,6 +366,16 @@ def _translate(s, q: dict) -> _Translated:
         me = v.get("max_expansions", 50) if isinstance(v, dict) else 50
         t.phrase_prefix = {"terms": _tokens(s, _text_of(v)),
                            "max_expansions": int(me)}
+        return t
+    if kind == "match_bool_prefix":
+        ((_f, v),) = arg.items()
+        if isinstance(v, dict) and \
+                str(v.get("operator", "or")).lower() != "or":
+            raise NotImplementedError(
+                "match_bool_prefix supports the default OR operator only")
+        me = v.get("max_expansions", 50) if isinstance(v, dict) else 50
+        t.bool_prefix = {"terms": _tokens(s, _text_of(v)),
+                         "max_expansions": int(me)}
         return t
     if kind == "terms_set":
         ((_f, spec),) = arg.items()
@@ -525,10 +545,21 @@ def _translate(s, q: dict) -> _Translated:
                     "boost": float(cv.get("boost", 1.0)),
                 }
                 continue
+            if ck == "distance_feature":
+                if t.distance_feature is not None:
+                    raise NotImplementedError(
+                        "one distance_feature per bool")
+                t.distance_feature = {
+                    "field": cv["field"],
+                    "origin": float(cv["origin"]),
+                    "pivot": float(cv["pivot"]),
+                    "boost": float(cv.get("boost", 1.0)),
+                }
+                continue
             if ck != "match":
                 raise NotImplementedError(
-                    "only match/rank_feature clauses supported in "
-                    "scoring bool.should")
+                    "only match/rank_feature/distance_feature clauses "
+                    "supported in scoring bool.should")
             ((_f, v),) = cv.items()
             stoks = _tokens(s, _text_of(v))
             _note_boost(t, stoks, v)
@@ -566,6 +597,11 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
             t.phrase_prefix["terms"], k=size,
             max_expansions=t.phrase_prefix["max_expansions"],
             filter=t.filter)
+    if t.bool_prefix is not None:
+        return s.match_bool_prefix(
+            t.bool_prefix["terms"], k=size,
+            max_expansions=t.bool_prefix["max_expansions"],
+            filter=t.filter)
     if t.pinned is not None:
         return s.search_pinned(t.terms, t.pinned, k=size, filter=t.filter)
     if t.dis_max is not None:
@@ -601,6 +637,16 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
             t.terms, k=size, feature_attr=t.rank_feature["field"],
             pivot=t.rank_feature["pivot"], boost=t.rank_feature["boost"],
             filter=t.filter)
+    if t.distance_feature is not None:
+        if t.should_terms or not t.terms:
+            raise NotImplementedError(
+                "distance_feature requires match must terms and no other "
+                "scoring should clauses")
+        return s.search_distance_feature(
+            t.terms, k=size, feature_attr=t.distance_feature["field"],
+            origin=t.distance_feature["origin"],
+            pivot=t.distance_feature["pivot"],
+            boost=t.distance_feature["boost"], filter=t.filter)
     if t.terms or t.should_terms:
         return s.search(t.terms, k=size, filter=t.filter,
                         should_terms=t.should_terms or None,
@@ -622,13 +668,20 @@ def _agg_scope_filter(s, t: _Translated):
     parts = list(t.filters)
     sterms = t.terms + t.should_terms + (t.phrase or []) \
         + (t.span_near["terms"] if t.span_near else []) \
-        + (t.phrase_prefix["terms"][:-1] if t.phrase_prefix else [])
+        + (t.phrase_prefix["terms"][:-1] if t.phrase_prefix else []) \
+        + (t.bool_prefix["terms"][:-1] if t.bool_prefix else [])
     if t.dis_max is not None:
         for qt in t.dis_max["queries"]:
             sterms.extend(qt)
-    if sterms:
-        parts.append({"bool": {"should": [{"match": w} for w in
-                                          sorted(set(sterms))]}})
+    if sterms or t.bool_prefix is not None:
+        should = [{"match": w} for w in sorted(set(sterms))]
+        if t.bool_prefix is not None:
+            # prefix-ONLY matches are hits too (OR semantics) — scope by
+            # the uncapped dictionary prefix (superset of the capped
+            # expansion set when max_expansions truncates, like the
+            # phrase approximation documented above)
+            should.append({"prefix": t.bool_prefix["terms"][-1]})
+        parts.append({"bool": {"should": should}})
     if t.const is not None:
         parts.append(t.const["filter"])
     if not parts:
@@ -1427,6 +1480,13 @@ def _exact_total(s, t: _Translated) -> int:
         return len(s.match_phrase_prefix(
             t.phrase_prefix["terms"], k=s.n_local,
             max_expansions=t.phrase_prefix["max_expansions"],
+            filter=t.filter))
+    if t.bool_prefix is not None:
+        # the >=1-term agg-scope filter misses prefix-only matches; run
+        # the exact OR predicate instead
+        return len(s.match_bool_prefix(
+            t.bool_prefix["terms"], k=s.n_local,
+            max_expansions=t.bool_prefix["max_expansions"],
             filter=t.filter))
     if t.pinned is not None:
         # ES counts the pinned ids as matches even when they hold no

@@ -1337,6 +1337,56 @@ class Searcher:
         hits = [(int(match[i]) + self.doc_lo, float(scores[i])) for i in order]
         return self._format(hits, decorate)
 
+    def match_bool_prefix(
+        self, terms: list[str], k: int = 10, max_expansions: int | None = 50,
+        filter=None, decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``match_bool_prefix`` (default OR operator): every analyzed
+        token but the last matches as a regular term query; the LAST token
+        matches as a dictionary prefix (capped at ``max_expansions``
+        highest-df expansions, like :meth:`match_phrase_prefix`).
+        Candidates are docs matching ANY clause.
+
+        Score semantics (documented, SQL-checkable): the BM25 sum of the
+        UNIQUE full terms present in the doc, plus a constant 1.0 where
+        the doc contains >= 1 expansion of the prefix — ES's
+        constant_score multi-term rewrite for the prefix clause — ranked
+        (score desc, doc_id asc), same weight expression as :meth:`search`.
+        """
+        terms = list(terms)
+        if not terms:
+            return []
+        full, prefix = terms[:-1], terms[-1]
+        exp = [t for t in self.expand_prefix(prefix,
+                                             max_terms=max_expansions)
+               if FIELD_SEP not in t and self.owns_term(t)
+               and t in self.postings]
+        scores = np.zeros(self.n_local, dtype=np.float64)
+        cand = np.zeros(self.n_local, dtype=bool)
+        for t in sorted({w for w in full
+                         if self.owns_term(w) and w in self.postings}):
+            ids, w = self._term_contribution(t)
+            scores[ids] += w
+            cand[ids] = True
+        pmask = np.zeros(self.n_local, dtype=bool)
+        for e in exp:
+            ids, _w = self._term_contribution(e)
+            pmask[ids] = True
+        scores[pmask] += 1.0
+        cand |= pmask
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if fm is not None:
+            cand &= fm
+        match = np.flatnonzero(cand)
+        if len(match) == 0:
+            return []
+        sc = scores[match]
+        order = np.lexsort((match, -sc))[: min(k, len(match))]
+        hits = [(int(match[i]) + self.doc_lo, float(sc[i])) for i in order]
+        return self._format(hits, decorate)
+
     def agg_filters(self, filters: dict) -> list[tuple[str, int]]:
         """ES ``filters`` aggregation: named filter -> matching doc count
         (tombstones applied), name-ascending. Index/sidecar-served."""
@@ -2001,6 +2051,49 @@ class Searcher:
         # values as zero contribution, so clamp NaN to 0 before saturating
         x = np.maximum(np.nan_to_num(v[ids - self.doc_lo]), 0.0)
         final = s + float(boost) * x / (x + float(pivot))
+        order = np.lexsort((ids, -final))[: min(k, len(ids))]
+        return self._format(
+            [(int(ids[i]), float(final[i])) for i in order], decorate
+        )
+
+    def search_distance_feature(
+        self,
+        terms: list[str],
+        k: int = 10,
+        *,
+        feature_attr: str,
+        origin: float,
+        pivot: float,
+        boost: float = 1.0,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``distance_feature`` query on a numeric/date sidecar attr,
+        composed additively inside bool.should (the "boost-by-recency /
+        proximity" pattern): each BM25 candidate gains
+        ``boost * pivot / (pivot + |x - origin|)`` where ``x`` is the
+        doc's attr value. A missing value (NaN) contributes 0 — ES skips
+        docs without the field. Exact like :meth:`search_rank_feature`:
+        the full candidate set is TAAT-scored then re-ranked (the
+        additive bound bm25_ub + boost keeps WAND viable at scale).
+        Requires ``load_docs=True``."""
+        if k <= 0:
+            return []
+        if not float(pivot) > 0.0:
+            raise ValueError(f"pivot must be > 0, got {pivot}")
+        if not float(boost) > 0.0:
+            raise ValueError(f"boost must be > 0, got {boost}")
+        v = np.asarray(self._attr(feature_attr), dtype=np.float64)
+        all_hits = self.search(terms, k=self.n_local, filter=filter,
+                               strategy="taat")
+        if not all_hits:
+            return []
+        ids = np.array([h["doc_id"] for h in all_hits], dtype=np.int64)
+        s = np.array([h["score"] for h in all_hits], dtype=np.float64)
+        x = v[ids - self.doc_lo]
+        contrib = float(boost) * float(pivot) / (
+            float(pivot) + np.abs(x - float(origin)))
+        final = s + np.where(np.isnan(contrib), 0.0, contrib)
         order = np.lexsort((ids, -final))[: min(k, len(ids))]
         return self._format(
             [(int(ids[i]), float(final[i])) for i in order], decorate

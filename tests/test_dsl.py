@@ -2153,3 +2153,71 @@ def test_boxplot_string_stats_top_metrics(pipe_searcher):
     b = got["aggregations"]["by"]["buckets"][0]
     sub = val[lang == b["key"]]
     assert b["bx"]["q2"] == pytest.approx(np.quantile(sub, 0.5))
+
+
+def test_wrapper_query_decodes_inner(dsl_index):
+    import base64
+    import json
+
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=s.df.get)
+    inner = {"match": {"content": w1}}
+    body = {"query": {"wrapper": {"query": base64.b64encode(
+        json.dumps(inner).encode()).decode()}}, "size": 5}
+    assert execute_dsl(s, body) == execute_dsl(
+        s, {"query": inner, "size": 5})
+
+
+def test_match_bool_prefix_semantics(dsl_index):
+    from astrologer_ray.stages.spimi import FIELD_SEP
+
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1 = terms_by_df[0][0]
+    pre = terms_by_df[1][0][:2]
+    hits = s.match_bool_prefix([w1, pre], k=s.n_local)
+    # expected: the plain-search BM25 of w1 plus a constant 1.0 where the
+    # doc holds >= 1 dictionary expansion of the prefix (OR candidates)
+    base = {h["doc_id"]: h["score"] for h in s.search([w1], k=s.n_local)}
+    exp = [t for t in s.expand_prefix(pre)
+           if FIELD_SEP not in t and t in s.postings]
+    assert exp, "test needs at least one prefix expansion"
+    pdocs = {h["doc_id"] for h in s.search_constant_score(
+        {"bool": {"should": [{"match": t} for t in exp]}}, k=s.n_local)}
+    want = {d: base.get(d, 0.0) + (1.0 if d in pdocs else 0.0)
+            for d in set(base) | pdocs}
+    got = {h["doc_id"]: h["score"] for h in hits}
+    assert set(got) == set(want)
+    assert got == pytest.approx(want)
+    # DSL wiring: hits delegate to the method; total runs the exact OR
+    # predicate (prefix-only matches counted)
+    body = {"query": {"match_bool_prefix": {"content": f"{w1} {pre}"}},
+            "size": 8}
+    resp = execute_dsl(s, body)
+    assert _ids_scores(resp) == _want(s.match_bool_prefix([w1, pre], k=8))
+    assert resp["hits"]["total"]["value"] == len(want)
+
+
+def test_distance_feature_boosts_near_origin(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=s.df.get)
+    dl = s._attr("dl")
+    origin = float(np.median(dl))
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "should": [{"distance_feature": {
+            "field": "dl", "origin": origin, "pivot": 10.0,
+            "boost": 2.0}}],
+    }}, "size": 9}
+    got = execute_dsl(s, body)
+    base = {h["doc_id"]: h["score"] for h in s.search([w1], k=s.n_local)}
+    want = sorted(
+        ((d, sc + 2.0 * 10.0 / (10.0 + abs(float(dl[d - s.doc_lo])
+                                           - origin)))
+         for d, sc in base.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:9]
+    assert [d for d, _ in _ids_scores(got)] == [d for d, _ in want]
+    assert [v for _, v in _ids_scores(got)] == pytest.approx(
+        [v for _, v in want])
+    # the distance_feature clause never shrinks the candidate set
+    assert got["hits"]["total"]["value"] == len(base)
