@@ -737,6 +737,24 @@ def _scope_keep(s, scope) -> np.ndarray:
     return np.ones(s.n_local, dtype=bool) if mask is None else mask
 
 
+def _epoch_bound(v) -> float | None:
+    """A range/date_range bound: numeric passes through; an ISO-8601
+    string becomes epoch seconds (naive stamps read as UTC, like the
+    corpus attrs). Date-math expressions (``now-1d``) refuse."""
+    if v is None or not isinstance(v, str):
+        return v if v is None else float(v)
+    from datetime import datetime, timezone
+
+    if v.startswith("now"):
+        raise NotImplementedError(
+            "date-math bounds (now...) are not supported — pass an "
+            "ISO-8601 timestamp or epoch seconds")
+    dt = datetime.fromisoformat(v)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
 # ES default percents for the percentiles agg
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
@@ -881,8 +899,8 @@ def _metric_result(s, fn: str, arg: dict, keep: np.ndarray) -> dict:
 # _compose_scope); a sub-agg under any other kind raises rather than
 # being silently dropped
 _SUB_CAPABLE = {"terms", "histogram", "date_histogram",
-                "auto_date_histogram", "range", "filters", "global",
-                "missing", "sampler"}
+                "auto_date_histogram", "range", "date_range", "filters",
+                "global", "missing", "sampler", "diversified_sampler"}
 
 # ES *pipeline aggregations* — post-processing over already-reduced
 # buckets (driver-side O(#buckets); the distributed counterparts live in
@@ -891,7 +909,7 @@ _SUB_CAPABLE = {"terms", "histogram", "date_histogram",
 # bucket list; sibling pipelines sit NEXT TO a bucket agg and reduce it.
 _PARENT_PIPELINE = {"cumulative_sum", "derivative", "serial_diff",
                     "bucket_script", "bucket_selector", "bucket_sort",
-                    "moving_fn"}
+                    "moving_fn", "normalize"}
 _SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket",
                      "max_bucket", "stats_bucket", "percentiles_bucket",
                      "extended_stats_bucket"}
@@ -1044,6 +1062,47 @@ def _apply_parent_pipelines(buckets: list, specs: list) -> list:
                 out = fn(w)
                 b[name] = {"value": None if out is None or np.isnan(out)
                            else float(out)}
+            continue
+        if kind == "normalize":
+            # ES normalize pipeline: rescale the metric across the
+            # parent's buckets. Gap buckets (missing metric) carry no
+            # value; a zero denominator (all-equal / zero-sum values)
+            # yields 0.0 rather than NaN.
+            method = arg["method"]
+            xs = np.array([np.nan if v is None else v for v in vals],
+                          dtype=np.float64)
+            ok = ~np.isnan(xs)
+            res = np.full(len(xs), np.nan)
+            if ok.any():
+                v = xs[ok]
+                if method in ("proportion_of_sum", "percent_of_sum"):
+                    tot = float(v.sum())
+                    r = v / tot if tot else np.zeros_like(v)
+                    if method == "percent_of_sum":
+                        r = r * 100.0
+                elif method in ("rescale_0_1", "rescale_0_100"):
+                    span = float(v.max() - v.min())
+                    r = ((v - v.min()) / span if span
+                         else np.zeros_like(v))
+                    if method == "rescale_0_100":
+                        r = r * 100.0
+                elif method == "mean":
+                    span = float(v.max() - v.min())
+                    r = ((v - v.mean()) / span if span
+                         else np.zeros_like(v))
+                elif method == "z-score":
+                    std = float(v.std())
+                    r = (v - v.mean()) / std if std else np.zeros_like(v)
+                elif method == "softmax":
+                    e = np.exp(v - v.max())  # stable softmax
+                    r = e / e.sum()
+                else:
+                    raise NotImplementedError(
+                        f"unsupported normalize method {method!r}")
+                res[ok] = r
+            for b, r in zip(buckets, res):
+                if not np.isnan(r):
+                    b[name] = {"value": float(r)}
             continue
         if kind == "cumulative_sum":
             run = 0.0
@@ -1280,6 +1339,80 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
                 out[name].update(
                     _run_aggs(s, subs, {"ids": [int(i) for i in ids]},
                               qterms))
+        elif kind == "diversified_sampler":
+            # ES diversified_sampler: the sampler agg with per-value
+            # dedup on `field` — streaming the score-ordered candidates,
+            # at most max_docs_per_value docs sharing a field value enter
+            # the sample, until shard_size docs are collected
+            n_top = int(arg.get("shard_size", 100))
+            mpv = int(arg.get("max_docs_per_value", 1))
+            col = s._attr(arg["field"])
+            if qterms:
+                cand = [h["doc_id"]
+                        for h in s.search(list(qterms), k=s.n_local,
+                                          filter=scope)]
+            else:
+                cand = (np.flatnonzero(_scope_keep(s, scope))
+                        + s.doc_lo).tolist()
+            ids, seen = [], {}
+            for d in cand:
+                v = col[d - s.doc_lo]
+                if isinstance(v, float) and np.isnan(v):
+                    v = None
+                c = seen.get(v, 0)
+                if c >= mpv:
+                    continue
+                seen[v] = c + 1
+                ids.append(int(d))
+                if len(ids) >= n_top:
+                    break
+            out[name] = {"doc_count": len(ids)}
+            if subs:
+                out[name].update(_run_aggs(s, subs, {"ids": ids}, qterms))
+        elif kind == "matrix_stats":
+            # ES matrix_stats over >= 2 numeric sidecar/runtime attrs:
+            # per-field count/mean/variance/skewness/kurtosis plus
+            # covariance and Pearson correlation against every OTHER
+            # field. Rows missing ANY field drop (ES avg mode is not
+            # supported). Conventions documented here: unbiased (n-1)
+            # variance/covariance, population-standardized 3rd/4th
+            # moments. The distributed integer-moment twin is
+            # pipelines.aggs.matrix_stats.
+            fields = list(arg["fields"])
+            keep = _scope_keep(s, scope).copy()
+            cols = {f: np.asarray(s._attr(f), dtype=np.float64)
+                    for f in fields}
+            for f in fields:
+                keep &= ~np.isnan(cols[f])
+            n = int(keep.sum())
+            X = {f: cols[f][keep] for f in fields}
+            rows = []
+            for f in fields:
+                if n == 0:
+                    rows.append({"name": f, "count": 0})
+                    continue
+                x = X[f]
+                mu = float(x.mean())
+                d = x - mu
+                var = float((d * d).sum() / (n - 1)) if n > 1 else 0.0
+                std = var ** 0.5
+                skew = float((d ** 3).mean() / std ** 3) if std else 0.0
+                kurt = float((d ** 4).mean() / std ** 4) if std else 0.0
+                cov, corr = {}, {}
+                for g in fields:
+                    if g == f:
+                        continue
+                    dg = X[g] - X[g].mean()
+                    cg = float((d * dg).sum() / (n - 1)) if n > 1 else 0.0
+                    sg = float(X[g].std(ddof=1)) if n > 1 else 0.0
+                    cov[g] = cg
+                    corr[g] = cg / (std * sg) if std and sg else 0.0
+                rows.append({
+                    "name": f, "count": n, "mean": mu, "variance": var,
+                    "skewness": skew, "kurtosis": kurt,
+                    "covariance": cov, "correlation": corr,
+                })
+            out[name] = {"doc_count": n, "fields": rows}
         elif kind in ("avg", "sum", "min", "max", "value_count", "stats",
                       "percentiles", "percentile_ranks", "cardinality",
                       "extended_stats", "weighted_avg",
@@ -1291,15 +1424,17 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
             # pipelines.aggs.hll_distinct) — ES's t-digest/HLL converge
             # to these
             out[name] = _metric_result(s, kind, arg, _scope_keep(s, scope))
-        elif kind == "range":
-            # ES range agg: half-open [from, to) buckets, key "a-b"
+        elif kind in ("range", "date_range"):
+            # ES range agg: half-open [from, to) buckets, key "a-b";
+            # date_range additionally accepts ISO-8601 strings for
+            # from/to (attrs store epoch seconds; naive stamps are UTC)
             col = np.asarray(s._attr(arg["field"]), dtype=np.float64)
             keep = _scope_keep(s, scope).copy()
             keep &= ~np.isnan(col)
             buckets = []
             for r in arg["ranges"]:
-                lo = r.get("from")
-                hi = r.get("to")
+                lo = _epoch_bound(r.get("from"))
+                hi = _epoch_bound(r.get("to"))
                 m = keep.copy()
                 bounds = {}
                 if lo is not None:
@@ -1308,8 +1443,9 @@ def _run_aggs(s, aggs: dict, scope, qterms: list | None = None) -> dict:
                 if hi is not None:
                     m &= col < float(hi)
                     bounds["lt"] = float(hi)
-                key = r.get("key", f"{'*' if lo is None else lo}-"
-                                   f"{'*' if hi is None else hi}")
+                key = r.get("key",
+                            f"{'*' if lo is None else r.get('from')}-"
+                            f"{'*' if hi is None else r.get('to')}")
                 b = {"key": key, "doc_count": int(m.sum())}
                 if lo is not None:
                     b["from"] = float(lo)

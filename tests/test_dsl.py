@@ -2221,3 +2221,98 @@ def test_distance_feature_boosts_near_origin(dsl_index):
         [v for _, v in want])
     # the distance_feature clause never shrinks the candidate set
     assert got["hits"]["total"]["value"] == len(base)
+
+
+def test_date_range_agg_iso_bounds(dsl_index):
+    import datetime as dt
+
+    s = Searcher(dsl_index, load_docs=True)
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    # treat dl as epoch seconds; integer bounds round-trip ISO exactly
+    lo = float(int(np.quantile(dl, 0.25)))
+    hi = float(int(np.quantile(dl, 0.75)))
+    iso_lo = dt.datetime.fromtimestamp(lo, dt.timezone.utc).isoformat()
+    iso_hi = dt.datetime.fromtimestamp(hi, dt.timezone.utc).isoformat()
+    body = {"size": 0, "aggs": {"r": {"date_range": {
+        "field": "dl", "ranges": [
+            {"to": iso_lo},
+            {"from": iso_lo, "to": iso_hi, "key": "mid"},
+            {"from": iso_hi}]}}}}
+    got = execute_dsl(s, body)["aggregations"]["r"]["buckets"]
+    assert got[0]["doc_count"] == int((dl < lo).sum())
+    assert got[1]["doc_count"] == int(((dl >= lo) & (dl < hi)).sum())
+    assert got[1]["key"] == "mid"
+    assert got[2]["doc_count"] == int((dl >= hi).sum())
+    # numeric bounds still work through the same path
+    body2 = {"size": 0, "aggs": {"r": {"date_range": {
+        "field": "dl", "ranges": [{"from": lo, "to": hi}]}}}}
+    got2 = execute_dsl(s, body2)["aggregations"]["r"]["buckets"]
+    assert got2[0]["doc_count"] == got[1]["doc_count"]
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"size": 0, "aggs": {"r": {"date_range": {
+            "field": "dl", "ranges": [{"from": "now-1d"}]}}}})
+
+
+def test_diversified_sampler_dedups_field(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=s.df.get)
+    body = {"query": {"match": {"content": w1}}, "size": 0,
+            "aggs": {"d": {
+                "diversified_sampler": {"field": "lang", "shard_size": 5,
+                                        "max_docs_per_value": 1},
+                "aggs": {"langs": {"terms": {"field": "lang",
+                                             "size": 10}}}}}}
+    got = execute_dsl(s, body)["aggregations"]["d"]
+    assert 0 < got["doc_count"] <= 5
+    # max_docs_per_value=1: every sampled doc has a distinct lang
+    assert all(b["doc_count"] == 1 for b in got["langs"]["buckets"])
+    # score order drives the stream: the top hit's lang is in the sample
+    hits = s.search([w1], k=1)
+    first_lang = s._attr("lang")[hits[0]["doc_id"] - s.doc_lo]
+    assert any(b["key"] == first_lang for b in got["langs"]["buckets"])
+
+
+def test_normalize_pipeline_agg(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    body = {"size": 0, "aggs": {"h": {
+        "histogram": {"field": "dl", "interval": 50},
+        "aggs": {"pct": {"normalize": {"buckets_path": "_count",
+                                       "method": "percent_of_sum"}},
+                 "z": {"normalize": {"buckets_path": "_count",
+                                     "method": "z-score"}},
+                 "r01": {"normalize": {"buckets_path": "_count",
+                                       "method": "rescale_0_1"}}}}}}
+    got = execute_dsl(s, body)["aggregations"]["h"]["buckets"]
+    counts = np.array([b["doc_count"] for b in got], dtype=np.float64)
+    assert counts.sum() > 0 and len(counts) > 1
+    for b, c in zip(got, counts):
+        assert b["pct"]["value"] == pytest.approx(100.0 * c / counts.sum())
+        assert b["z"]["value"] == pytest.approx(
+            (c - counts.mean()) / counts.std())
+        assert b["r01"]["value"] == pytest.approx(
+            (c - counts.min()) / (counts.max() - counts.min()))
+
+
+def test_matrix_stats_agg(dsl_index):
+    s = Searcher(dsl_index, load_docs=True)
+    s.add_runtime_field(
+        "dl_sq", lambda attrs: np.asarray(attrs["dl"],
+                                          dtype=np.float64) ** 1.5)
+    body = {"size": 0, "aggs": {"m": {"matrix_stats": {
+        "fields": ["dl", "dl_sq"]}}}}
+    got = execute_dsl(s, body)["aggregations"]["m"]
+    dl = np.asarray(s._attr("dl"), dtype=np.float64)
+    dq = np.asarray(s._attr("dl_sq"), dtype=np.float64)
+    assert got["doc_count"] == len(dl)
+    f0 = got["fields"][0]
+    assert f0["name"] == "dl" and f0["count"] == len(dl)
+    assert f0["mean"] == pytest.approx(dl.mean())
+    assert f0["variance"] == pytest.approx(dl.var(ddof=1))
+    assert f0["covariance"]["dl_sq"] == pytest.approx(
+        float(np.cov(dl, dq)[0, 1]))
+    assert f0["correlation"]["dl_sq"] == pytest.approx(
+        float(np.corrcoef(dl, dq)[0, 1]))
+    d = dl - dl.mean()
+    std_p = float(np.sqrt((d * d).sum() / (len(dl) - 1)))
+    assert f0["skewness"] == pytest.approx(
+        float((d ** 3).mean() / std_p ** 3))
