@@ -328,25 +328,11 @@ def _translate(s, q: dict) -> _Translated:
             else:
                 frees.extend(_tokens(s, raw))
         and_op = str(arg.get("default_operator", "or")).lower() == "and"
-        t.terms.extend(musts + frees)
-        groups = [[w] for w in musts] + \
-            ([[w] for w in frees] if and_op else [])
-        if len(groups) > 1 or (groups and (frees if not and_op else [])):
-            # required tokens each add a >=1-term filter (candidates
-            # intersect, ES semantics; scoring is the BM25 sum as usual)
-            for toks in groups:
-                t.filters.append(
-                    {"bool": {"should": [{"match": w} for w in toks]}})
-        elif len(groups) == 1 and not frees and t.phrase is None:
-            pass  # a single required term IS the candidate set already
-        if nots:
-            t.filters.append({"bool": {"must_not": [
-                {"match": w} for w in nots]}})
-        if t.phrase is not None and (t.terms or t.should_terms):
-            raise NotImplementedError(
-                "simple_query_string mixes a phrase with scored terms — "
-                "split into a bool query instead")
+        _apply_term_groups(t, musts, frees, nots, and_op,
+                           what="simple_query_string")
         return t
+    if kind == "query_string":
+        return _translate_query_string(s, t, arg)
     if kind == "multi_match":
         # the index analyzes ONE text field (content), so best_fields /
         # most_fields / cross_fields all reduce to match over it, and
@@ -568,6 +554,119 @@ def _translate(s, q: dict) -> _Translated:
         return t
     # a bare term-level query: filter context
     t.filters.append(_clause_filter(s, kind, arg))
+    return t
+
+
+def _apply_term_groups(t: _Translated, musts: list[str], frees: list[str],
+                       nots: list[str], and_op: bool, what: str) -> None:
+    """Shared tail for the query-string family: required tokens each add
+    a >=1-term filter (candidates intersect, ES semantics; scoring is
+    the BM25 sum as usual); excluded tokens add a must_not filter."""
+    t.terms.extend(musts + frees)
+    groups = [[w] for w in musts] + \
+        ([[w] for w in frees] if and_op else [])
+    if len(groups) > 1 or (groups and (frees if not and_op else [])):
+        for toks in groups:
+            t.filters.append(
+                {"bool": {"should": [{"match": w} for w in toks]}})
+    elif len(groups) == 1 and not frees and t.phrase is None:
+        pass  # a single required term IS the candidate set already
+    if nots:
+        t.filters.append({"bool": {"must_not": [
+            {"match": w} for w in nots]}})
+    if t.phrase is not None and (t.terms or t.should_terms):
+        raise NotImplementedError(
+            f"{what} mixes a phrase with scored terms — "
+            "split into a bool query instead")
+
+
+def _translate_query_string(s, t: _Translated, arg) -> _Translated:
+    """ES ``query_string``, the Kibana-style subset users actually type:
+    free terms over the text field (OR by default, homogeneous ``AND`` /
+    ``OR`` keywords or ``default_operator``), ``+term`` / ``-term`` /
+    ``NOT term``, one ``"quoted phrase"``, ``term^boost``,
+    ``field:value`` clauses (always AND-composed filters, term or
+    trailing-``*`` prefix), and a trailing-``*`` prefix on a free term
+    (gates candidates, adds no score). Parentheses, ranges, fuzzies and
+    interior wildcards refuse loudly."""
+    if isinstance(arg, str):
+        arg = {"query": arg}
+    qs = str(arg["query"])
+    for ch in "()[]{}~?":
+        if ch in qs:
+            raise NotImplementedError(
+                f"query_string operator {ch!r} is not supported "
+                "(terms, +, -, NOT, AND/OR, field:value, term^boost, "
+                "one quoted phrase, trailing * prefix are)")
+    for phr in re.findall(r'"([^"]*)"', qs):
+        if t.phrase is not None:
+            raise NotImplementedError("one quoted phrase per query_string")
+        t.phrase = _tokens(s, phr)
+    qs = re.sub(r'"[^"]*"', " ", qs)
+    toks = qs.split()
+    ops = {w.upper() for w in toks if w.upper() in ("AND", "OR")}
+    if len(ops) > 1:
+        raise NotImplementedError(
+            "query_string with mixed AND/OR operators is not supported")
+    and_op = ("AND" in ops) or (
+        not ops
+        and str(arg.get("default_operator", "or")).lower() == "and")
+    musts: list[str] = []
+    nots: list[str] = []
+    frees: list[str] = []
+    neg = False
+    for raw in toks:
+        up = raw.upper()
+        if up in ("AND", "OR"):
+            continue
+        if up == "NOT":
+            neg = True
+            continue
+        this_neg, neg = neg, False
+        if raw.startswith("-"):
+            this_neg, raw = True, raw[1:]
+        req = raw.startswith("+")
+        if req:
+            raw = raw[1:]
+        boost = None
+        if "^" in raw:
+            raw, bs = raw.rsplit("^", 1)
+            boost = float(bs)
+        field = None
+        if ":" in raw:
+            field, raw = raw.split(":", 1)
+        star = raw.endswith("*")
+        if star:
+            raw = raw[:-1]
+        if "*" in raw:
+            raise NotImplementedError(
+                "only a trailing * wildcard is supported in query_string")
+        if field is not None and field not in _TEXT_FIELDS:
+            cl = _clause_filter(s, "prefix" if star else "term",
+                                {field: raw})
+            t.filters.append({"bool": {"must_not": [cl]}}
+                             if this_neg else cl)
+            continue
+        words = _tokens(s, raw)
+        if star:
+            if len(words) != 1:
+                raise NotImplementedError(
+                    "a * prefix must follow a single analyzed token")
+            cl = {"prefix": words[0]}
+            t.filters.append({"bool": {"must_not": [cl]}}
+                             if this_neg else cl)
+            continue
+        if this_neg:
+            nots.extend(words)
+            continue
+        if boost is not None:
+            for w in words:
+                if w in t.boosts:
+                    raise NotImplementedError(
+                        f"term {w!r} boosted more than once")
+                t.boosts[w] = boost
+        (musts if req else frees).extend(words)
+    _apply_term_groups(t, musts, frees, nots, and_op, what="query_string")
     return t
 
 

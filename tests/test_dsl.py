@@ -2316,3 +2316,64 @@ def test_matrix_stats_agg(dsl_index):
     std_p = float(np.sqrt((d * d).sum() / (len(dl) - 1)))
     assert f0["skewness"] == pytest.approx(
         float((d ** 3).mean() / std_p ** 3))
+
+
+def test_query_string(dsl_index):
+    """query_string Kibana-style subset: OR/AND keywords, NOT/-/+,
+    field:value filters, term^boost, trailing-* prefix, quoted phrase;
+    anything beyond refuses."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    a, b, c = (terms_by_df[0][0], terms_by_df[1][0], terms_by_df[2][0])
+    lang = s.agg_terms("lang", k=1)[0][0]
+
+    # plain OR == simple match
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a} {b}"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search([a, b], k=6))
+
+    # explicit AND keyword == default_operator and
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a} AND {b}"}}, "size": 6})
+    want = execute_dsl(s, {"query": {"simple_query_string": {
+        "query": f"{a} {b}", "default_operator": "and"}}, "size": 6})
+    assert _ids_scores(got) == _ids_scores(want)
+    assert got["hits"]["total"] == want["hits"]["total"]
+
+    # NOT and -term both exclude
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a} NOT {c}"}}, "size": 6})
+    want = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a} -{c}"}}, "size": 6})
+    assert _ids_scores(got) == _ids_scores(want)
+    assert _ids_scores(got) == _want(s.search(
+        [a], k=6, filter={"bool": {"must_not": [{"match": c}]}}))
+
+    # field:value is an AND-composed filter
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a} lang:{lang}"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search(
+        [a], k=6, filter={"term": {"lang": lang}}))
+
+    # term^boost multiplies that term's BM25 contribution
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a}^2 {b}"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search(
+        [a, b], k=6, boosts={a: 2.0}))
+
+    # trailing * gates by dictionary prefix, adds no score
+    pre = b[:2]
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f"{a} {pre}*"}}, "size": 6})
+    assert _ids_scores(got) == _want(s.search(
+        [a], k=6, filter={"prefix": pre}))
+
+    # quoted phrase
+    got = execute_dsl(s, {"query": {"query_string": {
+        "query": f'"{a} {b}"'}}, "size": 5})
+    assert _ids_scores(got) == _want(s.phrase_search([a, b], k=5))
+
+    for bad in (f"({a} {b})", f"{a}~2", f"{a} OR {b} AND {c}",
+                f"x*y {a}"):
+        with pytest.raises(NotImplementedError):
+            execute_dsl(s, {"query": {"query_string": {"query": bad}}})
