@@ -3490,6 +3490,63 @@ FROM scores ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def docs_query_string_lookup(sf_dir: str):
+    """query_string (r5 DSL feature) end-to-end: '+data fast^2 lang:en
+    spar*' — required 'data', free 'fast' with a 2x clause boost, a lang
+    keyword filter, and a trailing-* dictionary-prefix gate — through
+    the request-body adapter; the oracle reimplements boosted BM25 over
+    the same candidate predicate with corpus-global statistics."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"query": {"query_string": {
+        "query": "+data fast^2 lang:en spar*"}}, "size": 10})
+    hits = resp["hits"]["hits"]
+    return pa.table({
+        "doc_id": pa.array([h["_id"] for h in hits], pa.int64()),
+        "score": pa.array([round(h["_score"], 4) for h in hits],
+                          pa.float64()),
+        "total": pa.array([resp["hits"]["total"]["value"]] * len(hits),
+                          pa.int64()),
+    })
+
+
+QS_LOOKUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0
+           /(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+cand AS (
+  SELECT d.doc_id FROM documents d
+  WHERE list_contains({_SPLIT_SQL}, 'data')
+    AND d.lang = 'en'
+    AND EXISTS (SELECT 1 FROM tf
+                WHERE tf.doc_id = d.doc_id AND tf.term LIKE 'spar%')),
+q(term, boost) AS (VALUES ('data', 1.0), ('fast', 2.0)),
+scores AS (
+  SELECT tf.doc_id,
+         sum( q.boost * ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))
+                /(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN cand ON cand.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, round(score, 4) AS score,
+       (SELECT count(*) FROM cand)::BIGINT AS total
+FROM scores ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def docs_multi_sort(sf_dir: str):
     """ES multi-field sort (r5): (lang asc, dl desc, doc_id asc) top 12
     through the request-body adapter, plus one search_after page — SQL's
@@ -4869,6 +4926,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_sharded_dsl_agg": 0,  # new in r5 (sharded scatter-gather merge)
     "docs_multi_sort": 0,  # new in r5 (multi-field sort + cursor)
     "docs_sqs_lookup": 0,  # new in r5 (simple_query_string)
+    "docs_query_string_lookup": 0,  # new in r5 (query_string)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5002,6 +5060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sharded_dsl_agg": docs_sharded_dsl_agg,
         "docs_multi_sort": docs_multi_sort,
         "docs_sqs_lookup": docs_sqs_lookup,
+        "docs_query_string_lookup": docs_query_string_lookup,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5135,6 +5194,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sharded_dsl_agg": SHARDED_DSL_SQL,
         "docs_multi_sort": MULTI_SORT_SQL,
         "docs_sqs_lookup": SQS_LOOKUP_SQL,
+        "docs_query_string_lookup": QS_LOOKUP_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
