@@ -4711,6 +4711,67 @@ WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
 """
 
 
+SPAN_FIRST_QUERIES: list[tuple[int, str, int, int]] = [
+    (0, "data", 2, 10),    # head term in the first 2 positions
+    (1, "stream", 5, 10),  # mid term in the first 5 positions
+    (2, "batch", 1, 10),   # leading-token-only match
+]
+
+
+def docs_span_first_lookup(sf_dir: str):
+    """ES ``span_first``: docs whose term occurs within the first ``end``
+    positions, scored by that term's BM25 contribution
+    (state/searcher.py span_first; reference surface:
+    /root/reference/es.postman_collection.json _search bodies)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = []
+    for qid, term, end, k in SPAN_FIRST_QUERIES:
+        for h in s.span_first(term, end, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _span_first_sql() -> str:
+    q = ", ".join(f"({qid}, '{t}', {end}, {k})"
+                  for qid, t, end, k in SPAN_FIRST_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, term, e, k) AS (VALUES {q}),
+pm AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM toks t JOIN q ON t.term = q.term AND t.pos + 1 <= q.e),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+ranked AS (
+  SELECT q.qid, pm.doc_id, w.w AS score,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY w.w DESC, pm.doc_id) AS rn, q.k
+  FROM pm JOIN q ON q.qid = pm.qid
+  JOIN w ON w.doc_id = pm.doc_id AND w.term = q.term)
+SELECT qid, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= k ORDER BY qid, rn
+"""
+
+
 def _phrase_documents_sql() -> str:
     """Phrase-match oracle: token positions via zipped unnest, consecutive
     match by grouping candidate (doc, start = pos - i) pairs and requiring
@@ -4927,6 +4988,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_multi_sort": 0,  # new in r5 (multi-field sort + cursor)
     "docs_sqs_lookup": 0,  # new in r5 (simple_query_string)
     "docs_query_string_lookup": 0,  # new in r5 (query_string)
+    "docs_span_first_lookup": 0,  # new in r5 (span_first)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5061,6 +5123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_multi_sort": docs_multi_sort,
         "docs_sqs_lookup": docs_sqs_lookup,
         "docs_query_string_lookup": docs_query_string_lookup,
+        "docs_span_first_lookup": docs_span_first_lookup,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5195,6 +5258,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_multi_sort": MULTI_SORT_SQL,
         "docs_sqs_lookup": SQS_LOOKUP_SQL,
         "docs_query_string_lookup": QS_LOOKUP_SQL,
+        "docs_span_first_lookup": _span_first_sql(),
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

@@ -18,7 +18,9 @@ methods — this module adds translation, not retrieval):
   range, prefix, wildcard, fuzzy, regexp, script (vectorized painless
   predicate over doc attrs, filter context), bool (must / must_not /
   filter / should / minimum_should_match), dis_max, constant_score,
-  more_like_this, span_near (in-order span_term clauses), intervals
+  more_like_this, span_near (in-order span_term clauses), span_first
+  (span_term match within the first ``end`` positions), span_or
+  (span_term clauses — should-only bool semantics), intervals
   (the ordered ``match`` rule with explicit max_gaps — span_near
   semantics),
   function_score (general form: gauss decay / field_value_factor /
@@ -141,6 +143,7 @@ class _Translated:
         self.const: dict | None = None      # {"filter":..., "boost":...}
         self.rank_feature: dict | None = None  # {"field","pivot","boost"}
         self.span_near: dict | None = None     # {"terms", "slop"}
+        self.span_first: dict | None = None    # {"term", "end"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
         self.fscore: dict | None = None  # general function_score form
         self.boosts: dict[str, float] = {}  # per-term clause boosts
@@ -388,6 +391,24 @@ def _translate(s, q: dict) -> _Translated:
                       for c in arg["clauses"]],
             "slop": int(arg.get("slop", 0)),
         }
+        return t
+    if kind == "span_first":
+        m = arg["match"]
+        if "span_term" not in m:
+            raise NotImplementedError(
+                "span_first supports a span_term match only")
+        t.span_first = {"term": next(iter(m["span_term"].values())),
+                        "end": int(arg["end"])}
+        return t
+    if kind == "span_or":
+        # a span_or of span_terms matches docs holding ANY clause term and
+        # scores the BM25 sum of the matching terms — exactly this
+        # engine's should-only bool (ES default minimum_should_match=1)
+        for c in arg["clauses"]:
+            if "span_term" not in c:
+                raise NotImplementedError(
+                    "span_or supports span_term clauses only")
+            t.should_terms.append(next(iter(c["span_term"].values())))
         return t
     if kind == "intervals":
         # ES intervals query, the ordered `match` rule: terms must appear
@@ -712,6 +733,9 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if t.span_near is not None:
         return s.span_near(t.span_near["terms"], slop=t.span_near["slop"],
                            k=size, filter=t.filter)
+    if t.span_first is not None:
+        return s.span_first(t.span_first["term"], t.span_first["end"],
+                            k=size, filter=t.filter)
     if t.boosting is not None:
         return s.search_boosting(
             t.terms, k=size, negative=t.boosting["negative"],
@@ -767,6 +791,7 @@ def _agg_scope_filter(s, t: _Translated):
     parts = list(t.filters)
     sterms = t.terms + t.should_terms + (t.phrase or []) \
         + (t.span_near["terms"] if t.span_near else []) \
+        + ([t.span_first["term"]] if t.span_first else []) \
         + (t.phrase_prefix["terms"][:-1] if t.phrase_prefix else []) \
         + (t.bool_prefix["terms"][:-1] if t.bool_prefix else [])
     if t.dis_max is not None:
@@ -1711,6 +1736,9 @@ def _exact_total(s, t: _Translated) -> int:
         return len(s.span_near(t.span_near["terms"],
                                slop=t.span_near["slop"],
                                k=s.n_local, filter=t.filter))
+    if t.span_first is not None:
+        return len(s.span_first(t.span_first["term"], t.span_first["end"],
+                                k=s.n_local, filter=t.filter))
     if t.phrase_prefix is not None:
         return len(s.match_phrase_prefix(
             t.phrase_prefix["terms"], k=s.n_local,
@@ -1837,7 +1865,8 @@ def execute_explain(s, doc_id: int, body: dict) -> dict:
     if not t.terms and not t.should_terms:
         if any(x is not None for x in (
                 t.phrase, t.dis_max, t.const, t.rank_feature, t.span_near,
-                t.gauss, t.fscore, t.boosting, t.phrase_prefix, t.pinned)):
+                t.span_first, t.gauss, t.fscore, t.boosting,
+                t.phrase_prefix, t.pinned)):
             raise NotImplementedError(
                 "_explain supports match/bool-match and pure "
                 "filter-context queries only")
@@ -2286,6 +2315,7 @@ def _is_plain_match(t: _Translated, body: dict) -> bool:
         if attr != "_score":
             return False
     return (t.phrase is None and t.span_near is None and t.dis_max is None
+            and t.span_first is None
             and t.boosting is None and t.gauss is None
             and t.rank_feature is None and t.const is None
             and t.phrase_prefix is None and t.pinned is None

@@ -2177,6 +2177,43 @@ class Searcher:
              for i in order], decorate
         )
 
+    def span_first(
+        self,
+        term: str,
+        end: int,
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``span_first``: docs where the inner span (a single
+        ``span_term``) matches within the first ``end`` positions of the
+        field — a one-term span at position ``p`` covers ``[p, p+1)``, so
+        it matches when ``p + 1 <= end``. Served from the positional
+        index, fully vectorized (one boolean mask over the term's
+        occurrence array). Score: the term's BM25 contribution on
+        matching docs — :meth:`span_near`'s documented contract."""
+        if (k <= 0 or int(end) <= 0 or term not in self.postings
+                or not self.owns_term(term)):
+            return []
+        d, p = self._phrase_occurrences(term)
+        match = np.unique(d[p + 1 <= int(end)])
+        if len(match) == 0:
+            return []
+        ids, w = self._term_contribution(term)
+        loc = np.searchsorted(ids, match)
+        scores = w[loc]  # match ⊆ ids: every match doc holds the term
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if fm is not None:
+            keep = fm[match]
+            match, scores = match[keep], scores[keep]
+        order = np.lexsort((match, -scores))[: min(k, len(match))]
+        return self._format(
+            [(int(match[i]) + self.doc_lo, float(scores[i]))
+             for i in order], decorate
+        )
+
     def search_collapse(
         self,
         terms: list[str],

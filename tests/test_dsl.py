@@ -523,6 +523,43 @@ def test_span_near_body(dsl_index):
             "in_order": False}}})
 
 
+def test_span_first_body(dsl_index):
+    """span_first executes through the adapter against the native
+    positional implementation, with an exact hits.total."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    body = {"query": {"span_first": {
+        "match": {"span_term": {"content": w1}}, "end": 3}}, "size": 6}
+    got = execute_dsl(s, body)
+    want = s.span_first(w1, 3, k=6)
+    assert _ids_scores(got) == _want(want)
+    assert got["hits"]["total"]["value"] == \
+        len(s.span_first(w1, 3, k=s.n_local))
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"span_first": {
+            "match": {"span_near": {"clauses": []}}, "end": 3}}})
+
+
+def test_span_or_body(dsl_index):
+    """span_or of span_terms == the should-only bool (ES default
+    minimum_should_match=1): same hits, scores, and total."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[5][0]
+    body = {"query": {"span_or": {
+        "clauses": [{"span_term": {"content": w1}},
+                    {"span_term": {"content": w2}}]}}, "size": 6}
+    got = execute_dsl(s, body)
+    want = execute_dsl(s, {"query": {"bool": {"should": [
+        {"match": {"content": w1}}, {"match": {"content": w2}}]}},
+        "size": 6})
+    assert _ids_scores(got) == _ids_scores(want)
+    assert got["hits"]["total"]["value"] == want["hits"]["total"]["value"]
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"span_or": {
+            "clauses": [{"span_near": {"clauses": []}}]}}})
+
+
 def test_function_score_gauss_body(dsl_index):
     """function_score (one gauss, boost_mode=multiply) dispatches onto
     Searcher.function_score; unsupported shapes raise."""

@@ -1115,6 +1115,33 @@ def test_span_near_matches_brute(pos_index, index_and_oracle):
     assert {h["doc_id"] for h in s.span_near([a, b], slop=0, k=10**6)} == ph
 
 
+def test_span_first_matches_brute(pos_index, index_and_oracle):
+    """span_first == brute "term occurs at position < end" scan, scored
+    like a plain single-term BM25 over the matching docs."""
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.bm25 import oracle_topk
+
+    _plain, contents, langs = index_and_oracle
+    s = Searcher(pos_index)
+    toks = [tokenize(c, mode="code") for c in contents]
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    head, mid = terms_by_df[0][0], terms_by_df[len(terms_by_df) // 2][0]
+    for term, end in ((head, 1), (head, 3), (head, 25), (mid, 5),
+                      (head, 0), ("zzz_no_such_term", 4)):
+        mask = np.array([term in tk[:end] for tk in toks])
+        want = (oracle_topk(contents, [term], k=10, allowed=mask)
+                if mask.any() else [])
+        got = [(h["doc_id"], h["score"]) for h in s.span_first(term, end, k=10)]
+        assert got == want, (term, end)
+    # filter composes like every other query path
+    lang = langs[0]
+    mask = np.array([head in tk[:25] for tk in toks]) & (langs == lang)
+    want = oracle_topk(contents, [head], k=10, allowed=mask) if mask.any() else []
+    got = [(h["doc_id"], h["score"])
+           for h in s.span_first(head, 25, k=10, filter={"term": {"lang": lang}})]
+    assert got == want
+
+
 def test_regexp_expansion_and_filter_match_brute_force(index_and_oracle):
     import re
 
