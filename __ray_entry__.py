@@ -4772,6 +4772,71 @@ FROM ranked WHERE rn <= k ORDER BY qid, rn
 """
 
 
+SPAN_NOT_QUERIES: list[tuple[int, str, str, int, int, int]] = [
+    (0, "data", "stream", 2, 2, 10),   # data not within 2 of stream
+    (1, "batch", "slow", 0, 4, 10),    # batch with no slow in next 4
+    (2, "stream", "data", 1, 0, 10),   # asymmetric window
+]
+
+
+def docs_span_not_lookup(sf_dir: str):
+    """ES ``span_not``: docs with an ``include`` occurrence having no
+    ``exclude`` occurrence within [p-pre, p+post], scored by include's
+    BM25 contribution (state/searcher.py span_not)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = []
+    for qid, inc, exc, pre, post, k in SPAN_NOT_QUERIES:
+        for h in s.span_not(inc, exc, pre=pre, post=post, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _span_not_sql() -> str:
+    q = ", ".join(
+        f"({qid}, '{inc}', '{exc}', {pre}, {post}, {k})"
+        for qid, inc, exc, pre, post, k in SPAN_NOT_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, inc, exc, pre, post, k) AS (VALUES {q}),
+pm AS (
+  SELECT DISTINCT q.qid, t.doc_id
+  FROM toks t JOIN q ON t.term = q.inc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM toks e
+    WHERE e.doc_id = t.doc_id AND e.term = q.exc
+      AND e.pos BETWEEN t.pos - q.pre AND t.pos + q.post)),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+ranked AS (
+  SELECT q.qid, pm.doc_id, w.w AS score,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY w.w DESC, pm.doc_id) AS rn, q.k
+  FROM pm JOIN q ON q.qid = pm.qid
+  JOIN w ON w.doc_id = pm.doc_id AND w.term = q.inc)
+SELECT qid, doc_id, round(score, 4) AS score
+FROM ranked WHERE rn <= k ORDER BY qid, rn
+"""
+
+
 def _phrase_documents_sql() -> str:
     """Phrase-match oracle: token positions via zipped unnest, consecutive
     match by grouping candidate (doc, start = pos - i) pairs and requiring
@@ -4989,6 +5054,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_sqs_lookup": 0,  # new in r5 (simple_query_string)
     "docs_query_string_lookup": 0,  # new in r5 (query_string)
     "docs_span_first_lookup": 0,  # new in r5 (span_first)
+    "docs_span_not_lookup": 0,  # new in r5 (span_not)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5124,6 +5190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sqs_lookup": docs_sqs_lookup,
         "docs_query_string_lookup": docs_query_string_lookup,
         "docs_span_first_lookup": docs_span_first_lookup,
+        "docs_span_not_lookup": docs_span_not_lookup,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5259,6 +5326,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_sqs_lookup": SQS_LOOKUP_SQL,
         "docs_query_string_lookup": QS_LOOKUP_SQL,
         "docs_span_first_lookup": _span_first_sql(),
+        "docs_span_not_lookup": _span_not_sql(),
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

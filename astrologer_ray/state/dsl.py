@@ -20,7 +20,11 @@ methods — this module adds translation, not retrieval):
   filter / should / minimum_should_match), dis_max, constant_score,
   more_like_this, span_near (in-order span_term clauses), span_first
   (span_term match within the first ``end`` positions), span_or
-  (span_term clauses — should-only bool semantics), intervals
+  (span_term clauses — should-only bool semantics), span_not
+  (span_term include/exclude with pre/post/dist windows),
+  combined_fields (degenerates to match over the single analyzed
+  field), nested (single term-level inner clause over the flattened
+  multi-valued keyword field), intervals
   (the ordered ``match`` rule with explicit max_gaps — span_near
   semantics),
   function_score (general form: gauss decay / field_value_factor /
@@ -144,6 +148,7 @@ class _Translated:
         self.rank_feature: dict | None = None  # {"field","pivot","boost"}
         self.span_near: dict | None = None     # {"terms", "slop"}
         self.span_first: dict | None = None    # {"term", "end"}
+        self.span_not: dict | None = None      # {"include","exclude","pre","post"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
         self.fscore: dict | None = None  # general function_score form
         self.boosts: dict[str, float] = {}  # per-term clause boosts
@@ -223,6 +228,14 @@ def _clause_filter(s, kind: str, arg) -> dict:
         return {"bool": out}
     if kind == "match_all":
         return {"bool": {}}  # matches everything
+    if kind == "nested":
+        # flattened-field semantics (see _translate's nested branch)
+        inner = arg["query"]
+        ik, ia = next(iter(inner.items()))
+        if ik in ("bool", "nested"):
+            raise NotImplementedError(
+                "nested supports a single term-level inner clause")
+        return _clause_filter(s, ik, ia)
     raise NotImplementedError(f"unsupported query clause {kind!r}")
 
 
@@ -409,6 +422,46 @@ def _translate(s, q: dict) -> _Translated:
                 raise NotImplementedError(
                     "span_or supports span_term clauses only")
             t.should_terms.append(next(iter(c["span_term"].values())))
+        return t
+    if kind == "span_not":
+        if "span_term" not in arg["include"] or \
+                "span_term" not in arg["exclude"]:
+            raise NotImplementedError(
+                "span_not supports span_term include/exclude only")
+        dist = int(arg.get("dist", 0))
+        t.span_not = {
+            "include": next(iter(arg["include"]["span_term"].values())),
+            "exclude": next(iter(arg["exclude"]["span_term"].values())),
+            "pre": int(arg.get("pre", dist)),
+            "post": int(arg.get("post", dist)),
+        }
+        return t
+    if kind == "combined_fields":
+        # ES combined_fields: term-centric BM25 over N text fields; the
+        # index analyzes ONE text field, so the blended field IS that
+        # field and the query degenerates to match (operator honored)
+        op = str(arg.get("operator", "or")).lower()
+        _apply_term_groups(t, [], _tokens(s, arg["query"]), [],
+                           op == "and", "combined_fields")
+        return t
+    if kind == "nested":
+        # ES nested scopes inner conditions to ONE object under `path`;
+        # the engine flattens nested keyword paths to multi-valued
+        # fields at build time (stages/spimi._kw_values), where a SINGLE
+        # term-level condition is exactly equivalent (some object
+        # matches <=> the flattened field contains the value).
+        # Same-object multi-condition matching is not representable
+        # over flattened fields — refuse loudly.
+        inner = arg["query"]
+        if not (isinstance(inner, dict) and len(inner) == 1):
+            raise ValueError("nested query must hold a single-key query")
+        ik, ia = next(iter(inner.items()))
+        if ik in ("bool", "nested"):
+            raise NotImplementedError(
+                "nested supports a single term-level inner clause "
+                "(same-object multi-condition matching is not "
+                "representable over the flattened keyword field)")
+        t.filters.append(_clause_filter(s, ik, ia))
         return t
     if kind == "intervals":
         # ES intervals query, the ordered `match` rule: terms must appear
@@ -736,6 +789,10 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
     if t.span_first is not None:
         return s.span_first(t.span_first["term"], t.span_first["end"],
                             k=size, filter=t.filter)
+    if t.span_not is not None:
+        return s.span_not(t.span_not["include"], t.span_not["exclude"],
+                          pre=t.span_not["pre"], post=t.span_not["post"],
+                          k=size, filter=t.filter)
     if t.boosting is not None:
         return s.search_boosting(
             t.terms, k=size, negative=t.boosting["negative"],
@@ -792,6 +849,7 @@ def _agg_scope_filter(s, t: _Translated):
     sterms = t.terms + t.should_terms + (t.phrase or []) \
         + (t.span_near["terms"] if t.span_near else []) \
         + ([t.span_first["term"]] if t.span_first else []) \
+        + ([t.span_not["include"]] if t.span_not else []) \
         + (t.phrase_prefix["terms"][:-1] if t.phrase_prefix else []) \
         + (t.bool_prefix["terms"][:-1] if t.bool_prefix else [])
     if t.dis_max is not None:
@@ -1739,6 +1797,10 @@ def _exact_total(s, t: _Translated) -> int:
     if t.span_first is not None:
         return len(s.span_first(t.span_first["term"], t.span_first["end"],
                                 k=s.n_local, filter=t.filter))
+    if t.span_not is not None:
+        return len(s.span_not(t.span_not["include"], t.span_not["exclude"],
+                              pre=t.span_not["pre"], post=t.span_not["post"],
+                              k=s.n_local, filter=t.filter))
     if t.phrase_prefix is not None:
         return len(s.match_phrase_prefix(
             t.phrase_prefix["terms"], k=s.n_local,
@@ -1865,7 +1927,7 @@ def execute_explain(s, doc_id: int, body: dict) -> dict:
     if not t.terms and not t.should_terms:
         if any(x is not None for x in (
                 t.phrase, t.dis_max, t.const, t.rank_feature, t.span_near,
-                t.span_first, t.gauss, t.fscore, t.boosting,
+                t.span_first, t.span_not, t.gauss, t.fscore, t.boosting,
                 t.phrase_prefix, t.pinned)):
             raise NotImplementedError(
                 "_explain supports match/bool-match and pure "
@@ -2315,7 +2377,7 @@ def _is_plain_match(t: _Translated, body: dict) -> bool:
         if attr != "_score":
             return False
     return (t.phrase is None and t.span_near is None and t.dis_max is None
-            and t.span_first is None
+            and t.span_first is None and t.span_not is None
             and t.boosting is None and t.gauss is None
             and t.rank_feature is None and t.const is None
             and t.phrase_prefix is None and t.pinned is None

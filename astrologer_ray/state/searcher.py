@@ -2214,6 +2214,58 @@ class Searcher:
              for i in order], decorate
         )
 
+    def span_not(
+        self,
+        include: str,
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        k: int = 10,
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``span_not`` over one-term spans: docs with an occurrence of
+        ``include`` at position ``p`` such that NO occurrence of
+        ``exclude`` lies within ``[p - pre, p + post]`` (ES ``dist`` sets
+        both). One-term spans of distinct terms never overlap, so the
+        default ``pre=post=0`` keeps every include occurrence — the
+        meaningful use is the "not near" idiom with pre/post > 0. Fully
+        vectorized: occurrence arrays are (doc, pos)-sorted, so a
+        per-occurrence window test is two searchsorteds on a packed
+        ``doc<<32 | pos`` key. Score: ``include``'s BM25 contribution on
+        matching docs — :meth:`span_near`'s documented contract."""
+        if (k <= 0 or include not in self.postings
+                or not self.owns_term(include)):
+            return []
+        d_i, p_i = self._phrase_occurrences(include)
+        if exclude in self.postings and self.owns_term(exclude):
+            d_e, p_e = self._phrase_occurrences(exclude)
+            key_e = d_e.astype(np.int64) * (1 << 32) + p_e.astype(np.int64)
+            base = d_i.astype(np.int64) * (1 << 32)
+            lo = np.searchsorted(
+                key_e, base + np.maximum(p_i.astype(np.int64) - int(pre), 0))
+            hi = np.searchsorted(
+                key_e, base + p_i.astype(np.int64) + int(post), "right")
+            keep = hi == lo  # no exclude occurrence inside the window
+        else:
+            keep = np.ones(len(d_i), dtype=bool)
+        match = np.unique(d_i[keep])
+        if len(match) == 0:
+            return []
+        ids, w = self._term_contribution(include)
+        scores = w[np.searchsorted(ids, match)]  # match ⊆ ids
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None
+        )
+        if fm is not None:
+            ok = fm[match]
+            match, scores = match[ok], scores[ok]
+        order = np.lexsort((match, -scores))[: min(k, len(match))]
+        return self._format(
+            [(int(match[i]) + self.doc_lo, float(scores[i]))
+             for i in order], decorate
+        )
+
     def search_collapse(
         self,
         terms: list[str],

@@ -540,6 +540,51 @@ def test_span_first_body(dsl_index):
             "match": {"span_near": {"clauses": []}}, "end": 3}}})
 
 
+def test_span_not_body(dsl_index):
+    """span_not executes through the adapter against the native
+    positional implementation (pre/post/dist forms), exact hits.total."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[1][0]
+    body = {"query": {"span_not": {
+        "include": {"span_term": {"content": w1}},
+        "exclude": {"span_term": {"content": w2}},
+        "pre": 2, "post": 3}}, "size": 6}
+    got = execute_dsl(s, body)
+    want = s.span_not(w1, w2, pre=2, post=3, k=6)
+    assert _ids_scores(got) == _want(want)
+    assert got["hits"]["total"]["value"] == \
+        len(s.span_not(w1, w2, pre=2, post=3, k=s.n_local))
+    # dist sets both pre and post
+    got = execute_dsl(s, {"query": {"span_not": {
+        "include": {"span_term": {"content": w1}},
+        "exclude": {"span_term": {"content": w2}}, "dist": 4}},
+        "size": 6})
+    assert _ids_scores(got) == _want(s.span_not(w1, w2, pre=4, post=4, k=6))
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"span_not": {
+            "include": {"span_near": {"clauses": []}},
+            "exclude": {"span_term": {"content": w2}}}}})
+
+
+def test_combined_fields_body(dsl_index):
+    """combined_fields degenerates to match over the single analyzed
+    field; operator=and intersects per-term candidates."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2 = terms_by_df[0][0], terms_by_df[3][0]
+    got = execute_dsl(s, {"query": {"combined_fields": {
+        "query": f"{w1} {w2}", "fields": ["content"]}}, "size": 7})
+    assert _ids_scores(got) == _want(s.search([w1, w2], k=7))
+    got = execute_dsl(s, {"query": {"combined_fields": {
+        "query": f"{w1} {w2}", "fields": ["content"],
+        "operator": "and"}}, "size": 7})
+    want = execute_dsl(s, {"query": {"bool": {
+        "must": [{"match": {"content": w1}},
+                 {"match": {"content": w2}}]}}, "size": 7})
+    assert _ids_scores(got) == _ids_scores(want)
+
+
 def test_span_or_body(dsl_index):
     """span_or of span_terms == the should-only bool (ES default
     minimum_should_match=1): same hits, scores, and total."""

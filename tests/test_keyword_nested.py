@@ -124,3 +124,35 @@ def test_bad_path_raises(ray_session, tmp_path):
     with pytest.raises(Exception, match="cannot descend|no field|No match"):
         build_index([f], str(tmp_path / "idx"), partition_rows=10,
                     keyword_fields={"bad": "attrs.owner.nope"})
+
+
+def test_nested_dsl_query(nested_env):
+    """ES ``nested`` query over a list<struct> path executes through the
+    DSL adapter as the flattened multi-valued keyword lookup; the
+    non-representable multi-condition form refuses loudly."""
+    from astrologer_ray.state.dsl import execute_dsl
+
+    idx, _plain, rows = nested_env
+    s = Searcher(idx, load_docs=True)
+    body = {"query": {"nested": {
+        "path": "links", "query": {"term": {"lk": "dep"}}}}, "size": 200}
+    got = execute_dsl(s, body)
+    want = [i for i, r in enumerate(rows)
+            if any(l["kind"] == "dep" for l in r["links"])]
+    assert [h["_id"] for h in got["hits"]["hits"]] == want
+    assert got["hits"]["total"]["value"] == len(want)
+    # nested inside a bool filter composes
+    lang = rows[0]["lang"]
+    body = {"query": {"bool": {"filter": [
+        {"nested": {"path": "links", "query": {"term": {"lk": "doc"}}}},
+        {"term": {"lang": lang}}]}}, "size": 200}
+    got = execute_dsl(s, body)
+    want = [i for i, r in enumerate(rows)
+            if any(l["kind"] == "doc" for l in r["links"])
+            and r["lang"] == lang]
+    assert [h["_id"] for h in got["hits"]["hits"]] == want
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"nested": {
+            "path": "links", "query": {"bool": {"must": [
+                {"term": {"lk": "dep"}}, {"term": {"lk": "doc"}}]}}}}})

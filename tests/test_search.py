@@ -1142,6 +1142,37 @@ def test_span_first_matches_brute(pos_index, index_and_oracle):
     assert got == want
 
 
+def test_span_not_matches_brute(pos_index, index_and_oracle):
+    """span_not == brute "include occurrence with no exclude occurrence in
+    [p-pre, p+post]" scan, scored as single-term BM25 on matching docs."""
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.bm25 import oracle_topk
+
+    _plain, contents, _langs = index_and_oracle
+    s = Searcher(pos_index)
+    toks = [tokenize(c, mode="code") for c in contents]
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    a, b = terms_by_df[0][0], terms_by_df[1][0]
+
+    def brute(inc, exc, pre, post):
+        out = []
+        for tl in toks:
+            epos = [i for i, x in enumerate(tl) if x == exc]
+            out.append(any(
+                x == inc and not any(p - pre <= e <= p + post for e in epos)
+                for p, x in enumerate(tl)))
+        return np.array(out)
+
+    for inc, exc, pre, post in ((a, b, 0, 0), (a, b, 2, 2), (a, b, 0, 5),
+                                (a, a, 1, 1), (a, "zzz_absent", 3, 3)):
+        mask = brute(inc, exc, pre, post)
+        want = (oracle_topk(contents, [inc], k=10, allowed=mask)
+                if mask.any() else [])
+        got = [(h["doc_id"], h["score"])
+               for h in s.span_not(inc, exc, pre=pre, post=post, k=10)]
+        assert got == want, (inc, exc, pre, post)
+
+
 def test_regexp_expansion_and_filter_match_brute_force(index_and_oracle):
     import re
 
