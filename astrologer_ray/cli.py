@@ -426,6 +426,14 @@ def cmd_search(args) -> int:
     from astrologer_ray.state.searcher import Searcher
 
     _ray_session(args.num_cpus)
+    if getattr(args, "template", False):
+        # ES _search/template: render mustache holes, then execute
+        from astrologer_ray.state.dsl import execute_search_template
+
+        s = Searcher(args.index, load_docs=True)
+        print(json.dumps(execute_search_template(
+            s, json.loads(args.query))))
+        return 0
     if getattr(args, "dsl", False):
         # the query operand IS an ES _search request body (the reference's
         # own Postman bodies run verbatim, state/dsl.py)
@@ -498,6 +506,22 @@ def cmd_search(args) -> int:
         )
     for h in hits:
         print(json.dumps(h))
+    return 0
+
+
+def cmd_rank_eval(args) -> int:
+    """ES ``_rank_eval`` analog: grade each request's hits against its
+    rated documents, print the ES-shaped response (state/dsl.py
+    execute_rank_eval)."""
+    import sys
+
+    from astrologer_ray.state.dsl import execute_rank_eval
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    raw = sys.stdin.read() if args.body == "-" else open(args.body).read()
+    s = Searcher(args.index, load_docs=True)
+    print(json.dumps(execute_rank_eval(s, json.loads(raw))))
     return 0
 
 
@@ -758,6 +782,10 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--dsl", action="store_true",
                     help="treat QUERY as an ES _search JSON request body "
                          "(match/bool/term/range/aggs/... — state/dsl.py)")
+    se.add_argument("--template", action="store_true",
+                    help="treat QUERY as an ES _search/template body "
+                         '({"source": ..., "params": ...}): render the '
+                         "mustache holes, then execute like --dsl")
     se.add_argument("--sort-by", default=None, metavar="ATTR",
                     help="ignore QUERY; top-k docs by sidecar attribute "
                          "(ES field sort)")
@@ -787,6 +815,15 @@ def main(argv: list[str] | None = None) -> int:
                          "merge instead of whole-body replicas "
                          "(shard-mergeable bodies only)")
     ms.set_defaults(fn=cmd_msearch)
+
+    re_ = sub.add_parser(
+        "rank-eval",
+        help="ES _rank_eval analog: grade each request's hits against "
+             "its rated docs (precision/recall/MRR/DCG+NDCG)")
+    re_.add_argument("index")
+    re_.add_argument("body",
+                     help="JSON file with {requests, metric} ('-' = stdin)")
+    re_.set_defaults(fn=cmd_rank_eval)
 
     cn = sub.add_parser(
         "count", help="ES _count analog: matched-doc count for a query "

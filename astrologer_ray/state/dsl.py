@@ -77,7 +77,11 @@ methods — this module adds translation, not retrieval):
   ``execute_terms_enum`` (``_terms_enum`` — sorted prefix listing
   with ``search_after`` paging, text or keyword fields),
   ``execute_get`` / ``execute_mget`` (``_doc`` / ``_mget`` — docs
-  sidecar attributes as ``_source``).
+  sidecar attributes as ``_source``), ``execute_search_template`` /
+  ``render_search_template`` (``_search/template`` / ``_render/template``
+  — mustache ``{{var}}`` + ``{{#toJson}}`` holes), and
+  ``execute_rank_eval`` (``_rank_eval`` — precision / recall / MRR /
+  DCG+NDCG over rated documents).
 - pipeline aggregations: parent ``cumulative_sum``, ``derivative``,
   ``serial_diff``, ``bucket_script``, ``bucket_selector``,
   ``bucket_sort`` and ``moving_fn`` (the documented
@@ -119,6 +123,7 @@ Response is ES-shaped: ``hits.total.value``, ``hits.hits[]._id/_score``,
 from __future__ import annotations
 
 import json
+import math
 import re
 
 import numpy as np
@@ -2423,3 +2428,117 @@ def _attach_hit_evidence(s, body: dict, t: _Translated, resp: dict,
                      "first_pos": r["first_pos"]}
                     for r in by_doc.get(h["_id"], [])]
             h["highlight"] = {f: rows for f in fields}
+
+
+# --------------------------------------------------------- search templates
+
+
+def render_search_template(source, params: dict | None = None) -> dict:
+    """ES ``_render/template``: substitute mustache ``{{var}}`` holes in a
+    template ``source`` (a JSON string or an object) with ``params`` and
+    return the rendered request body. The subset templates actually use:
+
+    - ``"{{var}}"`` as an ENTIRE JSON string value → the typed param
+      (numbers, lists, objects stay typed — ES renders then re-parses);
+    - ``{{#toJson}}var{{/toJson}}`` → the param as JSON (ES extension);
+    - ``{{var}}`` inside a longer string → string interpolation.
+
+    Sections/conditionals (``{{#var}}...{{/var}}``) refuse loudly.
+    Missing params raise KeyError, like ES's template render error."""
+    params = dict(params or {})
+    raw = source if isinstance(source, str) else json.dumps(source)
+
+    def _get(name: str):
+        if name not in params:
+            raise KeyError(f"missing search-template param {name!r}")
+        return params[name]
+
+    # toJson first (its braces would confuse the scalar pass)
+    raw = re.sub(
+        r'"?\{\{#toJson\}\}\s*([\w.]+)\s*\{\{/toJson\}\}"?',
+        lambda m: json.dumps(_get(m.group(1))), raw)
+    if re.search(r"\{\{[#^/]", raw):
+        raise NotImplementedError(
+            "search-template sections/conditionals are not supported "
+            "(scalar {{var}} and {{#toJson}} holes only)")
+    # typed whole-value holes: a JSON string that IS the hole
+    raw = re.sub(
+        r'"\{\{\s*([\w.]+)\s*\}\}"',
+        lambda m: json.dumps(_get(m.group(1))), raw)
+    # scalar holes inside longer strings: escaped string interpolation
+    raw = re.sub(
+        r"\{\{\s*([\w.]+)\s*\}\}",
+        lambda m: json.dumps(str(_get(m.group(1))))[1:-1], raw)
+    return json.loads(raw)
+
+
+def execute_search_template(s, body: dict) -> dict:
+    """ES ``_search/template``: render the inline ``source`` with
+    ``params``, then execute the rendered body via :func:`execute_dsl`.
+    Stored template ids are not supported (no cluster state here)."""
+    if "source" not in body:
+        raise NotImplementedError(
+            "search_template requires an inline `source` "
+            "(stored template ids are not supported)")
+    return execute_dsl(s, render_search_template(body["source"],
+                                                 body.get("params")))
+
+
+# ------------------------------------------------------------- rank eval
+
+
+def execute_rank_eval(s, body: dict) -> dict:
+    """ES ``_rank_eval``: run each request's search body, grade the hit
+    list against the request's rated documents, and report the metric
+    per request plus the mean over requests — the response shape ES
+    returns (``metric_score``, ``details.<id>.metric_score`` /
+    ``unrated_docs``).
+
+    Metrics: ``precision`` / ``recall`` (at k, with
+    ``relevant_rating_threshold``), ``mean_reciprocal_rank``, and
+    ``dcg`` (``normalize: true`` → NDCG against the ideal ordering of
+    the request's OWN ratings, ES's definition)."""
+    ((mname, mopt),) = body["metric"].items()
+    mopt = mopt or {}
+    k = int(mopt.get("k", 10))
+    thr = int(mopt.get("relevant_rating_threshold", 1))
+    details: dict = {}
+    scores = []
+    for req in body["requests"]:
+        rid = req["id"]
+        ratings = {int(r["_id"]): int(r["rating"])
+                   for r in req.get("ratings", [])}
+        resp = execute_dsl(s, {**req["request"], "size": k})
+        hit_ids = [h["_id"] for h in resp["hits"]["hits"]]
+        rel = [ratings.get(d, 0) >= thr for d in hit_ids]
+        unrated = sum(1 for d in hit_ids if d not in ratings)
+        if mname == "precision":
+            score = (sum(rel) / len(hit_ids)) if hit_ids else 0.0
+        elif mname == "recall":
+            n_rel = sum(1 for v in ratings.values() if v >= thr)
+            score = (sum(rel) / n_rel) if n_rel else 0.0
+        elif mname == "mean_reciprocal_rank":
+            score = 0.0
+            for i, ok in enumerate(rel):
+                if ok:
+                    score = 1.0 / (i + 1)
+                    break
+        elif mname == "dcg":
+            gains = [float(2 ** ratings.get(d, 0) - 1) for d in hit_ids]
+            disc = [math.log2(i + 2) for i in range(len(hit_ids))]
+            score = sum(g / d for g, d in zip(gains, disc))
+            if mopt.get("normalize"):
+                ideal = sorted(ratings.values(), reverse=True)[:k]
+                idcg = sum((2 ** r - 1) / math.log2(i + 2)
+                           for i, r in enumerate(ideal))
+                score = score / idcg if idcg else 0.0
+        else:
+            raise NotImplementedError(
+                f"unsupported rank_eval metric {mname!r}")
+        details[rid] = {"metric_score": float(score),
+                        "unrated_docs": int(unrated)}
+        scores.append(float(score))
+    return {
+        "metric_score": float(sum(scores) / len(scores)) if scores else 0.0,
+        "details": details,
+    }

@@ -489,3 +489,44 @@ def test_cli_analyze(capsys):
         assert ("Hello, World 42!".lower()
                 [t["start_offset"]:t["end_offset"]] == t["token"])
     assert [t["token"] for t in out["tokens"]] == ["hello", "world", "42"]
+
+
+def test_cli_search_template_and_rank_eval(ray_session, small_corpus_dir,
+                                           tmp_path, capsys):
+    import json
+
+    from astrologer_ray.cli import main
+
+    idx = str(tmp_path / "tplidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows",
+                 "64"]) == 0
+    capsys.readouterr()
+    tpl = json.dumps({
+        "source": {"query": {"match": {"content": "{{q}}"}},
+                   "size": "{{k}}"},
+        "params": {"q": "index merge", "k": 4},
+    })
+    assert main(["search", idx, tpl, "--template"]) == 0
+    tout = json.loads(capsys.readouterr().out.strip())
+    assert main(["search", idx,
+                 '{"query": {"match": {"content": "index merge"}},'
+                 ' "size": 4}', "--dsl"]) == 0
+    dout = json.loads(capsys.readouterr().out.strip())
+    assert tout["hits"] == dout["hits"]
+
+    hits = [h["_id"] for h in dout["hits"]["hits"]]
+    body = {
+        "requests": [{
+            "id": "q1",
+            "request": {"query": {"match": {"content": "index merge"}}},
+            "ratings": [{"_id": hits[0], "rating": 2}],
+        }],
+        "metric": {"precision": {"k": 4}},
+    }
+    f = str(tmp_path / "rank_eval.json")
+    with open(f, "w") as fh:
+        json.dump(body, fh)
+    assert main(["rank-eval", idx, f]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["details"]["q1"]["metric_score"] == 1 / len(hits)
+    assert out["metric_score"] == out["details"]["q1"]["metric_score"]

@@ -2459,3 +2459,78 @@ def test_query_string(dsl_index):
                 f"x*y {a}"):
         with pytest.raises(NotImplementedError):
             execute_dsl(s, {"query": {"query_string": {"query": bad}}})
+
+
+def test_search_template_render_and_execute(dsl_index):
+    """_search/template: typed whole-value holes, string interpolation,
+    {{#toJson}}; rendered == inline body; sections refuse; missing param
+    raises."""
+    from astrologer_ray.state.dsl import (execute_search_template,
+                                          render_search_template)
+
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    src = {"query": {"match": {"content": "{{q}}"}}, "size": "{{k}}"}
+    rendered = render_search_template(src, {"q": w1, "k": 5})
+    assert rendered == {"query": {"match": {"content": w1}}, "size": 5}
+    got = execute_search_template(
+        s, {"source": src, "params": {"q": w1, "k": 5}})
+    want = execute_dsl(s, rendered)
+    assert _ids_scores(got) == _ids_scores(want)
+    # string interpolation inside a longer string
+    assert render_search_template(
+        {"query": {"match": {"content": "pre {{q}} post"}}},
+        {"q": "x"}) == {"query": {"match": {"content": "pre x post"}}}
+    # toJson: typed lists/objects
+    assert render_search_template(
+        '{"query": {"ids": {"values": {{#toJson}}ids{{/toJson}}}}}',
+        {"ids": [1, 2]}) == {"query": {"ids": {"values": [1, 2]}}}
+    with pytest.raises(KeyError):
+        render_search_template(src, {"q": w1})
+    with pytest.raises(NotImplementedError):
+        render_search_template('{"a": "{{#cond}}x{{/cond}}"}', {})
+    with pytest.raises(NotImplementedError):
+        execute_search_template(s, {"id": "stored-one", "params": {}})
+
+
+def test_rank_eval_metrics(dsl_index):
+    """_rank_eval: precision/recall/MRR/DCG+NDCG hand-recomputed from the
+    actual hit lists and ratings."""
+    import math
+
+    from astrologer_ray.state.dsl import execute_rank_eval
+
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    hits = [h["doc_id"] for h in s.search([w1], k=5)]
+    assert len(hits) >= 3
+    # rate hit #0 and #2 relevant (2, 1), hit #1 rated irrelevant (0),
+    # plus one relevant doc the query never returns (recall denominator)
+    absent = max(hits) + 10_000
+    ratings = [{"_id": hits[0], "rating": 2}, {"_id": hits[1], "rating": 0},
+               {"_id": hits[2], "rating": 1}, {"_id": absent, "rating": 3}]
+    reqs = {"requests": [{"id": "q1",
+                          "request": {"query": {"match": {"content": w1}}},
+                          "ratings": ratings}]}
+    n = len(hits)
+    got = execute_rank_eval(s, {**reqs, "metric": {"precision": {"k": 5}}})
+    assert got["details"]["q1"]["metric_score"] == pytest.approx(2 / n)
+    assert got["details"]["q1"]["unrated_docs"] == n - 3
+    assert got["metric_score"] == got["details"]["q1"]["metric_score"]
+    got = execute_rank_eval(s, {**reqs, "metric": {"recall": {"k": 5}}})
+    assert got["details"]["q1"]["metric_score"] == pytest.approx(2 / 3)
+    got = execute_rank_eval(
+        s, {**reqs, "metric": {"mean_reciprocal_rank": {"k": 5}}})
+    assert got["details"]["q1"]["metric_score"] == pytest.approx(1.0)
+    rating_of = {r["_id"]: r["rating"] for r in ratings}
+    dcg = sum((2 ** rating_of.get(d, 0) - 1) / math.log2(i + 2)
+              for i, d in enumerate(hits))
+    got = execute_rank_eval(s, {**reqs, "metric": {"dcg": {"k": 5}}})
+    assert got["details"]["q1"]["metric_score"] == pytest.approx(dcg)
+    ideal = sorted(rating_of.values(), reverse=True)[:5]
+    idcg = sum((2 ** r - 1) / math.log2(i + 2) for i, r in enumerate(ideal))
+    got = execute_rank_eval(
+        s, {**reqs, "metric": {"dcg": {"k": 5, "normalize": True}}})
+    assert got["details"]["q1"]["metric_score"] == pytest.approx(dcg / idcg)
+    with pytest.raises(NotImplementedError):
+        execute_rank_eval(s, {**reqs, "metric": {"err": {}}})
