@@ -509,6 +509,41 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_field_caps(args) -> int:
+    """ES ``_field_caps`` analog (state/dsl.py execute_field_caps)."""
+    from astrologer_ray.state.dsl import execute_field_caps
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    s = Searcher(args.index, load_docs=True)
+    fields = args.fields.split(",") if args.fields else None
+    print(json.dumps(execute_field_caps(s, fields)))
+    return 0
+
+
+def cmd_mapping(args) -> int:
+    """ES ``GET /<index>/_mapping`` analog (state/dsl.py)."""
+    from astrologer_ray.state.dsl import execute_mapping
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    print(json.dumps(execute_mapping(Searcher(args.index,
+                                              load_docs=True))))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """ES ``_validate/query`` analog (state/dsl.py execute_validate)."""
+    from astrologer_ray.state.dsl import execute_validate
+    from astrologer_ray.state.searcher import Searcher
+
+    _ray_session(args.num_cpus)
+    s = Searcher(args.index, load_docs=True)
+    body = json.loads(args.query) if args.query else None
+    print(json.dumps(execute_validate(s, body, explain=args.explain)))
+    return 0
+
+
 def cmd_rank_eval(args) -> int:
     """ES ``_rank_eval`` analog: grade each request's hits against its
     rated documents, print the ES-shaped response (state/dsl.py
@@ -815,6 +850,29 @@ def main(argv: list[str] | None = None) -> int:
                          "merge instead of whole-body replicas "
                          "(shard-mergeable bodies only)")
     ms.set_defaults(fn=cmd_msearch)
+
+    fc = sub.add_parser(
+        "field-caps",
+        help="ES _field_caps analog: per-field type/capability map")
+    fc.add_argument("index")
+    fc.add_argument("--fields", default=None,
+                    help="comma-separated names; trailing * wildcards")
+    fc.set_defaults(fn=cmd_field_caps)
+
+    mp = sub.add_parser(
+        "mapping", help="ES _mapping analog: the index's field layout")
+    mp.add_argument("index")
+    mp.set_defaults(fn=cmd_mapping)
+
+    va = sub.add_parser(
+        "validate",
+        help="ES _validate/query analog: can this engine serve the body?")
+    va.add_argument("index")
+    va.add_argument("query", nargs="?", default=None,
+                    help="JSON _search body (omitted = match_all)")
+    va.add_argument("--explain", action="store_true",
+                    help="include the translation summary / refusal")
+    va.set_defaults(fn=cmd_validate)
 
     re_ = sub.add_parser(
         "rank-eval",

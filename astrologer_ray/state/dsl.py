@@ -81,7 +81,10 @@ methods — this module adds translation, not retrieval):
   ``render_search_template`` (``_search/template`` / ``_render/template``
   — mustache ``{{var}}`` + ``{{#toJson}}`` holes), and
   ``execute_rank_eval`` (``_rank_eval`` — precision / recall / MRR /
-  DCG+NDCG over rated documents).
+  DCG+NDCG over rated documents), ``execute_field_caps`` /
+  ``execute_mapping`` (``_field_caps`` / ``_mapping`` — field/type
+  introspection from the live index), and ``execute_validate``
+  (``_validate/query`` — translate without running, report refusals).
 - pipeline aggregations: parent ``cumulative_sum``, ``derivative``,
   ``serial_diff``, ``bucket_script``, ``bucket_selector``,
   ``bucket_sort`` and ``moving_fn`` (the documented
@@ -2542,3 +2545,101 @@ def execute_rank_eval(s, body: dict) -> dict:
         "metric_score": float(sum(scores) / len(scores)) if scores else 0.0,
         "details": details,
     }
+
+
+# ----------------------------------------------- metadata endpoint analogs
+
+
+def _field_types(s) -> dict[str, str]:
+    """Field → ES type for the index's query surface: the analyzed text
+    field, build-time keyword fields (state/searcher field_term terms),
+    and docs-sidecar / runtime attrs typed from their numpy dtype."""
+    out = {"content": "text"}
+    for f in (s.meta.get("keyword_fields") or {}):
+        out[f] = "keyword"
+    for name, arr in (s.doc_attrs or {}).items():
+        if np.issubdtype(arr.dtype, np.bool_):
+            out[name] = "boolean"
+        elif np.issubdtype(arr.dtype, np.integer):
+            out[name] = "long"
+        elif np.issubdtype(arr.dtype, np.floating):
+            out[name] = "double"
+        else:
+            out[name] = "keyword"
+    return out
+
+
+def execute_field_caps(s, fields: list[str] | None = None) -> dict:
+    """ES ``_field_caps``: per-field capability map. Text is searchable
+    but not aggregatable (no fielddata here, like ES defaults); keyword
+    fields and sidecar attrs are both (every filter/agg path accepts
+    them). ``fields`` filters with ES's ``*`` suffix wildcard."""
+    types = _field_types(s)
+    if fields is not None:
+        keep = set()
+        for pat in fields:
+            if pat.endswith("*"):
+                keep |= {f for f in types if f.startswith(pat[:-1])}
+            elif pat in types:
+                keep.add(pat)
+        types = {f: t for f, t in types.items() if f in keep}
+    return {"fields": {
+        f: {t: {"type": t, "metadata_field": False,
+                "searchable": True,
+                "aggregatable": t != "text"}}
+        for f, t in sorted(types.items())
+    }}
+
+
+def execute_mapping(s) -> dict:
+    """ES ``GET /<index>/_mapping`` analog: the field/type layout a
+    client would introspect — the single analyzed text field (with the
+    build's analyzer mode and whether positions are stored), keyword
+    fields, and sidecar attrs."""
+    props: dict = {}
+    for f, t in sorted(_field_types(s).items()):
+        if t == "text":
+            props[f] = {
+                "type": "text",
+                "analyzer": s.mode,
+                "index_options": ("positions" if s.meta.get("positions")
+                                  else "freqs"),
+            }
+        else:
+            props[f] = {"type": t}
+    return {"mappings": {"properties": props}}
+
+
+def execute_validate(s, body: dict | None = None,
+                     explain: bool = False) -> dict:
+    """ES ``_validate/query``: translate the body's query without
+    running it; report whether this engine can serve it. ``explain``
+    adds the translation summary (the analog of ES's rewritten Lucene
+    query) or the refusal reason."""
+    try:
+        t = _translate(s, (body or {}).get("query"))
+    except Exception as exc:  # noqa: BLE001 — every refusal is "invalid"
+        out = {"valid": False}
+        if explain:
+            out["explanations"] = [{"valid": False, "error": str(exc)}]
+        return out
+    out = {"valid": True}
+    if explain:
+        parts = []
+        if t.terms:
+            parts.append("terms:" + ",".join(t.terms))
+        if t.should_terms:
+            parts.append("should:" + ",".join(t.should_terms))
+        for name in ("phrase", "dis_max", "const", "rank_feature",
+                     "span_near", "span_first", "span_not", "gauss",
+                     "fscore", "boosting", "phrase_prefix", "pinned",
+                     "bool_prefix", "distance_feature"):
+            if getattr(t, name) is not None:
+                parts.append(name)
+        if t.filters:
+            parts.append(f"filters:{len(t.filters)}")
+        out["explanations"] = [{
+            "valid": True,
+            "explanation": " ".join(parts) or "match_all",
+        }]
+    return out

@@ -530,3 +530,26 @@ def test_cli_search_template_and_rank_eval(ray_session, small_corpus_dir,
     out = json.loads(capsys.readouterr().out.strip())
     assert out["details"]["q1"]["metric_score"] == 1 / len(hits)
     assert out["metric_score"] == out["details"]["q1"]["metric_score"]
+
+
+def test_cli_field_caps_mapping_validate(ray_session, small_corpus_dir,
+                                         tmp_path, capsys):
+    import json
+
+    from astrologer_ray.cli import main
+
+    idx = str(tmp_path / "fcidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows",
+                 "64"]) == 0
+    capsys.readouterr()
+    assert main(["field-caps", idx, "--fields", "content,d*"]) == 0
+    caps = json.loads(capsys.readouterr().out.strip())["fields"]
+    assert "content" in caps and "dl" in caps
+    assert main(["mapping", idx]) == 0
+    props = json.loads(capsys.readouterr().out.strip())["mappings"][
+        "properties"]
+    assert props["content"]["index_options"] == "freqs"  # no positions
+    assert main(["validate", idx,
+                 '{"query": {"match": {"content": "x"}}}',
+                 "--explain"]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["valid"] is True

@@ -2534,3 +2534,38 @@ def test_rank_eval_metrics(dsl_index):
     assert got["details"]["q1"]["metric_score"] == pytest.approx(dcg / idcg)
     with pytest.raises(NotImplementedError):
         execute_rank_eval(s, {**reqs, "metric": {"err": {}}})
+
+
+def test_field_caps_mapping_validate(dsl_index):
+    """_field_caps / _mapping / _validate endpoint analogs: field types
+    from the live index; validate accepts servable bodies and flags
+    refusals without running anything."""
+    from astrologer_ray.state.dsl import (execute_field_caps,
+                                          execute_mapping,
+                                          execute_validate)
+
+    s = Searcher(dsl_index, load_docs=True)
+    caps = execute_field_caps(s)["fields"]
+    assert caps["content"]["text"]["searchable"] is True
+    assert caps["content"]["text"]["aggregatable"] is False
+    assert caps["dl"]["long"]["aggregatable"] is True
+    assert caps["lang"]["keyword"]["type"] == "keyword"
+    # wildcard + exact filtering
+    some = execute_field_caps(s, ["d*", "lang"])["fields"]
+    assert "dl" in some and "lang" in some and "content" not in some
+
+    props = execute_mapping(s)["mappings"]["properties"]
+    assert props["content"]["type"] == "text"
+    assert props["content"]["index_options"] == "positions"
+    assert props["dl"] == {"type": "long"}
+
+    w1 = max(s.df, key=lambda t: s.df[t])
+    ok = execute_validate(s, {"query": {"match": {"content": w1}}},
+                          explain=True)
+    assert ok["valid"] is True
+    assert f"terms:{w1}" in ok["explanations"][0]["explanation"]
+    assert execute_validate(s, None)["valid"] is True
+    bad = execute_validate(
+        s, {"query": {"geo_distance": {"distance": "1km"}}}, explain=True)
+    assert bad["valid"] is False
+    assert "geo_distance" in bad["explanations"][0]["error"]
