@@ -2938,6 +2938,36 @@ ORDER BY field, value
 """
 
 
+def docs_nested_dsl_lookup(sf_dir: str):
+    """ES ``nested`` query through the DSL adapter over the derived
+    list<struct> field (links.kind -> flattened keyword 'lk'): docs where
+    some links object has kind='de', minus tag='src3' docs, i.e.
+    (lang='de' OR source='de') AND source != 'src3' on the flat table —
+    the oracle mirrors the derivation (state/dsl.py nested branch)."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_nested_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"query": {"bool": {"filter": [
+        {"nested": {"path": "links", "query": {"term": {"lk": "de"}}}},
+        {"bool": {"must_not": [{"nested": {
+            "path": "tags", "query": {"term": {"tag": "src3"}}}}]}},
+    ]}}, "size": 1_000_000})
+    ids = sorted(h["_id"] for h in resp["hits"]["hits"])
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "total": pa.array(
+                         [resp["hits"]["total"]["value"]] * len(ids),
+                         pa.int64())})
+
+
+NESTED_DSL_SQL = """
+WITH m AS (
+  SELECT doc_id FROM documents
+  WHERE (lang = 'de' OR source = 'de') AND source != 'src3')
+SELECT doc_id, (SELECT count(*) FROM m) AS total FROM m ORDER BY doc_id
+"""
+
+
 def docs_prefix_lookup(sf_dir: str):
     """Exact doc listing via PREFIX expansion over the term dictionary
     (ES ``prefix`` query): docs with any analyzed token starting with
@@ -5055,6 +5085,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_query_string_lookup": 0,  # new in r5 (query_string)
     "docs_span_first_lookup": 0,  # new in r5 (span_first)
     "docs_span_not_lookup": 0,  # new in r5 (span_not)
+    "docs_nested_dsl_lookup": 0,  # new in r5 (nested DSL query)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5191,6 +5222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_query_string_lookup": docs_query_string_lookup,
         "docs_span_first_lookup": docs_span_first_lookup,
         "docs_span_not_lookup": docs_span_not_lookup,
+        "docs_nested_dsl_lookup": docs_nested_dsl_lookup,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5327,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_query_string_lookup": QS_LOOKUP_SQL,
         "docs_span_first_lookup": _span_first_sql(),
         "docs_span_not_lookup": _span_not_sql(),
+        "docs_nested_dsl_lookup": NESTED_DSL_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
