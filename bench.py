@@ -331,7 +331,7 @@ def bench_query_qps_replicated(n_queries: int = 800) -> dict:
             "hits": sum(len(r) for r in res)}
 
 
-def bench_msearch_dsl(n_bodies: int = 240) -> dict:
+def bench_msearch_dsl(n_bodies: int = 120) -> dict:
     """Adapter serving throughput: N ES ``_search`` request bodies —
     alternating plain match, match+terms-agg, and match+histogram+
     cumulative_sum shapes — served via ``ReplicatedSearchPool.msearch``
