@@ -34,7 +34,10 @@ methods — this module adds translation, not retrieval):
   multiply|sum|replace|avg|max|min, max_boost; the single-gauss
   multiply shape keeps its fast path),
   boosting (match positive, term-level negative, negative_boost
-  demotion), pinned (explicit ids first, organic match hits after).
+  demotion), pinned (explicit ids first, organic match hits after),
+  script_score (function_score's script machinery with
+  boost_mode=replace), rank_feature in bool.should (saturation / log /
+  sigmoid functions).
 - top level: ``size``, ``from``, ``min_score``, ``search_after``,
   ``collapse`` (one hit per distinct value of a doc attribute),
   ``rescore`` (match_phrase proximity rerank of the top-window BM25
@@ -534,6 +537,27 @@ def _translate(s, q: dict) -> _Translated:
             "max_boost": arg.get("max_boost"),
         }
         return inner
+    if kind == "script_score":
+        # ES script_score query: REPLACE the inner query's score with the
+        # script's value — exactly function_score's general machinery
+        # with one script_score function and boost_mode=replace. Scripts
+        # referencing `_score` refuse at painless translation (the
+        # arithmetic-over-doc-attrs subset only).
+        inner = _translate(s, arg["query"])
+        if inner.phrase or inner.dis_max or inner.const or not inner.terms:
+            raise NotImplementedError(
+                "script_score requires a match/more_like_this inner query")
+        if "min_score" in arg:
+            raise NotImplementedError(
+                "script_score min_score is not supported (use the "
+                "top-level min_score)")
+        inner.fscore = {
+            "functions": [{"script_score": {"script": arg["script"]}}],
+            "score_mode": "multiply",
+            "boost_mode": "replace",
+            "max_boost": None,
+        }
+        return inner
     if kind == "boosting":
         # positive supplies candidates + BM25; negative DEMOTES (does not
         # exclude) by negative_boost — Searcher.search_boosting
@@ -606,10 +630,16 @@ def _translate(s, q: dict) -> _Translated:
             if ck == "rank_feature":
                 if t.rank_feature is not None:
                     raise NotImplementedError("one rank_feature per bool")
+                fn = next((f for f in ("saturation", "log", "sigmoid")
+                           if f in cv), "saturation")
+                spec = cv.get(fn, {})
                 t.rank_feature = {
                     "field": cv["field"],
-                    "pivot": float(cv.get("saturation", {})
-                                   .get("pivot", 1.0)),
+                    "function": fn,
+                    "pivot": float(spec.get("pivot", 1.0)),
+                    "scaling_factor": float(
+                        spec.get("scaling_factor", 1.0)),
+                    "exponent": float(spec.get("exponent", 1.0)),
                     "boost": float(cv.get("boost", 1.0)),
                 }
                 continue
@@ -824,6 +854,9 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
         return s.search_rank_feature(
             t.terms, k=size, feature_attr=t.rank_feature["field"],
             pivot=t.rank_feature["pivot"], boost=t.rank_feature["boost"],
+            function=t.rank_feature.get("function", "saturation"),
+            scaling_factor=t.rank_feature.get("scaling_factor", 1.0),
+            exponent=t.rank_feature.get("exponent", 1.0),
             filter=t.filter)
     if t.distance_feature is not None:
         if t.should_terms or not t.terms:

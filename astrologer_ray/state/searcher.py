@@ -2018,14 +2018,22 @@ class Searcher:
         k: int = 10,
         *,
         feature_attr: str,
-        pivot: float,
+        pivot: float = 1.0,
         boost: float = 1.0,
+        function: str = "saturation",
+        scaling_factor: float = 1.0,
+        exponent: float = 1.0,
         filter=None,
         decorate: bool = False,
     ) -> list[dict]:
-        """ES ``rank_feature`` query (saturation function, the default):
-        an ADDITIVE clause contributing ``boost * x / (x + pivot)`` per
-        candidate, where ``x`` is the doc's feature value — the
+        """ES ``rank_feature`` query: an ADDITIVE clause contributing,
+        per candidate with feature value ``x`` (ES's three functions):
+
+        - ``saturation`` (default): ``boost * x / (x + pivot)``
+        - ``log``: ``boost * ln(scaling_factor + x)``
+        - ``sigmoid``: ``boost * x^exp / (x^exp + pivot^exp)``
+
+        — the
         "boost-by-pagerank/freshness/length" pattern. Additive, unlike
         :meth:`function_score`'s multiplier, exactly as ES composes a
         rank_feature clause inside bool.should. Exact: the full BM25
@@ -2036,8 +2044,15 @@ class Searcher:
         ``load_docs=True``."""
         if k <= 0:
             return []
-        if not float(pivot) > 0.0:
+        if function in ("saturation", "sigmoid") and not float(pivot) > 0.0:
             raise ValueError(f"pivot must be > 0, got {pivot}")
+        if function == "log" and not float(scaling_factor) > 0.0:
+            raise ValueError(
+                f"scaling_factor must be > 0, got {scaling_factor}")
+        if function == "sigmoid" and not float(exponent) > 0.0:
+            raise ValueError(f"exponent must be > 0, got {exponent}")
+        if function not in ("saturation", "log", "sigmoid"):
+            raise ValueError(f"unknown rank_feature function {function!r}")
         if not float(boost) > 0.0:
             raise ValueError(f"boost must be > 0, got {boost}")
         v = np.asarray(self._attr(feature_attr), dtype=np.float64)
@@ -2050,7 +2065,14 @@ class Searcher:
         # a missing sidecar attr is NaN — ES treats missing rank_feature
         # values as zero contribution, so clamp NaN to 0 before saturating
         x = np.maximum(np.nan_to_num(v[ids - self.doc_lo]), 0.0)
-        final = s + float(boost) * x / (x + float(pivot))
+        if function == "log":
+            contrib = np.log(float(scaling_factor) + x)
+        elif function == "sigmoid":
+            xe = x ** float(exponent)
+            contrib = xe / (xe + float(pivot) ** float(exponent))
+        else:
+            contrib = x / (x + float(pivot))
+        final = s + float(boost) * contrib
         order = np.lexsort((ids, -final))[: min(k, len(ids))]
         return self._format(
             [(int(ids[i]), float(final[i])) for i in order], decorate

@@ -2569,3 +2569,56 @@ def test_field_caps_mapping_validate(dsl_index):
         s, {"query": {"geo_distance": {"distance": "1km"}}}, explain=True)
     assert bad["valid"] is False
     assert "geo_distance" in bad["explanations"][0]["error"]
+
+
+def test_rank_feature_log_sigmoid_bodies(dsl_index):
+    """rank_feature's log and sigmoid functions through the adapter ==
+    the direct searcher calls."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "should": [{"rank_feature": {"field": "dl", "boost": 1.5,
+                                     "log": {"scaling_factor": 3.0}}}],
+    }}, "size": 6}
+    got = execute_dsl(s, body)
+    want = s.search_rank_feature([w1], k=6, feature_attr="dl",
+                                 function="log", scaling_factor=3.0,
+                                 boost=1.5)
+    assert _ids_scores(got) == _want(want)
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": w1}}],
+        "should": [{"rank_feature": {"field": "dl", "boost": 2.0,
+                                     "sigmoid": {"pivot": 20.0,
+                                                 "exponent": 0.7}}}],
+    }}, "size": 6}
+    got = execute_dsl(s, body)
+    want = s.search_rank_feature([w1], k=6, feature_attr="dl",
+                                 function="sigmoid", pivot=20.0,
+                                 exponent=0.7, boost=2.0)
+    assert _ids_scores(got) == _want(want)
+
+
+def test_script_score_body(dsl_index):
+    """script_score == function_score(script_score, boost_mode=replace):
+    the inner match supplies candidates, the script replaces the score."""
+    s = Searcher(dsl_index, load_docs=True)
+    w1 = max(s.df, key=lambda t: s.df[t])
+    body = {"query": {"script_score": {
+        "query": {"match": {"content": w1}},
+        "script": {"source": "doc['dl'].value / 10.0 + 1"}}}, "size": 6}
+    got = execute_dsl(s, body)
+    want = execute_dsl(s, {"query": {"function_score": {
+        "query": {"match": {"content": w1}},
+        "functions": [{"script_score": {
+            "script": {"source": "doc['dl'].value / 10.0 + 1"}}}],
+        "boost_mode": "replace"}}, "size": 6})
+    assert _ids_scores(got) == _ids_scores(want)
+    # hit scores ARE the script values, not BM25
+    dl = {i: int(v) for i, v in enumerate(s._attr("dl"))}
+    for h in got["hits"]["hits"]:
+        assert h["_score"] == pytest.approx(dl[h["_id"]] / 10.0 + 1)
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"script_score": {
+            "query": {"match": {"content": w1}},
+            "script": {"source": "1"}, "min_score": 2}}})

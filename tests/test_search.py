@@ -1476,6 +1476,30 @@ def test_rank_feature_matches_brute(index_and_oracle):
         s.search_rank_feature(terms, feature_attr="dl", pivot=0.0)
     assert s.search_rank_feature(
         ["zzz_nope"], feature_attr="dl", pivot=1.0) == []
+    # log: final = bm25 + boost*ln(scaling_factor + x)
+    want = sorted(
+        ((h["doc_id"],
+          h["score"] + 1.5 * np.log(3.0 + max(dl[h["doc_id"]], 0.0)))
+         for h in base), key=lambda t: (-t[1], t[0]))[:10]
+    got = [(h["doc_id"], h["score"]) for h in s.search_rank_feature(
+        terms, k=10, feature_attr="dl", function="log",
+        scaling_factor=3.0, boost=1.5)]
+    assert got == want
+    # sigmoid: final = bm25 + boost*x^e/(x^e + pivot^e)
+    want = sorted(
+        ((h["doc_id"],
+          h["score"] + 2.0 * max(dl[h["doc_id"]], 0.0) ** 0.6
+          / (max(dl[h["doc_id"]], 0.0) ** 0.6 + 25.0 ** 0.6))
+         for h in base), key=lambda t: (-t[1], t[0]))[:10]
+    got = [(h["doc_id"], h["score"]) for h in s.search_rank_feature(
+        terms, k=10, feature_attr="dl", function="sigmoid",
+        pivot=25.0, exponent=0.6, boost=2.0)]
+    assert got == want
+    with _pytest.raises(ValueError, match="scaling_factor"):
+        s.search_rank_feature(terms, feature_attr="dl", function="log",
+                              scaling_factor=0.0)
+    with _pytest.raises(ValueError, match="unknown"):
+        s.search_rank_feature(terms, feature_attr="dl", function="nope")
 
 
 def test_terms_enum(kw_index):
