@@ -3756,6 +3756,43 @@ def docs_dsl_moving_fn(sf_dir: str):
     })
 
 
+def docs_script_score_lookup(sf_dir: str):
+    """ES ``script_score`` query (r5 DSL): candidates from a match, the
+    BM25 score REPLACED by the script's value over doc attrs — here
+    ``dl/10 + 1`` on docs containing 'data' (ties doc_id asc), so the
+    DuckDB oracle recomputes the exact ranking from the split length
+    (state/dsl.py script_score branch)."""
+    from astrologer_ray.state.dsl import execute_dsl
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=True)
+    resp = execute_dsl(s, {"query": {"script_score": {
+        "query": {"match": {"text": "data"}},
+        "script": {"source": "doc['dl'].value / 10.0 + 1"}}},
+        "size": 15})
+    return pa.table({
+        "doc_id": pa.array([h["_id"] for h in resp["hits"]["hits"]],
+                           pa.int64()),
+        "score": pa.array([round(h["_score"], 4)
+                           for h in resp["hits"]["hits"]], pa.float64()),
+        "total": pa.array([resp["hits"]["total"]["value"]] * len(
+            resp["hits"]["hits"]), pa.int64()),
+    })
+
+
+SCRIPT_SCORE_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_SPLIT_SQL}) AS dl FROM documents
+  WHERE list_contains({_SPLIT_SQL}, 'data')),
+ranked AS (
+  SELECT doc_id, round(dl / 10.0 + 1, 4) AS score,
+         row_number() OVER (ORDER BY dl / 10.0 + 1 DESC, doc_id) AS rn,
+         count(*) OVER () AS total
+  FROM dl)
+SELECT doc_id, score, total FROM ranked WHERE rn <= 15 ORDER BY rn
+"""
+
+
 def docs_script_filter(sf_dir: str):
     """ES script query (r5 DSL feature) through the request-body
     adapter: a vectorized painless predicate with && and || connectives
@@ -5086,6 +5123,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_span_first_lookup": 0,  # new in r5 (span_first)
     "docs_span_not_lookup": 0,  # new in r5 (span_not)
     "docs_nested_dsl_lookup": 0,  # new in r5 (nested DSL query)
+    "docs_script_score_lookup": 0,  # new in r5 (script_score query)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5223,6 +5261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_span_first_lookup": docs_span_first_lookup,
         "docs_span_not_lookup": docs_span_not_lookup,
         "docs_nested_dsl_lookup": docs_nested_dsl_lookup,
+        "docs_script_score_lookup": docs_script_score_lookup,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5360,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_span_first_lookup": _span_first_sql(),
         "docs_span_not_lookup": _span_not_sql(),
         "docs_nested_dsl_lookup": NESTED_DSL_SQL,
+        "docs_script_score_lookup": SCRIPT_SCORE_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
