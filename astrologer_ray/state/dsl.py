@@ -22,6 +22,8 @@ methods — this module adds translation, not retrieval):
   (span_term match within the first ``end`` positions), span_or
   (span_term clauses — should-only bool semantics), span_not
   (span_term include/exclude with pre/post/dist windows),
+  span_containing / span_within (span_near big + span_term little —
+  same matched docs, big- vs little-scored),
   combined_fields (degenerates to match over the single analyzed
   field), nested (single term-level inner clause over the flattened
   multi-valued keyword field), intervals
@@ -160,6 +162,7 @@ class _Translated:
         self.span_near: dict | None = None     # {"terms", "slop"}
         self.span_first: dict | None = None    # {"term", "end"}
         self.span_not: dict | None = None      # {"include","exclude","pre","post"}
+        self.span_cont: dict | None = None     # {"big","little","slop","score"}
         self.gauss: dict | None = None  # {"attr","origin","scale","decay"}
         self.fscore: dict | None = None  # general function_score form
         self.boosts: dict[str, float] = {}  # per-term clause boosts
@@ -445,6 +448,24 @@ def _translate(s, q: dict) -> _Translated:
             "exclude": next(iter(arg["exclude"]["span_term"].values())),
             "pre": int(arg.get("pre", dist)),
             "post": int(arg.get("post", dist)),
+        }
+        return t
+    if kind in ("span_containing", "span_within"):
+        big, little = arg["big"], arg["little"]
+        if "span_near" not in big or "span_term" not in little:
+            raise NotImplementedError(
+                f"{kind} supports a span_near big and a span_term little")
+        bn = big["span_near"]
+        if not bn.get("in_order", True):
+            raise NotImplementedError(f"{kind} big supports in_order only")
+        t.span_cont = {
+            "big": [next(iter(c["span_term"].values()))
+                    for c in bn["clauses"]],
+            "little": next(iter(little["span_term"].values())),
+            "slop": int(bn.get("slop", 0)),
+            # same matched docs; the scored span differs (ES returns big
+            # spans for span_containing, little for span_within)
+            "score": "big" if kind == "span_containing" else "little",
         }
         return t
     if kind == "combined_fields":
@@ -831,6 +852,11 @@ def _run_hits(s, t: _Translated, size, min_score, after, sort):
         return s.span_not(t.span_not["include"], t.span_not["exclude"],
                           pre=t.span_not["pre"], post=t.span_not["post"],
                           k=size, filter=t.filter)
+    if t.span_cont is not None:
+        return s.span_containing(
+            t.span_cont["big"], t.span_cont["little"],
+            slop=t.span_cont["slop"], score=t.span_cont["score"],
+            k=size, filter=t.filter)
     if t.boosting is not None:
         return s.search_boosting(
             t.terms, k=size, negative=t.boosting["negative"],
@@ -891,6 +917,8 @@ def _agg_scope_filter(s, t: _Translated):
         + (t.span_near["terms"] if t.span_near else []) \
         + ([t.span_first["term"]] if t.span_first else []) \
         + ([t.span_not["include"]] if t.span_not else []) \
+        + (t.span_cont["big"] + [t.span_cont["little"]]
+           if t.span_cont else []) \
         + (t.phrase_prefix["terms"][:-1] if t.phrase_prefix else []) \
         + (t.bool_prefix["terms"][:-1] if t.bool_prefix else [])
     if t.dis_max is not None:
@@ -1842,6 +1870,11 @@ def _exact_total(s, t: _Translated) -> int:
         return len(s.span_not(t.span_not["include"], t.span_not["exclude"],
                               pre=t.span_not["pre"], post=t.span_not["post"],
                               k=s.n_local, filter=t.filter))
+    if t.span_cont is not None:
+        return len(s.span_containing(
+            t.span_cont["big"], t.span_cont["little"],
+            slop=t.span_cont["slop"], score=t.span_cont["score"],
+            k=s.n_local, filter=t.filter))
     if t.phrase_prefix is not None:
         return len(s.match_phrase_prefix(
             t.phrase_prefix["terms"], k=s.n_local,
@@ -1968,8 +2001,8 @@ def execute_explain(s, doc_id: int, body: dict) -> dict:
     if not t.terms and not t.should_terms:
         if any(x is not None for x in (
                 t.phrase, t.dis_max, t.const, t.rank_feature, t.span_near,
-                t.span_first, t.span_not, t.gauss, t.fscore, t.boosting,
-                t.phrase_prefix, t.pinned)):
+                t.span_first, t.span_not, t.span_cont, t.gauss, t.fscore,
+                t.boosting, t.phrase_prefix, t.pinned)):
             raise NotImplementedError(
                 "_explain supports match/bool-match and pure "
                 "filter-context queries only")
@@ -2419,6 +2452,7 @@ def _is_plain_match(t: _Translated, body: dict) -> bool:
             return False
     return (t.phrase is None and t.span_near is None and t.dis_max is None
             and t.span_first is None and t.span_not is None
+            and t.span_cont is None
             and t.boosting is None and t.gauss is None
             and t.rank_feature is None and t.const is None
             and t.phrase_prefix is None and t.pinned is None

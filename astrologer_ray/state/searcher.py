@@ -2236,6 +2236,105 @@ class Searcher:
              for i in order], decorate
         )
 
+    def span_containing(
+        self,
+        big: list[str],
+        little: str,
+        slop: int = 0,
+        k: int = 10,
+        score: str = "big",
+        filter=None,
+        decorate: bool = False,
+    ) -> list[dict]:
+        """ES ``span_containing`` / ``span_within`` over a ``span_near``
+        big span (in-order span_term clauses, ``slop``) and a
+        ``span_term`` little: docs where SOME feasible big window
+        ``[p1, pm]`` (in order, total gap <= slop) contains a little
+        occurrence ``p1 <= p <= pm``. Doc-level existence is identical
+        for both queries (they differ in WHICH span they return, not
+        which docs match); ``score`` picks the convention — "big" sums
+        the big terms' BM25 (span_containing), "little" scores the
+        little term (span_within), :meth:`span_near`'s contract.
+
+        Exactness: for a fixed start occurrence ``p1`` the greedy chain
+        end ``e_min`` is minimal, and any later last-term occurrence
+        ``e' <= p1 + slop + m - 1`` extends it (the greedy intermediates
+        stay valid), so the feasible window ends from ``p1`` are exactly
+        the last-term occurrences in ``[e_min, p1 + slop + m - 1]`` —
+        containment reduces to one searchsorted against the LARGEST such
+        end per start."""
+        big = list(big)
+        if len(big) < 2:
+            raise ValueError("span_containing needs a >=2-term big span")
+        if k <= 0:
+            return []
+        terms = big + [little]
+        if any(t not in self.postings or not self.owns_term(t)
+               for t in terms):
+            return []
+        occ = {t: self._phrase_occurrences(t) for t in set(terms)}
+        cand = None
+        for t in set(terms):
+            d = np.unique(occ[t][0])
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True)
+        if cand is None or len(cand) == 0:
+            return []
+        m = len(big)
+        match = []
+        for doc in cand:
+            plists = []
+            for t in terms:  # big terms then little, this doc's positions
+                d, p = occ[t]
+                lo = int(np.searchsorted(d, doc, "left"))
+                hi = int(np.searchsorted(d, doc, "right"))
+                plists.append(p[lo:hi])
+            lit = plists[-1]
+            last = plists[m - 1]
+            ok = False
+            for p1 in plists[0]:
+                prev = int(p1)
+                feasible = True
+                for pl in plists[1:m]:
+                    j = int(np.searchsorted(pl, prev, "right"))
+                    if j >= len(pl):
+                        feasible = False
+                        break
+                    prev = int(pl[j])
+                bound = int(p1) + slop + (m - 1)
+                if not feasible or prev > bound:
+                    continue
+                # largest feasible window end from this start
+                j = int(np.searchsorted(last, bound, "right")) - 1
+                e_max = int(last[j])  # >= prev == e_min by construction
+                # any little occurrence inside [p1, e_max]?
+                lo = int(np.searchsorted(lit, int(p1), "left"))
+                if lo < len(lit) and int(lit[lo]) <= e_max:
+                    ok = True
+                    break
+            if ok:
+                match.append(int(doc))
+        if not match:
+            return []
+        match = np.asarray(match, dtype=np.int64)
+        scores = np.zeros(len(match), dtype=np.float64)
+        sterms = sorted(set(big)) if score == "big" else [little]
+        for t in sterms:
+            ids, w = self._term_contribution(t)
+            loc = np.searchsorted(ids, match)
+            okm = (loc < len(ids)) & \
+                (ids[np.minimum(loc, len(ids) - 1)] == match)
+            scores[okm] += w[loc[okm]]
+        fm = self._apply_deletes(
+            self.filter_mask(filter) if filter is not None else None)
+        if fm is not None:
+            keep = fm[match]
+            match, scores = match[keep], scores[keep]
+        order = np.lexsort((match, -scores))[: min(k, len(match))]
+        return self._format(
+            [(int(match[i]) + self.doc_lo, float(scores[i]))
+             for i in order], decorate)
+
     def span_not(
         self,
         include: str,

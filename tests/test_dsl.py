@@ -2622,3 +2622,32 @@ def test_script_score_body(dsl_index):
         execute_dsl(s, {"query": {"script_score": {
             "query": {"match": {"content": w1}},
             "script": {"source": "1"}, "min_score": 2}}})
+
+
+def test_span_containing_within_bodies(dsl_index):
+    """span_containing / span_within execute through the adapter: same
+    matched docs, big- vs little-scored; exact hits.total."""
+    s = Searcher(dsl_index, load_docs=True)
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    w1, w2, w3 = (t for t, _ in terms_by_df[:3])
+    big = {"span_near": {"clauses": [{"span_term": {"content": w1}},
+                                     {"span_term": {"content": w2}}],
+                         "slop": 6, "in_order": True}}
+    little = {"span_term": {"content": w3}}
+    got = execute_dsl(s, {"query": {"span_containing": {
+        "big": big, "little": little}}, "size": 6})
+    want = s.span_containing([w1, w2], w3, slop=6, k=6, score="big")
+    assert _ids_scores(got) == _want(want)
+    assert got["hits"]["total"]["value"] == len(
+        s.span_containing([w1, w2], w3, slop=6, k=s.n_local))
+    got_w = execute_dsl(s, {"query": {"span_within": {
+        "big": big, "little": little}}, "size": 6})
+    want_w = s.span_containing([w1, w2], w3, slop=6, k=6, score="little")
+    assert _ids_scores(got_w) == _want(want_w)
+    # same matched docs either way
+    assert {h["_id"] for h in got["hits"]["hits"]} <= {
+        h["doc_id"] for h in s.span_containing(
+            [w1, w2], w3, slop=6, k=s.n_local)}
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"query": {"span_containing": {
+            "big": little, "little": little}}})

@@ -1142,6 +1142,61 @@ def test_span_first_matches_brute(pos_index, index_and_oracle):
     assert got == want
 
 
+def test_span_containing_matches_brute(pos_index, index_and_oracle):
+    """span_containing/span_within == brute enumeration of EVERY feasible
+    in-order big window (not just greedy-minimal ones) checked for a
+    little occurrence inside; scored big-sum vs little per ES's two
+    query types (same matched docs)."""
+    from itertools import product
+
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.bm25 import oracle_topk
+
+    _plain, contents, _langs = index_and_oracle
+    s = Searcher(pos_index)
+    toks = [tokenize(c, mode="code") for c in contents]
+    terms_by_df = sorted(s.df.items(), key=lambda kv: -kv[1])
+    a, b, c, d = (t for t, _ in terms_by_df[:4])
+
+    def brute(big, little, slop):
+        out = []
+        m = len(big)
+        for tl in toks:
+            pos = {t: [i for i, x in enumerate(tl) if x == t]
+                   for t in set(big + [little])}
+            hit = False
+            # exhaustive: every in-order combination within the gap budget
+            for combo in product(*(pos[t] for t in big)):
+                if any(combo[i] >= combo[i + 1] for i in range(m - 1)):
+                    continue
+                if combo[-1] - combo[0] - (m - 1) > slop:
+                    continue
+                if any(combo[0] <= p <= combo[-1] for p in pos[little]):
+                    hit = True
+                    break
+            out.append(hit)
+        return np.array(out)
+
+    for big, little, slop in (([a, b], c, 3), ([a, b], c, 8),
+                              ([a, b, c], d, 6), ([a, b], a, 4),
+                              ([a, b], "zzz_absent", 3)):
+        mask = brute(big, little, slop)
+        want_big = (oracle_topk(contents, big, k=10, allowed=mask)
+                    if mask.any() else [])
+        got_big = [(h["doc_id"], h["score"]) for h in
+                   s.span_containing(big, little, slop=slop, k=10)]
+        assert got_big == want_big, ("big", big, little, slop)
+        want_lit = (oracle_topk(contents, [little], k=10, allowed=mask)
+                    if mask.any() else [])
+        got_lit = [(h["doc_id"], h["score"]) for h in
+                   s.span_containing(big, little, slop=slop, k=10,
+                                     score="little")]
+        assert got_lit == want_lit, ("little", big, little, slop)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match=">=2-term"):
+        s.span_containing([a], c)
+
+
 def test_span_not_matches_brute(pos_index, index_and_oracle):
     """span_not == brute "include occurrence with no exclude occurrence in
     [p-pre, p+post]" scan, scored as single-term BM25 on matching docs."""
