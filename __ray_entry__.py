@@ -4904,6 +4904,82 @@ FROM ranked WHERE rn <= k ORDER BY qid, rn
 """
 
 
+SPAN_CONT_QUERIES: list[tuple[int, str, str, str, int, int]] = [
+    (0, "data", "stream", "the", 6, 10),   # the inside data..stream
+    (1, "slow", "batch", "data", 8, 10),
+]
+
+
+def docs_span_containing_lookup(sf_dir: str):
+    """ES ``span_containing``: docs where some in-order (big1..big2)
+    window with gap <= slop contains a little-term occurrence, scored by
+    the big terms' BM25 sum (state/searcher.py span_containing)."""
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(_documents_index(sf_dir), load_docs=False)
+    rows = []
+    for qid, b1, b2, lit, slop, k in SPAN_CONT_QUERIES:
+        for h in s.span_containing([b1, b2], lit, slop=slop, k=k):
+            rows.append((qid, h["doc_id"], round(h["score"], 4)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _span_containing_sql() -> str:
+    uq = ", ".join(
+        f"({qid}, '{t}')" for qid, b1, b2, _l, _s, _k in SPAN_CONT_QUERIES
+        for t in sorted({b1, b2}))
+    q = ", ".join(
+        f"({qid}, '{b1}', '{b2}', '{lit}', {slop}, {k})"
+        for qid, b1, b2, lit, slop, k in SPAN_CONT_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SPLIT_SQL}) AS term,
+         unnest(range(len({_SPLIT_SQL}))) AS pos
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)*1.0/(SELECT count(*) FROM documents) AS avgdl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(qid, b1, b2, lit, slop, k) AS (VALUES {q}),
+uq(qid, term) AS (VALUES {uq}),
+pm AS (
+  SELECT DISTINCT q.qid, t1.doc_id
+  FROM q
+  JOIN toks t1 ON t1.term = q.b1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.term = q.b2
+   AND t2.pos > t1.pos AND (t2.pos - t1.pos - 1) <= q.slop
+  WHERE EXISTS (
+    SELECT 1 FROM toks l
+    WHERE l.doc_id = t1.doc_id AND l.term = q.lit
+      AND l.pos BETWEEN t1.pos AND t2.pos)),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+         * (tf.tf*(1.2 + 1))/(tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS w
+  FROM tf JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+scores AS (
+  SELECT pm.qid, pm.doc_id, sum(w.w) AS score
+  FROM pm JOIN uq ON uq.qid = pm.qid
+  JOIN w ON w.doc_id = pm.doc_id AND w.term = uq.term
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT sc.qid, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY sc.qid
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM scores sc)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN q ON q.qid = r.qid
+WHERE r.rn <= q.k ORDER BY r.qid, r.rn
+"""
+
+
 def _phrase_documents_sql() -> str:
     """Phrase-match oracle: token positions via zipped unnest, consecutive
     match by grouping candidate (doc, start = pos - i) pairs and requiring
@@ -5124,6 +5200,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_span_not_lookup": 0,  # new in r5 (span_not)
     "docs_nested_dsl_lookup": 0,  # new in r5 (nested DSL query)
     "docs_script_score_lookup": 0,  # new in r5 (script_score query)
+    "docs_span_containing_lookup": 0,  # new in r5 (span_containing)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5262,6 +5339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_span_not_lookup": docs_span_not_lookup,
         "docs_nested_dsl_lookup": docs_nested_dsl_lookup,
         "docs_script_score_lookup": docs_script_score_lookup,
+        "docs_span_containing_lookup": docs_span_containing_lookup,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5400,6 +5478,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_span_not_lookup": _span_not_sql(),
         "docs_nested_dsl_lookup": NESTED_DSL_SQL,
         "docs_script_score_lookup": SCRIPT_SCORE_SQL,
+        "docs_span_containing_lookup": _span_containing_sql(),
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
