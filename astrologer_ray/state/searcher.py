@@ -372,6 +372,7 @@ class Searcher:
 
         self.doc_lang = self.doc_key = self.doc_repo = self.doc_path = None
         self.doc_attrs: dict[str, np.ndarray] = {}
+        self._codes_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         if load_docs:
             cols = ["doc_id", "doc_key", "repo", "path", "commit", "lang", "dl"]
             dfiles = [
@@ -588,6 +589,21 @@ class Searcher:
                 f"for {self.n_local} docs"
             )
         self.doc_attrs[name] = arr
+        self._codes_cache.pop(name, None)
+
+    def _attr_codes(self, name: str) -> tuple[np.ndarray, np.ndarray]:
+        """Lazily cached dictionary encoding of a doc attribute:
+        ``(codes int32, categories str)``. Terms-style aggregations over
+        1M+ docs become one ``bincount`` over int codes instead of a
+        full string sort PER REQUEST — the encode cost is paid once per
+        actor per attribute (the serving pools hold searchers warm)."""
+        c = self._codes_cache.get(name)
+        if c is None:
+            cats, codes = np.unique(self._attr(name).astype(str),
+                                    return_inverse=True)
+            c = (codes.astype(np.int32), cats)
+            self._codes_cache[name] = c
+        return c
 
     def _attr(self, name: str) -> np.ndarray:
         if name not in self.doc_attrs:
@@ -1019,15 +1035,17 @@ class Searcher:
     def agg_terms(self, attr: str, k: int = 10, filter=None) -> list[tuple]:
         """Terms aggregation over a doc attribute, optionally filtered —
         the ES filtered-aggregation twin. Top-k by (count desc, value asc)."""
-        col = self._attr(attr)
+        codes, cats = self._attr_codes(attr)
         m = self._apply_deletes(
             self.filter_mask(filter) if filter is not None else None
         )
         if m is not None:
-            col = col[m]
-        vals, counts = np.unique(col.astype(str), return_counts=True)
-        order = np.lexsort((vals, -counts))[:k]
-        return [(str(vals[i]), int(counts[i])) for i in order]
+            codes = codes[m]
+        counts = np.bincount(codes, minlength=len(cats))
+        nz = np.flatnonzero(counts)  # only values present under the filter
+        vals, cts = cats[nz], counts[nz]
+        order = np.lexsort((vals, -cts))[:k]
+        return [(str(vals[i]), int(cts[i])) for i in order]
 
     def search(
         self,
@@ -1488,13 +1506,14 @@ class Searcher:
         m = self._apply_deletes(
             self.filter_mask(filter) if filter is not None else None
         )
-        col = self._attr(attr)
+        codes, cats = self._attr_codes(attr)
         if m is not None:
-            col = col[m]
-        vals, counts = np.unique(col.astype(str), return_counts=True)
-        keep = counts <= max_doc_count
-        order = np.lexsort((vals[keep], counts[keep]))
-        return [(str(vals[keep][i]), int(counts[keep][i])) for i in order]
+            codes = codes[m]
+        counts = np.bincount(codes, minlength=len(cats))
+        keep = (counts > 0) & (counts <= max_doc_count)
+        vals, cts = cats[keep], counts[keep]
+        order = np.lexsort((vals, cts))
+        return [(str(vals[i]), int(cts[i])) for i in order]
 
     def agg_significant_terms(self, attr: str, k: int = 10,
                               filter=None) -> list[tuple]:
@@ -1510,16 +1529,18 @@ class Searcher:
         live = self._apply_deletes(None)
         fg_m = self._apply_deletes(
             self.filter_mask(filter) if filter is not None else None)
-        col = self._attr(attr).astype(str)
-        bg_col = col if live is None else col[live]
-        fg_col = col if fg_m is None else col[fg_m]
-        bg_total, fg_total = len(bg_col), len(fg_col)
+        codes, cats = self._attr_codes(attr)
+        bg_codes = codes if live is None else codes[live]
+        fg_codes = codes if fg_m is None else codes[fg_m]
+        bg_total, fg_total = len(bg_codes), len(fg_codes)
         if fg_total == 0 or bg_total == 0:
             return []
-        bg_vals, bg_counts = np.unique(bg_col, return_counts=True)
-        fg_vals, fg_counts = np.unique(fg_col, return_counts=True)
+        bg_full = np.bincount(bg_codes, minlength=len(cats))
+        fg_full = np.bincount(fg_codes, minlength=len(cats))
+        nz = np.flatnonzero(fg_full)  # only values with fg_n > 0
+        fg_vals, fg_counts = cats[nz], fg_full[nz]
         # every fg value exists in bg (fg is a subset of bg rows)
-        bg_of_fg = bg_counts[np.searchsorted(bg_vals, fg_vals)]
+        bg_of_fg = bg_full[nz]
         fg_pct = fg_counts / fg_total
         bg_pct = bg_of_fg / bg_total
         score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
