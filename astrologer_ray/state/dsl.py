@@ -962,6 +962,19 @@ def _histogram(s, arg: dict, subs: dict, scope,
     idx = np.flatnonzero(keep)
     if len(idx) == 0:
         return []
+    if not subs:
+        # counts-only histogram: bincount over integer bucket indices —
+        # no 1M-row sort per request (the sort path below exists only to
+        # split doc groups for sub-agg recursion). Guarded against
+        # pathological ranges (outlier / tiny-interval) where the dense
+        # count array would dwarf the sort.
+        bidx = np.floor(col[idx] / width).astype(np.int64)
+        lo, hi = int(bidx.min()), int(bidx.max())
+        if hi - lo < 4_000_000:
+            counts = np.bincount(bidx - lo)
+            nz = np.flatnonzero(counts)
+            return [{"key": float((lo + int(i)) * width),
+                     "doc_count": int(counts[i])} for i in nz]
     buckets = np.floor(col[idx] / width) * width
     order = np.argsort(buckets, kind="stable")
     idx, buckets = idx[order], buckets[order]
