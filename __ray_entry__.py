@@ -291,6 +291,94 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 (shipping priority) adapted to the testdata schema: the
+    10 highest-revenue un-shipped order keys for one market segment —
+    a 3-table join pipeline shaped for scale: every read is
+    column-pruned AND row-filtered at the parquet scan, both joins are
+    hash joins on the reused order/customer keys, the group-by runs on
+    integer cents, and the top-10 leaves each block as a 10-row partial
+    (no global sort) — the `top_orders_by_revenue` pattern composed
+    through joins (reference surface: SQL-side analytics the Go ingest
+    feeds, SURVEY §2 J1/J2/O2)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    cut = datetime(1998, 6, 1)
+    cust = rd.read_parquet(
+        _tbl(sf_dir, "customer"), columns=["c_custkey"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cut,
+    )
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cut,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_c": _cents(disc_price)})
+
+    seg_orders = orders.join(cust, join_type="inner", num_partitions=4,
+                             on=("o_custkey",), right_on=("c_custkey",))
+    joined = li.map_batches(project, batch_format="pyarrow").join(
+        seg_orders, join_type="inner", num_partitions=4,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    rev = joined.groupby("l_orderkey").aggregate(
+        Sum("rev_c", alias_name="rev_c"))
+
+    def block_top10(t: pa.Table) -> pa.Table:
+        rev_np = t["rev_c"].to_numpy(zero_copy_only=False)
+        key_np = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((key_np, -rev_np))[:10]
+        return t.take(sel)
+
+    top = (rev.map_batches(block_top10, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["rev_c", "l_orderkey"], ascending=[False, True])
+           .head(10))
+    keys = top["l_orderkey"].tolist()
+    dates = rd.read_parquet(
+        _tbl(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"],
+        filter=pc.field("o_orderkey").isin(keys),
+    ).to_pandas()
+    out = top.rename(columns={"l_orderkey": "o_orderkey"}).merge(
+        dates, on="o_orderkey", how="inner")
+    out = out.sort_values(["rev_c", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["revenue"] = out.pop("rev_c") / 100.0
+    return out[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+Q3_SQL = """
+WITH r AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-06-01'
+    AND l_shipdate > TIMESTAMP '1998-06-01'
+  GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderdate, r.rev_c/100.0 AS revenue
+FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+ORDER BY r.rev_c DESC, o.o_orderkey LIMIT 10
+"""
+
+
 def customers_without_orders(sf_dir: str):
     """Customers with no order above 400k — the anti-join/set-difference
     surface (reference DB-vs-ES reconciliation, SURVEY §2.7 D3)."""
@@ -5201,6 +5289,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_nested_dsl_lookup": 0,  # new in r5 (nested DSL query)
     "docs_script_score_lookup": 0,  # new in r5 (script_score query)
     "docs_span_containing_lookup": 0,  # new in r5 (span_containing)
+    "q3_shipping_priority": 0,  # new in r5 (3-table join pipeline)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5340,6 +5429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nested_dsl_lookup": docs_nested_dsl_lookup,
         "docs_script_score_lookup": docs_script_score_lookup,
         "docs_span_containing_lookup": docs_span_containing_lookup,
+        "q3_shipping_priority": q3_shipping_priority,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5479,6 +5569,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_nested_dsl_lookup": NESTED_DSL_SQL,
         "docs_script_score_lookup": SCRIPT_SCORE_SQL,
         "docs_span_containing_lookup": _span_containing_sql(),
+        "q3_shipping_priority": Q3_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
