@@ -362,6 +362,102 @@ def q3_shipping_priority(sf_dir: str):
     return out[["o_orderkey", "o_orderdate", "revenue"]]
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 (local supplier volume) adapted: revenue per nation for
+    one region and order-date year where the supplier and the customer
+    share the nation. Six tables with the scale split made explicit:
+    region/nation/supplier are DRIVER-read and broadcast as numpy lookup
+    maps inside the lineitem map_batches (ship-once small sides — at
+    10^9-row fact tables these dims stay thousands of rows), while the
+    two fact-table joins (orders⋈customer, lineitem⋈orders) are hash
+    joins on the reused keys; the group-by reduces to #nations rows
+    (SURVEY §2 J1/J2 broadcast-vs-shuffle discipline)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    # tiny dims on the driver: nation ⋈ region -> the region's nations
+    nation = pd.read_parquet(_tbl(sf_dir, "nation"))
+    region = pd.read_parquet(_tbl(sf_dir, "region"))
+    rkey = int(region.loc[region.r_name == "ASIA", "r_regionkey"].iloc[0])
+    nat = nation[nation.n_regionkey == rkey]
+    nat_keys = nat.n_nationkey.to_numpy()
+    nat_names = dict(zip(nat.n_nationkey, nat.n_name))
+    # supplier -> nation map, broadcast into the lineitem stage (numpy
+    # searchsorted lookup; at scale this is the ray.put side)
+    sup = pd.read_parquet(_tbl(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup = sup.sort_values("s_suppkey")
+    sup_keys = sup.s_suppkey.to_numpy()
+    sup_nat = sup.s_nationkey.to_numpy()
+
+    cust = rd.read_parquet(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nat_keys.tolist()),
+    )
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    )
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        loc = np.searchsorted(sup_keys, sk)
+        s_nat = sup_nat[np.minimum(loc, len(sup_keys) - 1)]
+        s_nat = np.where(sup_keys[np.minimum(loc, len(sup_keys) - 1)]
+                         == sk, s_nat, -1)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "s_nationkey": pa.array(s_nat, pa.int64()),
+                         "rev_c": _cents(disc_price)})
+
+    seg_orders = orders.join(cust, join_type="inner", num_partitions=4,
+                             on=("o_custkey",), right_on=("c_custkey",))
+    joined = li.map_batches(project, batch_format="pyarrow").join(
+        seg_orders.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner", num_partitions=4,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (joined.filter(expr="s_nationkey == c_nationkey")
+           .groupby("s_nationkey")
+           .aggregate(Sum("rev_c", alias_name="rev_c"))
+           .to_pandas())
+    out["n_name"] = out.s_nationkey.map(nat_names)
+    out["revenue"] = out.pop("rev_c") / 100.0
+    return out[["n_name", "revenue"]].sort_values(
+        ["revenue", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))/100.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC, n_name
+"""
+
+
 Q3_SQL = """
 WITH r AS (
   SELECT l_orderkey,
@@ -5290,6 +5386,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_script_score_lookup": 0,  # new in r5 (script_score query)
     "docs_span_containing_lookup": 0,  # new in r5 (span_containing)
     "q3_shipping_priority": 0,  # new in r5 (3-table join pipeline)
+    "q5_local_supplier_volume": 0,  # new in r5 (6-table join, broadcast dims)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5430,6 +5527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_script_score_lookup": docs_script_score_lookup,
         "docs_span_containing_lookup": docs_span_containing_lookup,
         "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5570,6 +5668,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_script_score_lookup": SCRIPT_SCORE_SQL,
         "docs_span_containing_lookup": _span_containing_sql(),
         "q3_shipping_priority": Q3_SQL,
+        "q5_local_supplier_volume": Q5_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
