@@ -475,6 +475,311 @@ ORDER BY r.rev_c DESC, o.o_orderkey LIMIT 10
 """
 
 
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 (order-priority checking) adapted to the testdata schema
+    (no commit/receipt dates): orders in one quarter with at least one
+    lineitem shipped AFTER the order date, counted per priority. The
+    EXISTS semi-join shaped for scale: orders are date-pruned at the
+    scan, lineitem is pruned to shipdates that can possibly qualify
+    (> window start), the hash join carries only (key, two dates), and
+    the per-order dedup is a pair-groupby (orderkey -> priority is
+    functional) whose output combiner-reduces to 5 priority rows
+    (SURVEY §2 J4 semi-join discipline)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Count
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    )
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"],
+        filter=pc.field("l_shipdate") > lo,
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=4,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    # EXISTS := at least one joined row with l_shipdate > o_orderdate;
+    # the pair-groupby both dedups (semi) and drops the date columns
+    late = joined.filter(expr="l_shipdate > o_orderdate")
+    per_order = late.groupby(["l_orderkey", "o_orderpriority"]).aggregate(
+        Count(alias_name="_n"))
+    out = (per_order.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n"))
+           .to_pandas())
+    return out[["o_orderpriority", "n"]].sort_values(
+        "o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): one filtered scan, no
+    join, no shuffle — the filter (year + discount band + quantity cap)
+    is pushed into the parquet scan so only qualifying row groups leave
+    storage, and each batch combiner-reduces to a single (cents, n)
+    partial; the driver sums a handful of rows. The discount band
+    compares the same IEEE doubles in both engines (values are exact
+    hundredths stored as float64)."""
+    rd = _rd()
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo)
+        & (pc.field("l_shipdate") < hi)
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                          pc.cast(t["l_discount"], pa.float64()))
+        c = _cents(rev)
+        return pa.table({
+            "rev_c": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+            "n": pa.array([len(t)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue": [parts.rev_c.sum() / 100.0],
+        "n": [int(parts.n.sum())],
+    })
+
+
+Q6_SQL = """
+SELECT sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT))/100.0
+         AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting) adapted: the 20 customers
+    losing the most revenue to returns in a half-year window. Scale
+    shape: lineitem is pruned to returnflag='R' AT THE SCAN (dictionary
+    row-group skip), orders to the date window; one hash join on the
+    order key, a #customers-sized groupby, then the per-block-top-k +
+    driver-merge pattern (hash groupby leaves each custkey whole in one
+    block, so block winners are exact) and a 20-key pruned decorate
+    read for c_name — the `top_orders_by_revenue` discipline through a
+    join (SURVEY §2 J1/O2)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 7, 1)
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_c": _cents(disc_price)})
+
+    joined = li.map_batches(project, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=4,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    rev = joined.groupby("o_custkey").aggregate(
+        Sum("rev_c", alias_name="rev_c"))
+
+    def block_top20(t: pa.Table) -> pa.Table:
+        rev_np = t["rev_c"].to_numpy(zero_copy_only=False)
+        key_np = t["o_custkey"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((key_np, -rev_np))[:20]
+        return t.take(sel)
+
+    top = (rev.map_batches(block_top20, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["rev_c", "o_custkey"], ascending=[False, True])
+           .head(20))
+    keys = top["o_custkey"].tolist()
+    names = rd.read_parquet(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(keys),
+    ).to_pandas()
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(
+        names, on="c_custkey", how="inner")
+    out = out.sort_values(["rev_c", "c_custkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["revenue"] = out.pop("rev_c") / 100.0
+    return out[["c_custkey", "c_name", "revenue"]]
+
+
+Q10_SQL = """
+WITH r AS (
+  SELECT o_custkey,
+         sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, r.rev_c/100.0 AS revenue
+FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+ORDER BY r.rev_c DESC, c.c_custkey LIMIT 20
+"""
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 (promotion effect) adapted (p_type is a single word
+    here): promo revenue share for one ship month. The part side is the
+    broadcast-vs-shuffle decision made explicit: part carries only a
+    boolean per partkey, so instead of a fact-table hash join the
+    partkey->is_promo map ships ONCE into the lineitem stage (sorted-key
+    searchsorted lookup, ~1 byte/part; at 10^9-row lineitem and 10^8-row
+    part this is a ray.put-sized side, not an exchange). Each batch
+    reduces to (promo_cents, total_cents) partials; the ratio divides
+    two exact integer sums once at the driver (SURVEY §2 J1 broadcast
+    discipline)."""
+    rd = _rd()
+    from datetime import datetime
+
+    lo, hi = datetime(1996, 9, 1), datetime(1996, 10, 1)
+    part = pd.read_parquet(_tbl(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+    part = part.sort_values("p_partkey")
+    part_keys = part.p_partkey.to_numpy()
+    is_promo = (part.p_type == "PROMO").to_numpy()
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo)
+        & (pc.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        c = _cents(disc_price).to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        loc = np.minimum(np.searchsorted(part_keys, pk),
+                         len(part_keys) - 1)
+        promo = is_promo[loc] & (part_keys[loc] == pk)
+        return pa.table({
+            "promo_c": pa.array([int(c[promo].sum())], pa.int64()),
+            "total_c": pa.array([int(c.sum())], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_c, total_c = int(parts.promo_c.sum()), int(parts.total_c.sum())
+    return pd.DataFrame({
+        "promo_share": [100.0 * promo_c / total_c if total_c else 0.0],
+        "promo_revenue": [promo_c / 100.0],
+        "total_revenue": [total_c / 100.0],
+    })
+
+
+Q14_SQL = """
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT) AS cents,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+    AND l_shipdate < TIMESTAMP '1996-10-01')
+SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+         / sum(cents) AS promo_share,
+       sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)/100.0
+         AS promo_revenue,
+       sum(cents)/100.0 AS total_revenue
+FROM c
+"""
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300, decorated with customer and order attributes, top 100
+    by totalprice. Scale shape: the #orders-sized quantity groupby is
+    the only wide step (quantity sums are small-integer-exact in
+    float64); the HAVING filter shrinks it to a handful of survivors
+    BEFORE any join, and both decorate reads are isin-pruned scans of
+    the survivor keys — at 10^9 orders the joins touch thousands of
+    rows, not the fact table (SURVEY §2 A3/J1)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(_tbl(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+    qty = (li.groupby("l_orderkey")
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+           .filter(expr="sum_qty > 300"))
+    big = qty.to_pandas()  # bounded: HAVING-filtered survivors (~0.1% of orders)
+    if big.empty:
+        return pd.DataFrame({
+            "c_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="float64"),
+        })
+    keys = big["l_orderkey"].tolist()
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filter=pc.field("o_orderkey").isin(keys),
+    ).to_pandas()
+    out = big.rename(columns={"l_orderkey": "o_orderkey"}).merge(
+        orders, on="o_orderkey", how="inner")
+    out["price_c"] = np.floor(out.o_totalprice * 100 + 0.5).astype(np.int64)
+    out = out.sort_values(["price_c", "o_orderkey"],
+                          ascending=[False, True]).head(100)
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    out["o_totalprice"] = out.pop("price_c") / 100.0
+    return out[["c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+                "sum_qty"]].reset_index(drop=True)
+
+
+Q18_SQL = """
+WITH q AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)/100.0 AS o_totalprice,
+       q.sum_qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+ORDER BY CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
 def customers_without_orders(sf_dir: str):
     """Customers with no order above 400k — the anti-join/set-difference
     surface (reference DB-vs-ES reconciliation, SURVEY §2.7 D3)."""
@@ -5387,6 +5692,11 @@ _LAST_DRIVER_VERIFIED = {
     "docs_span_containing_lookup": 0,  # new in r5 (span_containing)
     "q3_shipping_priority": 0,  # new in r5 (3-table join pipeline)
     "q5_local_supplier_volume": 0,  # new in r5 (6-table join, broadcast dims)
+    "q4_order_priority": 0,  # new in r5 (EXISTS semi-join)
+    "q6_forecast_revenue": 0,  # new in r5 (scan-pushdown filter agg)
+    "q10_returned_items": 0,  # new in r5 (join + block-top-20)
+    "q14_promo_revenue": 0,  # new in r5 (broadcast part map, ratio of sums)
+    "q18_large_volume_customers": 0,  # new in r5 (HAVING + pruned decorate)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5528,6 +5838,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_span_containing_lookup": docs_span_containing_lookup,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5669,6 +5984,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_span_containing_lookup": _span_containing_sql(),
         "q3_shipping_priority": Q3_SQL,
         "q5_local_supplier_volume": Q5_SQL,
+        "q4_order_priority": Q4_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_revenue": Q14_SQL,
+        "q18_large_volume_customers": Q18_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
