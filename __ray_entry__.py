@@ -895,6 +895,71 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def _events_rollup(sf_dir: str) -> str:
+    """Build (once, cached) the day x event_type rollup over events —
+    the ES rollup-job analog (pipelines/rollup.py): later agg queries
+    hit the bucket table instead of re-scanning the raw events."""
+    from astrologer_ray.pipelines.rollup import build_rollup
+
+    rd = _rd()
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out_dir = os.path.join(_CACHE, f"rollup-{tag}")
+    path = os.path.join(out_dir, "rollup.parquet")
+    if not os.path.exists(path):
+        ds = rd.read_parquet(_tbl(sf_dir, "events"),
+                             columns=["ts", "event_type", "value"])
+        build_rollup(ds, out_dir, ts_col="ts", group_cols=("event_type",),
+                     value_col="value", interval="day")
+    return path
+
+
+def events_rollup_histogram(sf_dir: str):
+    """date_histogram for one event type served FROM THE ROLLUP — the
+    oracle runs the same agg over the raw table, proving the
+    materialize-once path is exact (ES _rollup/job + _rollup_search)."""
+    from datetime import datetime
+
+    from astrologer_ray.pipelines.rollup import rollup_histogram
+
+    t = rollup_histogram(
+        _events_rollup(sf_dir),
+        lo=datetime(2024, 1, 5), hi=datetime(2024, 1, 20),
+        group="purchase",
+    )
+    return t.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+EVENTS_ROLLUP_HIST_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       count(*) AS n,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value,
+       min(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS min_value,
+       max(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS max_value,
+       (sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0)/count(*) AS avg_value
+FROM events
+WHERE event_type = 'purchase'
+  AND date_trunc('day', ts) >= TIMESTAMP '2024-01-05'
+  AND date_trunc('day', ts) < TIMESTAMP '2024-01-20'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_rollup_terms(sf_dir: str):
+    """terms agg (count + sum per event type) served from the SAME
+    materialized rollup — one build, many agg families."""
+    from astrologer_ray.pipelines.rollup import rollup_terms
+
+    return (rollup_terms(_events_rollup(sf_dir))
+            .to_pandas().reset_index(drop=True))
+
+
+EVENTS_ROLLUP_TERMS_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value
+FROM events GROUP BY 1 ORDER BY n DESC, event_type
+"""
+
+
 def events_type_topk(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import terms_topk
@@ -5697,6 +5762,8 @@ _LAST_DRIVER_VERIFIED = {
     "q10_returned_items": 0,  # new in r5 (join + block-top-20)
     "q14_promo_revenue": 0,  # new in r5 (broadcast part map, ratio of sums)
     "q18_large_volume_customers": 0,  # new in r5 (HAVING + pruned decorate)
+    "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
+    "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5843,6 +5910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "events_rollup_histogram": events_rollup_histogram,
+        "events_rollup_terms": events_rollup_terms,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -5989,6 +6058,8 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": Q10_SQL,
         "q14_promo_revenue": Q14_SQL,
         "q18_large_volume_customers": Q18_SQL,
+        "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
+        "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,
