@@ -960,6 +960,41 @@ FROM events GROUP BY 1 ORDER BY n DESC, event_type
 """
 
 
+def docs_reindex_filtered(sf_dir: str):
+    """ES ``_reindex`` analog end-to-end (pipelines/reindex.py): stream
+    documents through a filter-context query (range+term pushed into
+    the scan, match as a residual regex pass) and a painless transform
+    script into a new corpus; the oracle re-derives the destination
+    table with the equivalent WHERE + expression."""
+    import shutil
+
+    from astrologer_ray.pipelines.reindex import reindex
+
+    dst = os.path.join(_CACHE, "reindex-out")
+    shutil.rmtree(dst, ignore_errors=True)
+    reindex(
+        _tbl(sf_dir, "documents"), dst,
+        query={"bool": {
+            "filter": [{"range": {"n_chars": {"gte": 200}}},
+                       {"term": {"lang": "en"}}],
+            "must": [{"match": {"text": "data"}}],
+        }},
+        script="ctx._source.kchars = doc['n_chars'].value / 1000.0",
+        fields=["doc_id", "lang", "n_chars", "kchars"],
+    )
+    out = pd.read_parquet(os.path.join(dst, "corpus"))
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_REINDEX_SQL = f"""
+SELECT doc_id, lang, n_chars, n_chars/1000.0 AS kchars
+FROM documents
+WHERE n_chars >= 200 AND lang = 'en'
+  AND list_contains({_SPLIT_SQL}, 'data')
+ORDER BY doc_id
+"""
+
+
 def events_type_topk(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import terms_topk
@@ -5764,6 +5799,7 @@ _LAST_DRIVER_VERIFIED = {
     "q18_large_volume_customers": 0,  # new in r5 (HAVING + pruned decorate)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
+    "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5912,6 +5948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": q18_large_volume_customers,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
+        "docs_reindex_filtered": docs_reindex_filtered,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -6060,6 +6097,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_volume_customers": Q18_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
+        "docs_reindex_filtered": DOCS_REINDEX_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

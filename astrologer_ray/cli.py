@@ -403,6 +403,38 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_reindex(args) -> int:
+    """ES _reindex: source corpus -> filtered/transformed dest corpus
+    (pipelines/reindex.py), optionally building the dest index."""
+    import os
+
+    from astrologer_ray.pipelines.reindex import reindex
+
+    _ray_session(args.num_cpus)
+    out = reindex(
+        args.src, args.dest,
+        query=json.loads(args.query) if args.query else None,
+        script=args.script,
+        fields=args.fields.split(",") if args.fields else None,
+        text_col=args.text_col,
+    )
+    if args.build:
+        import glob as _g
+
+        from astrologer_ray.pipelines.build import build_index
+
+        files = sorted(_g.glob(os.path.join(out["corpus_dir"], "*.parquet")))
+        stats = build_index(
+            files, os.path.join(args.dest, "index"), mode=args.mode,
+            column_map={"repo": None, "path": None, "commit": None,
+                        "lang": None, "content": args.text_col},
+            key_cols=(args.key_col,),
+        )
+        out["index"] = {"n_docs": stats.get("n_docs")}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     """ES snapshot-repository parity: consistent, manifest-carrying,
     atomic copy of one index (no Ray session — pure I/O fan-out)."""
@@ -758,6 +790,26 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--filter", required=True, metavar="JSON",
                     help='Searcher filter DSL, e.g. {"match": "slow"}')
     de.set_defaults(fn=cmd_delete)
+
+    ri = sub.add_parser("reindex",
+                        help="ES _reindex: stream a corpus through a "
+                             "filter query + painless script into a new "
+                             "corpus (and optionally its index)")
+    ri.add_argument("src", help="source corpus parquet path/glob")
+    ri.add_argument("dest", help="destination directory")
+    ri.add_argument("--query", default=None, metavar="JSON",
+                    help='filter-context DSL, e.g. {"term": {"lang": "en"}}')
+    ri.add_argument("--script", default=None,
+                    help="ctx._source.<f> = <arithmetic>; statements")
+    ri.add_argument("--fields", default=None,
+                    help="comma-separated destination projection")
+    ri.add_argument("--text-col", default="text", dest="text_col")
+    ri.add_argument("--build", action="store_true",
+                    help="also build the destination index")
+    ri.add_argument("--mode", default="simple")
+    ri.add_argument("--key-col", default="doc_id", dest="key_col")
+    ri.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    ri.set_defaults(fn=cmd_reindex)
 
     sn = sub.add_parser("snapshot",
                         help="consistent copy of an index (base + "
