@@ -995,6 +995,38 @@ ORDER BY doc_id
 """
 
 
+def docs_update_by_query(sf_dir: str):
+    """ES ``_update_by_query`` analog end-to-end (pipelines/segments.
+    update_by_query): copy the cached documents index, repaint ``lang``
+    for long docs via a painless script, and serve a lang terms count
+    THROUGH the searcher's overlay-folded attrs; the oracle re-derives
+    the paint with a CASE over the same token-count predicate (dl ==
+    simple-mode token count)."""
+    import shutil
+
+    from astrologer_ray.pipelines.segments import update_by_query
+    from astrologer_ray.state.searcher import Searcher
+
+    src = _documents_index(sf_dir)
+    dst = os.path.join(_CACHE, "docidx-upd")
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    update_by_query(dst, {"range": {"dl": {"gte": 50}}},
+                    "ctx._source.lang = 'xx'")
+    s = Searcher(dst)
+    langs, counts = np.unique(np.asarray(s.doc_attrs["lang"], dtype=str),
+                              return_counts=True)
+    return pd.DataFrame({"lang": langs, "n": counts.astype(np.int64)}
+                        ).sort_values("lang").reset_index(drop=True)
+
+
+DOCS_UPDATE_SQL = f"""
+SELECT CASE WHEN len({_SPLIT_SQL}) >= 50 THEN 'xx' ELSE lang END AS lang,
+       count(*) AS n
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_type_topk(sf_dir: str):
     rd = _rd()
     from astrologer_ray.pipelines.aggs import terms_topk
@@ -5800,6 +5832,7 @@ _LAST_DRIVER_VERIFIED = {
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
+    "docs_update_by_query": 0,  # new in r5 (ES _update_by_query analog)
     "docs_dsl_top_hits": 0,  # new in r5 (DSL top_hits sub-agg)
     "top_orders_by_revenue": 4,
     "ann_topk_embeddings": 2,
@@ -5949,6 +5982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
+        "docs_update_by_query": docs_update_by_query,
         "docs_dsl_top_hits": docs_dsl_top_hits,
         "events_percentile_ranks": events_percentile_ranks,
         "phrase_suggest_documents": phrase_suggest_documents,
@@ -6098,6 +6132,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,
+        "docs_update_by_query": DOCS_UPDATE_SQL,
         "docs_dsl_top_hits": DSL_TOP_HITS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "top_orders_by_revenue": TOP_ORDERS_SQL,

@@ -403,6 +403,16 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """ES _update_by_query: paint attrs of docs matching the filter DSL."""
+    from astrologer_ray.pipelines.segments import update_by_query
+
+    _ray_session(args.num_cpus)
+    out = update_by_query(args.index, json.loads(args.filter), args.script)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_reindex(args) -> int:
     """ES _reindex: source corpus -> filtered/transformed dest corpus
     (pipelines/reindex.py), optionally building the dest index."""
@@ -790,6 +800,19 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--filter", required=True, metavar="JSON",
                     help='Searcher filter DSL, e.g. {"match": "slow"}')
     de.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update",
+                        help="ES _update_by_query: apply a painless "
+                             "ctx._source script to sidecar attrs of "
+                             "matching docs (overlay generation; "
+                             "analyzed text needs reindex)")
+    up.add_argument("index")
+    up.add_argument("--filter", required=True, metavar="JSON",
+                    help='Searcher filter DSL, e.g. {"match": "merge"}')
+    up.add_argument("--script", required=True,
+                    help="ctx._source.<attr> = <expr>; statements")
+    up.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    up.set_defaults(fn=cmd_update)
 
     ri = sub.add_parser("reindex",
                         help="ES _reindex: stream a corpus through a "

@@ -400,16 +400,20 @@ def compact_index(corpus, index_dir: str, *,
 
     meta0 = load_meta(index_dir)
     deletes_dir = os.path.join(index_dir, "deletes")
+    updates_dir = os.path.join(index_dir, "updates")
     stash = None
     prior = None
-    if os.path.isdir(deletes_dir):
-        # tombstones reference doc_ids; they survive compaction ONLY if the
-        # rebuild reassigns identical ids. Capture the pre-compact identity
-        # (doc count + key extremes across base+segments) to verify after.
+    if os.path.isdir(deletes_dir) or os.path.isdir(updates_dir):
+        # tombstones AND attr-update overlays reference doc_ids; they
+        # survive compaction ONLY if the rebuild reassigns identical ids.
+        # Capture the pre-compact identity (doc count + key extremes
+        # across base+segments) to verify after.
         prior = combined_stats(index_dir)
         prior["max_doc_key"] = _max_doc_key(index_dir)
         stash = tempfile.mkdtemp(prefix="deletes-stash-")
-        shutil.move(deletes_dir, os.path.join(stash, "deletes"))
+        for name, d in (("deletes", deletes_dir), ("updates", updates_dir)):
+            if os.path.isdir(d):
+                shutil.move(d, os.path.join(stash, name))
     meta = build_index(
         corpus, index_dir,
         mode=meta0["mode"],
@@ -443,16 +447,20 @@ def compact_index(corpus, index_dir: str, *,
             and meta.get("max_doc_key") == prior.get("max_doc_key")
         )
         if stable:
-            shutil.move(os.path.join(stash, "deletes"), deletes_dir)
+            for name, d in (("deletes", deletes_dir),
+                            ("updates", updates_dir)):
+                if os.path.isdir(os.path.join(stash, name)):
+                    shutil.move(os.path.join(stash, name), d)
             os.rmdir(stash)
         else:
             warnings.warn(
-                "compact_index: corpus changed since tombstones were "
-                f"written (docs {prior and prior['n_docs']} -> "
+                "compact_index: corpus changed since tombstones/updates "
+                f"were written (docs {prior and prior['n_docs']} -> "
                 f"{meta['n_docs']}, max_doc_key "
                 f"{prior and prior.get('max_doc_key')!r} -> "
                 f"{meta.get('max_doc_key')!r}); doc_ids may have shifted — "
-                "dropping stale deletes instead of masking wrong documents",
+                "dropping stale deletes/updates instead of masking wrong "
+                "documents",
                 stacklevel=2,
             )
             shutil.rmtree(stash)
@@ -494,3 +502,72 @@ def delete_by_query(index_dir: str, filter) -> dict:
         )
     return {"deleted": int(len(new)),
             "total_deleted": int(len(prior) + len(new))}
+
+
+_UPDATE_PROTECTED = ("doc_id", "doc_key", "dl")
+
+
+def update_by_query(index_dir: str, filter, script: str) -> dict:
+    """ES ``_update_by_query`` over the docs-sidecar ATTRIBUTES: resolve
+    ``filter`` (the Searcher filter DSL) against the live index, apply a
+    painless ``ctx._source.<attr> = <expr>`` script (the shared
+    functions/painless subset — string literals and arithmetic over other
+    attrs) vectorized on the matched rows, and append the result as an
+    overlay generation under ``updates/``. Every Searcher folds overlays
+    onto ``doc_attrs`` at load (filename order, later wins), so updated
+    fields serve through filters / aggs / sorts / rank_feature / script
+    queries exactly like stored columns.
+
+    Scope (documented divergence from ES): the ANALYZED text cannot be
+    updated — postings are immutable; ES itself reindexes the doc in that
+    case, which here is the ``pipelines.reindex`` + rebuild path. The
+    scoring-bearing fields (``doc_key``, ``dl``) are protected. Updates
+    survive :func:`compact_index` (doc_ids are stable under monotone
+    appends, same argument as tombstones); a plain full rebuild clears
+    them. Tombstoned docs are skipped (ES semantics: updates apply to
+    live docs only).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from astrologer_ray.functions import painless
+    from astrologer_ray.pipelines.reindex import compile_script
+    from astrologer_ray.state.searcher import Searcher
+
+    s = Searcher(index_dir, load_docs=True)
+    ids = np.flatnonzero(s.filter_mask(filter)).astype(np.int64)
+    if s.deleted is not None and len(s.deleted):
+        ids = np.setdiff1d(ids, s.deleted, assume_unique=False)
+    stmts = compile_script(script)
+    if not stmts:
+        raise ValueError("update_by_query needs at least one "
+                         "ctx._source.<attr> = <expr> statement")
+    cols: dict = {"doc_id": pa.array(ids, pa.int64())}
+    # statements see earlier statements' outputs (painless order)
+    scratch = {k: v[ids] for k, v in s.doc_attrs.items()}
+    for out, expr, src in stmts:
+        if out in _UPDATE_PROTECTED:
+            raise ValueError(f"attribute {out!r} is immutable "
+                             "(rebuild/reindex to change it)")
+        vals = painless.evaluate(
+            expr, src,
+            docs={k: scratch[k] for k in painless.doc_refs(expr)
+                  if k in scratch},
+            what="update script")
+        vals = np.asarray(vals)
+        if vals.ndim == 0:  # scalar RHS broadcasts over the matches
+            vals = np.full(len(ids), vals.item(),
+                           object if vals.dtype.kind in "OUS" else None)
+        scratch[out] = vals
+        cols[out] = pa.array(
+            vals.tolist() if vals.dtype == object or vals.dtype.kind in "US"
+            else vals)
+    udir = os.path.join(index_dir, "updates")
+    os.makedirs(udir, exist_ok=True)
+    n_files = len(glob.glob(os.path.join(udir, "*.parquet")))
+    path = os.path.join(udir, f"update-{n_files:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return {"updated": int(len(ids)), "generation": n_files,
+            "fields": [o for o, _, _ in stmts]}

@@ -398,6 +398,37 @@ class Searcher:
                 self.doc_attrs[c] = (
                     arr.to_numpy() if c == "dl" else np.asarray(arr, dtype=object)
                 )
+            # ES _update_by_query overlay (pipelines/segments.
+            # update_by_query): generation files fold in filename order
+            # (later wins), rows pruned to this shard's doc range. A new
+            # column becomes a full attr (NaN / None where never set), so
+            # updated fields compose with filters/aggs/sort/rank_feature
+            # exactly like stored sidecar columns.
+            for uf in sorted(
+                glob.glob(os.path.join(index_dir, "updates", "*.parquet"))
+            ):
+                ut = pq.read_table(uf, filters=dfilt)
+                if not ut.num_rows:
+                    continue
+                pos = ut.column("doc_id").to_numpy() - self.doc_lo
+                for c in ut.column_names:
+                    if c == "doc_id":
+                        continue
+                    f = ut.schema.field(c)
+                    numeric = pa.types.is_floating(f.type) or pa.types.is_integer(f.type)
+                    if c not in self.doc_attrs:
+                        self.doc_attrs[c] = (
+                            np.full(self.n_local, np.nan, np.float64)
+                            if numeric
+                            else np.full(self.n_local, None, object)
+                        )
+                    tgt = self.doc_attrs[c]
+                    vals = ut.column(c)
+                    if tgt.dtype == object:
+                        tgt[pos] = np.asarray(vals, dtype=object)
+                    else:
+                        tgt[pos] = vals.to_numpy(
+                            zero_copy_only=False).astype(tgt.dtype, copy=False)
             self.doc_key = self.doc_attrs["doc_key"]
             self.doc_repo = self.doc_attrs["repo"]
             self.doc_path = self.doc_attrs["path"]
