@@ -55,6 +55,17 @@ def _tbl(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _join_parts() -> int:
+    """Hash-join partition count scaled to the session: ~1 partition per
+    4 cores (aggregator actors are cheap but not free at test scale),
+    capped — on a 256-node cluster the cap keeps the exchange from
+    over-fragmenting the small driver-contract tables."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return min(16, max(2, ncpu // 4))
+
+
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Exact integer cents: floor(x*100 + 0.5) — same expression in SQL."""
     return pc.cast(
@@ -269,7 +280,7 @@ def customer_order_stats(sf_dir: str):
         return pa.table({"o_custkey": t["o_custkey"], "price_c": _cents(t["o_totalprice"])})
 
     joined = orders.map_batches(project, batch_format="pyarrow").join(
-        cust, join_type="inner", num_partitions=4,
+        cust, join_type="inner", num_partitions=_join_parts(),
         on=("o_custkey",), right_on=("c_custkey",),
     )
     out = (
@@ -330,10 +341,10 @@ def q3_shipping_priority(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "rev_c": _cents(disc_price)})
 
-    seg_orders = orders.join(cust, join_type="inner", num_partitions=4,
+    seg_orders = orders.join(cust, join_type="inner", num_partitions=_join_parts(),
                              on=("o_custkey",), right_on=("c_custkey",))
     joined = li.map_batches(project, batch_format="pyarrow").join(
-        seg_orders, join_type="inner", num_partitions=4,
+        seg_orders, join_type="inner", num_partitions=_join_parts(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     rev = joined.groupby("l_orderkey").aggregate(
@@ -422,11 +433,11 @@ def q5_local_supplier_volume(sf_dir: str):
                          "s_nationkey": pa.array(s_nat, pa.int64()),
                          "rev_c": _cents(disc_price)})
 
-    seg_orders = orders.join(cust, join_type="inner", num_partitions=4,
+    seg_orders = orders.join(cust, join_type="inner", num_partitions=_join_parts(),
                              on=("o_custkey",), right_on=("c_custkey",))
     joined = li.map_batches(project, batch_format="pyarrow").join(
         seg_orders.select_columns(["o_orderkey", "c_nationkey"]),
-        join_type="inner", num_partitions=4,
+        join_type="inner", num_partitions=_join_parts(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     out = (joined.filter(expr="s_nationkey == c_nationkey")
@@ -501,7 +512,7 @@ def q4_order_priority(sf_dir: str):
         _tbl(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"],
         filter=pc.field("l_shipdate") > lo,
     )
-    joined = li.join(orders, join_type="inner", num_partitions=4,
+    joined = li.join(orders, join_type="inner", num_partitions=_join_parts(),
                      on=("l_orderkey",), right_on=("o_orderkey",))
     # EXISTS := at least one joined row with l_shipdate > o_orderdate;
     # the pair-groupby both dedups (semi) and drops the date columns
@@ -612,7 +623,7 @@ def q10_returned_items(sf_dir: str):
                          "rev_c": _cents(disc_price)})
 
     joined = li.map_batches(project, batch_format="pyarrow").join(
-        orders, join_type="inner", num_partitions=4,
+        orders, join_type="inner", num_partitions=_join_parts(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     rev = joined.groupby("o_custkey").aggregate(

@@ -403,6 +403,39 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """ES _rollup/job analog: materialize the bucket table once; serve
+    aggs from it with `--serve histogram|terms` (pipelines/rollup.py)."""
+    import os
+
+    from astrologer_ray.pipelines.rollup import (
+        build_rollup,
+        rollup_histogram,
+        rollup_terms,
+    )
+
+    path = os.path.join(args.out, "rollup.parquet")
+    if args.serve is None or not os.path.exists(path):
+        import ray.data as rd
+
+        _ray_session(args.num_cpus)
+        ds = rd.read_parquet(args.src, columns=[args.ts_col, args.group,
+                                                args.value_col])
+        path = build_rollup(ds, args.out, ts_col=args.ts_col,
+                            group_cols=(args.group,),
+                            value_col=args.value_col,
+                            interval=args.interval)
+    if args.serve == "histogram":
+        t = rollup_histogram(path, group=args.filter_group)
+        print(t.to_pandas().to_json(orient="records"))
+    elif args.serve == "terms":
+        print(rollup_terms(path, k=args.k).to_pandas()
+              .to_json(orient="records"))
+    else:
+        print(json.dumps({"rollup": path}))
+    return 0
+
+
 def cmd_update(args) -> int:
     """ES _update_by_query: paint attrs of docs matching the filter DSL."""
     from astrologer_ray.pipelines.segments import update_by_query
@@ -800,6 +833,22 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--filter", required=True, metavar="JSON",
                     help='Searcher filter DSL, e.g. {"match": "slow"}')
     de.set_defaults(fn=cmd_delete)
+
+    ro = sub.add_parser("rollup",
+                        help="ES _rollup job: materialize a (time bucket "
+                             "x group) agg table once; --serve histogram|"
+                             "terms answers from it in O(buckets)")
+    ro.add_argument("src", help="source events parquet path/glob")
+    ro.add_argument("out", help="rollup output directory")
+    ro.add_argument("--ts-col", default="ts", dest="ts_col")
+    ro.add_argument("--group", default="event_type")
+    ro.add_argument("--value-col", default="value", dest="value_col")
+    ro.add_argument("--interval", default="day")
+    ro.add_argument("--serve", choices=["histogram", "terms"], default=None)
+    ro.add_argument("--filter-group", default=None, dest="filter_group")
+    ro.add_argument("-k", type=int, default=None)
+    ro.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    ro.set_defaults(fn=cmd_rollup)
 
     up = sub.add_parser("update",
                         help="ES _update_by_query: apply a painless "

@@ -109,3 +109,23 @@ def test_merge_equals_full_build(ray_session, tmp_path):
     merged = merge_rollups(a, b)
     assert merged.equals(full.select(merged.column_names))
     assert merge_rollups(b, a).equals(merged)
+
+
+def test_cli_rollup_build_and_serve(ray_session, tmp_path, capsys):
+    import json as _json
+
+    from astrologer_ray.cli import main
+
+    src = tmp_path / "events.parquet"
+    _events(seed=5).to_parquet(src, index=False)
+    out = str(tmp_path / "ru")
+    assert main(["rollup", str(src), out]) == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["rollup"].endswith("rollup.parquet")
+    assert main(["rollup", str(src), out, "--serve", "terms", "-k", "2"]) == 0
+    rows = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 2 and rows[0]["n"] >= rows[1]["n"]
+    assert main(["rollup", str(src), out, "--serve", "histogram",
+                 "--filter-group", "a"]) == 0
+    rows = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rows and all(r["n"] > 0 for r in rows)

@@ -160,3 +160,22 @@ def test_cli_update(idx, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["updated"] == 100
     assert os.path.isdir(os.path.join(idx, "updates"))
+
+
+def test_snapshot_restore_preserves_updates(idx, tmp_path):
+    """snapshot walks the whole index dir, so updates/ overlays travel
+    with it; the restored index serves the painted attrs."""
+    from astrologer_ray.pipelines.segments import update_by_query
+    from astrologer_ray.pipelines.snapshot import (
+        restore_index,
+        snapshot_index,
+    )
+    from astrologer_ray.state.searcher import Searcher
+
+    update_by_query(idx, {"term": {"lang": "go"}}, "ctx._source.lang = 'zig'")
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "restored")
+    snapshot_index(idx, snap)
+    restore_index(snap, dest)
+    s = Searcher(dest)
+    assert (s.doc_attrs["lang"] == "zig").sum() == 100
