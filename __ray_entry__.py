@@ -791,6 +791,432 @@ LIMIT 100
 """
 
 
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 (volume shipping) adapted: revenue flowing between two
+    nations (supplier side vs customer side, either direction) per ship
+    year. Scale shape: the two tiny dims (supplier->nation map, the two
+    nation keys) are driver-read and broadcast; lineitem rows are pruned
+    to the two supplier nations INSIDE the projection before any
+    exchange (the only rows that can qualify), so the hash join ships a
+    fraction of the fact table; customers are scan-pruned to the two
+    nations; the group-by reduces to <= 2 pairs x years rows (SURVEY §2
+    J1/J2 broadcast-vs-shuffle discipline)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    nation = pd.read_parquet(_tbl(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    nk = dict(zip(nation.n_name, nation.n_nationkey))
+    k1, k2 = int(nk["NATION_1"]), int(nk["NATION_2"])
+    names = {k1: "NATION_1", k2: "NATION_2"}
+    sup = pd.read_parquet(_tbl(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup = sup.sort_values("s_suppkey")
+    sup_keys = sup.s_suppkey.to_numpy()
+    sup_nat = sup.s_nationkey.to_numpy()
+
+    cust = rd.read_parquet(
+        _tbl(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin([k1, k2]),
+    )
+    orders = rd.read_parquet(_tbl(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo)
+        & (pc.field("l_shipdate") < hi),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        loc = np.minimum(np.searchsorted(sup_keys, sk), len(sup_keys) - 1)
+        s_nat = np.where(sup_keys[loc] == sk, sup_nat[loc], -1)
+        keep = (s_nat == k1) | (s_nat == k2)
+        t = t.take(np.flatnonzero(keep))
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        out = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "s_nationkey": pa.array(s_nat[keep], pa.int64()),
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "rev_c": _cents(disc_price),
+        })
+        if out.num_rows == 0:
+            # Ray's hash-join drops the schema of all-empty partitions
+            # (schema-less blocks break the Acero join); a sentinel row
+            # with an impossible key keeps every block schema-bearing
+            # and is dropped by the inner join (order keys are positive).
+            out = pa.table({
+                "l_orderkey": pa.array([-1], pa.int64()),
+                "s_nationkey": pa.array([-1], pa.int64()),
+                "l_year": pa.array([0], pa.int64()),
+                "rev_c": pa.array([0], pa.int64()),
+            })
+        return out
+
+    seg_orders = orders.join(cust, join_type="inner",
+                             num_partitions=_join_parts(),
+                             on=("o_custkey",), right_on=("c_custkey",))
+    joined = li.map_batches(project, batch_format="pyarrow").join(
+        seg_orders.select_columns(["o_orderkey", "c_nationkey"]),
+        join_type="inner", num_partitions=_join_parts(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (joined.filter(expr="s_nationkey != c_nationkey")
+           .groupby(["s_nationkey", "c_nationkey", "l_year"])
+           .aggregate(Sum("rev_c", alias_name="rev_c"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype="object"),
+            "cust_nation": pd.Series([], dtype="object"),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+        })
+    out["supp_nation"] = out.s_nationkey.map(names)
+    out["cust_nation"] = out.c_nationkey.map(names)
+    out["revenue"] = out.pop("rev_c") / 100.0
+    return out[["supp_nation", "cust_nation", "l_year", "revenue"]].sort_values(
+        ["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))/100.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q12_late_lines(sf_dir: str):
+    """TPC-H Q12 (shipping-modes / late lines) adapted to the testdata
+    schema (no shipmode or commit/receipt dates): lineitems shipped in
+    one year AFTER their order date, counted per line status split by
+    order priority class. Scale shape: both scans are pruned (lineitem
+    to the ship year, orders to the two needed columns), one hash join
+    on the order key, the late filter runs vectorized, and the count
+    combiner-reduces to <= 2 rows (SURVEY §2 J1/A3)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo)
+        & (pc.field("l_shipdate") < hi),
+    )
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=_join_parts(),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    late = joined.filter(expr="l_shipdate > o_orderdate")
+
+    def flags(t: pa.Table) -> pa.Table:
+        high = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_i = pc.cast(high, pa.int64())
+        return pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high": hi_i,
+            "low": pc.subtract(1, hi_i),
+        })
+
+    out = (late.map_batches(flags, batch_format="pyarrow")
+           .groupby("l_linestatus")
+           .aggregate(Sum("high", alias_name="high_line_count"),
+                      Sum("low", alias_name="low_line_count"))
+           .to_pandas())
+    return out[["l_linestatus", "high_line_count",
+                "low_line_count"]].sort_values(
+        "l_linestatus").reset_index(drop=True)
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+         AS high_line_count,
+       count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 (customer distribution) adapted (the NOT LIKE comment
+    filter becomes a priority-class exclusion): how many customers
+    placed exactly N qualifying orders, including the zero-order bucket.
+    Scale shape: NO outer join at all — the per-customer counts come
+    from one #customers-sized groupby over the pruned orders scan, the
+    distribution from a second tiny groupby over the counts, and the
+    zero bucket is total-customers minus customers-with-orders (two
+    metadata-cheap counts); at 10^9 customers nothing but the count
+    pairs is exchanged (SURVEY §2 J4/A5)."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pc.field("o_orderpriority") != "4-NOT SPECIFIED",
+    )
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Count(alias_name="c_count"))
+    dist = (per_cust.groupby("c_count")
+            .aggregate(Count(alias_name="custdist"))
+            .to_pandas())
+    n_customers = rd.read_parquet(
+        _tbl(sf_dir, "customer"), columns=["c_custkey"]).count()
+    n_with = int(dist.custdist.sum())
+    zero = n_customers - n_with
+    if zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": [0], "custdist": [zero]})], ignore_index=True)
+    dist["c_count"] = dist.c_count.astype(np.int64)
+    dist["custdist"] = dist.custdist.astype(np.int64)
+    return dist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]).reset_index(drop=True)
+
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY 1)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 (top supplier) adapted: the supplier(s) with the
+    highest revenue in one quarter. Scale shape: one pruned lineitem
+    scan combiner-reduces per batch to (suppkey, cents) partials, the
+    #suppliers-sized groupby stays distributed, the global max comes
+    from per-block maxima (block winners, k=1 each) merged at the
+    driver, and only the tie set (usually 1 row) is pulled and
+    decorated via an isin-pruned supplier read — the revenue view of
+    TPC-H Q15 without materializing it (SURVEY §2 A1/O2)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 4, 1), datetime(1996, 7, 1)
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo)
+        & (pc.field("l_shipdate") < hi),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        return pa.table({"l_suppkey": t["l_suppkey"],
+                         "rev_c": _cents(disc_price)})
+
+    rev = (li.map_batches(project, batch_format="pyarrow")
+           .groupby("l_suppkey")
+           .aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        return pa.table({"m": pa.array(
+            [pc.max(t["rev_c"]).as_py()], pa.int64())})
+
+    blk = rev.map_batches(block_max, batch_format="pyarrow").to_pandas()
+    if blk.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "total_revenue": pd.Series([], dtype="float64")})
+    best = int(blk.m.max())
+    # tie set: suppliers at the global max (k-sized pull)
+    winners = rev.filter(expr=f"rev_c == {best}").to_pandas()
+    names = rd.read_parquet(
+        _tbl(sf_dir, "supplier"), columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(winners.l_suppkey.tolist()),
+    ).to_pandas()
+    out = winners.rename(columns={"l_suppkey": "s_suppkey"}).merge(
+        names, on="s_suppkey", how="inner")
+    out["total_revenue"] = out.pop("rev_c") / 100.0
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values(
+        "s_suppkey").reset_index(drop=True)
+
+
+Q15_SQL = """
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-04-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, rev_c/100.0 AS total_revenue
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue) adapted: yearly revenue
+    lost if orders for one brand below 20% of the part's average
+    quantity were no longer taken. The correlated subquery becomes a
+    two-pass plan: pass 1 computes per-part (sum_qty, count) over the
+    brand-pruned lineitem scan (a #brand-parts-sized groupby); pass 2
+    re-joins those stats to the same pruned scan and keeps lines with
+    quantity below the threshold, reduced per batch to cents partials.
+    The 20%-of-average test uses the integer-exact cross-multiplied
+    form qty*5*count < sum_qty (quantities are small integers in
+    float64) so both engines compare exactly — no float-division
+    boundary flips (SURVEY §2 J1/A1; float policy, module docstring)."""
+    rd = _rd()
+    from ray.data.aggregate import Count, Sum
+
+    part_keys = pd.read_parquet(
+        _tbl(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    brand_keys = part_keys.loc[
+        part_keys.p_brand == "Brand#23", "p_partkey"].tolist()
+
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        filter=pc.field("l_partkey").isin(brand_keys),
+    )
+    stats = (li.groupby("l_partkey")
+             .aggregate(Sum("l_quantity", alias_name="s"),
+                        Count(alias_name="n"))
+             .map_batches(lambda t: t.rename_columns(["p_key", "s", "n"]),
+                          batch_format="pyarrow"))
+    joined = li.join(stats, join_type="inner",
+                     num_partitions=_join_parts(),
+                     on=("l_partkey",), right_on=("p_key",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        keep = qty * 5.0 * n < s
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int(c[keep].sum())], pa.int64())})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total_c = int(parts.c.sum())
+    return pd.DataFrame({"avg_yearly": [total_c / 100.0 / 7.0]})
+
+
+Q17_SQL = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+a AS (
+  SELECT l_partkey, sum(l_quantity) AS s, count(*) AS n
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT))/100.0/7.0
+         AS avg_yearly
+FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity * 5.0 * a.n < a.s
+"""
+
+
+def q19_or_predicates(sf_dir: str):
+    """TPC-H Q19 (discounted revenue) adapted (no container/shipmode):
+    revenue from lineitems matching any of three (brand, size band,
+    quantity band) conjunctions. Scale shape: the part side collapses
+    to a per-partkey predicate CLASS (0/1/2/none) computed once on the
+    driver and broadcast as sorted numpy arrays (~1 byte/part — the
+    ray.put side at 10^8 parts); the lineitem scan is pruned to the
+    union quantity band at the parquet level, each batch applies the
+    class-conditional band test vectorized and reduces to one cents
+    partial; no join, no shuffle (SURVEY §2 J1 broadcast discipline)."""
+    rd = _rd()
+
+    part = pd.read_parquet(
+        _tbl(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_size"]).sort_values("p_partkey")
+    pk = part.p_partkey.to_numpy()
+    brand = part.p_brand.to_numpy()
+    size = part.p_size.to_numpy()
+    # class c: brand == BRANDS[c] and size in SIZE_BANDS[c]
+    BRANDS = ("Brand#12", "Brand#23", "Brand#15")
+    SIZE_HI = (5, 10, 15)
+    QTY = ((1.0, 11.0), (10.0, 20.0), (20.0, 30.0))
+    cls = np.full(len(pk), -1, np.int64)
+    for c in range(3):
+        m = (brand == BRANDS[c]) & (size >= 1) & (size <= SIZE_HI[c])
+        cls[m] = c
+
+    ds = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+        filter=(pc.field("l_quantity") >= 1.0)
+        & (pc.field("l_quantity") <= 30.0),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lpk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        loc = np.minimum(np.searchsorted(pk, lpk), len(pk) - 1)
+        c = np.where(pk[loc] == lpk, cls[loc], -1)
+        keep = np.zeros(len(lpk), bool)
+        for ci in range(3):
+            lo, hi = QTY[ci]
+            keep |= (c == ci) & (qty >= lo) & (qty <= hi)
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        cents = _cents(disc_price).to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int(cents[keep].sum())],
+                                       pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue": [int(parts.c.sum()) / 100.0]})
+
+
+Q19_SQL = """
+SELECT sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))/100.0
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def customers_without_orders(sf_dir: str):
     """Customers with no order above 400k — the anti-join/set-difference
     surface (reference DB-vs-ES reconciliation, SURVEY §2.7 D3)."""
@@ -5840,6 +6266,12 @@ _LAST_DRIVER_VERIFIED = {
     "q10_returned_items": 0,  # new in r5 (join + block-top-20)
     "q14_promo_revenue": 0,  # new in r5 (broadcast part map, ratio of sums)
     "q18_large_volume_customers": 0,  # new in r5 (HAVING + pruned decorate)
+    "q7_nation_volume": 0,  # new in r5 (two-nation volume, pruned-project join)
+    "q12_late_lines": 0,  # new in r5 (join + conditional counts)
+    "q13_customer_distribution": 0,  # new in r5 (count distribution, no outer join)
+    "q15_top_supplier": 0,  # new in r5 (argmax via block winners)
+    "q17_small_quantity_revenue": 0,  # new in r5 (correlated subquery as 2-pass)
+    "q19_or_predicates": 0,  # new in r5 (broadcast predicate classes)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -5990,6 +6422,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": q10_returned_items,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "q7_nation_volume": q7_nation_volume,
+        "q12_late_lines": q12_late_lines,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_or_predicates": q19_or_predicates,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -6140,6 +6578,12 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": Q10_SQL,
         "q14_promo_revenue": Q14_SQL,
         "q18_large_volume_customers": Q18_SQL,
+        "q7_nation_volume": Q7_SQL,
+        "q12_late_lines": Q12_SQL,
+        "q13_customer_distribution": Q13_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q17_small_quantity_revenue": Q17_SQL,
+        "q19_or_predicates": Q19_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,
