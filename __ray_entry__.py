@@ -1217,6 +1217,493 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 (national market share) adapted: the share of revenue
+    supplied by NATION_3 within ASIA-region customers' orders for one
+    part type, per order year. Scale shape: part collapses to a
+    broadcast boolean (is the type), supplier to a broadcast nation
+    lookup — both ship once; customers are scan-pruned to the region's
+    nations; the only exchanges are the two fact-table hash joins, and
+    the group-by reduces to (#years) rows of two exact integer sums
+    whose ratio divides once in both engines (SURVEY §2 J1/J2)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    nation = pd.read_parquet(_tbl(sf_dir, "nation"))
+    region = pd.read_parquet(_tbl(sf_dir, "region"))
+    rkey = int(region.loc[region.r_name == "ASIA", "r_regionkey"].iloc[0])
+    region_nat = nation.loc[nation.n_regionkey == rkey,
+                            "n_nationkey"].tolist()
+    target_nat = int(nation.loc[nation.n_name == "NATION_3",
+                                "n_nationkey"].iloc[0])
+    part = pd.read_parquet(_tbl(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+    part = part.sort_values("p_partkey")
+    part_keys = part.p_partkey.to_numpy()
+    is_type = (part.p_type == "ECONOMY").to_numpy()
+    sup = pd.read_parquet(_tbl(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup = sup.sort_values("s_suppkey")
+    sup_keys = sup.s_suppkey.to_numpy()
+    sup_nat = sup.s_nationkey.to_numpy()
+
+    cust = rd.read_parquet(
+        _tbl(sf_dir, "customer"), columns=["c_custkey"],
+        filter=pc.field("c_nationkey").isin(region_nat),
+    )
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo)
+        & (pc.field("o_orderdate") < hi),
+    )
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        loc = np.minimum(np.searchsorted(part_keys, pk),
+                         len(part_keys) - 1)
+        keep = is_type[loc] & (part_keys[loc] == pk)
+        t = t.take(np.flatnonzero(keep))
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        sloc = np.minimum(np.searchsorted(sup_keys, sk), len(sup_keys) - 1)
+        s_nat = np.where(sup_keys[sloc] == sk, sup_nat[sloc], -1)
+        disc_price = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t["l_discount"], pa.float64())),
+        )
+        cents = _cents(disc_price)
+        tgt = pa.array(np.where(
+            s_nat == target_nat,
+            cents.to_numpy(zero_copy_only=False), 0), pa.int64())
+        out = pa.table({"l_orderkey": t["l_orderkey"],
+                        "rev_c": cents, "tgt_c": tgt})
+        if out.num_rows == 0:
+            # sentinel: keeps every block schema-bearing through the hash
+            # join (see q7_nation_volume); dropped by the inner join
+            out = pa.table({"l_orderkey": pa.array([-1], pa.int64()),
+                            "rev_c": pa.array([0], pa.int64()),
+                            "tgt_c": pa.array([0], pa.int64())})
+        return out
+
+    seg_orders = orders.join(cust, join_type="inner",
+                             num_partitions=_join_parts(),
+                             on=("o_custkey",), right_on=("c_custkey",))
+
+    def year_col(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "o_year", pc.cast(pc.year(t["o_orderdate"]), pa.int64()))
+
+    joined = li.map_batches(project, batch_format="pyarrow").join(
+        seg_orders.map_batches(year_col, batch_format="pyarrow")
+        .select_columns(["o_orderkey", "o_year"]),
+        join_type="inner", num_partitions=_join_parts(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (joined.groupby("o_year")
+           .aggregate(Sum("tgt_c", alias_name="tgt_c"),
+                      Sum("rev_c", alias_name="rev_c"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"o_year": pd.Series([], dtype="int64"),
+                             "mkt_share": pd.Series([], dtype="float64")})
+    out["mkt_share"] = out.tgt_c / out.rev_c
+    return out[["o_year", "mkt_share"]].sort_values(
+        "o_year").reset_index(drop=True)
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       sum(CASE WHEN n1.n_name = 'NATION_3'
+                THEN CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)
+                ELSE 0 END)
+         / sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT))
+         AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_type_profit(sf_dir: str):
+    """TPC-H Q9 (product-type profit) adapted (no partsupp: unit cost
+    is p_retailprice): profit per supplier nation per order year for
+    parts whose name contains one word. Scale shape: part collapses to
+    two broadcast arrays (name-match boolean + retail cents), supplier
+    to a broadcast nation lookup; lineitem rows prune to matching parts
+    inside the projection; the one fact-scale exchange is the join with
+    orders for the year; profit aggregates exact integer cents
+    (revenue cents minus cost cents, both floored the same way in SQL)
+    to #nations x #years rows (SURVEY §2 J1/J2)."""
+    rd = _rd()
+    from ray.data.aggregate import Sum
+
+    nation = pd.read_parquet(_tbl(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    nat_names = dict(zip(nation.n_nationkey, nation.n_name))
+    part = pd.read_parquet(
+        _tbl(sf_dir, "part"),
+        columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part.sort_values("p_partkey")
+    part_keys = part.p_partkey.to_numpy()
+    name_ok = part.p_name.str.contains("bolt").to_numpy()
+    retail_c = np.floor(part.p_retailprice.to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    sup = pd.read_parquet(_tbl(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup = sup.sort_values("s_suppkey")
+    sup_keys = sup.s_suppkey.to_numpy()
+    sup_nat = sup.s_nationkey.to_numpy()
+
+    orders = rd.read_parquet(_tbl(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        loc = np.minimum(np.searchsorted(part_keys, pk),
+                         len(part_keys) - 1)
+        keep = name_ok[loc] & (part_keys[loc] == pk)
+        idx = np.flatnonzero(keep)
+        t2 = t.take(idx)
+        loc = loc[idx]
+        sk = t2["l_suppkey"].to_numpy(zero_copy_only=False)
+        sloc = np.minimum(np.searchsorted(sup_keys, sk), len(sup_keys) - 1)
+        s_nat = np.where(sup_keys[sloc] == sk, sup_nat[sloc], -1)
+        disc_price = pc.multiply(
+            pc.cast(t2["l_extendedprice"], pa.float64()),
+            pc.subtract(1.0, pc.cast(t2["l_discount"], pa.float64())),
+        )
+        rev_c = _cents(disc_price).to_numpy(zero_copy_only=False)
+        qty = t2["l_quantity"].to_numpy(zero_copy_only=False)
+        # cost cents = floor(retailprice*qty*100 + 0.5), same in SQL
+        cost_c = np.floor(
+            part.p_retailprice.to_numpy()[loc] * qty * 100 + 0.5
+        ).astype(np.int64)
+        out = pa.table({
+            "l_orderkey": t2["l_orderkey"],
+            "s_nationkey": pa.array(s_nat, pa.int64()),
+            "profit_c": pa.array(rev_c - cost_c, pa.int64()),
+        })
+        if out.num_rows == 0:
+            # sentinel: see q7_nation_volume (dropped by the inner join)
+            out = pa.table({"l_orderkey": pa.array([-1], pa.int64()),
+                            "s_nationkey": pa.array([-1], pa.int64()),
+                            "profit_c": pa.array([0], pa.int64())})
+        return out
+
+    def year_col(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+        })
+
+    joined = li.map_batches(project, batch_format="pyarrow").join(
+        orders.map_batches(year_col, batch_format="pyarrow"),
+        join_type="inner", num_partitions=_join_parts(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    out = (joined.groupby(["s_nationkey", "o_year"])
+           .aggregate(Sum("profit_c", alias_name="profit_c"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                             "o_year": pd.Series([], dtype="int64"),
+                             "profit": pd.Series([], dtype="float64")})
+    out["n_name"] = out.s_nationkey.map(nat_names)
+    out["profit"] = out.pop("profit_c") / 100.0
+    return out[["n_name", "o_year", "profit"]].sort_values(
+        ["n_name", "o_year"], ascending=[True, False]).reset_index(drop=True)
+
+
+Q9_SQL = """
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)
+           - CAST(floor(p_retailprice*l_quantity*100 + 0.5) AS BIGINT))/100.0
+         AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+"""
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 (parts/supplier relationship) adapted (no partsupp:
+    lineitem is the part-supplier relation; no supplier-complaint
+    exclusion): distinct suppliers per (brand, type, size) for parts
+    outside one brand and within a size set. Scale shape: part
+    attributes broadcast as sorted arrays (3 small columns); the
+    distinct collapses via a two-level groupby — first on the full
+    (brand, type, size, suppkey) key (combiner dedup, the wide step),
+    then a count per (brand, type, size) — no driver-side distinct
+    (SURVEY §2 A5/D1 two-level dedup discipline)."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+    part = pd.read_parquet(
+        _tbl(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    part = part[(part.p_brand != "Brand#1")
+                & part.p_size.isin(SIZES)].sort_values("p_partkey")
+    part_keys = part.p_partkey.to_numpy()
+    brands = part.p_brand.to_numpy()
+    types = part.p_type.to_numpy()
+    sizes = part.p_size.to_numpy()
+
+    li = rd.read_parquet(
+        _tbl(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"],
+        filter=pc.field("l_partkey").isin(part_keys.tolist()),
+    )
+
+    def decorate(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        loc = np.minimum(np.searchsorted(part_keys, pk),
+                         len(part_keys) - 1)
+        keep = part_keys[loc] == pk
+        idx = np.flatnonzero(keep)
+        loc = loc[idx]
+        return pa.table({
+            "p_brand": pa.array(brands[loc]),
+            "p_type": pa.array(types[loc]),
+            "p_size": pa.array(sizes[loc], pa.int64()),
+            "l_suppkey": t.column("l_suppkey").take(idx),
+        })
+
+    pairs = (li.map_batches(decorate, batch_format="pyarrow")
+             .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+             .aggregate(Count(alias_name="_n")))
+    out = (pairs.groupby(["p_brand", "p_type", "p_size"])
+           .aggregate(Count(alias_name="supplier_cnt"))
+           .to_pandas())
+    return out[["p_brand", "p_type", "p_size",
+                "supplier_cnt"]].sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted (no
+    commit/receipt dates: "late" is shipping 60+ days after the order
+    date; no partsupp): suppliers from one nation who were the SOLE
+    late supplier on a finished multi-supplier order. Scale shape: the
+    exists/not-exists pair becomes one keyed repartition on the order
+    key (orders land whole in one block) followed by a fully vectorized
+    per-block segmented reduction (lexsort + reduceat) collapsing
+    lines -> distinct-supplier pairs -> per-order (supplier count,
+    late-supplier count, sole late suppkey) with NO per-group Python,
+    then a #suppliers-sized count; the only fact exchanges are the
+    lineitem-orders hash join and the one repartition. Cascading three
+    hash-aggregate stages here instead deadlocks small sessions (each
+    stage reserves aggregator actors concurrently), so the plan keeps
+    exactly one wide op per fact pass (SURVEY §2 J4 multi-level
+    semi-join, co-partitioning discipline like windows.sessionize)."""
+    rd = _rd()
+    from ray.data.aggregate import Count
+
+    nation = pd.read_parquet(_tbl(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    target_nat = int(nation.loc[nation.n_name == "NATION_4",
+                                "n_nationkey"].iloc[0])
+    sup = pd.read_parquet(_tbl(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat_sup = set(sup.loc[sup.s_nationkey == target_nat,
+                          "s_suppkey"].tolist())
+
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"],
+        filter=pc.field("o_orderstatus") == "F",
+    )
+    li = rd.read_parquet(_tbl(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=_join_parts(),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        late = ((ship - odate) > np.timedelta64(60, "D")).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "late": pa.array(late, pa.int64()),
+        })
+
+    flagged = (joined.map_batches(flag, batch_format="pyarrow")
+               .repartition(_join_parts(), keys=["l_orderkey"], sort=True))
+
+    def per_order(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"late_supp": pa.array([], pa.int64())})
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        lt = t["late"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((s, o))
+        o, s, lt = o[idx], s[idx], lt[idx]
+        # lines -> distinct (order, supplier) pairs with any-late flag
+        pb = np.flatnonzero(np.r_[True, (o[1:] != o[:-1])
+                                  | (s[1:] != s[:-1])])
+        pair_o, pair_s = o[pb], s[pb]
+        pair_late = np.maximum.reduceat(lt, pb)
+        # pairs -> per-order counts + the sole late supplier key
+        ob = np.flatnonzero(np.r_[True, pair_o[1:] != pair_o[:-1]])
+        n_supp = np.diff(np.r_[ob, len(pair_o)])
+        n_late = np.add.reduceat(pair_late, ob)
+        late_supp = np.maximum.reduceat(
+            np.where(pair_late == 1, pair_s, -1), ob)
+        keep = (n_supp > 1) & (n_late == 1)
+        return pa.table({"late_supp": pa.array(late_supp[keep],
+                                               pa.int64())})
+
+    counts = (flagged.map_batches(per_order, batch_format="pyarrow")
+              .groupby("late_supp")
+              .aggregate(Count(alias_name="numwait"))
+              .to_pandas())
+    counts = counts[counts.late_supp.isin(nat_sup)]
+    if counts.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "numwait": pd.Series([], dtype="int64")})
+    out = counts.rename(columns={"late_supp": "s_suppkey"})
+    out = out.sort_values(["numwait", "s_suppkey"],
+                          ascending=[False, True]).head(20)
+    return out[["s_suppkey", "numwait"]].reset_index(drop=True)
+
+
+Q21_SQL = """
+WITH pair AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey ELSE -1 END) AS late_supp
+  FROM pair GROUP BY 1)
+SELECT late_supp AS s_suppkey, count(*) AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = late_supp
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_supp > 1 AND n_late = 1 AND n_name = 'NATION_4'
+GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity) adapted (no phone column:
+    the country-code filter becomes a nation-key set): per nation, the
+    count and balance sum of above-average-balance customers dormant
+    since 2000 (no recent orders). Scale shape: the average is two exact integer
+    partials (cents sum + count) over one pruned customer scan; the
+    above-average test cross-multiplies (bal_c * n > sum_c) so both
+    engines compare integers, not a re-summed float average; the
+    no-orders test is the engine's distributed anti-join; the final
+    group-by is #nations-sized (SURVEY §2 D3/A1 anti-join + exact-avg
+    discipline)."""
+    rd = _rd()
+    from datetime import datetime
+
+    from astrologer_ray.pipelines.aggs import anti_join_keys
+    from ray.data.aggregate import Count, Sum
+
+    NATIONS = list(range(7))  # nation keys 0..6 stand in for cc prefixes
+
+    cust = rd.read_parquet(
+        _tbl(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        filter=pc.field("c_nationkey").isin(NATIONS),
+    )
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal_c = _cents(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        pos = bal_c[bal_c > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    sum_c, n_pos = int(parts.s.sum()), int(parts.n.sum())
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        bal_c = _cents(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        keep = bal_c * n_pos > sum_c  # bal_c > sum_c/n_pos, integer-exact
+        idx = np.flatnonzero(keep)
+        return pa.table({
+            "c_custkey": t.column("c_custkey").take(idx),
+            "c_nationkey": t.column("c_nationkey").take(idx),
+            "bal_c": pa.array(bal_c[idx], pa.int64()),
+        })
+
+    rich = cust.map_batches(above_avg, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _tbl(sf_dir, "orders"), columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= datetime(2000, 1, 1),
+    )
+    no_orders = anti_join_keys(rich, "c_custkey",
+                               orders.unique("o_custkey"))
+    out = (no_orders.groupby("c_nationkey")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("bal_c", alias_name="bal_c"))
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                             "numcust": pd.Series([], dtype="int64"),
+                             "totacctbal": pd.Series([], dtype="float64")})
+    out["totacctbal"] = out.pop("bal_c") / 100.0
+    return out[["c_nationkey", "numcust", "totacctbal"]].sort_values(
+        "c_nationkey").reset_index(drop=True)
+
+
+Q22_SQL = """
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN (0,1,2,3,4,5,6)),
+avg_ AS (
+  SELECT sum(bal_c) AS s, count(*) AS n FROM pool WHERE bal_c > 0)
+SELECT c_nationkey, count(*) AS numcust, sum(bal_c)/100.0 AS totacctbal
+FROM pool, avg_
+WHERE bal_c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def customers_without_orders(sf_dir: str):
     """Customers with no order above 400k — the anti-join/set-difference
     surface (reference DB-vs-ES reconciliation, SURVEY §2.7 D3)."""
@@ -6272,6 +6759,11 @@ _LAST_DRIVER_VERIFIED = {
     "q15_top_supplier": 0,  # new in r5 (argmax via block winners)
     "q17_small_quantity_revenue": 0,  # new in r5 (correlated subquery as 2-pass)
     "q19_or_predicates": 0,  # new in r5 (broadcast predicate classes)
+    "q8_market_share": 0,  # new in r5 (ratio of sums through 2 joins)
+    "q9_product_type_profit": 0,  # new in r5 (profit cents, broadcast part/supp)
+    "q16_supplier_part_counts": 0,  # new in r5 (2-level distinct groupby)
+    "q21_waiting_suppliers": 0,  # new in r5 (co-partitioned semi-join reduction)
+    "q22_global_sales_opportunity": 0,  # new in r5 (exact-avg + anti-join)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -6428,6 +6920,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_or_predicates": q19_or_predicates,
+        "q8_market_share": q8_market_share,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -6584,6 +7081,11 @@ def oracle_sql() -> dict[str, str]:
         "q15_top_supplier": Q15_SQL,
         "q17_small_quantity_revenue": Q17_SQL,
         "q19_or_predicates": Q19_SQL,
+        "q8_market_share": Q8_SQL,
+        "q9_product_type_profit": Q9_SQL,
+        "q16_supplier_part_counts": Q16_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
+        "q22_global_sales_opportunity": Q22_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,
