@@ -707,6 +707,30 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_termvectors(args) -> int:
+    """ES ``_termvectors`` analog: per-term term_freq (+ positions) for
+    one doc — an artificial doc passed as ``--doc TEXT``, or a stored
+    doc id re-analyzed from ``--corpus`` (the ``_source`` store)."""
+    from astrologer_ray.state.dsl import execute_termvectors
+    from astrologer_ray.state.searcher import Searcher
+
+    body = {"positions": not args.no_positions,
+            "term_statistics": args.term_statistics}
+    if args.doc is not None:
+        body["doc"] = {"content": args.doc}
+        s = Searcher(args.index, load_docs=False)
+        print(json.dumps(execute_termvectors(s, body)))
+        return 0
+    if args.doc_id is None or args.corpus is None:
+        print("termvectors: need --doc TEXT, or DOC_ID with --corpus",
+              file=sys.stderr)
+        return 2
+    s = Searcher(args.index, load_docs=True)
+    print(json.dumps(execute_termvectors(
+        s, body, doc_id=args.doc_id, corpus_dir=args.corpus)))
+    return 0
+
+
 def cmd_analyze(args) -> int:
     """ES ``_analyze`` analog: print the analyzer's token stream for a
     text (token/position, plus exact offsets in ``simple`` mode). Pure
@@ -1042,6 +1066,23 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("query", help='JSON body, e.g. \'{"query": '
                                   '{"match": {"content": "merge"}}}\'')
     ex.set_defaults(fn=cmd_explain)
+
+    tv = sub.add_parser(
+        "termvectors", help="ES _termvectors analog: per-term tf "
+                            "(+ positions, index term stats) for one "
+                            "doc — --doc TEXT or DOC_ID with --corpus")
+    tv.add_argument("index")
+    tv.add_argument("doc_id", type=int, nargs="?", default=None)
+    tv.add_argument("--doc", default=None,
+                    help="artificial document text (analyzed in place)")
+    tv.add_argument("--corpus", default=None,
+                    help="corpus parquet dir (the _source store) for "
+                         "stored-doc re-analysis")
+    tv.add_argument("--term-statistics", action="store_true",
+                    dest="term_statistics")
+    tv.add_argument("--no-positions", action="store_true",
+                    dest="no_positions")
+    tv.set_defaults(fn=cmd_termvectors)
 
     an = sub.add_parser(
         "analyze", help="ES _analyze analog: the token stream the "

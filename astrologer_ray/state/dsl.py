@@ -82,7 +82,10 @@ methods — this module adds translation, not retrieval):
   ``execute_terms_enum`` (``_terms_enum`` — sorted prefix listing
   with ``search_after`` paging, text or keyword fields),
   ``execute_get`` / ``execute_mget`` (``_doc`` / ``_mget`` — docs
-  sidecar attributes as ``_source``), ``execute_search_template`` /
+  sidecar attributes as ``_source``), ``execute_termvectors``
+  (``_termvectors`` — per-term tf/positions for an artificial doc or a
+  stored id re-analyzed from the corpus, with index term/field stats),
+  ``execute_search_template`` /
   ``render_search_template`` (``_search/template`` / ``_render/template``
   — mustache ``{{var}}`` + ``{{#toJson}}`` holes), and
   ``execute_rank_eval`` (``_rank_eval`` — precision / recall / MRR /
@@ -1996,6 +1999,106 @@ def execute_terms_enum(s, body: dict) -> dict:
             break
         out.append(val)
     return {"terms": out, "complete": complete}
+
+
+def _tv_field_statistics(s) -> dict:
+    """Index-wide text-field statistics for ``_termvectors`` (cached on
+    the searcher: one O(#terms) pass ever). Keyword-field dictionary
+    entries (``field\\x1evalue``) are not text terms and are excluded,
+    matching ES's per-field accounting."""
+    cached = getattr(s, "_tv_field_stats", None)
+    if cached is not None:
+        return cached
+    from astrologer_ray.stages.spimi import FIELD_SEP
+
+    sum_df = sum(v for t, v in s.df.items() if FIELD_SEP not in t)
+    sum_ttf = sum(v for t, v in s.cf.items() if FIELD_SEP not in t)
+    stats = {"sum_doc_freq": int(sum_df), "doc_count": int(s.N),
+             "sum_ttf": int(sum_ttf)}
+    s._tv_field_stats = stats
+    return stats
+
+
+def execute_termvectors(s, body: dict, doc_id: int | None = None,
+                        corpus_dir: str | None = None) -> dict:
+    """ES ``_termvectors``: per-term ``term_freq`` (+ token positions)
+    for ONE document's analyzed text, optionally decorated with
+    index-wide term statistics (``doc_freq``, ``ttf``) and the text
+    field's ``field_statistics``. Two document sources, mirroring ES:
+
+    - an artificial document in ``body["doc"]["content"]``, analyzed in
+      place with the index's tokenizer mode (ES: request-body doc);
+    - a stored ``doc_id`` whose text is re-read from ``corpus_dir``
+      pruned to the doc's (repo, path) at the parquet scan — ES
+      re-analyzes ``_source``; this index stores positions + metadata,
+      not raw text, so the corpus parquet IS the ``_source`` store.
+
+    Flags follow ES defaults: ``positions`` true, ``term_statistics``
+    false, ``field_statistics`` true. Rounds out the per-doc
+    diagnostics family (``_doc`` / ``_explain`` / ``_analyze``)."""
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    did = None
+    if body.get("doc") is not None:
+        text = str(body["doc"].get("content", ""))
+    else:
+        if doc_id is None or corpus_dir is None:
+            raise ValueError(
+                "_termvectors needs body['doc'] or (doc_id, corpus_dir)")
+        did = int(doc_id)
+        if not s.doc_attrs:
+            raise ValueError("_termvectors by id requires load_docs=True")
+        if not (s.doc_lo <= did < s.doc_lo + s.n_local):
+            return {"_id": did, "found": False}
+        if s.deleted is not None and bool(
+                (np.asarray(s.deleted) == did).any()):
+            return {"_id": did, "found": False}
+        i = did - s.doc_lo
+        repo, path = str(s.doc_repo[i]), str(s.doc_path[i])
+        key = str(s.doc_key[i])
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+
+        frag = pds.dataset(corpus_dir, format="parquet").to_table(
+            filter=(pc.field("repo") == repo) & (pc.field("path") == path),
+            columns=["commit", "content"],
+        )
+        text = None
+        for commit, content in zip(frag.column("commit").to_pylist(),
+                                   frag.column("content").to_pylist()):
+            # (repo, path) can repeat across commits; the doc_key embeds
+            # the formatted commit, disambiguating without rebuilding
+            # the exact key-codec string
+            if frag.num_rows == 1 or str(commit) in key:
+                text = content
+        if text is None:
+            return {"_id": did, "found": False}
+
+    toks = tokenize(text, s.mode)
+    want_pos = bool(body.get("positions", True))
+    want_term_stats = bool(body.get("term_statistics", False))
+    want_field_stats = bool(body.get("field_statistics", True))
+    terms: dict[str, dict] = {}
+    for pos, tok in enumerate(toks):
+        e = terms.get(tok)
+        if e is None:
+            e = terms[tok] = {"term_freq": 0}
+            if want_pos:
+                e["tokens"] = []
+        e["term_freq"] += 1
+        if want_pos:
+            e["tokens"].append({"position": pos})
+    if want_term_stats:
+        for tok, e in terms.items():
+            e["doc_freq"] = int(s.df.get(tok, 0))
+            e["ttf"] = int(s.cf.get(tok, 0))
+    field = {"terms": dict(sorted(terms.items()))}
+    if want_field_stats:
+        field["field_statistics"] = _tv_field_statistics(s)
+    out = {"found": True, "term_vectors": {"content": field}}
+    if did is not None:
+        out["_id"] = did
+    return out
 
 
 def execute_explain(s, doc_id: int, body: dict) -> dict:

@@ -2651,3 +2651,74 @@ def test_span_containing_within_bodies(dsl_index):
     with pytest.raises(NotImplementedError):
         execute_dsl(s, {"query": {"span_containing": {
             "big": little, "little": little}}})
+
+
+def test_termvectors_artificial_doc(dsl_index):
+    """_termvectors on a request-body doc: tf + positions equal the
+    reference tokenizer's stream; term_statistics equal the index's
+    df/cf entries; field_statistics sum over the text dictionary."""
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.stages.spimi import FIELD_SEP
+    from astrologer_ray.state.dsl import execute_termvectors
+
+    s = Searcher(dsl_index, load_docs=True)
+    text = "merge index merge the index merge"
+    got = execute_termvectors(
+        s, {"doc": {"content": text}, "term_statistics": True})
+    toks = tokenize(text, s.mode)
+    terms = got["term_vectors"]["content"]["terms"]
+    assert set(terms) == set(toks)
+    for t, e in terms.items():
+        assert e["term_freq"] == toks.count(t)
+        assert [p["position"] for p in e["tokens"]] == [
+            i for i, x in enumerate(toks) if x == t]
+        assert e["doc_freq"] == int(s.df.get(t, 0))
+        assert e["ttf"] == int(s.cf.get(t, 0))
+    fs = got["term_vectors"]["content"]["field_statistics"]
+    assert fs["doc_count"] == s.N
+    assert fs["sum_doc_freq"] == sum(
+        v for k, v in s.df.items() if FIELD_SEP not in k)
+    assert fs["sum_ttf"] == sum(
+        v for k, v in s.cf.items() if FIELD_SEP not in k)
+    # positions off drops the tokens list, keeps tf
+    got2 = execute_termvectors(
+        s, {"doc": {"content": text}, "positions": False})
+    for e in got2["term_vectors"]["content"]["terms"].values():
+        assert "tokens" not in e and e["term_freq"] >= 1
+
+
+def test_termvectors_stored_doc_matches_source(dsl_index,
+                                               small_corpus_dir):
+    """_termvectors by id re-analyzes the corpus row (the _source
+    store): its tf vector must equal analyzing that row's content
+    directly, and the doc's own tf must never exceed the index ttf."""
+    from astrologer_ray.functions.tokenizer import tokenize
+    from astrologer_ray.state.dsl import execute_termvectors
+
+    s = Searcher(dsl_index, load_docs=True)
+    for did in (0, 1, s.n_local - 1):
+        got = execute_termvectors(s, {}, doc_id=did,
+                                  corpus_dir=small_corpus_dir)
+        assert got["found"] and got["_id"] == did
+        terms = got["term_vectors"]["content"]["terms"]
+        # reconstruct the source row via the searcher's own attrs
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+        frag = pds.dataset(small_corpus_dir, format="parquet").to_table(
+            filter=(pc.field("repo") == str(s.doc_repo[did]))
+            & (pc.field("path") == str(s.doc_path[did])),
+            columns=["commit", "content"])
+        contents = frag.column("content").to_pylist()
+        commits = frag.column("commit").to_pylist()
+        src = contents[0] if len(contents) == 1 else next(
+            c for cm, c in zip(commits, contents)
+            if str(cm) in str(s.doc_key[did]))
+        toks = tokenize(src, s.mode)
+        assert {t: e["term_freq"] for t, e in terms.items()} == {
+            t: toks.count(t) for t in set(toks)}
+        for t, e in terms.items():
+            assert e["term_freq"] <= int(s.cf.get(t, 0))
+    # out-of-range id is found: false, like _doc
+    assert execute_termvectors(s, {}, doc_id=s.n_local + 99,
+                               corpus_dir=small_corpus_dir) == {
+        "_id": s.n_local + 99, "found": False}
