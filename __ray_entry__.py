@@ -1363,8 +1363,8 @@ def q9_product_type_profit(sf_dir: str):
     part = part.sort_values("p_partkey")
     part_keys = part.p_partkey.to_numpy()
     name_ok = part.p_name.str.contains("bolt").to_numpy()
-    retail_c = np.floor(part.p_retailprice.to_numpy() * 100 + 0.5).astype(
-        np.int64)
+    retail = part.p_retailprice.to_numpy()
+    del part  # ship only the three arrays into the projection closure
     sup = pd.read_parquet(_tbl(sf_dir, "supplier"),
                           columns=["s_suppkey", "s_nationkey"])
     sup = sup.sort_values("s_suppkey")
@@ -1397,9 +1397,7 @@ def q9_product_type_profit(sf_dir: str):
         rev_c = _cents(disc_price).to_numpy(zero_copy_only=False)
         qty = t2["l_quantity"].to_numpy(zero_copy_only=False)
         # cost cents = floor(retailprice*qty*100 + 0.5), same in SQL
-        cost_c = np.floor(
-            part.p_retailprice.to_numpy()[loc] * qty * 100 + 0.5
-        ).astype(np.int64)
+        cost_c = np.floor(retail[loc] * qty * 100 + 0.5).astype(np.int64)
         out = pa.table({
             "l_orderkey": t2["l_orderkey"],
             "s_nationkey": pa.array(s_nat, pa.int64()),
