@@ -553,3 +553,31 @@ def test_cli_field_caps_mapping_validate(ray_session, small_corpus_dir,
                  '{"query": {"match": {"content": "x"}}}',
                  "--explain"]) == 0
     assert json.loads(capsys.readouterr().out.strip())["valid"] is True
+
+
+def test_cli_termvectors(ray_session, small_corpus_dir, tmp_path, capsys):
+    import json
+
+    from astrologer_ray.cli import main
+    from astrologer_ray.functions.tokenizer import tokenize
+
+    idx = str(tmp_path / "tvidx")
+    assert main(["build", small_corpus_dir, idx, "--partition-rows",
+                 "64"]) == 0
+    capsys.readouterr()
+    # artificial doc: tf/positions are the analyzer's stream
+    assert main(["termvectors", idx, "--doc", "merge index merge"]) == 0
+    tv = json.loads(capsys.readouterr().out.strip())
+    terms = tv["term_vectors"]["content"]["terms"]
+    assert terms["merge"]["term_freq"] == 2
+    assert [p["position"] for p in terms["merge"]["tokens"]] == [0, 2]
+    assert tv["term_vectors"]["content"]["field_statistics"]["doc_count"] > 0
+    # stored doc re-analyzed from the corpus (_source store), with stats
+    assert main(["termvectors", idx, "0", "--corpus", small_corpus_dir,
+                 "--term-statistics"]) == 0
+    tv0 = json.loads(capsys.readouterr().out.strip())
+    assert tv0["found"] and tv0["_id"] == 0
+    for t, e in tv0["term_vectors"]["content"]["terms"].items():
+        assert e["doc_freq"] >= 1 and e["ttf"] >= e["term_freq"]
+    # missing both sources is a usage error
+    assert main(["termvectors", idx]) == 2
