@@ -501,6 +501,34 @@ def cmd_search(args) -> int:
     from astrologer_ray.state.searcher import Searcher
 
     _ray_session(args.num_cpus)
+    if "," in args.index:
+        # ES multi-index search: GET /idx1,idx2/_search — one Searcher
+        # actor per index, per-index statistics (query_then_fetch),
+        # hits labeled _index (state/pool.MultiIndexSearchPool)
+        from astrologer_ray.state.pool import MultiIndexSearchPool
+
+        dirs = [d for d in args.index.split(",") if d]
+        pool = MultiIndexSearchPool(dirs, load_docs=True)
+        try:
+            if getattr(args, "dsl", False):
+                print(json.dumps(pool.execute_dsl(json.loads(args.query))))
+            elif not any((args.fuzzy, args.wildcard, args.regexp,
+                          args.phrase_prefix, args.sort_by, args.mlt,
+                          args.rescore, args.suggest, args.filter,
+                          getattr(args, "template", False))):
+                from astrologer_ray.pipelines.build import load_meta
+
+                terms = tokenize(args.query,
+                                 mode=load_meta(dirs[0])["mode"])
+                for h in pool.search(terms, k=args.k):
+                    print(json.dumps(h))
+            else:
+                print("multi-index search supports plain and --dsl "
+                      "queries only", file=sys.stderr)
+                return 2
+        finally:
+            pool.shutdown()
+        return 0
     if getattr(args, "template", False):
         # ES _search/template: render mustache holes, then execute
         from astrologer_ray.state.dsl import execute_search_template

@@ -222,3 +222,97 @@ class ReplicatedSearchPool:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+class MultiIndexSearchPool:
+    """ES multi-index search (``GET /idx1,idx2/_search``): one Searcher
+    actor per INDEX; a request scatters to every index and responses
+    merge with the same contract as doc-range shards.
+
+    This is the time-partitioned-indices topology (the classic ES
+    operating pattern the reference's ingest feeds: one index per
+    period, queries span several). Semantics follow ES's default
+    ``query_then_fetch``: each index scores its hits from ITS OWN
+    statistics (df/N/avgdl), merged by score as-is — identical text can
+    rank differently across indexes, exactly as in ES. Every hit
+    carries ``_index`` (the index directory's basename). Doc ids are
+    per-index; (score desc, doc_id asc) ordering is made deterministic
+    across indexes by the stable merge (ties keep request index order).
+
+    Each actor re-analyzes the request body with its own index's
+    tokenizer mode (translation happens inside ``run_dsl``), so mixed
+    ``simple``/``code`` indexes compose correctly on the DSL path.
+    """
+
+    def __init__(self, index_dirs: list[str], *, load_docs: bool = False,
+                 num_cpus: float = 1.0):
+        import os
+
+        import ray
+
+        from astrologer_ray.state.searcher import Searcher
+
+        if not index_dirs:
+            raise ValueError("MultiIndexSearchPool needs >= 1 index dir")
+        actor_cls = ray.remote(num_cpus=num_cpus)(Searcher)
+        self.actors = [actor_cls.remote(d, load_docs=load_docs)
+                       for d in index_dirs]
+        self.names = [os.path.basename(os.path.normpath(d))
+                      for d in index_dirs]
+
+    def _label(self, resps: list[dict]) -> list[dict]:
+        for name, r in zip(self.names, resps):
+            for h in r["hits"]["hits"]:
+                h["_index"] = name
+        return resps
+
+    def search(self, terms: list[str], k: int = 10, **kw) -> list[dict]:
+        """Plain BM25 top-k across all indexes (pre-tokenized terms —
+        indexes must share an analyzer mode on this path; use
+        :meth:`execute_dsl` for mixed modes)."""
+        import ray
+
+        futs = [a.search.remote(terms, k=k, **kw) for a in self.actors]
+        hit_lists = ray.get(futs)
+        for name, hits in zip(self.names, hit_lists):
+            for h in hits:
+                h["_index"] = name
+        return _merge_topk(hit_lists, k)
+
+    def execute_dsl(self, body: dict, shard_size: int | None = None
+                    ) -> dict:
+        """Scatter one ES ``_search`` body to every index and merge:
+        hits by (score desc, doc_id asc; ties keep index order), totals
+        sum, aggregations by the :func:`~astrologer_ray.state.dsl.
+        shard_plan` per-kind merge ops (bucket counts by key sum across
+        indexes — exact)."""
+        import ray
+
+        from astrologer_ray.state.dsl import merge_sharded, shard_plan
+
+        sbody, plan = shard_plan(body, shard_size)
+        resps = self._label(ray.get([a.run_dsl.remote(sbody)
+                                     for a in self.actors]))
+        return merge_sharded(resps, plan)
+
+    def msearch(self, bodies: list[dict],
+                shard_size: int | None = None) -> list[dict]:
+        """ES ``_msearch`` across indexes: every body scatters to ALL
+        indexes (all scatters before any gather), merged per body in
+        request order."""
+        import ray
+
+        from astrologer_ray.state.dsl import merge_sharded, shard_plan
+
+        plans = [shard_plan(b, shard_size) for b in bodies]
+        futs = [[a.run_dsl.remote(sb) for a in self.actors]
+                for sb, _ in plans]
+        return [merge_sharded(self._label(ray.get(fs)), plan)
+                for fs, (_sb, plan) in zip(futs, plans)]
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
