@@ -501,17 +501,35 @@ def cmd_search(args) -> int:
     from astrologer_ray.state.searcher import Searcher
 
     _ray_session(args.num_cpus)
-    if "," in args.index:
+    alias_filt = None
+    if getattr(args, "aliases", None):
+        # resolve through the alias registry (ES: an alias in the URL);
+        # an alias filter composes into every query below
+        from astrologer_ray.state.aliases import resolve
+
+        dirs, alias_filt = resolve(args.aliases, args.index)
+        if not dirs:
+            print(f"alias {args.index!r} resolves to no indexes",
+                  file=sys.stderr)
+            return 2
+    else:
+        dirs = [d for d in args.index.split(",") if d]
+    if len(dirs) > 1:
         # ES multi-index search: GET /idx1,idx2/_search — one Searcher
         # actor per index, per-index statistics (query_then_fetch),
         # hits labeled _index (state/pool.MultiIndexSearchPool)
         from astrologer_ray.state.pool import MultiIndexSearchPool
 
-        dirs = [d for d in args.index.split(",") if d]
         pool = MultiIndexSearchPool(dirs, load_docs=True)
         try:
             if getattr(args, "dsl", False):
-                print(json.dumps(pool.execute_dsl(json.loads(args.query))))
+                body = json.loads(args.query)
+                if alias_filt is not None:
+                    q = body.get("query")
+                    body["query"] = {"bool": {
+                        "must": [q] if q else [],
+                        "filter": [alias_filt]}}
+                print(json.dumps(pool.execute_dsl(body)))
             elif not any((args.fuzzy, args.wildcard, args.regexp,
                           args.phrase_prefix, args.sort_by, args.mlt,
                           args.rescore, args.suggest, args.filter,
@@ -520,7 +538,8 @@ def cmd_search(args) -> int:
 
                 terms = tokenize(args.query,
                                  mode=load_meta(dirs[0])["mode"])
-                for h in pool.search(terms, k=args.k):
+                for h in pool.search(terms, k=args.k,
+                                     filter=alias_filt):
                     print(json.dumps(h))
             else:
                 print("multi-index search supports plain and --dsl "
@@ -529,6 +548,12 @@ def cmd_search(args) -> int:
         finally:
             pool.shutdown()
         return 0
+    args.index = dirs[0]
+    if alias_filt is not None and not getattr(args, "dsl", False):
+        # fold the alias filter into the single-index paths' --filter
+        own = json.loads(args.filter) if args.filter else None
+        args.filter = json.dumps(
+            {"bool": {"must": [own, alias_filt]}} if own else alias_filt)
     if getattr(args, "template", False):
         # ES _search/template: render mustache holes, then execute
         from astrologer_ray.state.dsl import execute_search_template
@@ -543,7 +568,12 @@ def cmd_search(args) -> int:
         from astrologer_ray.state.dsl import execute_dsl
 
         s = Searcher(args.index, load_docs=True)
-        print(json.dumps(execute_dsl(s, json.loads(args.query))))
+        body = json.loads(args.query)
+        if alias_filt is not None:
+            q = body.get("query")
+            body["query"] = {"bool": {"must": [q] if q else [],
+                                      "filter": [alias_filt]}}
+        print(json.dumps(execute_dsl(s, body)))
         return 0
     s = Searcher(args.index)
     filt = json.loads(args.filter) if args.filter else None
@@ -732,6 +762,22 @@ def cmd_explain(args) -> int:
     s = Searcher(args.index, load_docs=True)
     print(json.dumps(execute_explain(s, args.doc_id,
                                      json.loads(args.query))))
+    return 0
+
+
+def cmd_aliases(args) -> int:
+    """ES ``_aliases`` analog: list the registry, or apply an actions
+    body atomically (all add/remove actions publish together — the
+    zero-downtime swap primitive that pairs with ``cli reindex``)."""
+    from astrologer_ray.state.aliases import apply_actions, load_aliases
+
+    if args.actions is None:
+        print(json.dumps(load_aliases(args.file)))
+        return 0
+    body = json.loads(args.actions)
+    reg = apply_actions(args.file, body["actions"])
+    print(json.dumps({"acknowledged": True,
+                      "aliases": sorted(reg["aliases"])}))
     return 0
 
 
@@ -955,9 +1001,14 @@ def main(argv: list[str] | None = None) -> int:
     rs.set_defaults(fn=cmd_restore)
 
     se = sub.add_parser("search")
-    se.add_argument("index")
+    se.add_argument("index",
+                    help="index dir, comma-separated dirs (multi-index), "
+                         "or an alias name with --aliases")
     se.add_argument("query")
     se.add_argument("-k", type=int, default=10)
+    se.add_argument("--aliases", default=None, metavar="FILE",
+                    help="alias registry; INDEX resolves through it "
+                         "(alias filters compose into the query)")
     se.add_argument("--lang", default=None)
     se.add_argument("--filter", default=None, metavar="JSON",
                     help='filter DSL, e.g. \'{"bool": {"must": '
@@ -1094,6 +1145,17 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("query", help='JSON body, e.g. \'{"query": '
                                   '{"match": {"content": "merge"}}}\'')
     ex.set_defaults(fn=cmd_explain)
+
+    al = sub.add_parser(
+        "aliases", help="ES _aliases analog: list the registry FILE, or "
+                        "apply an actions body atomically (swap = "
+                        "remove old + add new in ONE call)")
+    al.add_argument("file")
+    al.add_argument("actions", nargs="?", default=None,
+                    help='e.g. \'{"actions": [{"remove": {"index": '
+                         '"/old", "alias": "live"}}, {"add": {"index": '
+                         '"/new", "alias": "live"}}]}\'')
+    al.set_defaults(fn=cmd_aliases)
 
     tv = sub.add_parser(
         "termvectors", help="ES _termvectors analog: per-term tf "

@@ -100,3 +100,64 @@ def test_multi_index_plain_search_and_msearch(two_indexes):
                    for h in r["hits"]["hits"])
     finally:
         pool.shutdown()
+
+
+def test_aliases_atomic_actions(tmp_path, two_indexes):
+    """_aliases actions validate fully before the atomic publish: a body
+    with one bad action changes nothing; a swap (remove+add) lands as
+    one update."""
+    from astrologer_ray.state.aliases import (apply_actions, load_aliases,
+                                              resolve)
+
+    da, db = two_indexes
+    reg_path = str(tmp_path / "aliases.json")
+    apply_actions(reg_path, [{"add": {"index": da, "alias": "live"}}])
+    assert resolve(reg_path, "live") == ([da], None)
+    # invalid second action -> NOTHING applies (validate-then-publish)
+    with pytest.raises(ValueError):
+        apply_actions(reg_path, [
+            {"add": {"index": db, "alias": "live"}},
+            {"add": {"index": str(tmp_path / "missing"), "alias": "x"}}])
+    assert resolve(reg_path, "live") == ([da], None)
+    # the swap primitive: remove old + add new in ONE call
+    apply_actions(reg_path, [
+        {"remove": {"index": da, "alias": "live"}},
+        {"add": {"index": db, "alias": "live",
+                 "filter": {"term": {"lang": "py"}}}}])
+    dirs, filt = resolve(reg_path, "live")
+    assert dirs == [db] and filt == {"term": {"lang": "py"}}
+    # removing the last index drops the alias; unknown names resolve
+    # to themselves (literal dirs)
+    apply_actions(reg_path, [{"remove": {"alias": "live"}}])
+    assert "live" not in load_aliases(reg_path)["aliases"]
+    assert resolve(reg_path, da) == ([da], None)
+
+
+def test_cli_search_through_alias(tmp_path, two_indexes, capsys):
+    """`cli search ALIAS --aliases FILE` equals the direct multi-index
+    search; an alias filter narrows every hit to matching docs."""
+    import json
+
+    from astrologer_ray.cli import main
+    from astrologer_ray.state.aliases import apply_actions
+
+    da, db = two_indexes
+    reg = str(tmp_path / "reg.json")
+    apply_actions(reg, [{"add": {"index": da, "alias": "all"}},
+                        {"add": {"index": db, "alias": "all"}}])
+    body = '{"query": {"match": {"content": "merge index"}}, "size": 5}'
+    assert main(["search", "all", body, "--dsl", "--aliases", reg]) == 0
+    via_alias = json.loads(capsys.readouterr().out.strip())
+    assert main(["search", f"{da},{db}", body, "--dsl"]) == 0
+    direct = json.loads(capsys.readouterr().out.strip())
+    assert via_alias == direct
+    # filtered alias: every surviving hit satisfies the filter
+    s = Searcher(da, load_docs=True)
+    lang = str(s.doc_lang[0])
+    apply_actions(reg, [{"add": {"index": da, "alias": "one",
+                                 "filter": {"term": {"lang": lang}}}}])
+    assert main(["search", "one", body, "--dsl", "--aliases", reg]) == 0
+    filtered = json.loads(capsys.readouterr().out.strip())
+    hits = filtered["hits"]["hits"]
+    assert hits and all(
+        str(s.doc_lang[h["_id"]]) == lang for h in hits)
