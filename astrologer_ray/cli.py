@@ -781,6 +781,57 @@ def cmd_aliases(args) -> int:
     return 0
 
 
+def cmd_rollover(args) -> int:
+    """ES ``_rollover`` analog: when the alias's write index (its LAST
+    entry) meets a condition, create the next generation dir and
+    atomically repoint the alias — old generations stay in the alias
+    for reads, new writes go to the fresh index (ES rollover keeps the
+    rolled-over index searchable behind the alias). Conditions are
+    checked against the engine's combined base+segment stats, so docs
+    appended via ``cli ingest`` count."""
+    import os
+    import re as _re
+
+    from astrologer_ray.pipelines.segments import combined_stats
+    from astrologer_ray.state.aliases import apply_actions, resolve
+
+    dirs, _filt = resolve(args.aliases, args.alias)
+    if not dirs:
+        print(f"rollover: alias {args.alias!r} resolves to no indexes",
+              file=sys.stderr)
+        return 2
+    write_idx = dirs[-1]
+    try:
+        n_docs = combined_stats(write_idx)["n_docs"]
+    except FileNotFoundError:
+        n_docs = 0  # freshly rolled generation: created, not yet built
+    met = {}
+    if args.max_docs is not None:
+        met["max_docs"] = n_docs >= args.max_docs
+    if not met:
+        print("rollover: no conditions given (--max-docs)",
+              file=sys.stderr)
+        return 2
+    rolled = all(met.values())
+    out = {"rolled_over": rolled, "old_index": write_idx,
+           "conditions": met, "docs": n_docs}
+    if rolled and not args.dry_run:
+        if args.new_index:
+            new_idx = args.new_index
+        else:
+            # ES naming: trailing -NNNNNN increments, else append -000002
+            m = _re.search(r"-(\d+)$", write_idx)
+            new_idx = (f"{write_idx[: m.start()]}-{int(m.group(1)) + 1:06d}"
+                       if m else f"{write_idx}-000002")
+        for sub in ("partials", "docs", "postings", "dict", "stats"):
+            os.makedirs(os.path.join(new_idx, sub), exist_ok=True)
+        apply_actions(args.aliases, [
+            {"add": {"index": new_idx, "alias": args.alias}}])
+        out["new_index"] = new_idx
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_termvectors(args) -> int:
     """ES ``_termvectors`` analog: per-term term_freq (+ positions) for
     one doc — an artificial doc passed as ``--doc TEXT``, or a stored
@@ -1156,6 +1207,18 @@ def main(argv: list[str] | None = None) -> int:
                          '"/old", "alias": "live"}}, {"add": {"index": '
                          '"/new", "alias": "live"}}]}\'')
     al.set_defaults(fn=cmd_aliases)
+
+    rv = sub.add_parser(
+        "rollover", help="ES _rollover analog: create the next index "
+                         "generation and repoint ALIAS atomically when "
+                         "the write index meets a condition")
+    rv.add_argument("alias")
+    rv.add_argument("--aliases", required=True, metavar="FILE")
+    rv.add_argument("--max-docs", type=int, default=None,
+                    dest="max_docs")
+    rv.add_argument("--new-index", default=None, dest="new_index")
+    rv.add_argument("--dry-run", action="store_true", dest="dry_run")
+    rv.set_defaults(fn=cmd_rollover)
 
     tv = sub.add_parser(
         "termvectors", help="ES _termvectors analog: per-term tf "

@@ -161,3 +161,41 @@ def test_cli_search_through_alias(tmp_path, two_indexes, capsys):
     hits = filtered["hits"]["hits"]
     assert hits and all(
         str(s.doc_lang[h["_id"]]) == lang for h in hits)
+
+
+def test_cli_rollover(tmp_path, two_indexes, capsys):
+    """_rollover: condition check against combined stats, ES-style
+    generation naming, atomic alias repoint; dry-run mutates nothing."""
+    import json
+    import os
+
+    from astrologer_ray.cli import main
+    from astrologer_ray.state.aliases import apply_actions, resolve
+
+    da, _db = two_indexes
+    reg = str(tmp_path / "roll.json")
+    apply_actions(reg, [{"add": {"index": da, "alias": "logs"}}])
+    # condition not met
+    assert main(["rollover", "logs", "--aliases", reg,
+                 "--max-docs", "999999999"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rolled_over"] is False and resolve(reg, "logs")[0] == [da]
+    # dry run: condition met, nothing mutates
+    assert main(["rollover", "logs", "--aliases", reg,
+                 "--max-docs", "1", "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rolled_over"] is True and resolve(reg, "logs")[0] == [da]
+    # real rollover: new generation dir, alias gains the write index
+    assert main(["rollover", "logs", "--aliases", reg,
+                 "--max-docs", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rolled_over"] is True
+    new = out["new_index"]
+    assert new == da + "-000002" and os.path.isdir(new)
+    assert resolve(reg, "logs")[0] == [da, new]
+    # next rollover increments the ES-style suffix; the new write index
+    # is empty, so the doc condition is checked against IT (0 docs)
+    assert main(["rollover", "logs", "--aliases", reg,
+                 "--max-docs", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rolled_over"] is False and out["docs"] == 0
