@@ -2510,6 +2510,39 @@ ORDER BY doc_id
 """
 
 
+def docs_upsample_mixture(sf_dir: str):
+    """Training-data mixing, up-weighting half: repeat src0 rows 2.5x
+    (2 copies + deterministic extra half), keep src1 at 1x and the rest
+    at 0.25x, each copy tagged with its epoch index — the LLM
+    data-recipe weighting knob (aggs.upsample_hash; same Knuth hash as
+    sample_hash, so the copy set is engine-independent)."""
+    rd = _rd()
+
+    from astrologer_ray.pipelines.aggs import upsample_hash
+
+    ds = rd.read_parquet(_tbl(sf_dir, "documents"),
+                         columns=["doc_id", "source"])
+    out = upsample_hash(ds, "doc_id", "source",
+                        {"src0": 2.5, "src1": 1.0}, default_rate=0.25)
+    return out.sort(["doc_id", "epoch"])
+
+
+DOCS_UPSAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+              ELSE 0.25 END AS rate,
+         (CAST(doc_id & 4294967295 AS HUGEINT) * 2654435761)
+           % 4294967296 AS h
+  FROM documents)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM r, range(0, 4) t(e)
+WHERE e < floor(rate)
+   OR (e = floor(rate) AND h < (rate - floor(rate)) * 4294967296)
+ORDER BY doc_id, epoch
+"""
+
+
 def docs_redact_pii(sf_dir: str):
     """Training-data PII scrub over documents: emails / IPv4s / phone-like
     digit runs become typed placeholders (textstats.redact_pii). Both
@@ -6762,6 +6795,7 @@ _LAST_DRIVER_VERIFIED = {
     "q16_supplier_part_counts": 0,  # new in r5 (2-level distinct groupby)
     "q21_waiting_suppliers": 0,  # new in r5 (co-partitioned semi-join reduction)
     "q22_global_sales_opportunity": 0,  # new in r5 (exact-avg + anti-join)
+    "docs_upsample_mixture": 0,  # new in r5 (epoch-tagged upsampling)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -6923,6 +6957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "docs_upsample_mixture": docs_upsample_mixture,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -7084,6 +7119,7 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_part_counts": Q16_SQL,
         "q21_waiting_suppliers": Q21_SQL,
         "q22_global_sales_opportunity": Q22_SQL,
+        "docs_upsample_mixture": DOCS_UPSAMPLE_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,

@@ -528,6 +528,52 @@ def stratified_sample(
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def upsample_hash(
+    ds: Dataset, id_col: str, group_col: str, rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> Dataset:
+    """Per-group deterministic UP-sampling with epoch indices — the
+    other half of the data-mixing op (:func:`stratified_sample` handles
+    rates <= 1): a rate of 2.5 repeats every row twice and keeps a
+    deterministic extra half, so high-quality sources can be weighted
+    above 1.0 in the training mixture (the standard LLM data-recipe
+    knob). Each emitted copy carries an ``epoch`` column (0..k-1) so
+    downstream exact-dedup stays copy-aware.
+
+    Copy count per row: ``floor(rate)`` always, plus one more iff the
+    row's Knuth hash (same as :func:`sample_hash`) falls under the
+    fractional part — engine- and parallelism-independent and exactly
+    SQL-expressible::
+
+        FROM r, range(0, CEIL_MAX_RATE) t(e)
+        WHERE e < floor(rate)
+           OR (e = floor(rate) AND h < (rate - floor(rate)) * 4294967296)
+
+    The 1->N explosion is a vectorized ``np.repeat`` + CSR offset trick
+    per batch (no Python loop); blocks grow by at most ``max(rate)``x,
+    so batch sizing bounds memory the same way chunking does."""
+    groups = list(rates)
+    all_rates = np.array([float(rates[g]) for g in groups]
+                         + [float(default_rate)])
+    base = np.floor(all_rates).astype(np.int64)
+    frac_thresh = (all_rates - base) * 4294967296.0
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col]).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        gi = pc.index_in(t[group_col], value_set=pa.array(groups))
+        gi = np.asarray(pc.fill_null(gi, len(groups)), dtype=np.int64)
+        k = base[gi] + (h.astype(np.float64) < frac_thresh[gi])
+        idx = np.repeat(np.arange(len(k)), k)
+        # epoch = position within each row's run of copies (CSR offsets)
+        starts = np.r_[0, np.cumsum(k)[:-1]]
+        epoch = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, k)
+        out = t.take(pa.array(idx))
+        return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def top_n_per_group(
     ds: Dataset, group_col: str, order_col: str, n: int,
     descending: bool = True,

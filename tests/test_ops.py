@@ -1368,3 +1368,38 @@ def test_fuzzy_decontaminate_lsh_matches_brute(ray_session):
     for _, r in out[out.bench_id < 0].iterrows():
         for b in bench:
             assert jaccard(docs[int(r.doc_id)]["text"], b) < 0.9
+
+
+def test_upsample_hash_epochs_and_invariance(ray_session):
+    """Upsampling: floor(rate) copies always + deterministic fractional
+    extra, epoch = 0..k-1 per row, parallelism-invariant, and the rate-1
+    group passes through exactly once."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import upsample_hash
+
+    rows = [{"id": i, "src": f"s{i % 3}"} for i in range(6000)]
+    rates = {"s0": 2.5, "s1": 1.0}
+
+    def run(parts):
+        return (upsample_hash(rd.from_items(rows).repartition(parts),
+                              "id", "src", rates, default_rate=0.25)
+                .to_pandas().sort_values(["id", "epoch"])
+                .reset_index(drop=True))
+
+    a, b = run(5), run(2)
+    assert a.equals(b)                    # parallelism-invariant
+    per = a.groupby("id").size()
+    s0 = per[per.index % 3 == 0]
+    assert set(s0.unique()) == {2, 3}     # 2 always, 3 for the lucky half
+    assert 2.4 < s0.mean() < 2.6          # ~rate on average
+    assert (per[per.index % 3 == 1] == 1).all()   # rate-1 passthrough
+    # epochs are exactly 0..k-1 within each row
+    g = a.groupby("id")["epoch"]
+    assert (g.min() == 0).all()
+    assert (g.max() == per - 1).all()
+    # fractional keep nests inside a larger rate (same hash)
+    bigger = (upsample_hash(rd.from_items(rows), "id", "src",
+                            {"s0": 2.9, "s1": 1.0}, 0.25)
+              .to_pandas().groupby("id").size())
+    assert ((bigger[per.index % 3 == 0] >= s0)).all()
