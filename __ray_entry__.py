@@ -2061,6 +2061,33 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_hopping_window(sf_dir: str):
+    """Hopping (sliding) 30-min windows advancing by 10 min: per-window
+    event count + exact-cents value sum — each event lands in exactly 3
+    windows; the 1->3 explosion combiner-reduces inside the batch so
+    only (window, partial) rows exchange (windows.hopping_window)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.windows import hopping_window
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["ts", "value"])
+    out = hopping_window(ds, "ts", size_s=1800, step_s=600,
+                         value_col="value").to_pandas()
+    out["sum_value"] = out.pop("sum_c") / 100.0
+    return out[["wstart", "n_events", "sum_value"]].sort_values(
+        "wstart").reset_index(drop=True)
+
+
+EVENTS_HOPPING_SQL = """
+WITH w AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 - e * 600
+           AS wstart,
+         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+  FROM events, range(0, 3) t(e))
+SELECT wstart, count(*) AS n_events, sum(cents)/100.0 AS sum_value
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (gap > 30 min) per user — skew-safe layout: groups
     are (user, day), sessions chain across day edges via the session-row
@@ -6796,6 +6823,7 @@ _LAST_DRIVER_VERIFIED = {
     "q21_waiting_suppliers": 0,  # new in r5 (co-partitioned semi-join reduction)
     "q22_global_sales_opportunity": 0,  # new in r5 (exact-avg + anti-join)
     "docs_upsample_mixture": 0,  # new in r5 (epoch-tagged upsampling)
+    "events_hopping_window": 0,  # new in r5 (sliding windows, in-batch combine)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -6958,6 +6986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "docs_upsample_mixture": docs_upsample_mixture,
+        "events_hopping_window": events_hopping_window,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -7120,6 +7149,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": Q21_SQL,
         "q22_global_sales_opportunity": Q22_SQL,
         "docs_upsample_mixture": DOCS_UPSAMPLE_SQL,
+        "events_hopping_window": EVENTS_HOPPING_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,

@@ -47,6 +47,64 @@ def tumbling_window(
     )
 
 
+def hopping_window(
+    ds: Dataset,
+    ts_col: str,
+    size_s: int,
+    step_s: int,
+    value_col: str | None = None,
+) -> Dataset:
+    """Hopping (sliding) event-time windows: size ``size_s`` seconds
+    advancing by ``step_s`` (``size_s`` must be a multiple — each event
+    lands in exactly ``size_s/step_s`` windows). Emits per-window
+    ``n_events`` (+ ``sum_value`` cents-exact when ``value_col`` given).
+
+    Scale shape: the 1->k explosion happens INSIDE the batch (vectorized
+    repeat on integer epoch-seconds) and immediately combiner-reduces to
+    per-batch (window, count, sum) partials, so the exchange carries
+    window partials — bounded by #windows x #blocks — never k copies of
+    the event stream; the global groupby then folds partials per window
+    (SURVEY §2.10 streaming-shaped surface, same discipline as the
+    tumbling window but with overlap)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    if size_s % step_s:
+        raise ValueError("size_s must be a multiple of step_s")
+    k = size_s // step_s
+
+    def partials(t: pa.Table) -> pa.Table:
+        # integer epoch seconds: exact window arithmetic in int64
+        sec = np.asarray(
+            pc.cast(t[ts_col], pa.int64())) // 1_000_000
+        last = (sec // step_s) * step_s  # newest window containing t
+        starts = np.repeat(last, k) - np.tile(
+            np.arange(k, dtype=np.int64) * step_s, len(sec))
+        cols = {"wstart": starts}
+        if value_col is not None:
+            v = np.asarray(pc.cast(t[value_col], pa.float64()))
+            cents = np.floor(v * 100 + 0.5).astype(np.int64)
+            cols["cents"] = np.repeat(cents, k)
+        # in-batch combine: one partial row per distinct window
+        uniq, inv = np.unique(starts, return_inverse=True)
+        out = {"wstart": pa.array(uniq, pa.int64()),
+               "n": pa.array(np.bincount(inv, minlength=len(uniq))
+                             .astype(np.int64), pa.int64())}
+        if value_col is not None:
+            out["c"] = pa.array(
+                np.bincount(inv, weights=cols["cents"],
+                            minlength=len(uniq)).astype(np.int64),
+                pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n_events")]
+    if value_col is not None:
+        aggs.append(Sum("c", alias_name="sum_c"))
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("wstart").aggregate(*aggs))
+
+
 def sessionize(
     ds: Dataset,
     key: str,

@@ -1403,3 +1403,31 @@ def test_upsample_hash_epochs_and_invariance(ray_session):
                             {"s0": 2.9, "s1": 1.0}, 0.25)
               .to_pandas().groupby("id").size())
     assert ((bigger[per.index % 3 == 0] >= s0)).all()
+
+
+def test_hopping_window_overlap_and_invariance(ray_session):
+    """Each event contributes to exactly size/step windows; totals are
+    k x the event count; parallelism-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.windows import hopping_window
+
+    base = 1_700_000_000
+    rows = [{"ts": pd.Timestamp(base + i * 37, unit="s"),
+             "value": float(i % 10)} for i in range(4000)]
+
+    def run(parts):
+        return (hopping_window(rd.from_items(rows).repartition(parts),
+                               "ts", size_s=1800, step_s=600,
+                               value_col="value")
+                .to_pandas().sort_values("wstart").reset_index(drop=True))
+
+    a, b = run(4), run(2)
+    assert a.equals(b)
+    assert a.n_events.sum() == 3 * len(rows)       # k = 3 windows/event
+    assert a.sum_c.sum() == 3 * sum(
+        int(np.floor(r["value"] * 100 + 0.5)) for r in rows)
+    assert ((a.wstart % 600) == 0).all()           # aligned starts
+    with pytest.raises(ValueError):
+        hopping_window(rd.from_items(rows[:4]), "ts", 1800, 700)
