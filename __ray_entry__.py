@@ -2088,6 +2088,28 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def events_type_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over event types (aggs.heavy_hitters_mg)
+    — the bounded-memory frequent-items sketch whose exchange is <= k
+    rows per block at ANY cardinality. k=64 exceeds the type cardinality
+    here, so no block ever truncates and the sketch degenerates to exact
+    counts with err=0 — which is exactly what makes it SQL-hash-checkable
+    (the approximate regime's guarantees are property-tested in
+    tests/test_ops.py::test_heavy_hitters_mg_guarantees)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.aggs import heavy_hitters_mg
+
+    ds = rd.read_parquet(_tbl(sf_dir, "events"), columns=["event_type"])
+    out = heavy_hitters_mg(ds, "event_type", k=64)
+    return out[["item", "lower", "upper"]]
+
+
+EVENTS_HH_SQL = """
+SELECT event_type AS item, count(*) AS lower, count(*) AS upper
+FROM events GROUP BY 1 ORDER BY lower DESC, item
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (gap > 30 min) per user — skew-safe layout: groups
     are (user, day), sessions chain across day edges via the session-row
@@ -6824,6 +6846,7 @@ _LAST_DRIVER_VERIFIED = {
     "q22_global_sales_opportunity": 0,  # new in r5 (exact-avg + anti-join)
     "docs_upsample_mixture": 0,  # new in r5 (epoch-tagged upsampling)
     "events_hopping_window": 0,  # new in r5 (sliding windows, in-batch combine)
+    "events_type_heavy_hitters": 0,  # new in r5 (MG sketch, exact regime)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -6987,6 +7010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "docs_upsample_mixture": docs_upsample_mixture,
         "events_hopping_window": events_hopping_window,
+        "events_type_heavy_hitters": events_type_heavy_hitters,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -7150,6 +7174,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_global_sales_opportunity": Q22_SQL,
         "docs_upsample_mixture": DOCS_UPSAMPLE_SQL,
         "events_hopping_window": EVENTS_HOPPING_SQL,
+        "events_type_heavy_hitters": EVENTS_HH_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,

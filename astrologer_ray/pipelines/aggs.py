@@ -352,6 +352,68 @@ def hll_distinct(ds: Dataset, group_col: str, val_col: str, p: int = 12) -> Data
     )
 
 
+def heavy_hitters_mg(ds: Dataset, col: str, k: int = 64) -> pd.DataFrame:
+    """Misra-Gries / SpaceSaving heavy hitters: the bounded-memory
+    frequent-items sketch — at 10^9 distinct keys an exact terms top-k
+    is a full-cardinality exchange, while MG ships <= k (item, count)
+    pairs per block regardless of cardinality.
+
+    Per block, exact in-block counts (``np.unique``) compress to an
+    MG(k) summary: subtract the (k+1)-th largest count from every item
+    and keep the positive remainder (the classic decrement, batched);
+    the subtracted amount is the block's error term. Summaries merge by
+    summing per item; the merged error is the sum of block errors.
+
+    Guarantees (asserted in tests, standard MG analysis):
+    - ``lower <= true_count <= lower + err`` for every returned item
+      (``err`` = total subtracted mass <= n/(k+1));
+    - every item with ``true_count > n/(k+1)`` is present — choose
+      ``k >= 1/phi`` to catch all phi-frequent items.
+
+    The driver merge handles <= k x #blocks partial rows (bounded by
+    the sketch, not the data); returns items sorted by lower bound with
+    per-item (lower, upper) and the global error bound."""
+    def block_summary(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[col], dtype=object)
+        u, c = np.unique(vals, return_counts=True)
+        if len(u) == 0:
+            return pa.table({
+                "item": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "err": pa.array([], pa.int64()),
+                "blk": pa.array([], pa.int64()),
+            })
+        if len(u) > k:
+            order = np.argsort(-c, kind="stable")
+            thresh = int(c[order[k]])  # the (k+1)-th largest count
+            keep = c > thresh
+            u, c = u[keep], c[keep] - thresh
+            err = thresh  # per-item decrement this block contributed
+        else:
+            err = 0
+        return pa.table({
+            "item": pa.array(u.astype(str)),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            "err": pa.array(np.full(len(u), err, np.int64), pa.int64()),
+            "blk": pa.array(np.r_[err, np.zeros(max(0, len(u) - 1),
+                                                np.int64)], pa.int64()),
+        })
+
+    parts = ds.map_batches(
+        block_summary, batch_format="pyarrow").to_pandas()
+    # bounded: <= k items (+1 err row) per block
+    if parts.empty:
+        return pd.DataFrame({"item": pd.Series([], dtype="object"),
+                             "lower": pd.Series([], dtype="int64"),
+                             "upper": pd.Series([], dtype="int64")})
+    total_err = int(parts.blk.sum())
+    agg = parts.groupby("item", as_index=False).cnt.sum()
+    agg = agg.rename(columns={"cnt": "lower"})
+    agg["upper"] = agg.lower + total_err
+    return agg.sort_values(["lower", "item"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
 def extended_stats(
     ds: Dataset, group_col: str, val_col: str, round_to: int = 6,
 ) -> pa.Table:

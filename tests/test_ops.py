@@ -1431,3 +1431,39 @@ def test_hopping_window_overlap_and_invariance(ray_session):
     assert ((a.wstart % 600) == 0).all()           # aligned starts
     with pytest.raises(ValueError):
         hopping_window(rd.from_items(rows[:4]), "ts", 1800, 700)
+
+
+def test_heavy_hitters_mg_guarantees(ray_session):
+    """Misra-Gries guarantees on a skewed stream: every phi-frequent
+    item surfaces, bounds bracket exact counts, and the summary size
+    stays sketch-bounded across partitionings."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import heavy_hitters_mg
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: a few heavy items over a long tail of singletons
+    heavy = [f"h{i}" for i in range(8)]
+    vals = []
+    for i, h in enumerate(heavy):
+        vals += [h] * (4000 >> i)
+    vals += [f"t{i}" for i in range(5000)]
+    rng.shuffle(vals)
+    rows = [{"v": v} for v in vals]
+    n = len(vals)
+    exact = {h: vals.count(h) for h in set(vals)}
+
+    for parts in (3, 7):
+        k = 32
+        out = heavy_hitters_mg(rd.from_items(rows).repartition(parts),
+                               "v", k=k)
+        got = dict(zip(out["item"], out["lower"]))
+        upper = dict(zip(out["item"], out["upper"]))
+        # (1) bounds bracket the truth for every returned item
+        for it, lo in got.items():
+            assert lo <= exact[it] <= upper[it]
+        # (2) every item above the n/(k+1) frequency bar is present
+        bar = n / (k + 1)
+        for it, c in exact.items():
+            if c > bar:
+                assert it in got, (it, c, bar)
