@@ -2110,6 +2110,37 @@ FROM events GROUP BY 1 ORDER BY lower DESC, item
 """
 
 
+def docs_dedup_incremental(sf_dir: str):
+    """Cross-corpus exact dedup (dedup.dedup_incremental): treat docs
+    with id < 250 as the already-ingested history and ids >= 250 as the
+    incoming batch; survivors are min-id-per-distinct-text among the
+    new docs whose text is NOT in history. Text never shuffles — both
+    sides exchange (sha256, id) only, and the history check is a
+    distributed left_anti hash join (no broadcast of the history set)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.dedup import dedup_incremental
+
+    docs = rd.read_parquet(_tbl(sf_dir, "documents"),
+                           columns=["doc_id", "text"])
+    new = docs.filter(expr="doc_id >= 250")
+    prior = rd.read_parquet(
+        _tbl(sf_dir, "documents"), columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < 250)
+    out = dedup_incremental(new, prior).to_pandas()
+    return out[["keep_id", "n_dups"]].sort_values(
+        "keep_id").reset_index(drop=True)
+
+
+DOCS_DEDUP_INCR_SQL = """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+grp AS (SELECT min(doc_id) AS keep_id, count(*) AS n_dups, text
+        FROM newd GROUP BY text)
+SELECT keep_id, n_dups FROM grp
+WHERE text NOT IN (SELECT text FROM documents WHERE doc_id < 250)
+ORDER BY keep_id
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (gap > 30 min) per user — skew-safe layout: groups
     are (user, day), sessions chain across day edges via the session-row
@@ -6847,6 +6878,7 @@ _LAST_DRIVER_VERIFIED = {
     "docs_upsample_mixture": 0,  # new in r5 (epoch-tagged upsampling)
     "events_hopping_window": 0,  # new in r5 (sliding windows, in-batch combine)
     "events_type_heavy_hitters": 0,  # new in r5 (MG sketch, exact regime)
+    "docs_dedup_incremental": 0,  # new in r5 (cross-corpus anti-join dedup)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -7011,6 +7043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_upsample_mixture": docs_upsample_mixture,
         "events_hopping_window": events_hopping_window,
         "events_type_heavy_hitters": events_type_heavy_hitters,
+        "docs_dedup_incremental": docs_dedup_incremental,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -7175,6 +7208,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_upsample_mixture": DOCS_UPSAMPLE_SQL,
         "events_hopping_window": EVENTS_HOPPING_SQL,
         "events_type_heavy_hitters": EVENTS_HH_SQL,
+        "docs_dedup_incremental": DOCS_DEDUP_INCR_SQL,
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,

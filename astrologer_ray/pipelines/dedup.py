@@ -64,6 +64,53 @@ def dedup_exact(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def dedup_incremental(new_ds: Dataset, prior_ds: Dataset,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 8) -> Dataset:
+    """Cross-corpus exact dedup: survivors of ``new_ds`` after removing
+    (a) duplicates WITHIN the new batch (keep min id per distinct text)
+    and (b) anything whose text already exists in ``prior_ds`` — the
+    daily-crawl-vs-history operation of a training-data pipeline.
+
+    Scale shape: both sides reduce to (sha256, id) projections before
+    any exchange (text never shuffles); the within-batch dedup is one
+    hash-groupby and the history check is a DISTRIBUTED ``left_anti``
+    hash join on the digest — no broadcast of the (at scale, enormous)
+    history hash set, unlike the broadcast-side
+    :func:`~astrologer_ray.pipelines.aggs.anti_join_keys` which is the
+    right tool only when the present-set is small."""
+
+    def hash_project(col_id: str):
+        def fn(t: pa.Table) -> pa.Table:
+            h = [hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+                 for s in t[text_col].to_pylist()]
+            return pa.table({"h": pa.array(h, pa.string()),
+                             col_id: t[col_id]})
+        return fn
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col]).astype(np.int64)
+        return pa.table({
+            "keep_id": pa.array([int(ids.min())], pa.int64()),
+            "n_dups": pa.array([len(ids)], pa.int64()),
+            "h": g["h"].slice(0, 1),
+        })
+
+    new_groups = (new_ds.map_batches(hash_project(id_col),
+                                     batch_format="pyarrow")
+                  .groupby("h")
+                  .map_groups(keep_first, batch_format="pyarrow"))
+    # no distinct on the prior side: anti-join semantics ignore right
+    # duplicates, and a pre-dedup would cost the same shuffle volume
+    prior_h = (prior_ds.map_batches(hash_project(id_col),
+                                    batch_format="pyarrow")
+               .map_batches(lambda t: pa.table({"ph": t["h"]}),
+                            batch_format="pyarrow"))
+    return new_groups.join(prior_h, join_type="left_anti",
+                           num_partitions=num_partitions,
+                           on=("h",), right_on=("ph",))
+
+
 # ------------------------------------------------------------ minhash + LSH
 
 
