@@ -2888,6 +2888,25 @@ def ann_pq_embeddings(sf_dir: str):
     return out
 
 
+def embeddings_pca(sf_dir: str):
+    """Distributed PCA over the embedding corpus (rows-only: the eigen
+    step is not SQL-expressible; numpy parity + partition invariance are
+    pytest-asserted in tests/test_ann.py). One combiner pass reduces to
+    d+d^2 floats per block, the driver eigh is dimension-sized, the
+    projection streams — the dim-reduction stage before ANN at 10^9
+    vectors (ann.pca_fit/pca_project)."""
+    rd = _rd()
+    from astrologer_ray.pipelines.ann import pca_fit, pca_project
+
+    ds = rd.read_parquet(_tbl(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    comps, mean, ev = pca_fit(ds, out_dim=4)
+    out = pca_project(ds, comps, mean).to_pandas()
+    out["pc0"] = out.embedding_pca.map(lambda v: round(float(v[0]), 4))
+    return out[["vec_id", "pc0"]].sort_values("vec_id").reset_index(
+        drop=True)
+
+
 def embeddings_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embedding corpus (rows-only:
     iterative, not SQL-expressible; determinism + parallelism invariance
@@ -6941,6 +6960,7 @@ _LAST_DRIVER_VERIFIED = {
     "doc_perplexity": 0,
     "docs_tfidf_neighbors": 0,
     "embeddings_kmeans": 0,
+    "embeddings_pca": 0,  # new in r5 (rows-only: eigh; numpy-parity pytest)
     "ann_pq_embeddings": 0,
     "ann_ivf_embeddings": 0,
     "simhash_documents": 0,
@@ -7111,6 +7131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": doc_perplexity,
         "docs_tfidf_neighbors": docs_tfidf_neighbors,
         "embeddings_kmeans": embeddings_kmeans,
+        "embeddings_pca": embeddings_pca,
         "ann_pq_embeddings": ann_pq_embeddings,
         "ann_ivf_embeddings": ann_ivf_embeddings,
         "simhash_documents": simhash_documents,

@@ -654,3 +654,68 @@ def kmeans_assign(
 
     return ds.map_batches(Assign, batch_format="pyarrow",
                           concurrency=(1, 8))
+
+
+def pca_fit(ds: Dataset, out_dim: int, *, vec_col: str = "embedding",
+            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit over an embedding column — the standard
+    dim-reduction step before ANN at scale (smaller vectors = smaller
+    index + faster scans).
+
+    One combiner pass: each batch reduces to ``(n, sum(x), X^T X)``
+    partials — d + d^2 floats per BLOCK regardless of row count — and
+    the driver folds #blocks partials into the d x d covariance and
+    takes its top ``out_dim`` eigenvectors (``np.linalg.eigh`` on a
+    d x d matrix: driver work is dimension-, not data-, sized). Returns
+    ``(components[d, out_dim], mean[d], explained_variance[out_dim])``.
+    Eigenvector sign is fixed (largest-|coeff| entry positive) so the
+    fit is deterministic across partitionings."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        X = np.stack(
+            t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tobytes()], pa.binary()),
+            "xtx": pa.array([(X.T @ X).tobytes()], pa.binary()),
+            "d": pa.array([X.shape[1]], pa.int64()),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    d = int(parts.d.iloc[0])
+    n = int(parts.n.sum())
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for srow, xrow in zip(parts.s, parts.xtx):
+        s += np.frombuffer(srow, dtype=np.float64)
+        xtx += np.frombuffer(xrow, dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(-w)[:out_dim]
+    comps = v[:, order]
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    flip = comps[np.abs(comps).argmax(axis=0), np.arange(comps.shape[1])] < 0
+    comps[:, flip] *= -1.0
+    return comps, mean, np.maximum(w[order], 0.0)
+
+
+def pca_project(ds: Dataset, components: np.ndarray, mean: np.ndarray,
+                *, vec_col: str = "embedding",
+                out_col: str = "embedding_pca") -> Dataset:
+    """Project every embedding onto the fitted components (one
+    vectorized matmul per batch; the (d x out_dim) basis broadcasts in
+    the task closure — KBs, shipped once per task like the q14 part
+    map). Output keeps all non-vector columns and replaces the
+    embedding with its ``out_dim`` projection."""
+
+    def project(t: pa.Table) -> pa.Table:
+        X = np.stack(
+            t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        P = (X - mean) @ components
+        out = {c: t[c] for c in t.column_names if c != vec_col}
+        out[out_col] = pa.array(list(P.astype(np.float32)),
+                                pa.list_(pa.float32()))
+        return pa.table(out)
+
+    return ds.map_batches(project, batch_format="pyarrow")
