@@ -143,6 +143,10 @@ from astrologer_ray.functions import painless
 
 _TEXT_FIELDS = {"text", "content", "_all"}
 _CALENDAR = {"day": 86400, "hour": 3600, "minute": 60}
+# rate-agg units (ES accepts the calendar ladder; week+ are fixed spans
+# here because histogram intervals are fixed-width seconds)
+_RATE_UNITS = {"second": 1.0, "minute": 60.0, "hour": 3600.0,
+               "day": 86400.0, "week": 604800.0}
 
 
 def _text_of(arg) -> str:
@@ -978,6 +982,11 @@ def _histogram(s, arg: dict, subs: dict, scope,
             nz = np.flatnonzero(counts)
             return [{"key": float((lo + int(i)) * width),
                      "doc_count": int(counts[i])} for i in nz]
+    # ES `rate` is only legal inside a histogram bucket (it needs the
+    # parent interval) — evaluated here, not in _run_aggs
+    rate_subs = {n: sp["rate"] for n, sp in subs.items()
+                 if isinstance(sp, dict) and set(sp) == {"rate"}}
+    other_subs = {n: sp for n, sp in subs.items() if n not in rate_subs}
     buckets = np.floor(col[idx] / width) * width
     order = np.argsort(buckets, kind="stable")
     idx, buckets = idx[order], buckets[order]
@@ -986,12 +995,21 @@ def _histogram(s, arg: dict, subs: dict, scope,
     for grp, key in zip(np.split(idx, bounds),
                         buckets[np.r_[0, bounds]] if len(buckets) else []):
         b = {"key": float(key), "doc_count": int(len(grp))}
-        if subs:
+        for rname, rarg in rate_subs.items():
+            unit = _RATE_UNITS[rarg.get("unit", "day")]
+            if rarg.get("field"):
+                v = np.asarray(s._attr(rarg["field"]),
+                               dtype=np.float64)[grp]
+                total = float(np.nansum(v))
+            else:
+                total = float(len(grp))
+            b[rname] = {"value": total * unit / width}
+        if other_subs:
             # recurse with the bucket's half-open range as the scope, so
             # sub-aggs may be metric OR bucket aggs (full ES nesting)
             part = {"range": {attr: {"gte": float(key),
                                      "lt": float(key) + width}}}
-            b.update(_run_aggs(s, subs, _compose_scope(scope, part),
+            b.update(_run_aggs(s, other_subs, _compose_scope(scope, part),
                                qterms))
         out.append(b)
     return out

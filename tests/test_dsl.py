@@ -2722,3 +2722,31 @@ def test_termvectors_stored_doc_matches_source(dsl_index,
     assert execute_termvectors(s, {}, doc_id=s.n_local + 99,
                                corpus_dir=small_corpus_dir) == {
         "_id": s.n_local + 99, "found": False}
+
+
+def test_rate_agg_inside_date_histogram(dsl_index):
+    """ES `rate` sub-agg: per-bucket doc_count (or field sum) scaled by
+    unit/interval — verified against the histogram's own buckets."""
+    s = Searcher(dsl_index, load_docs=True)
+    body = {"size": 0, "aggs": {"per_hour": {
+        "histogram": {"field": "dl", "interval": 40},
+        "aggs": {"docs_per_hour": {"rate": {"unit": "hour"}},
+                 "dl_per_hour": {"rate": {"unit": "hour",
+                                          "field": "dl"}}}}}}
+    got = execute_dsl(s, body)
+    buckets = got["aggregations"]["per_hour"]["buckets"]
+    assert buckets
+    import numpy as np
+    dl = np.asarray(s.doc_attrs["dl"], dtype=np.float64)
+    for b in buckets:
+        k = b["key"]
+        in_b = (dl >= k) & (dl < k + 40)
+        assert b["doc_count"] == int(in_b.sum())
+        assert b["docs_per_hour"]["value"] == pytest.approx(
+            b["doc_count"] * 3600 / 40)
+        assert b["dl_per_hour"]["value"] == pytest.approx(
+            float(dl[in_b].sum()) * 3600 / 40)
+    # rate at top level is not ES-legal and refuses
+    with pytest.raises((NotImplementedError, KeyError)):
+        execute_dsl(s, {"size": 0,
+                        "aggs": {"r": {"rate": {"unit": "hour"}}}})
