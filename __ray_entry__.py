@@ -1044,9 +1044,13 @@ def q15_top_supplier(sf_dir: str):
         return pa.table({"l_suppkey": t["l_suppkey"],
                          "rev_c": _cents(disc_price)})
 
+    # materialized: the aggregate is #suppliers-sized (bounded), and two
+    # consumers follow (block-max scan + winners filter) — without this
+    # the pruned lineitem scan + groupby lineage would execute twice
     rev = (li.map_batches(project, batch_format="pyarrow")
            .groupby("l_suppkey")
-           .aggregate(Sum("rev_c", alias_name="rev_c")))
+           .aggregate(Sum("rev_c", alias_name="rev_c"))
+           .materialize())
 
     def block_max(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

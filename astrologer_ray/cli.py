@@ -533,6 +533,7 @@ def cmd_search(args) -> int:
             elif not any((args.fuzzy, args.wildcard, args.regexp,
                           args.phrase_prefix, args.sort_by, args.mlt,
                           args.rescore, args.suggest, args.filter,
+                          args.phrase, args.should, args.lang,
                           getattr(args, "template", False))):
                 from astrologer_ray.pipelines.build import load_meta
 
@@ -558,6 +559,13 @@ def cmd_search(args) -> int:
         # ES _search/template: render mustache holes, then execute
         from astrologer_ray.state.dsl import execute_search_template
 
+        if alias_filt is not None:
+            # the template executes its rendered body directly and never
+            # reads --filter — refuse rather than silently drop the
+            # alias filter the other paths compose
+            print("alias filters are not supported with --template",
+                  file=sys.stderr)
+            return 2
         s = Searcher(args.index, load_docs=True)
         print(json.dumps(execute_search_template(
             s, json.loads(args.query))))

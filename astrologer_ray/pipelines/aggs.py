@@ -376,38 +376,35 @@ def heavy_hitters_mg(ds: Dataset, col: str, k: int = 64) -> pd.DataFrame:
     def block_summary(t: pa.Table) -> pa.Table:
         vals = np.asarray(t[col], dtype=object)
         u, c = np.unique(vals, return_counts=True)
-        if len(u) == 0:
-            return pa.table({
-                "item": pa.array([], pa.string()),
-                "cnt": pa.array([], pa.int64()),
-                "err": pa.array([], pa.int64()),
-                "blk": pa.array([], pa.int64()),
-            })
+        err = 0
         if len(u) > k:
             order = np.argsort(-c, kind="stable")
             thresh = int(c[order[k]])  # the (k+1)-th largest count
-            keep = c > thresh
+            keep = c > thresh          # may drop EVERYTHING (all-equal counts)
             u, c = u[keep], c[keep] - thresh
-            err = thresh  # per-item decrement this block contributed
-        else:
-            err = 0
+            err = thresh               # this block's decrement
+        # the block's error rides in a null-item carrier row so the
+        # summary stays well-formed even when truncation empties it
+        items = list(u.astype(str)) + [None]
+        cnts = np.r_[c.astype(np.int64), 0]
+        blk = np.r_[np.zeros(len(u), np.int64), err]
         return pa.table({
-            "item": pa.array(u.astype(str)),
-            "cnt": pa.array(c.astype(np.int64), pa.int64()),
-            "err": pa.array(np.full(len(u), err, np.int64), pa.int64()),
-            "blk": pa.array(np.r_[err, np.zeros(max(0, len(u) - 1),
-                                                np.int64)], pa.int64()),
+            "item": pa.array(items, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "blk": pa.array(blk, pa.int64()),
         })
+
+    import pandas as pd
 
     parts = ds.map_batches(
         block_summary, batch_format="pyarrow").to_pandas()
-    # bounded: <= k items (+1 err row) per block
+    # bounded: <= k items + 1 error-carrier row per block
     if parts.empty:
         return pd.DataFrame({"item": pd.Series([], dtype="object"),
                              "lower": pd.Series([], dtype="int64"),
                              "upper": pd.Series([], dtype="int64")})
     total_err = int(parts.blk.sum())
-    agg = parts.groupby("item", as_index=False).cnt.sum()
+    agg = parts[parts.item.notna()].groupby("item", as_index=False).cnt.sum()
     agg = agg.rename(columns={"cnt": "lower"})
     agg["upper"] = agg.lower + total_err
     return agg.sort_values(["lower", "item"],

@@ -75,9 +75,12 @@ def hopping_window(
     k = size_s // step_s
 
     def partials(t: pa.Table) -> pa.Table:
-        # integer epoch seconds: exact window arithmetic in int64
+        # integer epoch seconds: exact window arithmetic in int64; the
+        # inner cast normalizes any timestamp resolution (ns/ms/s) to us
+        # before the divide (the aggs.py convention)
         sec = np.asarray(
-            pc.cast(t[ts_col], pa.int64())) // 1_000_000
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                    pa.int64())) // 1_000_000
         last = (sec // step_s) * step_s  # newest window containing t
         starts = np.repeat(last, k) - np.tile(
             np.arange(k, dtype=np.int64) * step_s, len(sec))

@@ -58,8 +58,22 @@ def apply_actions(path: str, actions: list[dict]) -> dict:
     in-memory copy first, then publish once — all actions take effect
     together or none do (the zero-downtime swap primitive).
 
+    Concurrency: writers serialize on a sidecar ``.lock`` file
+    (``flock``), so two concurrent action bodies apply in SOME order and
+    neither is lost; readers never block (``os.replace`` keeps every
+    read a consistent snapshot).
+
     Actions: ``{"add": {"index": dir, "alias": name[, "filter": body]}}``
     and ``{"remove": {"index": dir | "*", "alias": name}}``."""
+    import fcntl
+
+    lock_path = path + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        return _apply_actions_locked(path, actions)
+
+
+def _apply_actions_locked(path: str, actions: list[dict]) -> dict:
     reg = load_aliases(path)
     aliases = reg["aliases"]
     for act in actions:

@@ -2081,14 +2081,20 @@ def execute_termvectors(s, body: dict, doc_id: int | None = None,
             filter=(pc.field("repo") == repo) & (pc.field("path") == path),
             columns=["commit", "content"],
         )
+        from astrologer_ray.stages.spimi import KEY_SEP
+
+        # (repo, path) can repeat across commits; the doc_key's LAST
+        # key segment is the formatted commit — exact segment equality,
+        # not substring (commit 'ab12' must not claim key '...ab123')
+        key_commit = key.split(KEY_SEP)[-1]
         text = None
         for commit, content in zip(frag.column("commit").to_pylist(),
                                    frag.column("content").to_pylist()):
-            # (repo, path) can repeat across commits; the doc_key embeds
-            # the formatted commit, disambiguating without rebuilding
-            # the exact key-codec string
-            if frag.num_rows == 1 or str(commit) in key:
+            if str(commit) == key_commit:
                 text = content
+                break
+        if text is None and frag.num_rows == 1:
+            text = frag.column("content")[0].as_py()
         if text is None:
             return {"_id": did, "found": False}
 

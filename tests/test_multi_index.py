@@ -199,3 +199,15 @@ def test_cli_rollover(tmp_path, two_indexes, capsys):
                  "--max-docs", "1"]) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["rolled_over"] is False and out["docs"] == 0
+
+
+def test_multi_index_rejects_single_index_modes(two_indexes, capsys):
+    """Flags whose semantics the multi-index pool does not implement
+    (--phrase, --lang, --should, ...) must refuse, not silently fall
+    back to plain BM25."""
+    from astrologer_ray.cli import main
+
+    da, db = two_indexes
+    assert main(["search", f"{da},{db}", "merge index", "--phrase"]) == 2
+    assert main(["search", f"{da},{db}", "merge", "--lang", "py"]) == 2
+    capsys.readouterr()

@@ -1467,3 +1467,22 @@ def test_heavy_hitters_mg_guarantees(ray_session):
         for it, c in exact.items():
             if c > bar:
                 assert it in got, (it, c, bar)
+
+
+def test_heavy_hitters_mg_degenerate_blocks(ray_session):
+    """Regression: a block of all-equal counts (truncation drops every
+    item) and an empty dataset must not crash; error accounting still
+    brackets the truth."""
+    import ray.data as rd
+
+    from astrologer_ray.pipelines.aggs import heavy_hitters_mg
+
+    # 200 distinct singletons in one block, k=8: thresh=1, keep empties
+    rows = [{"v": f"u{i}"} for i in range(200)]
+    out = heavy_hitters_mg(rd.from_items(rows).repartition(1), "v", k=8)
+    for _, r in out.iterrows():
+        assert r.lower <= 1 <= r.upper
+    empty = heavy_hitters_mg(
+        rd.from_items([{"v": "x"}]).filter(lambda r: False), "v", k=8)
+    assert len(empty) == 0 and list(empty.columns) == [
+        "item", "lower", "upper"]
