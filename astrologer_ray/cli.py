@@ -727,7 +727,13 @@ def cmd_msearch(args) -> int:
     raw = (sys.stdin.read() if args.bodies == "-"
            else open(args.bodies).read())
     bodies = [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
-    if getattr(args, "sharded", False):
+    if "," in args.index:
+        # ES multi-index _msearch: every body scatters to all indexes
+        from astrologer_ray.state.pool import MultiIndexSearchPool
+
+        pool = MultiIndexSearchPool(
+            [d for d in args.index.split(",") if d], load_docs=True)
+    elif getattr(args, "sharded", False):
         from astrologer_ray.state.pool import ShardedSearchPool
 
         pool = ShardedSearchPool(args.index, n_actors=args.replicas,
