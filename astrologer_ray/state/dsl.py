@@ -986,15 +986,36 @@ def _histogram(s, arg: dict, subs: dict, scope,
     # parent interval) — evaluated here, not in _run_aggs
     rate_subs = {n: sp["rate"] for n, sp in subs.items()
                  if isinstance(sp, dict) and set(sp) == {"rate"}}
-    other_subs = {n: sp for n, sp in subs.items() if n not in rate_subs}
+    # ES `cumulative_cardinality`: running distinct count across buckets
+    # in key order — needs the raw per-bucket value sets, so it is also
+    # a histogram-walk computation; buckets_path must name a sibling
+    # cardinality sub-agg whose field we accumulate (exact here, like
+    # the local cardinality metric itself)
+    cc_subs = {}
+    for n, sp in subs.items():
+        if isinstance(sp, dict) and set(sp) == {"cumulative_cardinality"}:
+            path = sp["cumulative_cardinality"]["buckets_path"]
+            sib = subs.get(path)
+            if not (isinstance(sib, dict) and set(sib) == {"cardinality"}):
+                raise NotImplementedError(
+                    "cumulative_cardinality buckets_path must name a "
+                    "sibling cardinality sub-agg")
+            cc_subs[n] = sib["cardinality"]["field"]
+    other_subs = {n: sp for n, sp in subs.items()
+                  if n not in rate_subs and n not in cc_subs}
     buckets = np.floor(col[idx] / width) * width
     order = np.argsort(buckets, kind="stable")
     idx, buckets = idx[order], buckets[order]
     bounds = np.flatnonzero(np.diff(buckets)) + 1
     out = []
+    cc_seen: dict[str, set] = {n: set() for n in cc_subs}
     for grp, key in zip(np.split(idx, bounds),
                         buckets[np.r_[0, bounds]] if len(buckets) else []):
         b = {"key": float(key), "doc_count": int(len(grp))}
+        for cname, cfield in cc_subs.items():
+            vals = np.asarray(s._attr(cfield), dtype=object)[grp]
+            cc_seen[cname].update(v for v in vals if v is not None)
+            b[cname] = {"value": len(cc_seen[cname])}
         for rname, rarg in rate_subs.items():
             unit = _RATE_UNITS[rarg.get("unit", "day")]
             if rarg.get("field"):

@@ -2750,3 +2750,35 @@ def test_rate_agg_inside_date_histogram(dsl_index):
     with pytest.raises((NotImplementedError, KeyError)):
         execute_dsl(s, {"size": 0,
                         "aggs": {"r": {"rate": {"unit": "hour"}}}})
+
+
+def test_cumulative_cardinality_agg(dsl_index):
+    """ES cumulative_cardinality: running distinct count across
+    histogram buckets in key order, verified against a hand-walked set;
+    a buckets_path to a non-cardinality sibling refuses."""
+    s = Searcher(dsl_index, load_docs=True)
+    body = {"size": 0, "aggs": {"by_dl": {
+        "histogram": {"field": "dl", "interval": 40},
+        "aggs": {"langs": {"cardinality": {"field": "lang"}},
+                 "total_langs": {"cumulative_cardinality": {
+                     "buckets_path": "langs"}}}}}}
+    got = execute_dsl(s, body)
+    buckets = got["aggregations"]["by_dl"]["buckets"]
+    assert len(buckets) >= 2
+    import numpy as np
+    dl = np.asarray(s.doc_attrs["dl"], dtype=np.float64)
+    lang = np.asarray(s.doc_attrs["lang"], dtype=object)
+    seen: set = set()
+    for b in buckets:
+        k = b["key"]
+        in_b = (dl >= k) & (dl < k + 40)
+        seen.update(lang[in_b])
+        assert b["total_langs"]["value"] == len(seen)
+        assert b["langs"]["value"] == len(set(lang[in_b]))
+    assert buckets[-1]["total_langs"]["value"] == len(set(lang[dl >= 0]))
+    with pytest.raises(NotImplementedError):
+        execute_dsl(s, {"size": 0, "aggs": {"h": {
+            "histogram": {"field": "dl", "interval": 40},
+            "aggs": {"m": {"sum": {"field": "dl"}},
+                     "cc": {"cumulative_cardinality": {
+                         "buckets_path": "m"}}}}}})
