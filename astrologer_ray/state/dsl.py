@@ -1001,17 +1001,53 @@ def _histogram(s, arg: dict, subs: dict, scope,
                     "cumulative_cardinality buckets_path must name a "
                     "sibling cardinality sub-agg")
             cc_subs[n] = sib["cardinality"]["field"]
+    # ES `moving_percentiles`: percentiles over a moving bucket window
+    # (moving_fn window semantics: [i-window+shift, i+shift)); ES merges
+    # t-digest sketches — over raw local values this is exact, strictly
+    # tighter than the sketch merge
+    mp_subs = {}
+    for n, sp in subs.items():
+        if isinstance(sp, dict) and set(sp) == {"moving_percentiles"}:
+            arg_ = sp["moving_percentiles"]
+            sib = subs.get(arg_["buckets_path"])
+            if not (isinstance(sib, dict) and set(sib) == {"percentiles"}):
+                raise NotImplementedError(
+                    "moving_percentiles buckets_path must name a "
+                    "sibling percentiles sub-agg")
+            mp_subs[n] = {
+                "field": sib["percentiles"]["field"],
+                "percents": sib["percentiles"].get(
+                    "percents", [1, 5, 25, 50, 75, 95, 99]),
+                "window": int(arg_["window"]),
+                "shift": int(arg_.get("shift", 0)),
+            }
     other_subs = {n: sp for n, sp in subs.items()
-                  if n not in rate_subs and n not in cc_subs}
+                  if n not in rate_subs and n not in cc_subs
+                  and n not in mp_subs}
     buckets = np.floor(col[idx] / width) * width
     order = np.argsort(buckets, kind="stable")
     idx, buckets = idx[order], buckets[order]
     bounds = np.flatnonzero(np.diff(buckets)) + 1
     out = []
     cc_seen: dict[str, set] = {n: set() for n in cc_subs}
-    for grp, key in zip(np.split(idx, bounds),
-                        buckets[np.r_[0, bounds]] if len(buckets) else []):
+    groups = list(zip(np.split(idx, bounds),
+                      buckets[np.r_[0, bounds]] if len(buckets) else []))
+    mp_vals = {}
+    for mname, marg in mp_subs.items():
+        col_v = np.asarray(s._attr(marg["field"]), dtype=np.float64)
+        mp_vals[mname] = [col_v[grp] for grp, _ in groups]
+    for i, (grp, key) in enumerate(groups):
         b = {"key": float(key), "doc_count": int(len(grp))}
+        for mname, marg in mp_subs.items():
+            lo_i = max(0, i - marg["window"] + marg["shift"])
+            hi_i = max(lo_i, min(len(groups), i + marg["shift"]))
+            win = (np.concatenate(mp_vals[mname][lo_i:hi_i])
+                   if hi_i > lo_i else np.empty(0))
+            win = win[~np.isnan(win)]
+            b[mname] = {"values": {
+                f"{p:g}": (float(np.percentile(win, p)) if len(win)
+                           else None)
+                for p in marg["percents"]}}
         for cname, cfield in cc_subs.items():
             vals = np.asarray(s._attr(cfield), dtype=object)[grp]
             cc_seen[cname].update(v for v in vals if v is not None)

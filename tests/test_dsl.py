@@ -2782,3 +2782,31 @@ def test_cumulative_cardinality_agg(dsl_index):
             "aggs": {"m": {"sum": {"field": "dl"}},
                      "cc": {"cumulative_cardinality": {
                          "buckets_path": "m"}}}}}})
+
+
+def test_moving_percentiles_agg(dsl_index):
+    """ES moving_percentiles: percentiles over the moving_fn-style
+    bucket window, hand-verified per bucket (exact over raw values)."""
+    import numpy as np
+
+    s = Searcher(dsl_index, load_docs=True)
+    body = {"size": 0, "aggs": {"by_dl": {
+        "histogram": {"field": "dl", "interval": 40},
+        "aggs": {"p": {"percentiles": {"field": "dl",
+                                       "percents": [50, 90]}},
+                 "mp": {"moving_percentiles": {
+                     "buckets_path": "p", "window": 2, "shift": 0}}}}}}
+    got = execute_dsl(s, body)
+    buckets = got["aggregations"]["by_dl"]["buckets"]
+    assert len(buckets) >= 3
+    dl = np.asarray(s.doc_attrs["dl"], dtype=np.float64)
+    keys = [b["key"] for b in buckets]
+    per_bucket = [dl[(dl >= k) & (dl < k + 40)] for k in keys]
+    for i, b in enumerate(buckets):
+        lo = max(0, i - 2)
+        win = (np.concatenate(per_bucket[lo:i])
+               if i > lo else np.empty(0))
+        for p in (50, 90):
+            want = float(np.percentile(win, p)) if len(win) else None
+            assert b["mp"]["values"][f"{p:g}"] == (
+                pytest.approx(want) if want is not None else None)
