@@ -100,7 +100,11 @@ methods — this module adds translation, not retrieval):
   stdDev / linearWeightedAvg / ewma — with ``window`` and ``shift``)
   inside a terms/histogram parent (``buckets_path``
   to a sibling metric or ``_count``; scripts take the arithmetic
-  subset of painless over ``params.*``), and sibling ``avg_bucket``,
+  subset of painless over ``params.*``); histogram-walk pipeline aggs
+  ``rate`` (per-bucket count/field-sum scaled to a unit by the parent
+  interval), ``cumulative_cardinality`` (exact running distinct over a
+  sibling cardinality's field) and ``moving_percentiles`` (exact over
+  the moving_fn-style bucket window); and sibling ``avg_bucket``,
   ``sum_bucket``, ``min_bucket``, ``max_bucket``, ``stats_bucket``,
   ``percentiles_bucket`` (exact, ES's round(p*(n-1)) rank) and
   ``extended_stats_bucket``
