@@ -3317,6 +3317,112 @@ def bm25_topk_documents(sf_dir: str):
     )
 
 
+def _documents_split_indexes(sf_dir: str) -> tuple[str, str, list, list]:
+    """Two half-corpus indexes (doc_id < 250 / >= 250) for the
+    multi-index search surface, plus each half's sorted table-id list
+    (dense engine id i in a half == i-th smallest table doc_id there)."""
+    import pyarrow.parquet as pq
+
+    from astrologer_ray.pipelines.build import build_index
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = os.path.join(_CACHE, f"docidxsplit-{tag}")
+    parts = {}
+    for name, lo, hi in (("a", None, 250), ("b", 250, None)):
+        pdir = os.path.join(root, f"corpus_{name}")
+        idir = os.path.join(root, f"idx_{name}")
+        if not os.path.exists(os.path.join(idir, "_SUCCESS")):
+            os.makedirs(pdir, exist_ok=True)
+            t = pq.read_table(_tbl(sf_dir, "documents"),
+                              columns=["doc_id", "text", "source", "lang"])
+            m = (pc.less(t["doc_id"], 250) if hi else
+                 pc.greater_equal(t["doc_id"], 250))
+            pq.write_table(t.filter(m), os.path.join(pdir, "docs.parquet"))
+            build_index(
+                [os.path.join(pdir, "docs.parquet")], idir, mode="simple",
+                column_map={"repo": "source", "path": None, "commit": None,
+                            "lang": "lang", "content": "text"},
+                key_cols=("doc_id",), chunk_bits=8,
+                partition_rows=20_000,
+            )
+        ids = sorted(pq.read_table(
+            os.path.join(pdir, "docs.parquet"),
+            columns=["doc_id"])["doc_id"].to_pylist())
+        parts[name] = (idir, ids)
+    return parts["a"][0], parts["b"][0], parts["a"][1], parts["b"][1]
+
+
+def bm25_multi_index_documents(sf_dir: str):
+    """Multi-index BM25 (state/pool.MultiIndexSearchPool): the corpus
+    split into two indexes, each scoring from ITS OWN statistics
+    (df/N/avgdl per index — ES query_then_fetch), merged by score. The
+    oracle recomputes BM25 with per-half stats in SQL, so this is
+    driver-level hash evidence for the multi-index merge contract."""
+    from astrologer_ray.state.pool import MultiIndexSearchPool
+
+    idx_a, idx_b, ids_a, ids_b = _documents_split_indexes(sf_dir)
+    pool = MultiIndexSearchPool([idx_a, idx_b])
+    try:
+        rows = []
+        for qid, terms, k in BM25_DOC_QUERIES:
+            for h in pool.search(terms, k=k):
+                ids = ids_a if h["_index"] == "idx_a" else ids_b
+                rows.append((qid, int(ids[h["doc_id"]]),
+                             round(h["score"], 4)))
+    finally:
+        pool.shutdown()
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+        "score": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+def _bm25_multi_index_sql() -> str:
+    """Per-half BM25 oracle: statistics partition on the same doc_id<250
+    split the engine indexes on; hits rank globally by full-precision
+    score (ties within a half break by doc_id — dense order preserves
+    table order there; cross-half full-precision ties do not occur)."""
+    values = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in BM25_DOC_QUERIES
+        for t in sorted(set(terms)))
+    ks = ", ".join(f"({qid}, {k})" for qid, _, k in BM25_DOC_QUERIES)
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, text, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS h
+  FROM documents),
+toks AS (SELECT doc_id, h, unnest({_SPLIT_SQL}) AS term FROM docs2),
+tf AS (SELECT doc_id, h, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+dl AS (SELECT doc_id, h, count(*) AS dl FROM toks GROUP BY 1, 2),
+nh AS (SELECT h, count(*) AS n FROM docs2 GROUP BY 1),
+sdl AS (SELECT h, sum(dl) AS s FROM dl GROUP BY 1),
+stats AS (SELECT nh.h, nh.n, sdl.s*1.0/nh.n AS avgdl
+          FROM nh JOIN sdl ON nh.h = sdl.h),
+df AS (SELECT h, term, count(*) AS df FROM tf GROUP BY 1, 2),
+q(qid, term) AS (VALUES {values}),
+ks(qid, k) AS (VALUES {ks}),
+scores AS (
+  SELECT q.qid, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5)/(df.df + 0.5))
+              * (tf.tf*(1.2 + 1))
+              / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term AND df.h = tf.h
+  JOIN dl ON dl.doc_id = tf.doc_id AND dl.h = tf.h
+  JOIN stats s ON s.h = tf.h
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scores)
+SELECT r.qid, r.doc_id, round(r.score, 4) AS score
+FROM ranked r JOIN ks ON ks.qid = r.qid
+WHERE r.rn <= ks.k ORDER BY r.qid, r.rn
+"""
+
+
 def _documents_appended_index(sf_dir: str) -> str:
     """Base index over the first 70% of documents (doc_id order) plus one
     delta segment over the rest (pipelines/segments.py) — BM25 over the
@@ -6902,6 +7008,7 @@ _LAST_DRIVER_VERIFIED = {
     "events_hopping_window": 0,  # new in r5 (sliding windows, in-batch combine)
     "events_type_heavy_hitters": 0,  # new in r5 (MG sketch, exact regime)
     "docs_dedup_incremental": 0,  # new in r5 (cross-corpus anti-join dedup)
+    "bm25_multi_index_documents": 0,  # new in r5 (multi-index merge contract)
     "events_rollup_histogram": 0,  # new in r5 (ES rollup-job analog)
     "events_rollup_terms": 0,  # new in r5 (rollup-served terms agg)
     "docs_reindex_filtered": 0,  # new in r5 (ES _reindex analog)
@@ -7068,6 +7175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": events_hopping_window,
         "events_type_heavy_hitters": events_type_heavy_hitters,
         "docs_dedup_incremental": docs_dedup_incremental,
+        "bm25_multi_index_documents": bm25_multi_index_documents,
         "events_rollup_histogram": events_rollup_histogram,
         "events_rollup_terms": events_rollup_terms,
         "docs_reindex_filtered": docs_reindex_filtered,
@@ -7234,6 +7342,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": EVENTS_HOPPING_SQL,
         "events_type_heavy_hitters": EVENTS_HH_SQL,
         "docs_dedup_incremental": DOCS_DEDUP_INCR_SQL,
+        "bm25_multi_index_documents": _bm25_multi_index_sql(),
         "events_rollup_histogram": EVENTS_ROLLUP_HIST_SQL,
         "events_rollup_terms": EVENTS_ROLLUP_TERMS_SQL,
         "docs_reindex_filtered": DOCS_REINDEX_SQL,
