@@ -716,8 +716,9 @@ def cmd_count(args) -> int:
 
 def cmd_msearch(args) -> int:
     """ES ``_msearch`` analog: one ``_search`` request body per input
-    line (NDJSON; the ES header lines are unnecessary with a single
-    index), served in one scatter over a replicated actor pool and
+    line (NDJSON; ES header lines are unnecessary — the index comes
+    from the INDEX operand, a single dir or comma-separated dirs for
+    multi-index scatter), served in one scatter over the pool and
     printed one JSON response per line, in request order."""
     import sys
 
@@ -731,6 +732,10 @@ def cmd_msearch(args) -> int:
         # ES multi-index _msearch: every body scatters to all indexes
         from astrologer_ray.state.pool import MultiIndexSearchPool
 
+        if getattr(args, "sharded", False):
+            print("multi-index msearch does not compose with --sharded",
+                  file=sys.stderr)
+            return 2
         pool = MultiIndexSearchPool(
             [d for d in args.index.split(",") if d], load_docs=True)
     elif getattr(args, "sharded", False):
@@ -1131,8 +1136,11 @@ def main(argv: list[str] | None = None) -> int:
     ms = sub.add_parser(
         "msearch",
         help="ES _msearch analog: one _search JSON body per input line, "
-             "served in one scatter over a replicated actor pool")
-    ms.add_argument("index")
+             "served in one scatter over a replicated actor pool (or "
+             "across comma-separated indexes)")
+    ms.add_argument("index",
+                    help="index dir, or comma-separated dirs for "
+                         "multi-index scatter")
     ms.add_argument("bodies",
                     help="NDJSON file of request bodies ('-' = stdin)")
     ms.add_argument("--replicas", type=int, default=2,

@@ -1020,8 +1020,8 @@ def _histogram(s, arg: dict, subs: dict, scope,
                     "sibling percentiles sub-agg")
             mp_subs[n] = {
                 "field": sib["percentiles"]["field"],
-                "percents": sib["percentiles"].get(
-                    "percents", [1, 5, 25, 50, 75, 95, 99]),
+                "percents": [float(p) for p in sib["percentiles"].get(
+                    "percents", _DEFAULT_PERCENTS)],
                 "window": int(arg_["window"]),
                 "shift": int(arg_.get("shift", 0)),
             }
@@ -1040,6 +1040,18 @@ def _histogram(s, arg: dict, subs: dict, scope,
     for mname, marg in mp_subs.items():
         col_v = np.asarray(s._attr(marg["field"]), dtype=np.float64)
         mp_vals[mname] = [col_v[grp] for grp, _ in groups]
+    # hoisted column conversion (once, not per bucket); NaN is a MISSING
+    # numeric value and never counts as distinct, matching the sibling
+    # cardinality metric (each boxed NaN is a fresh object, so letting
+    # them into the set would inflate the running count per occurrence)
+    cc_cols = {}
+    for cname, cfield in cc_subs.items():
+        arr = np.asarray(s._attr(cfield))
+        if arr.dtype.kind == "f":
+            cc_cols[cname] = np.where(np.isnan(arr), None,
+                                      arr.astype(object))
+        else:
+            cc_cols[cname] = np.asarray(arr, dtype=object)
     for i, (grp, key) in enumerate(groups):
         b = {"key": float(key), "doc_count": int(len(grp))}
         for mname, marg in mp_subs.items():
@@ -1049,11 +1061,11 @@ def _histogram(s, arg: dict, subs: dict, scope,
                    if hi_i > lo_i else np.empty(0))
             win = win[~np.isnan(win)]
             b[mname] = {"values": {
-                f"{p:g}": (float(np.percentile(win, p)) if len(win)
-                           else None)
+                str(p): (float(np.percentile(win, p)) if len(win)
+                         else None)
                 for p in marg["percents"]}}
-        for cname, cfield in cc_subs.items():
-            vals = np.asarray(s._attr(cfield), dtype=object)[grp]
+        for cname in cc_subs:
+            vals = cc_cols[cname][grp]
             cc_seen[cname].update(v for v in vals if v is not None)
             b[cname] = {"value": len(cc_seen[cname])}
         for rname, rarg in rate_subs.items():

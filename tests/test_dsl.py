@@ -2808,5 +2808,26 @@ def test_moving_percentiles_agg(dsl_index):
                if i > lo else np.empty(0))
         for p in (50, 90):
             want = float(np.percentile(win, p)) if len(win) else None
-            assert b["mp"]["values"][f"{p:g}"] == (
+            # keys are ES-shaped str(float(p)), same as the sibling
+            # percentiles metric
+            assert b["mp"]["values"][str(float(p))] == (
                 pytest.approx(want) if want is not None else None)
+
+
+def test_cumulative_cardinality_excludes_nan(dsl_index):
+    """Missing numeric values (NaN) never count as distinct — matching
+    the sibling cardinality metric."""
+    import numpy as np
+
+    s = Searcher(dsl_index, load_docs=True)
+    vals = np.where(np.arange(s.n_local) % 2 == 0, 1.0, np.nan)
+    s.doc_attrs["half_nan"] = vals
+    got = execute_dsl(s, {"size": 0, "aggs": {"h": {
+        "histogram": {"field": "dl", "interval": 40},
+        "aggs": {"c": {"cardinality": {"field": "half_nan"}},
+                 "cc": {"cumulative_cardinality": {
+                     "buckets_path": "c"}}}}}})
+    buckets = got["aggregations"]["h"]["buckets"]
+    # the only real value anywhere is 1.0 — every running count is <= 1
+    assert buckets[-1]["cc"]["value"] == 1
+    assert all(b["cc"]["value"] <= 1 for b in buckets)
